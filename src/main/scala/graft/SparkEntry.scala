@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.SimConfig
+import graft.queries.{QueryDef, Relational, SimQueries}
+import graft.sim.SimOperator
+import graft.sources.EventRequests
+import graft.stats.Statistics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-coverage surface the driver's DuckDB oracle
+  * checks (CORRECTNESS gate); `oracleSql` carries the equivalent ANSI SQL
+  * for every SQL-expressible query. Sim/stateful queries are rows-only by
+  * design (SURVEY §2.2: the stateful core is the one non-SQL-expressible
+  * operator).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def catalogue: Seq[QueryDef] = Relational.all ++ SimQueries.all
+
+  /** Flagship: full reference pipeline on the lake — events → typed
+    * requests → discrete-event simulation (4 workers, priority queue) →
+    * one-row statistics summary (reference: main.py:16-159 end-to-end).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val reqs = EventRequests.requests(spark, "/root/testdata/sf0.001")
+    val completed = SimOperator.simulate(reqs, SimConfig(numWorkers = 4))
+    Statistics.summary(Statistics.toDF(completed))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalogue.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    catalogue.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,367 @@
+package graft.sim
+
+import scala.collection.mutable
+
+import graft.model._
+
+/** Pure-Scala deterministic core of the discrete-event simulation.
+  *
+  * This file is the one genuinely custom operator of the engine (SURVEY §7.3):
+  * a globally-sequential stateful fold that Spark's relational operators
+  * cannot express. It is deliberately free of any Spark dependency so the
+  * golden-timeline unit tests (ported from reference tests/test_simulator.py,
+  * tests/test_worker.py, tests/test_queue_manager.py, tests/test_api_client.py)
+  * run without a SparkSession; the Spark wrapper in
+  * [[graft.sim.SimOperator]] is a thin `mapPartitions` shim.
+  *
+  * Semantics are a faithful re-expression of:
+  *   - event loop / fixpoint drain / time-skip  reference: src/simulator.py:195-258
+  *   - worker state machine                     reference: src/worker.py:54-111
+  *   - two-tier priority queue + biased dequeue reference: src/queue_manager.py:98-221
+  *   - sliding-window rate-limited API client   reference: src/api_client.py:17-90
+  *
+  * Determinism contract: arrivals drain in (simArrivalTime, seq) order;
+  * workers tick in worker-id order; the biased dequeue draws from a seeded
+  * RNG ([[scala.util.Random]] — the engine defines its own seeded stream
+  * rather than replicating CPython's Mersenne-Twister bit stream; goldens
+  * that depend on the RNG are recomputed against this contract, SURVEY §7.3b).
+  */
+object SimCore {
+
+  /** Mutable in-flight record; the engine-internal analogue of the
+    * reference's in-place mutated `Request` (src/data_model.py:37-42).
+    */
+  final class InFlight(val req: SimRequest) {
+    var arrivalTimeInQueue: Double = 0.0
+    var startTime: Double = 0.0
+    var finishTime: Double = 0.0
+    var usedApiId: Option[Int] = None
+    var queue: Option[String] = None
+    var status: String = "pending"
+
+    def toCompleted: SimCompleted = SimCompleted(
+      userId = req.userId,
+      requestTimeMicros = req.requestTimeMicros,
+      processingTime = req.processingTime,
+      simArrivalTime = req.simArrivalTime,
+      arrivalTimeInQueue = arrivalTimeInQueue,
+      startTime = startTime,
+      finishTime = finishTime,
+      usedApiId = usedApiId,
+      queue = queue,
+      status = status,
+      seq = req.seq
+    )
+  }
+
+  /** Bounded FIFO (reference: src/queue_manager.py:7-95). */
+  final class FifoQueue[T](val maxSize: Option[Int] = None) {
+    private val q = mutable.ArrayDeque.empty[T]
+    def enqueue(item: T): Boolean =
+      if (maxSize.exists(q.length >= _)) false
+      else { q.append(item); true }
+    def dequeue(): Option[T] = if (q.isEmpty) None else Some(q.removeHead())
+    def peek: Option[T] = q.headOption
+    def isEmpty: Boolean = q.isEmpty
+    def isFull: Boolean = maxSize.exists(q.length >= _)
+    def size: Int = q.length
+  }
+
+  /** Queue facade shared by the FIFO and two-tier priority disciplines. */
+  sealed trait TaskQueue {
+    def enqueue(item: InFlight): Boolean
+    def dequeue(): Option[InFlight]
+    def isEmpty: Boolean
+    def isFull: Boolean
+    def size: Int
+
+    /** Total enqueued per sub-queue, independent of dequeues
+      * (reference: src/queue_manager.py:267-276).
+      */
+    def queueCounts: Map[String, Long]
+  }
+
+  /** Plain bounded FIFO discipline — the reference's documented-but-dead
+    * configuration (SURVEY §4.1): `-q` bound honored, rejection reachable.
+    */
+  final class FifoStrategy(maxSize: Option[Int]) extends TaskQueue {
+    private val q = new FifoQueue[InFlight](maxSize)
+    private var enqueued = 0L
+    def enqueue(item: InFlight): Boolean = {
+      val ok = q.enqueue(item)
+      if (ok) { enqueued += 1; item.queue = Some("normal") }
+      ok
+    }
+    def dequeue(): Option[InFlight] = q.dequeue()
+    def isEmpty: Boolean = q.isEmpty
+    def isFull: Boolean = q.isFull
+    def size: Int = q.size
+    def queueCounts: Map[String, Long] =
+      Map("priority_enqueued" -> 0L, "normal_enqueued" -> enqueued)
+  }
+
+  /** Two-tier priority routing with probabilistic biased dequeue
+    * (reference: src/queue_manager.py:98-221; the shipped class binds
+    * `dequeue = dequeue_corrected`, i.e. the fallback-capable variant at
+    * :188-221 — the non-fallback one at :157-186 is dead code).
+    */
+  final class PriorityStrategy(
+      thresholdSeconds: Double,
+      bias: Double,
+      rng: scala.util.Random
+  ) extends TaskQueue {
+    private val priorityQ = new FifoQueue[InFlight]()
+    private val normalQ = new FifoQueue[InFlight]()
+    private var priorityEnqueued = 0L
+    private var normalEnqueued = 0L
+
+    def enqueue(item: InFlight): Boolean = {
+      // Items with a valid processing time below the threshold go priority;
+      // everything else (incl. NaN, mirroring Python's hasattr/number check
+      // at src/queue_manager.py:137) goes normal.
+      val toPriority =
+        !item.req.processingTime.isNaN && item.req.processingTime < thresholdSeconds
+      if (toPriority) {
+        priorityQ.enqueue(item)
+        priorityEnqueued += 1
+        item.queue = Some("priority")
+      } else {
+        normalQ.enqueue(item)
+        normalEnqueued += 1
+        item.queue = Some("normal")
+      }
+      true
+    }
+
+    def dequeue(): Option[InFlight] = {
+      val pHas = !priorityQ.isEmpty
+      val nHas = !normalQ.isEmpty
+      if (!pHas && !nHas) None
+      else {
+        // Draw exactly once per dequeue with both-queues-empty already
+        // excluded — matches dequeue_corrected (src/queue_manager.py:205)
+        // where random() is drawn after the emptiness check.
+        val chosePriority = rng.nextDouble() < bias
+        if (chosePriority) {
+          if (pHas) priorityQ.dequeue() else normalQ.dequeue()
+        } else {
+          if (nHas) normalQ.dequeue() else priorityQ.dequeue()
+        }
+      }
+    }
+
+    def isEmpty: Boolean = priorityQ.isEmpty && normalQ.isEmpty
+    // The reference's PriorityQueueStrategy has no bound: is_full() ≡ False
+    // (src/queue_manager.py:249-256) — which is why rejection never fires in
+    // its default wiring.
+    def isFull: Boolean = false
+    def size: Int = priorityQ.size + normalQ.size
+    def queueCounts: Map[String, Long] = Map(
+      "priority_enqueued" -> priorityEnqueued,
+      "normal_enqueued" -> normalEnqueued
+    )
+  }
+
+  /** Sliding-window rate-limited, fallback-capable API client
+    * (reference: src/api_client.py:8-90). All simulated calls "succeed"
+    * (response_status hard-wired 200, src/api_client.py:58), so the only
+    * failure mode is every endpoint rate-limited at once.
+    */
+  final class ApiClient(
+      numApis: Int,
+      rpmLimit: Int,
+      windowSeconds: Double,
+      now: () => Double
+  ) {
+    private val stamps: Array[mutable.ArrayDeque[Double]] =
+      Array.fill(numApis)(mutable.ArrayDeque.empty[Double])
+    private var currentIndex = 0
+
+    /** Strict-inequality eviction: a timestamp exactly `windowSeconds` old
+      * still counts (reference: src/api_client.py:21 `now - ts > 60`).
+      */
+    private def canMakeRequest(i: Int): Boolean = {
+      val t = now()
+      val q = stamps(i)
+      while (q.nonEmpty && t - q.head > windowSeconds) q.removeHead()
+      q.length < rpmLimit
+    }
+
+    /** Returns the 1-based id of the endpoint used, or None when all
+      * endpoints are rate-limited (the reference raises; the worker maps
+      * that to status "failed_api_limit", src/worker.py:48-52).
+      */
+    def makeRequest(): Option[Int] = {
+      val initial = currentIndex
+      var attempts = 0
+      while (attempts < numApis) {
+        val i = (initial + attempts) % numApis
+        if (canMakeRequest(i)) {
+          stamps(i).append(now())
+          currentIndex = i // remember last-successful (src/api_client.py:70)
+          return Some(i + 1)
+        } else {
+          attempts += 1
+          currentIndex = (i + 1) % numApis
+        }
+      }
+      None
+    }
+  }
+
+  /** Worker state machine (reference: src/worker.py:54-111). One task at a
+    * time; completion and start never happen in the same tick (a completed
+    * worker starts its next task on the following fixpoint pass).
+    */
+  final class Worker(val id: Int, queue: TaskQueue, api: ApiClient) {
+    var currentTask: Option[InFlight] = None
+    var busyUntil: Double = 0.0
+
+    def processTask(currentTime: Double): Option[InFlight] = {
+      currentTask match {
+        case Some(t) if currentTime >= busyUntil =>
+          // finish := busy_until, NOT current time (src/worker.py:69)
+          t.finishTime = busyUntil
+          currentTask = None
+          return Some(t)
+        case _ => ()
+      }
+      if (currentTask.isEmpty && !queue.isEmpty) {
+        queue.dequeue().foreach { t =>
+          currentTask = Some(t)
+          t.startTime = currentTime
+          api.makeRequest() match {
+            case Some(apiId) =>
+              t.usedApiId = Some(apiId)
+              t.status = "success"
+            case None =>
+              // Failure still consumes the full processing time
+              // (src/worker.py:102-104; tests/test_worker.py:58-81).
+              t.status = "failed_api_limit"
+          }
+          busyUntil = currentTime + t.req.processingTime
+        }
+      }
+      None
+    }
+
+    def isBusy(currentTime: Double): Boolean =
+      // t == busy_until ⇒ not busy (src/worker.py:124,
+      // tests/test_worker.py:185-197)
+      currentTask.nonEmpty && currentTime < busyUntil
+  }
+
+  /** Event-driven simulation run (reference: src/simulator.py:195-265).
+    *
+    * Consumes the full input (the fold is globally sequential — one shared
+    * queue and one shared rate-limit ledger couple every event, SURVEY
+    * §4.2), then returns completed records in the reference's final order:
+    * (finish if != -1 else +inf, arrivalTimeInQueue), stable.
+    */
+  def run(cfg: SimConfig, input: Iterator[SimRequest]): Iterator[SimCompleted] = {
+    // Stable sort by arrival: (simArrivalTime, seq) reproduces Python's
+    // stable `sorted(key=sim_arrival_time)` over input order
+    // (src/simulator.py:41).
+    val pending: Array[SimRequest] =
+      input.toArray.sortBy(r => (r.simArrivalTime, r.seq))
+
+    val rng = new scala.util.Random(cfg.rngSeed)
+    val queue: TaskQueue = cfg.strategy match {
+      case FifoConfig(maxSize)         => new FifoStrategy(maxSize)
+      case PriorityConfig(thresh, bias) => new PriorityStrategy(thresh, bias, rng)
+    }
+
+    var currentTime: Double =
+      if (pending.nonEmpty && pending(0).simArrivalTime >= 0) pending(0).simArrivalTime
+      else 0.0
+
+    val api = new ApiClient(cfg.numApis, cfg.rpmLimit, cfg.rateWindowSeconds, () => currentTime)
+    val workers: Array[Worker] =
+      Array.tabulate(cfg.numWorkers)(i => new Worker(i, queue, api))
+
+    var pi = 0 // next-pending cursor (sorted order makes the arrival scan O(1) amortized)
+    val completed = mutable.ArrayBuffer.empty[InFlight]
+
+    def anyWorkerBusy: Boolean = workers.exists(_.currentTask.nonEmpty)
+
+    while (pi < pending.length || !queue.isEmpty || anyWorkerBusy) {
+      // Fixpoint drain at time T: maximal progress before the time jump
+      // (src/simulator.py:197-236).
+      var actionOccurred = true
+      while (actionOccurred) {
+        actionOccurred = false
+
+        // 1. Arrivals with simArrivalTime <= T, in sorted stable order.
+        while (pi < pending.length && pending(pi).simArrivalTime <= currentTime) {
+          val inf = new InFlight(pending(pi))
+          pi += 1
+          inf.arrivalTimeInQueue = currentTime
+          actionOccurred = true
+          if (queue.isFull) {
+            // Rejection sentinel kept for parity (src/simulator.py:213-215).
+            inf.finishTime = -1
+            inf.status = "rejected"
+            completed += inf
+          } else {
+            queue.enqueue(inf)
+          }
+        }
+
+        // 2. Workers tick in ascending id order (src/simulator.py:219).
+        var wi = 0
+        while (wi < workers.length) {
+          val w = workers(wi)
+          val hadTask = w.currentTask
+          val done = w.processTask(currentTime)
+          done.foreach { t =>
+            completed += t
+            actionOccurred = true
+          }
+          // Started a new task ⇒ progress (the reference's identity /
+          // busy_until comparison at src/simulator.py:229-236 reduces to
+          // exactly this: busy_until only changes when a task starts).
+          if (w.currentTask.nonEmpty && (hadTask.isEmpty || !(hadTask.get eq w.currentTask.get)))
+            actionOccurred = true
+          wi += 1
+        }
+      }
+
+      // Time-skip to the next arrival or completion
+      // (src/simulator.py:75-98, applied :238-258).
+      var nextEvent = Double.PositiveInfinity
+      if (pi < pending.length) nextEvent = math.min(nextEvent, pending(pi).simArrivalTime)
+      workers.foreach { w =>
+        if (w.currentTask.nonEmpty) nextEvent = math.min(nextEvent, w.busyUntil)
+      }
+      if (nextEvent.isInfinity) {
+        // Both reference branches break here (src/simulator.py:239-247).
+        pi = pending.length
+        // Defensive: queue cannot be non-empty with no busy worker after a
+        // fixpoint unless numWorkers == 0; bail rather than spin.
+        if (!queue.isEmpty && workers.isEmpty) {
+          var left = queue.dequeue()
+          while (left.nonEmpty) { left = queue.dequeue() }
+        }
+        return finish(completed)
+      } else if (nextEvent > currentTime) {
+        currentTime = nextEvent
+      } else {
+        // Unreachable after a completed fixpoint (every due completion and
+        // arrival has been drained); mirror the reference's pass-through.
+      }
+    }
+    finish(completed)
+  }
+
+  /** Final sort: (finish if != -1 else +inf, arrivalTimeInQueue), stable —
+    * rejected rows sink to the end in arrival order
+    * (src/simulator.py:260-265).
+    */
+  private def finish(completed: mutable.ArrayBuffer[InFlight]): Iterator[SimCompleted] =
+    completed
+      .sortBy(t =>
+        (if (t.finishTime != -1) t.finishTime else Double.PositiveInfinity, t.arrivalTimeInQueue)
+      )
+      .iterator
+      .map(_.toCompleted)
+}

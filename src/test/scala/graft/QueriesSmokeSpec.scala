@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every declared query runs on sf0.001 and yields rows; entry()
+  * yields the one-row summary. Value-level correctness is checked by the
+  * DuckDB oracle (driver + scripts/local_verify.py).
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("entry() produces a non-empty summary") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("total_requests_processed") > 0L)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("oracle SQL map only references declared queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
