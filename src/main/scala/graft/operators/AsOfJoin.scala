@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row with
+  * `right.time <= left.time` on the same key.
+  *
+  * Spark has no built-in as-of join; the scalable composition (preference
+  * order (a) of the build rules) is union + running `last(_, ignoreNulls)`
+  * window:
+  *
+  *   1. align both sides into (key, time, side, payload) — right side=0,
+  *      left side=1, so at equal times the right row sorts first and an
+  *      exactly-simultaneous right row IS visible to the left row (<=);
+  *   2. one shuffle by key, one in-partition sort by
+  *      (time, side, tieBreak…);
+  *   3. running `last(rightPayload, ignoreNulls = true)` carries the
+  *      latest right payload forward; left rows read it directly.
+  *
+  * Cost at scale: exactly one shuffle + sort of |L|+|R| — no range-join
+  * row explosion, no per-key collect; skew behaves like any keyed window.
+  * This beats the naive `JOIN … ON key AND rt <= lt` + row_number plan
+  * (which materializes every (left × earlier-right) pair before pruning).
+  */
+object AsOfJoin {
+
+  /** @param rightValueCols (rightColumn, outputAlias) pairs to attach;
+    *                       null-filled when no right row precedes the left row
+    * @param rightTieBreak  orders simultaneous right rows (last one wins),
+    *                       e.g. a monotonically increasing id
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightValueCols.map { case (c, a) => col(c).as(a) }: _*)
+
+    val r = right.select(
+      Seq(
+        col(rightKey).as("__key"),
+        col(rightTime).cast("timestamp").as("__time"),
+        lit(0).as("__side"),
+        payload.as("__r")
+      ) ++ rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*
+    )
+    // Left rows carry a null right-payload and null tie-breaks; nulls sort
+    // first ASC but __side=1 already places left rows after every right row
+    // at the same instant, so the tie-break columns never reorder across
+    // sides.
+    // Key columns must share a type across sides (caller casts if needed).
+    val l = left.select(
+      Seq(
+        col(leftKey).cast(r.schema("__key").dataType).as("__key"),
+        col(leftTime).cast("timestamp").as("__time"),
+        lit(1).as("__side"),
+        lit(null).cast(r.schema("__r").dataType).as("__r")
+      ) ++ rightTieBreak.indices.map(i =>
+        lit(null).cast(r.schema(s"__tb$i").dataType).as(s"__tb$i")
+      ) ++ leftCols.map(c => left(c)): _*
+    )
+
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val order: Seq[Column] =
+      Seq(col("__time").asc, col("__side").asc) ++
+        rightTieBreak.indices.map(i => col(s"__tb$i").asc)
+    val w = Window
+      .partitionBy(col("__key"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    matched.select(
+      leftCols.map(col) ++
+        rightValueCols.map { case (_, a) => col(s"__asof.$a").as(a) }: _*
+    )
+  }
+}

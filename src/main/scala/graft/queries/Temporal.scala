@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Streaming + temporal-join queries (SURVEY §2.2 streaming/joins rows).
+  * Both are oracle-checked: the streaming result is deterministic batch
+  * semantics over a bounded stream, and the as-of join has a portable
+  * window-SQL equivalent.
+  */
+object Temporal {
+
+  /** Event-time tumbling windows, executed through an actual Structured
+    * Streaming query (readStream → watermark → window agg → memory sink).
+    */
+  val q23StreamWindow: QueryDef = QueryDef(
+    "q23_stream_window",
+    (s, dir) => StreamingOps.runHourlyWindowAgg(s, dir),
+    Some("""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_sec,
+            event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""")
+  )
+
+  /** As-of join: each event annotated with the user's most recent order at
+    * or before the event instant (union + running-last window — one
+    * shuffle, no range-join explosion; see [[graft.operators.AsOfJoin]]).
+    */
+  val q24AsofJoin: QueryDef = QueryDef(
+    "q24_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables
+        .orders(s, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_orderkey"),
+          col("o_totalprice")
+        )
+      AsOfJoin
+        .asOf(
+          e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightValueCols = Seq(
+            "o_orderkey" -> "last_orderkey",
+            "o_totalprice" -> "last_totalprice"
+          ),
+          rightTieBreak = Seq("o_orderkey")
+        )
+        .select(
+          col("event_id"),
+          col("user_id"),
+          (unix_micros(col("ts")) ).as("ts_us"),
+          col("last_orderkey"),
+          col("last_totalprice")
+        )
+    },
+    Some("""SELECT event_id, user_id, ts_us, last_orderkey, last_totalprice FROM (
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                     o.o_orderkey AS last_orderkey,
+                     o.o_totalprice AS last_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC NULLS LAST,
+                                o.o_orderkey DESC NULLS LAST) AS rn
+              FROM events e LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin)
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine (SURVEY §2.2 streaming rows).
+  *
+  * The lake's `events` table doubles as a replayable stream: `readStream`
+  * over the parquet path with an explicit schema, event-time tumbling
+  * windows + watermark, drained synchronously with `processAllAvailable`
+  * into a memory sink for the batch-verifiable path. On a live cluster the
+  * same plan runs off a file/Kafka source with a real trigger — nothing
+  * here is test-only plumbing except the memory sink.
+  */
+object StreamingOps {
+
+  /** events.parquet physical schema under the nanos-as-long legacy read
+    * (see [[graft.sources.Tables.events]]).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns-since-epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming DataFrame over the events table with a proper µs timestamp. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source wants a directory; scope the listing to the
+    // events table with a glob filter.
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows per event type: count + value sum.
+    * Watermark bounds state at one hour of event time — at 100 TB/day of
+    * events the state store holds only the open windows, not the stream.
+    */
+  def hourlyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / lit(1000000L)).cast("long")
+          .as("window_start_sec"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  /** Run the streaming aggregation to completion over the bounded parquet
+    * stream and return the final result as a batch DataFrame. Complete
+    * output mode so closed AND still-open windows all surface (append mode
+    * would hold back windows the watermark never passes on a bounded
+    * input).
+    */
+  def runHourlyWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = hourlyWindowAgg(eventsStream(spark, sfDir)).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(name)
+  }
+}
