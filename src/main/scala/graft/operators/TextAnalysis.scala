@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * quality scoring, token counting, and heuristic language ID over the
+  * `documents` table. Pure column expressions (codegen'd, no UDFs), so at
+  * 100 TB these run as a single scan + map with column pruning — no
+  * shuffle at all until an aggregate is asked for.
+  */
+object TextAnalysis {
+
+  /** Whitespace word split (single-space corpus; parity with the DuckDB
+    * oracle's string_split).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  private val PunctClass = "[.,!?;:]"
+
+  /** Per-document quality metrics: length, word counts, punctuation /
+    * uppercase ratios, stopword ratio, and a blended quality score.
+    * Every metric is plain arithmetic so the oracle can replicate it.
+    */
+  def qualityMetrics(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val w = words(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(w).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stopArr, x))).cast("long")
+    val nPunct = (nChars - length(regexp_replace(col("text"), PunctClass, ""))).cast("long")
+    val nUpper = (nChars - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      // total chars = sum(word lens) + (n_words - 1) separators
+      round((nChars - (nWords - 1)).cast("double") / nWords, 6).as("avg_word_len"),
+      nStop.as("n_stopwords"),
+      round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(nUpper.cast("double") / nChars, 6).as("upper_ratio"),
+      // Blended heuristic score in [0, ~1]: long-enough docs with a healthy
+      // stopword rate and low punctuation/caps noise score high.
+      round(
+        least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+          least(nStop.cast("double") / nWords * 5.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(nPunct.cast("double") / nChars * 10.0, lit(1.0))) * 0.2,
+        6
+      ).as("quality_score")
+    )
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Token counting: whitespace tokens plus a BPE-ish `\w+|[^\w\s]` regex
+    * tokenization (word pieces and isolated punctuation), with a
+    * chars-per-token ratio — the usual pre-training corpus size estimate.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nWs = size(split(col("text"), "\\s+")).cast("long")
+    val nTok = size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWs.as("n_ws_tokens"),
+      nTok.as("n_tokens"),
+      round(nChars.cast("double") / nTok, 6).as("chars_per_token")
+    )
+  }
+
+  /** Language profiles: a few high-frequency marker words per language.
+    * Order matters — it is the deterministic tie-break (first profile wins
+    * on equal scores).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Heuristic language ID: score = fraction of tokens hitting each
+    * language's marker profile; argmax with deterministic profile-order
+    * tie-break via a single max-of-structs (no shuffle, one projection).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(lower(col("text")))
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, profile), idx) =>
+      val profArr = array(profile.map(lit): _*)
+      val hits = size(filter(w, x => array_contains(profArr, x)))
+      struct(
+        (hits.cast("double") / size(w)).as("score"),
+        lit(LangProfiles.size - idx).as("prio"), // earlier profile wins ties
+        lit(lang).as("lang")
+      )
+    }
+    val best = greatest(scored: _*)
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      best.getField("lang").as("predicted_lang"),
+      round(best.getField("score"), 6).as("lang_score")
+    )
+  }
+}

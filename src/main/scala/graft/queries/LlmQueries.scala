@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash64
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute + LSH ANN), text analysis (quality, tokens,
+  * language ID, fingerprinting) and multimodal metadata decode.
+  *
+  * Oracle policy: everything expressible as deterministic arithmetic has a
+  * DuckDB oracle (including the ANN brute-force ranking — both engines
+  * fold the dot product in element order). Signature-based methods
+  * (xxhash64 permutations, SRP hyperplanes, rolling hash) have no DuckDB
+  * equivalent and are rows-only, with their exact-verification kernels
+  * covered by the oracle-checked variants and ScalaTest goldens.
+  */
+object LlmQueries {
+
+  /** The 64-element double dot/norm fold, as DuckDB SQL. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)])"
+
+  val q25DedupExact: QueryDef = QueryDef(
+    "q25_dedup_exact",
+    (s, dir) => Dedup.exactGroups(Tables.documents(s, dir)),
+    Some("""SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+            count(*) AS dup_cnt
+            FROM documents GROUP BY md5(text)""")
+  )
+
+  val q26MinhashLsh: QueryDef = QueryDef(
+    "q26_minhash_lsh",
+    (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir)),
+    None // seeded xxhash64 permutations are engine-specific
+  )
+
+  val q27SimhashPairs: QueryDef = QueryDef(
+    "q27_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
+    None
+  )
+
+  val q28NgramJaccard: QueryDef = QueryDef(
+    "q28_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)).drop("lang"),
+    Some("""WITH g AS (
+              SELECT doc_id, lang,
+                     list_distinct([substr(text, i, 4)
+                                    FOR i IN range(1, length(text) - 2)]) AS gs
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                         len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.gs, b.gs))), 6) >= 0.35""")
+  )
+
+  val q29EmbedNeardup: QueryDef = QueryDef(
+    "q29_embed_neardup",
+    (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir)),
+    None // SRP hyperplane buckets are engine-specific; cosine kernel is
+    //      oracle-checked via q30_ann_brute
+  )
+
+  val q30AnnBrute: QueryDef = QueryDef(
+    "q30_ann_brute",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    Some(s"""SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(${dotSql("q.embedding", "c.embedding")} /
+                           (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                            sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(${dotSql("q.embedding", "c.embedding")} /
+                             (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                              sqrt(${dotSql("c.embedding", "c.embedding")})), 6) DESC,
+                       c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5""")
+  )
+
+  val q31AnnLsh: QueryDef = QueryDef(
+    "q31_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None
+  )
+
+  val q32TextQuality: QueryDef = QueryDef(
+    "q32_text_quality",
+    (s, dir) => TextAnalysis.qualityMetrics(Tables.documents(s, dir)),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                       AS BIGINT) AS n_stopwords,
+                     CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS BIGINT) AS n_punct,
+                     CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                       AS BIGINT) AS n_upper
+              FROM documents)
+            SELECT doc_id, n_chars, n_words,
+                   round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+                   n_stopwords,
+                   round(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
+                   round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                   round(CAST(n_upper AS DOUBLE) / n_chars, 6) AS upper_ratio,
+                   round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                         least(CAST(n_stopwords AS DOUBLE) / n_words * 5.0, 1.0) * 0.4 +
+                         (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2,
+                         6) AS quality_score
+            FROM m""")
+  )
+
+  val q33TokenCount: QueryDef = QueryDef(
+    "q33_token_count",
+    (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)),
+    Some("""SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+            round(CAST(length(text) AS DOUBLE) /
+                  len(regexp_extract_all(text, '\w+|[^\w\s]')), 6) AS chars_per_token
+            FROM documents""")
+  )
+
+  val q34LangId: QueryDef = QueryDef(
+    "q34_langid",
+    (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+    None // heuristic argmax; deterministic but clumsy as portable SQL
+  )
+
+  val q35Fingerprint: QueryDef = QueryDef(
+    "q35_fingerprint",
+    (s, dir) => {
+      RollingHash64.register(s)
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), expr("rolling_hash64(text)").as("fingerprint"))
+    },
+    None // 64-bit wrapping polynomial hash; DuckDB BIGINT overflow traps
+  )
+
+  val q36MultimodalMeta: QueryDef = QueryDef(
+    "q36_multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal
+        .decodeMeta(media)
+        .withColumn("mean_byte", round(col("mean_byte"), 6))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+                     unicode(substr(text, 1, 1)) AS first_byte,
+                     [unicode(substr(text, i, 1))
+                      FOR i IN range(1, length(text) + 1)] AS codes
+              FROM documents)
+            SELECT doc_id, n AS n_bytes,
+                   CAST(64 + n % 577 AS INT) AS width,
+                   CAST(64 + (n * 31 + first_byte) % 353 AS INT) AS height,
+                   CAST(1 + n % 7 AS INT) AS n_frames,
+                   round(CAST(list_sum(codes) AS DOUBLE) / n, 6) AS mean_byte
+            FROM m""")
+  )
+
+  val q37EmbeddingStats: QueryDef = QueryDef(
+    "q37_embedding_stats",
+    (s, dir) => {
+      import graft.functions.VectorOps
+      Tables
+        .embeddings(s, dir)
+        .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm")
+        )
+    },
+    Some(s"""WITH n AS (
+              SELECT label,
+                     sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              FROM embeddings)
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(nrm), 6) AS avg_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM n GROUP BY label""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
+    q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
+    q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats
+  )
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{RollingHash64, VectorOps}
+import graft.operators._
+
+/** Behavior tests for the LLM-pipeline operators on crafted inputs (the
+  * lake-scale runs are oracle-checked by Verify + DuckDB).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("exact dedup groups identical texts under min keeper id") {
+    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "something else")
+    val groups = Dedup.exactGroups(d).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("dup_cnt") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds a one-word-edit near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val edited = base.replace("lazy", "calm")
+    val d = docs(1L -> base, 2L -> edited, 3L -> "completely different content about spark query engines and shuffles")
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
+
+  test("simhash of a near-duplicate has small hamming distance") {
+    // SimHash needs enough tokens for the per-bit tallies to be stable;
+    // a one-token edit in a ~170-token doc flips only a few signature bits.
+    val base = Seq.fill(10)(
+      "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    ).mkString(" ")
+    val edited = base.replaceFirst("lazy", "calm")
+    val d = docs(1L -> base, 2L -> edited)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 16).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Int]("hamming") <= 16)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val d = docs(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "zzzzyyyyxxxx")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val emb = Seq((0L, v, 0), (1L, v, 0), (2L, w, 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity
+      .bruteTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rank")
+      .collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN also finds the exact duplicate (same bucket in every table)") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val emb = Seq((0L, v, 0), (1L, v, 0), (2L, w, 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.lshTopK(emb, emb.filter($"vec_id" === 0), k = 2).collect()
+    assert(top.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+  }
+
+  test("embedding near-dup catches duplicate vectors through SRP buckets") {
+    val rng = new scala.util.Random(1)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v, 0), (1L, v, 0)) ++
+      (2L to 30L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+  }
+
+  test("quality metrics arithmetic on a known sentence") {
+    val d = docs(1L -> "The cat sat on the mat.")
+    val m = TextAnalysis.qualityMetrics(d).collect()(0)
+    assert(m.getAs[Long]("n_chars") == 23L)
+    assert(m.getAs[Long]("n_words") == 6L)
+    assert(m.getAs[Long]("n_stopwords") == 2L) // "on", "the" (lowercase only)
+    assert(math.abs(m.getAs[Double]("avg_word_len") - 3.0) < 1e-9) // (23-5)/6
+    assert(math.abs(m.getAs[Double]("punct_ratio") - 1.0 / 23) < 1e-6)
+    assert(math.abs(m.getAs[Double]("upper_ratio") - 1.0 / 23) < 1e-6)
+  }
+
+  test("token counts: BPE-ish regex separates punctuation") {
+    val d = docs(1L -> "hello, world! it's fine")
+    val m = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(m.getAs[Long]("n_ws_tokens") == 4L)
+    // hello , world ! it ' s fine → 8
+    assert(m.getAs[Long]("n_tokens") == 8L)
+  }
+
+  test("langid picks the profile with the most marker hits, ties to earlier profile") {
+    val d = Seq(
+      (1L, "the cat and the dog is in the house", "en"),
+      (2L, "el perro y la casa de la madre que canta", "es"),
+      (3L, "xyzzy plugh foobar", "zz") // no hits anywhere → tie → first profile (en)
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "en")
+  }
+
+  test("rolling_hash64 codegen matches the reference fold; order-sensitive") {
+    RollingHash64.register(spark)
+    val d = docs(1L -> "abc", 2L -> "acb")
+    val out = d
+      .select($"doc_id", expr("rolling_hash64(text)").as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * RollingHash64.DefaultBase + (b & 0xff))
+    assert(out(1L) == ref("abc"))
+    assert(out(2L) == ref("acb"))
+    assert(out(1L) != out(2L)) // rolling hash is position-sensitive, unlike a bag hash
+  }
+
+  test("multimodal stub decode: metadata arithmetic and batch path") {
+    val d = docs(7L -> "abcd")
+    val m = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(d)).collect()(0)
+    assert(m.getAs[Long]("n_bytes") == 4L)
+    assert(m.getAs[Int]("width") == 64 + 4 % 577)
+    assert(m.getAs[Int]("height") == (64 + (4 * 31 + 'a'.toInt) % 353))
+    assert(m.getAs[Int]("n_frames") == 1 + 4 % 7)
+    assert(math.abs(m.getAs[Double]("mean_byte") - ('a' + 'b' + 'c' + 'd').toDouble / 4) < 1e-9)
+  }
+
+  test("as-of join: <= semantics, tie-break, and null when nothing precedes") {
+    val left = Seq((10L, "2024-01-05 00:00:00"), (20L, "2024-01-01 00:00:00"))
+      .toDF("k", "t")
+      .select($"k", $"t".cast("timestamp").as("t"))
+      .withColumn("lid", $"k")
+    val right = Seq(
+      (10L, "2024-01-05 00:00:00", 1L), // simultaneous: visible (<=)
+      (10L, "2024-01-05 00:00:00", 2L), // tie-break: higher rid wins
+      (10L, "2024-01-06 00:00:00", 3L), // future: invisible
+      (20L, "2024-01-02 00:00:00", 4L)  // after left: invisible
+    ).toDF("k", "t", "rid").select($"k", $"t".cast("timestamp").as("t"), $"rid")
+    val out = AsOfJoin
+      .asOf(left, right, "k", "k", "t", "t", Seq("rid" -> "last_rid"), rightTieBreak = Seq("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[java.lang.Long]("last_rid")))
+      .toMap
+    assert(out(10L).contains(2L))
+    assert(out(20L).isEmpty)
+  }
+
+  test("vector ops: cosine of identical vector is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+    val r = df
+      .select(
+        VectorOps.cosine(VectorOps.toDouble($"a"), VectorOps.toDouble($"a")).as("same"),
+        VectorOps.cosine(VectorOps.toDouble($"a"), VectorOps.toDouble($"b")).as("orth")
+      )
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+}
