@@ -61,5 +61,52 @@ object SimQueries {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(q19SimEvents, q20SimStats, q21SimApiUsage, q22SimBoundedFifo)
+  /** S2 datagen re-expressed as rand(seed) + window cumulative sum (the
+    * reference's Python RNG stream is not reproducible; determinism is
+    * same-seed-same-output within this engine).
+    */
+  val q38Datagen: QueryDef = QueryDef(
+    "q38_datagen",
+    (s, _) => graft.sources.DataGen.generate(s, numUsers = 5, maxRequestsPerUser = 5),
+    None
+  )
+
+  /** Scenario fan-out — the 100 TB posture of the sim operator: one
+    * independent simulation per event_type, distributed via
+    * groupByKey/flatMapGroups, summarized per scenario (SURVEY §4.2).
+    */
+  val q39SimScenarios: QueryDef = QueryDef(
+    "q39_sim_scenarios",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val events = graft.sources.Tables.events(s, dir)
+      val keyed = events
+        .select(
+          col("event_type").as("_1"),
+          struct(
+            col("user_id").cast("string").as("userId"),
+            unix_micros(col("ts")).as("requestTimeMicros"),
+            col("value").cast("double").as("processingTime"),
+            ((unix_micros(col("ts")) - lit(graft.sources.EventRequests.SimOriginMicros)) /
+              lit(1000000.0)).as("simArrivalTime"),
+            col("event_id").cast("long").as("seq")
+          ).as("_2")
+        )
+        .as[(String, graft.model.SimRequest)]
+      val completed = SimOperator
+        .simulateScenarios(keyed, (_: String) => SimConfig(numWorkers = 2))
+        .toDF("scenario", "completed")
+      Statistics.summaryByGroup(
+        Statistics.renameToSnake(completed.select(col("scenario"), col("completed.*"))),
+        Seq("scenario")
+      )
+    },
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q19SimEvents, q20SimStats, q21SimApiUsage, q22SimBoundedFifo,
+    q38Datagen, q39SimScenarios
+  )
 }

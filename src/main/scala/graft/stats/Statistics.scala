@@ -26,6 +26,19 @@ object Statistics {
       "queue", "status", "seq"
     )
 
+  /** camelCase → snake_case rename for DataFrames derived from
+    * [[SimCompleted]] structs (e.g. the scenario fan-out's nested column).
+    */
+  val SnakeRenames: Seq[(String, String)] = Seq(
+    "userId" -> "user_id", "requestTimeMicros" -> "request_time_micros",
+    "processingTime" -> "processing_time", "simArrivalTime" -> "sim_arrival_time",
+    "arrivalTimeInQueue" -> "arrival_time_in_queue", "startTime" -> "start_time",
+    "finishTime" -> "finish_time", "usedApiId" -> "used_api_id"
+  )
+
+  def renameToSnake(df: DataFrame): DataFrame =
+    SnakeRenames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
   private val processedPred = col("finish_time") =!= lit(-1.0)
 
   /** Valid queuing time per P2 (src/statistics.py:9-43): processed rows with
@@ -43,30 +56,49 @@ object Statistics {
     * exact linear-interpolation percentiles of queuing time, per-queue
     * enqueue totals. A single agg ⇒ one shuffle of partial buffers.
     */
-  def summary(completedDF: DataFrame): DataFrame = {
+  private def summaryAggs: Seq[org.apache.spark.sql.Column] = {
     val nan = lit(Double.NaN)
+    Seq(
+      sum(when(col("is_processed"), 1L).otherwise(0L)).cast("long")
+        .as("total_requests_processed"),
+      sum(when(!col("is_processed"), 1L).otherwise(0L)).cast("long")
+        .as("total_requests_rejected"),
+      coalesce(avg(col("qt")), nan).as("average_queuing_time"),
+      coalesce(expr("percentile(qt, 0.50)"), nan).as("p50"),
+      coalesce(expr("percentile(qt, 0.75)"), nan).as("p75"),
+      coalesce(expr("percentile(qt, 0.90)"), nan).as("p90"),
+      coalesce(expr("percentile(qt, 0.99)"), nan).as("p99"),
+      sum(when(col("queue") === "priority", 1L).otherwise(0L)).cast("long")
+        .as("priority_queue_enqueued_total"),
+      sum(when(col("queue") === "normal", 1L).otherwise(0L)).cast("long")
+        .as("normal_queue_enqueued_total")
+    )
+  }
+
+  def summary(completedDF: DataFrame): DataFrame =
     completedDF
       .select(
         processedPred.as("is_processed"),
         queuingTime.as("qt"),
         col("queue")
       )
-      .agg(
-        sum(when(col("is_processed"), 1L).otherwise(0L)).cast("long")
-          .as("total_requests_processed"),
-        sum(when(!col("is_processed"), 1L).otherwise(0L)).cast("long")
-          .as("total_requests_rejected"),
-        coalesce(avg(col("qt")), nan).as("average_queuing_time"),
-        coalesce(expr("percentile(qt, 0.50)"), nan).as("p50"),
-        coalesce(expr("percentile(qt, 0.75)"), nan).as("p75"),
-        coalesce(expr("percentile(qt, 0.90)"), nan).as("p90"),
-        coalesce(expr("percentile(qt, 0.99)"), nan).as("p99"),
-        sum(when(col("queue") === "priority", 1L).otherwise(0L)).cast("long")
-          .as("priority_queue_enqueued_total"),
-        sum(when(col("queue") === "normal", 1L).otherwise(0L)).cast("long")
-          .as("normal_queue_enqueued_total")
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
+
+  /** Per-group summary (e.g. per scenario of a fan-out run) — the same
+    * one-pass aggregate with a grouping key; scales to any number of
+    * concurrent scenarios with a single shuffle.
+    */
+  def summaryByGroup(completedDF: DataFrame, groupCols: Seq[String]): DataFrame =
+    completedDF
+      .select(
+        groupCols.map(col) ++ Seq(
+          processedPred.as("is_processed"),
+          queuingTime.as("qt"),
+          col("queue")
+        ): _*
       )
-  }
+      .groupBy(groupCols.map(col): _*)
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
 
   /** Per-endpoint usage with dense-domain zero-fill (A4,
     * src/statistics.py:126-141): only processed rows with an in-domain id
@@ -85,8 +117,10 @@ object Statistics {
       )
       .groupBy(col("used_api_id").as("api_id_num"))
       .agg(count(lit(1)).as("cnt"))
-    broadcast(domain)
-      .join(counts, Seq("api_id_num"), "left")
+    // Broadcast the (≤ numApis rows) counts side — the preserved side of a
+    // left join cannot be the broadcast build side.
+    domain
+      .join(broadcast(counts), Seq("api_id_num"), "left")
       .select(
         concat(lit("api_"), col("api_id_num")).as("api_id"),
         coalesce(col("cnt"), lit(0L)).as("n_used")

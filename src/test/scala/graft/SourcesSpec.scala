@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SimConfig
+import graft.sim.SimOperator
+import graft.sources.{DataGen, RequestCsv}
+
+/** CSV source contract (reference tests/test_csv_parser.py), datagen shape
+  * (scripts/generate_sample_data.py), and scenario fan-out equivalence.
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpCsv(content: String): String = {
+    val f = Files.createTempFile("graft_req", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("valid CSV parses with tz-aware UTC µs timestamps (test_csv_parser.py:53-70)") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.100000Z,1.0
+        |user2,2023-01-01T00:00:00.200000Z,2.0
+        |user3,2023-01-01T00:00:00.300000Z,0.5
+        |""".stripMargin)
+    val rows = RequestCsv.read(spark, path).collect().sortBy(_.seq)
+    assert(rows.length == 3)
+    assert(rows(0).userId == "user1")
+    assert(rows(0).requestTimeMicros.contains(1672531200100000L))
+    assert(math.abs(rows(0).simArrivalTime - 0.1) < 1e-9)
+    assert(rows(2).processingTime == 0.5)
+  }
+
+  test("header-only CSV → empty, no error (test_csv_parser.py:95-97)") {
+    val path = tmpCsv("user_id,request_time,processing_time\n")
+    assert(RequestCsv.read(spark, path).count() == 0)
+  }
+
+  test("malformed timestamp → row-numbered error (test_csv_parser.py:103-108)") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,not_a_datetime_string,1.0
+        |""".stripMargin)
+    val e = intercept[RequestCsv.CsvParseException](RequestCsv.read(spark, path).collect())
+    assert(e.message.contains("timestamp"))
+    assert(e.message.contains("row 1"))
+  }
+
+  test("malformed float → error (test_csv_parser.py:110-116)") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.100000Z,not_a_float
+        |""".stripMargin)
+    val e = intercept[RequestCsv.CsvParseException](RequestCsv.read(spark, path).collect())
+    assert(e.message.contains("float"))
+  }
+
+  test("missing column → error naming it (test_csv_parser.py:118-121)") {
+    val path = tmpCsv(
+      """user_id,request_time
+        |user1,2023-01-01T00:00:00.100000Z
+        |""".stripMargin)
+    val e = intercept[RequestCsv.CsvParseException](RequestCsv.read(spark, path))
+    assert(e.message.contains("processing_time"))
+  }
+
+  test("no-Z timestamps parse as naive UTC (test_csv_parser.py / csv_parser.py:54-59)") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:01,1.0
+        |""".stripMargin)
+    val rows = RequestCsv.read(spark, path).collect()
+    assert(rows(0).requestTimeMicros.contains(1672531201000000L))
+  }
+
+  test("end-to-end: reference sample_requests.csv shape simulates completely") {
+    // 25 rows equivalent to the bundled sample (5 users, arrivals within
+    // ~14 s, processing 1.4–9.6 s) — the reference asserts len == 25
+    // (tests/test_simulator.py:146).
+    val rng = new scala.util.Random(5)
+    val lines = (1 to 25).map { i =>
+      val t = 680000 + rng.nextInt(12810000) // µs offsets ≈ 0.68–13.49 s
+      val sec = t / 1000000
+      val micro = t % 1000000
+      f"user_${('a' + rng.nextInt(5)).toChar},2023-01-01T00:00:$sec%02d.$micro%06dZ,${1.4 + rng.nextDouble() * 8.2}%.1f"
+    }
+    val path = tmpCsv("user_id,request_time,processing_time\n" + lines.mkString("\n") + "\n")
+    val reqs = RequestCsv.read(spark, path)
+    val completed = SimOperator.simulate(reqs, SimConfig(numWorkers = 2)).collect()
+    assert(completed.length == 25)
+    assert(completed.forall(_.finishTime >= 0))
+  }
+
+  test("datagen: deterministic under seed, sorted, bounded values (generate_sample_data.py)") {
+    val a = DataGen.generate(spark, 5, 5, seed = 42).collect()
+    val b = DataGen.generate(spark, 5, 5, seed = 42).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 25)
+    val times = a.map(_.getAs[String]("request_time"))
+    assert(times.sorted.toSeq == times.toSeq)
+    val procs = a.map(_.getAs[Double]("processing_time"))
+    assert(procs.forall(p => p >= 1.0 && p <= 10.0))
+    val users = a.map(_.getAs[String]("user_id")).toSet
+    assert(users.subsetOf(Set("user_a", "user_b", "user_c", "user_d", "user_e")))
+  }
+
+  test("scenario fan-out ≡ independent per-key simulations") {
+    import spark.implicits._
+    val reqs = (0 until 30).map { i =>
+      graft.model.SimRequest(s"u$i", None, 1.0 + i % 5, (i / 3) * 0.5, i.toLong)
+    }
+    val keyed = reqs.zipWithIndex.map { case (r, i) => (s"k${i % 3}", r) }
+    val fanned = SimOperator
+      .simulateScenarios(keyed.toDS(), (_: String) => SimConfig(numWorkers = 2))
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).toVector }
+    val direct = keyed.groupBy(_._1).map { case (k, rs) =>
+      k -> graft.sim.SimCore.run(SimConfig(numWorkers = 2), rs.map(_._2).iterator).toVector
+    }
+    assert(fanned == direct)
+  }
+}
