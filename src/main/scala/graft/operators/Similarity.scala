@@ -55,27 +55,27 @@ object Similarity {
       planesPerTable: Int = 6,
       seed: Long = 7L
   ): DataFrame = {
-    val planes = Dedup.hyperplanes(dim, tables, planesPerTable, seed)
-    def sigCols(vec: Column): Seq[Column] = planes.zipWithIndex.map { case (tablePlanes, t) =>
-      tablePlanes.zipWithIndex
-        .map { case (p, i) =>
-          when(VectorOps.dot(VectorOps.toDouble(vec), array(p.map(lit): _*)) >= 0, lit(1 << i))
-            .otherwise(lit(0))
-        }
-        .reduce(_ + _)
-        .as(s"sig$t")
-    }
-    val c = corpus.select(Seq(col("vec_id"), col("embedding")) ++ sigCols(col("embedding")): _*)
-    val q = queries.select(
-      Seq(col("vec_id").as("query_id"), col("embedding").as("q_vec")) ++ sigCols(col("embedding")): _*
-    )
-    val candidates = (0 until tables)
-      .map { t =>
-        c.join(broadcast(q.select(col("query_id"), col("q_vec"), col(s"sig$t").as("qs"))), col(s"sig$t") === col("qs"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("q_vec"), col("vec_id").as("neighbor_id"), col("embedding"))
-      }
-      .reduce(_ union _)
+    val spark = corpus.sparkSession
+    val fn = s"srp_ann_${tables}_${planesPerTable}_$seed"
+    graft.functions.SrpSignatures.register(spark, fn, dim, tables, planesPerTable, seed)
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(
+          col("vec_id").as(idAs),
+          col("embedding").as(vecAs),
+          posexplode(expr(s"$fn(embedding)")).as(Seq("table_id", "sig"))
+        )
+    val c = banded(corpus, "neighbor_id", "embedding")
+    val q = banded(queries, "query_id", "q_vec")
+      .withColumnRenamed("table_id", "q_table_id")
+      .withColumnRenamed("sig", "q_sig")
+    // One bucket join on (table, signature); the probe set broadcasts.
+    val candidates = c
+      .join(
+        broadcast(q),
+        col("table_id") === col("q_table_id") && col("sig") === col("q_sig") &&
+          col("neighbor_id") =!= col("query_id")
+      )
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("embedding"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates

@@ -46,18 +46,21 @@ object LlmQueries {
 
   val q28NgramJaccard: QueryDef = QueryDef(
     "q28_ngram_jaccard",
-    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)).drop("lang"),
+    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)),
     Some("""WITH g AS (
-              SELECT doc_id, lang,
-                     list_distinct([substr(text, i, 4)
-                                    FOR i IN range(1, length(text) - 2)]) AS gs
-              FROM documents)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                         len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                        len(list_distinct(list_concat(a.gs, b.gs))), 6) >= 0.35""")
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
+              FROM documents WHERE doc_id < 2000),
+            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                           len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND a.sz >= b.sz * 0.8 AND b.sz >= a.sz * 0.8
+            ) WHERE jaccard >= 0.8""")
   )
 
   val q29EmbedNeardup: QueryDef = QueryDef(

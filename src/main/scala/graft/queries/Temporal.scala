@@ -72,5 +72,22 @@ object Temporal {
             ) WHERE rn = 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin)
+  /** The simulator hosted on Structured Streaming state
+    * (flatMapGroupsWithState), one scenario per event type; summary per
+    * scenario. Equal by construction to the batch fan-out q39 on a bounded
+    * replay — asserted in StreamingSimSpec.
+    */
+  val q40StreamSim: QueryDef = QueryDef(
+    "q40_stream_sim",
+    (s, dir) => {
+      val completed = graft.streaming.StreamingSim.run(s, dir)
+      graft.stats.Statistics.summaryByGroup(
+        graft.stats.Statistics.renameToSnake(completed),
+        Seq("scenario")
+      )
+    },
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin, q40StreamSim)
 }

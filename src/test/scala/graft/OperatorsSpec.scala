@@ -26,12 +26,18 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds a one-word-edit near-duplicate") {
-    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
-    val edited = base.replace("lazy", "calm")
-    val d = docs(1L -> base, 2L -> edited, 3L -> "completely different content about spark query engines and shuffles")
-    val pairs = Dedup.minhashPairs(d, threshold = 0.5).collect()
+    // 100-word doc, one word edited → trigram jaccard ≈ 0.94 (>= 0.8
+    // default); at that similarity the 16×4 banding finds the pair with
+    // near-certainty (deterministic given the fixed hash family).
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val edited = base.replace(" w50 ", " zzz ")
+    val other = (0 until 100).map(i => s"x$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> edited, 3L -> other)
+    val pairs = Dedup.minhashPairs(d).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
     assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+    val j = pairs.find(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)).get.getAs[Double]("jaccard")
+    assert(j > 0.9 && j < 1.0)
   }
 
   test("simhash of a near-duplicate has small hamming distance") {
@@ -48,9 +54,11 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
-    val d = docs(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "zzzzyyyyxxxx")
+    val same = "alpha beta gamma delta epsilon zeta"
+    val d = docs(1L -> same, 2L -> same, 3L -> "one two three four five six")
     val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.9).collect()
     assert(pairs.length == 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) == (1L, 2L))
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
