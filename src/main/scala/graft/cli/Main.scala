@@ -33,6 +33,7 @@ object Main {
     val numWorkers = intFlag(Set("-w", "--num_workers")).getOrElse(1)
     val queueSize = intFlag(Set("-q", "--queue_size"))
     val useFifo = args.contains("--fifo")
+    val animation = args.contains("--animation")
 
     val spark = SparkSession
       .builder()
@@ -66,7 +67,30 @@ object Main {
         numWorkers = numWorkers,
         strategy = if (useFifo) FifoConfig(queueSize) else PriorityConfig()
       )
-      val completedDF = Statistics.toDF(SimOperator.simulate(requests, cfg)).cache()
+      val completed =
+        if (animation) {
+          // Animation mode (E2, reference src/simulator.py:148-193): the
+          // fixed-step loop with per-frame console gauges is a driver-side
+          // presentation of the same transition function; wall-clock scale
+          // is 24 h simulated = 60 s real (sleep = interval / 1440,
+          // src/simulator.py:44-45). GRAFT_ANIMATION_SLEEP=0 disables
+          // pacing (tests).
+          val sleepMs =
+            sys.env.get("GRAFT_ANIMATION_SLEEP").map(_.toDouble).getOrElse(1.0 / 1440 * 1000)
+          val rows = requests.collect()
+          val out = graft.sim.SimCore
+            .runFixedStep(cfg, rows.iterator, interval = 1.0, onFrame = f => {
+              println(
+                f"[t=${f.currentTime}%9.2f] pending=${f.pendingCount}%5d queued=${f.queuedCount}%5d " +
+                  f"active=${f.activeWorkers}%3d/${numWorkers} completed=${f.completedCount}%5d"
+              )
+              if (sleepMs > 0) Thread.sleep(sleepMs.toLong)
+            })
+            .toSeq
+          import spark.implicits._
+          spark.createDataset(out)
+        } else SimOperator.simulate(requests, cfg)
+      val completedDF = Statistics.toDF(completed).cache()
       val s = Statistics.summary(completedDF).collect()(0)
       val usage = Statistics
         .apiUsage(completedDF, cfg.numApis)

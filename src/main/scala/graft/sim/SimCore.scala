@@ -251,106 +251,169 @@ object SimCore {
       currentTask.nonEmpty && currentTime < busyUntil
   }
 
+  /** One animation frame's observable state (reference
+    * src/simulator.py:104-135 gauges).
+    */
+  final case class Frame(
+      currentTime: Double,
+      pendingCount: Int,
+      queuedCount: Int,
+      activeWorkers: Int,
+      completedCount: Int
+  )
+
+  /** Shared transition engine for both run modes: arrivals drain + worker
+    * ticks over the mutable state (queue, workers, rate-limit ledger,
+    * virtual clock).
+    */
+  private final class Engine(cfg: SimConfig, input: Iterator[SimRequest]) {
+    // Stable sort by arrival: (simArrivalTime, seq) reproduces Python's
+    // stable `sorted(key=sim_arrival_time)` over input order
+    // (src/simulator.py:41).
+    val pending: Array[SimRequest] = input.toArray.sortBy(r => (r.simArrivalTime, r.seq))
+    private val rng = new scala.util.Random(cfg.rngSeed)
+    val queue: TaskQueue = cfg.strategy match {
+      case FifoConfig(maxSize)          => new FifoStrategy(maxSize)
+      case PriorityConfig(thresh, bias) => new PriorityStrategy(thresh, bias, rng)
+    }
+    var currentTime: Double =
+      if (pending.nonEmpty && pending(0).simArrivalTime >= 0) pending(0).simArrivalTime
+      else 0.0
+    private val api =
+      new ApiClient(cfg.numApis, cfg.rpmLimit, cfg.rateWindowSeconds, () => currentTime)
+    val workers: Array[Worker] =
+      Array.tabulate(cfg.numWorkers)(i => new Worker(i, queue, api))
+    var pi = 0 // next-pending cursor (sorted ⇒ O(1) amortized arrival scan)
+    val completed = mutable.ArrayBuffer.empty[InFlight]
+
+    def anyWorkerBusy: Boolean = workers.exists(_.currentTask.nonEmpty)
+    def stateRemains: Boolean = pi < pending.length || !queue.isEmpty || anyWorkerBusy
+
+    /** Arrivals with simArrivalTime <= T, in sorted stable order; returns
+      * whether anything arrived (src/simulator.py:201-217).
+      */
+    def drainArrivals(): Boolean = {
+      var action = false
+      while (pi < pending.length && pending(pi).simArrivalTime <= currentTime) {
+        val inf = new InFlight(pending(pi))
+        pi += 1
+        inf.arrivalTimeInQueue = currentTime
+        action = true
+        if (queue.isFull) {
+          // Rejection sentinel kept for parity (src/simulator.py:213-215).
+          inf.finishTime = -1
+          inf.status = "rejected"
+          completed += inf
+        } else {
+          queue.enqueue(inf)
+        }
+      }
+      action
+    }
+
+    /** One worker pass in ascending id order (src/simulator.py:219);
+      * returns whether any completion or task start occurred.
+      */
+    def tickWorkers(): Boolean = {
+      var action = false
+      var wi = 0
+      while (wi < workers.length) {
+        val w = workers(wi)
+        val hadTask = w.currentTask
+        val done = w.processTask(currentTime)
+        done.foreach { t =>
+          completed += t
+          action = true
+        }
+        // Started a new task ⇒ progress (the reference's identity /
+        // busy_until comparison at src/simulator.py:229-236 reduces to
+        // exactly this: busy_until only changes when a task starts).
+        if (w.currentTask.nonEmpty && (hadTask.isEmpty || !(hadTask.get eq w.currentTask.get)))
+          action = true
+        wi += 1
+      }
+      action
+    }
+
+    def nextEventTime: Double = {
+      var t = Double.PositiveInfinity
+      if (pi < pending.length) t = math.min(t, pending(pi).simArrivalTime)
+      workers.foreach(w => if (w.currentTask.nonEmpty) t = math.min(t, w.busyUntil))
+      t
+    }
+
+    def frame: Frame = Frame(
+      currentTime,
+      pending.length - pi,
+      queue.size,
+      workers.count(_.currentTask.nonEmpty),
+      completed.size
+    )
+  }
+
   /** Event-driven simulation run (reference: src/simulator.py:195-265).
     *
     * Consumes the full input (the fold is globally sequential — one shared
-    * queue and one shared rate-limit ledger couple every event, SURVEY
+    * queue and one shared rate-limit ledger couple all events, SURVEY
     * §4.2), then returns completed records in the reference's final order:
     * (finish if != -1 else +inf, arrivalTimeInQueue), stable.
     */
   def run(cfg: SimConfig, input: Iterator[SimRequest]): Iterator[SimCompleted] = {
-    // Stable sort by arrival: (simArrivalTime, seq) reproduces Python's
-    // stable `sorted(key=sim_arrival_time)` over input order
-    // (src/simulator.py:41).
-    val pending: Array[SimRequest] =
-      input.toArray.sortBy(r => (r.simArrivalTime, r.seq))
-
-    val rng = new scala.util.Random(cfg.rngSeed)
-    val queue: TaskQueue = cfg.strategy match {
-      case FifoConfig(maxSize)         => new FifoStrategy(maxSize)
-      case PriorityConfig(thresh, bias) => new PriorityStrategy(thresh, bias, rng)
-    }
-
-    var currentTime: Double =
-      if (pending.nonEmpty && pending(0).simArrivalTime >= 0) pending(0).simArrivalTime
-      else 0.0
-
-    val api = new ApiClient(cfg.numApis, cfg.rpmLimit, cfg.rateWindowSeconds, () => currentTime)
-    val workers: Array[Worker] =
-      Array.tabulate(cfg.numWorkers)(i => new Worker(i, queue, api))
-
-    var pi = 0 // next-pending cursor (sorted order makes the arrival scan O(1) amortized)
-    val completed = mutable.ArrayBuffer.empty[InFlight]
-
-    def anyWorkerBusy: Boolean = workers.exists(_.currentTask.nonEmpty)
-
-    while (pi < pending.length || !queue.isEmpty || anyWorkerBusy) {
+    val e = new Engine(cfg, input)
+    var halted = false
+    while (!halted && e.stateRemains) {
       // Fixpoint drain at time T: maximal progress before the time jump
       // (src/simulator.py:197-236).
       var actionOccurred = true
       while (actionOccurred) {
         actionOccurred = false
-
-        // 1. Arrivals with simArrivalTime <= T, in sorted stable order.
-        while (pi < pending.length && pending(pi).simArrivalTime <= currentTime) {
-          val inf = new InFlight(pending(pi))
-          pi += 1
-          inf.arrivalTimeInQueue = currentTime
-          actionOccurred = true
-          if (queue.isFull) {
-            // Rejection sentinel kept for parity (src/simulator.py:213-215).
-            inf.finishTime = -1
-            inf.status = "rejected"
-            completed += inf
-          } else {
-            queue.enqueue(inf)
-          }
-        }
-
-        // 2. Workers tick in ascending id order (src/simulator.py:219).
-        var wi = 0
-        while (wi < workers.length) {
-          val w = workers(wi)
-          val hadTask = w.currentTask
-          val done = w.processTask(currentTime)
-          done.foreach { t =>
-            completed += t
-            actionOccurred = true
-          }
-          // Started a new task ⇒ progress (the reference's identity /
-          // busy_until comparison at src/simulator.py:229-236 reduces to
-          // exactly this: busy_until only changes when a task starts).
-          if (w.currentTask.nonEmpty && (hadTask.isEmpty || !(hadTask.get eq w.currentTask.get)))
-            actionOccurred = true
-          wi += 1
-        }
+        if (e.drainArrivals()) actionOccurred = true
+        if (e.tickWorkers()) actionOccurred = true
       }
-
       // Time-skip to the next arrival or completion
       // (src/simulator.py:75-98, applied :238-258).
-      var nextEvent = Double.PositiveInfinity
-      if (pi < pending.length) nextEvent = math.min(nextEvent, pending(pi).simArrivalTime)
-      workers.foreach { w =>
-        if (w.currentTask.nonEmpty) nextEvent = math.min(nextEvent, w.busyUntil)
-      }
+      val nextEvent = e.nextEventTime
       if (nextEvent.isInfinity) {
         // Both reference branches break here (src/simulator.py:239-247).
-        pi = pending.length
-        // Defensive: queue cannot be non-empty with no busy worker after a
-        // fixpoint unless numWorkers == 0; bail rather than spin.
-        if (!queue.isEmpty && workers.isEmpty) {
-          var left = queue.dequeue()
-          while (left.nonEmpty) { left = queue.dequeue() }
-        }
-        return finish(completed)
-      } else if (nextEvent > currentTime) {
-        currentTime = nextEvent
+        halted = true
+      } else if (nextEvent > e.currentTime) {
+        e.currentTime = nextEvent
       } else {
         // Unreachable after a completed fixpoint (every due completion and
         // arrival has been drained); mirror the reference's pass-through.
       }
     }
-    finish(completed)
+    finish(e.completed)
+  }
+
+  /** Fixed-step ("animation") run (E2, reference src/simulator.py:148-193):
+    * the same transition function paced by `interval` seconds of virtual
+    * time, ONE arrivals pass + ONE worker pass per frame (no fixpoint —
+    * a worker freed in frame t starts its next task in frame t+1, exactly
+    * like the reference's animation loop). `onFrame` observes each frame's
+    * gauges; wall-clock pacing is the caller's concern.
+    */
+  def runFixedStep(
+      cfg: SimConfig,
+      input: Iterator[SimRequest],
+      interval: Double = 1.0,
+      onFrame: Frame => Unit = _ => ()
+  ): Iterator[SimCompleted] = {
+    require(interval > 0, "animation interval must be positive")
+    val e = new Engine(cfg, input)
+    var break = false
+    while (!break && e.stateRemains) {
+      onFrame(e.frame)
+      e.drainArrivals()
+      e.tickWorkers()
+      if (!e.stateRemains) {
+        onFrame(e.frame) // final state (src/simulator.py:178-184)
+        break = true
+      } else {
+        e.currentTime += interval
+      }
+    }
+    finish(e.completed)
   }
 
   /** Final sort: (finish if != -1 else +inf, arrivalTimeInQueue), stable —
