@@ -71,7 +71,9 @@ object Dedup {
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    pairs
+    // Candidate pairs are the small side by construction — broadcast them
+    // so the shingle-array relation is never shuffled.
+    broadcast(pairs)
       .join(a, "doc_a")
       .join(b, "doc_b")
       .select(
@@ -86,35 +88,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Brute word-shingle Jaccard: the exact baseline verifier. Quadratic by
-    * nature, kept honest at scale by (a) a LOSSLESS size-ratio prefilter —
-    * `j >= t` implies `min(|A|,|B|) >= t·max(|A|,|B|)` for distinct-shingle
-    * sets, so pairs outside the ratio can't qualify — and (b) an explicit
-    * doc-id cap: beyond it, exact-everything is not a sane query and
-    * [[minhashPairs]] is the answer. No lang blocking: planted near-dups
-    * in this lake cross language labels.
+  /** EXACT word-shingle Jaccard pairs at threshold `t`, without the O(n²)
+    * pair space: prefix filtering (Chaudhuri/Xiao PPJoin family).
+    *
+    * Shingles get a canonical global order (document frequency ascending,
+    * hash tie-break); any pair with `j >= t` MUST share at least one of
+    * each document's first `⌊(1-t)·|x|⌋ + 1` shingles in that order — so an
+    * equi-join on prefix shingles generates a candidate superset, the
+    * lossless size-ratio check (`min >= t·max`) prunes it, and exact
+    * verification keeps only true pairs. Result set is IDENTICAL to the
+    * brute-force quadratic (the DuckDB oracle runs the quadratic form) at
+    * a cost of three keyed shuffles over |corpus|·prefix rows — the rarest
+    * ~20% of each doc's shingles — instead of an n² join.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
-      threshold: Double = 0.8,
-      maxDocId: Long = 2000L
+      threshold: Double = 0.8
   ): DataFrame = {
-    val sh = hashShingles(tokenShingles(docs.filter(col("doc_id") < maxDocId), n))
+    import org.apache.spark.sql.expressions.Window
+    val sh = hashShingles(tokenShingles(docs, n))
+      .select(col("doc_id"), col("shingles"))
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
       .cache()
-    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    val pairs = a
+    val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+    // docFreq is (hash, count) pairs — broadcast at this scale to keep the
+    // exploded side un-shuffled; at lake scale drop the hint and let the
+    // shingle-keyed shuffle do it.
+    val prefixes = exploded
+      .join(broadcast(docFreq), "sh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("sz"), col("sh"))
+    val a = prefixes.toDF("doc_a", "sz_a", "sh")
+    val b = prefixes.toDF("doc_b", "sz_b", "sh_b")
+    val candidates = a
       .join(
         b,
-        col("doc_a") < col("doc_b") &&
+        col("sh") === col("sh_b") && col("doc_a") < col("doc_b") &&
           col("sz_a") >= col("sz_b") * threshold &&
           col("sz_b") >= col("sz_a") * threshold
       )
       .select("doc_a", "doc_b")
-    verifyJaccard(pairs, sh.select("doc_id", "shingles"), threshold)
+      .distinct()
+    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold)
   }
 
   // -------------------------------------------------------------- MinHash

@@ -51,7 +51,7 @@ object LlmQueries {
               SELECT doc_id,
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
-              FROM documents WHERE doc_id < 2000),
+              FROM documents),
             s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0)
             SELECT doc_a, doc_b, jaccard FROM (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -110,6 +110,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(users.subsetOf(Set("user_a", "user_b", "user_c", "user_d", "user_e")))
   }
 
+  test("CSV sink round-trip: datagen → writeCsv → RequestCsv.read (S2→S1)") {
+    val dir = Files.createTempDirectory("graft_gen").toString + "/out"
+    DataGen.writeCsv(DataGen.generate(spark, 4, 6, seed = 9L), dir)
+    val back = RequestCsv.read(spark, dir).collect()
+    assert(back.length == 24)
+    assert(back.forall(r => r.simArrivalTime > 0 && r.processingTime >= 1.0))
+  }
+
   test("scenario fan-out ≡ independent per-key simulations") {
     import spark.implicits._
     val reqs = (0 until 30).map { i =>
