@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** Remaining §2.2 capability rows made concrete: JSON functions, sketch
+  * aggregates, and skew-resistant aggregation.
+  */
+object Extras {
+
+  /** JSON scalar functions over events.props (`{"k": <int>}`): extract,
+    * type, aggregate.
+    */
+  val q41Json: QueryDef = QueryDef(
+    "q41_json",
+    (s, dir) => {
+      Tables
+        .events(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")
+        )
+    },
+    Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+            CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+            CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY event_type""")
+  )
+
+  /** Sketch aggregates: HLL distinct estimate next to the exact count
+    * (exact column oracle-able; the sketch value is engine-specific, so
+    * the spec checks its relative error instead — rows-only here).
+    */
+  val q42Sketch: QueryDef = QueryDef(
+    "q42_sketch",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")
+        )
+    },
+    None
+  )
+
+  /** Skew-resistant two-phase salted aggregation — identical result to the
+    * plain GROUP BY (the oracle runs the unsalted form), shuffle spread
+    * over 16 salt buckets.
+    */
+  val q43SaltedAgg: QueryDef = QueryDef(
+    "q43_salted_agg",
+    (s, dir) => Skew.saltedCountSum(Tables.events(s, dir), Seq("event_type"), "value"),
+    Some("""SELECT event_type, count(*) AS n_rows,
+            round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q41Json, q42Sketch, q43SaltedAgg)
+}

@@ -13,6 +13,15 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Static conf: must be set at session build (bucketed-table specs).
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+      )
+      .config(
+        "javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft_metastore")}/db;create=true"
+      )
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
