@@ -139,23 +139,25 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** MinHash band signatures: `numPerm` seeded xxhash64 permutations
-    * min-reduced per doc in ONE pass over the exploded shingles (partial
-    * min aggregation map-side), then `bands` band-hashes of `numPerm/bands`
-    * rows each. Output long format: (doc_id, band_id, band_sig).
+  /** MinHash band signatures: all `numPerm` permutation minima computed
+    * row-locally by the [[graft.functions.MinHashSignature]] expression —
+    * NO shuffle; signatures fall out of the scan that shingled the text —
+    * then `bands` band-hashes of `numPerm/bands` minima each. Output long
+    * format: (doc_id, band_id, band_sig).
+    *
+    * (The previous formulation exploded shingles into a 64-column min
+    * aggregate: one full shuffle of |corpus|·|shingles| rows that this
+    * expression makes unnecessary.)
     */
   def minhashBands(shingled: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
-    // Input is hashed-long shingles: each permutation hash mixes 12 bytes
-    // (int seed + long) instead of re-hashing the shingle string. A
-    // multiply-add universal hash would be cheaper still, but Spark 4's
-    // ANSI mode traps the intentional 64-bit wrap-around.
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val minAggs = (0 until numPerm).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val spark = shingled.sparkSession
+    val fn = s"minhash_sig_$numPerm"
+    graft.functions.MinHashSignature.register(spark, fn, numPerm, seed = 42L)
+    val sigs = shingled.select(col("doc_id"), expr(s"$fn(shingles)").as("sig"))
     val bandCols = (0 until bands).map { bnd =>
-      xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*)
+      xxhash64((bnd * rows until (bnd + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
     }
     sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
   }
