@@ -28,6 +28,59 @@ import graft.model._
   */
 object SimCore {
 
+  /** Seeded RNG with a draw counter, so simulation state can be
+    * snapshotted (seed + number of draws) and restored by replaying the
+    * stream — scala.util.Random's internal state is not otherwise
+    * extractable.
+    */
+  final class CountingRandom(val seed: Long, skip: Long = 0L) {
+    private val rng = new scala.util.Random(seed)
+    private var _draws = 0L
+    (0L until skip).foreach(_ => rng.nextDouble())
+    _draws = skip
+    def nextDouble(): Double = { _draws += 1; rng.nextDouble() }
+    def draws: Long = _draws
+  }
+
+  // ----- Resumable-state snapshot model (encodable case classes) -----
+
+  final case class InFlightSnap(
+      req: SimRequest,
+      arrivalTimeInQueue: Double,
+      startTime: Double,
+      usedApiId: Option[Int],
+      queue: Option[String],
+      status: String
+  )
+
+  final case class WorkerSnap(task: Option[InFlightSnap], busyUntil: Double)
+
+  final case class SimState(
+      currentTime: Double,
+      priorityQ: Seq[InFlightSnap],
+      normalQ: Seq[InFlightSnap],
+      workers: Seq[WorkerSnap],
+      apiStamps: Seq[Seq[Double]],
+      apiCurrentIndex: Int,
+      rngDraws: Long,
+      priorityEnqueued: Long,
+      normalEnqueued: Long
+  )
+
+  object SimState {
+    def initial(cfg: SimConfig): SimState = SimState(
+      currentTime = 0.0,
+      priorityQ = Nil,
+      normalQ = Nil,
+      workers = Seq.fill(cfg.numWorkers)(WorkerSnap(None, 0.0)),
+      apiStamps = Seq.fill(cfg.numApis)(Nil),
+      apiCurrentIndex = 0,
+      rngDraws = 0L,
+      priorityEnqueued = 0L,
+      normalEnqueued = 0L
+    )
+  }
+
   /** Mutable in-flight record; the engine-internal analogue of the
     * reference's in-place mutated `Request` (src/data_model.py:37-42).
     */
@@ -38,6 +91,9 @@ object SimCore {
     var usedApiId: Option[Int] = None
     var queue: Option[String] = None
     var status: String = "pending"
+
+    def toSnap: InFlightSnap =
+      InFlightSnap(req, arrivalTimeInQueue, startTime, usedApiId, queue, status)
 
     def toCompleted: SimCompleted = SimCompleted(
       userId = req.userId,
@@ -65,6 +121,19 @@ object SimCore {
     def isEmpty: Boolean = q.isEmpty
     def isFull: Boolean = maxSize.exists(q.length >= _)
     def size: Int = q.length
+    def toSeq: Seq[T] = q.toSeq // head-to-tail, non-destructive
+  }
+
+  object InFlightSnap {
+    def restore(s: InFlightSnap): InFlight = {
+      val inf = new InFlight(s.req)
+      inf.arrivalTimeInQueue = s.arrivalTimeInQueue
+      inf.startTime = s.startTime
+      inf.usedApiId = s.usedApiId
+      inf.queue = s.queue
+      inf.status = s.status
+      inf
+    }
   }
 
   /** Queue facade shared by the FIFO and two-tier priority disciplines. */
@@ -79,6 +148,10 @@ object SimCore {
       * (reference: src/queue_manager.py:267-276).
       */
     def queueCounts: Map[String, Long]
+
+    /** Snapshot / restore for the resumable streaming host. */
+    def snapshotQueues: (Seq[InFlightSnap], Seq[InFlightSnap])
+    def restoreQueues(priority: Seq[InFlight], normal: Seq[InFlight], pCount: Long, nCount: Long): Unit
   }
 
   /** Plain bounded FIFO discipline — the reference's documented-but-dead
@@ -98,6 +171,12 @@ object SimCore {
     def size: Int = q.size
     def queueCounts: Map[String, Long] =
       Map("priority_enqueued" -> 0L, "normal_enqueued" -> enqueued)
+    def snapshotQueues: (Seq[InFlightSnap], Seq[InFlightSnap]) =
+      (Nil, q.toSeq.map(_.toSnap))
+    def restoreQueues(priority: Seq[InFlight], normal: Seq[InFlight], pCount: Long, nCount: Long): Unit = {
+      normal.foreach(q.enqueue)
+      enqueued = nCount
+    }
   }
 
   /** Two-tier priority routing with probabilistic biased dequeue
@@ -108,7 +187,7 @@ object SimCore {
   final class PriorityStrategy(
       thresholdSeconds: Double,
       bias: Double,
-      rng: scala.util.Random
+      rng: CountingRandom
   ) extends TaskQueue {
     private val priorityQ = new FifoQueue[InFlight]()
     private val normalQ = new FifoQueue[InFlight]()
@@ -160,6 +239,14 @@ object SimCore {
       "priority_enqueued" -> priorityEnqueued,
       "normal_enqueued" -> normalEnqueued
     )
+    def snapshotQueues: (Seq[InFlightSnap], Seq[InFlightSnap]) =
+      (priorityQ.toSeq.map(_.toSnap), normalQ.toSeq.map(_.toSnap))
+    def restoreQueues(priority: Seq[InFlight], normal: Seq[InFlight], pCount: Long, nCount: Long): Unit = {
+      priority.foreach(priorityQ.enqueue)
+      normal.foreach(normalQ.enqueue)
+      priorityEnqueued = pCount
+      normalEnqueued = nCount
+    }
   }
 
   /** Sliding-window rate-limited, fallback-capable API client
@@ -206,6 +293,12 @@ object SimCore {
         }
       }
       None
+    }
+
+    def snapshot: (Seq[Seq[Double]], Int) = (stamps.map(_.toSeq).toSeq, currentIndex)
+    def restore(s: Seq[Seq[Double]], idx: Int): Unit = {
+      s.zipWithIndex.foreach { case (ts, i) => if (i < numApis) stamps(i).appendAll(ts) }
+      currentIndex = idx
     }
   }
 
@@ -266,25 +359,65 @@ object SimCore {
     * ticks over the mutable state (queue, workers, rate-limit ledger,
     * virtual clock).
     */
-  private final class Engine(cfg: SimConfig, input: Iterator[SimRequest]) {
+  private final class Engine(
+      cfg: SimConfig,
+      input: Iterator[SimRequest],
+      resume: Option[SimState] = None
+  ) {
     // Stable sort by arrival: (simArrivalTime, seq) reproduces Python's
     // stable `sorted(key=sim_arrival_time)` over input order
     // (src/simulator.py:41).
     val pending: Array[SimRequest] = input.toArray.sortBy(r => (r.simArrivalTime, r.seq))
-    private val rng = new scala.util.Random(cfg.rngSeed)
+    private val rng = new CountingRandom(cfg.rngSeed, resume.map(_.rngDraws).getOrElse(0L))
     val queue: TaskQueue = cfg.strategy match {
       case FifoConfig(maxSize)          => new FifoStrategy(maxSize)
       case PriorityConfig(thresh, bias) => new PriorityStrategy(thresh, bias, rng)
     }
-    var currentTime: Double =
-      if (pending.nonEmpty && pending(0).simArrivalTime >= 0) pending(0).simArrivalTime
-      else 0.0
-    private val api =
+    var currentTime: Double = resume match {
+      case Some(s) => s.currentTime
+      case None =>
+        if (pending.nonEmpty && pending(0).simArrivalTime >= 0) pending(0).simArrivalTime
+        else 0.0
+    }
+    val api =
       new ApiClient(cfg.numApis, cfg.rpmLimit, cfg.rateWindowSeconds, () => currentTime)
     val workers: Array[Worker] =
       Array.tabulate(cfg.numWorkers)(i => new Worker(i, queue, api))
     var pi = 0 // next-pending cursor (sorted ⇒ O(1) amortized arrival scan)
     val completed = mutable.ArrayBuffer.empty[InFlight]
+
+    resume.foreach { s =>
+      queue.restoreQueues(
+        s.priorityQ.map(InFlightSnap.restore),
+        s.normalQ.map(InFlightSnap.restore),
+        s.priorityEnqueued,
+        s.normalEnqueued
+      )
+      s.workers.zipWithIndex.foreach { case (ws, i) =>
+        if (i < workers.length) {
+          workers(i).currentTask = ws.task.map(InFlightSnap.restore)
+          workers(i).busyUntil = ws.busyUntil
+        }
+      }
+      api.restore(s.apiStamps, s.apiCurrentIndex)
+    }
+
+    def snapshot: SimState = {
+      val (pq, nq) = queue.snapshotQueues
+      val counts = queue.queueCounts
+      val (stamps, idx) = api.snapshot
+      SimState(
+        currentTime = currentTime,
+        priorityQ = pq,
+        normalQ = nq,
+        workers = workers.toSeq.map(w => WorkerSnap(w.currentTask.map(_.toSnap), w.busyUntil)),
+        apiStamps = stamps,
+        apiCurrentIndex = idx,
+        rngDraws = rng.draws,
+        priorityEnqueued = counts("priority_enqueued"),
+        normalEnqueued = counts("normal_enqueued")
+      )
+    }
 
     def anyWorkerBusy: Boolean = workers.exists(_.currentTask.nonEmpty)
     def stateRemains: Boolean = pi < pending.length || !queue.isEmpty || anyWorkerBusy
@@ -358,23 +491,26 @@ object SimCore {
     * §4.2), then returns completed records in the reference's final order:
     * (finish if != -1 else +inf, arrivalTimeInQueue), stable.
     */
-  def run(cfg: SimConfig, input: Iterator[SimRequest]): Iterator[SimCompleted] = {
-    val e = new Engine(cfg, input)
+  /** Advance the engine through every event with time <= horizon:
+    * fixpoint drains + time-skips (src/simulator.py:75-98,197-258),
+    * stopping before the first event beyond the horizon (in-flight work
+    * with busyUntil > horizon stays live in the engine state).
+    */
+  private def advanceUntil(e: Engine, horizon: Double): Unit = {
     var halted = false
     while (!halted && e.stateRemains) {
-      // Fixpoint drain at time T: maximal progress before the time jump
-      // (src/simulator.py:197-236).
+      // Fixpoint drain at time T: maximal progress before the time jump.
       var actionOccurred = true
       while (actionOccurred) {
         actionOccurred = false
         if (e.drainArrivals()) actionOccurred = true
         if (e.tickWorkers()) actionOccurred = true
       }
-      // Time-skip to the next arrival or completion
-      // (src/simulator.py:75-98, applied :238-258).
+      // Time-skip to the next arrival or completion.
       val nextEvent = e.nextEventTime
-      if (nextEvent.isInfinity) {
-        // Both reference branches break here (src/simulator.py:239-247).
+      if (nextEvent.isInfinity || nextEvent > horizon) {
+        // Reference breaks on inf (src/simulator.py:239-247); the horizon
+        // cut is the incremental-streaming extension.
         halted = true
       } else if (nextEvent > e.currentTime) {
         e.currentTime = nextEvent
@@ -383,7 +519,38 @@ object SimCore {
         // arrival has been drained); mirror the reference's pass-through.
       }
     }
+  }
+
+  def run(cfg: SimConfig, input: Iterator[SimRequest]): Iterator[SimCompleted] = {
+    val e = new Engine(cfg, input)
+    advanceUntil(e, Double.PositiveInfinity)
     finish(e.completed)
+  }
+
+  /** Resumable increment: continue the simulation from `state` with a new
+    * slice of arrivals, processing everything up to `horizon` (typically
+    * the slice's max event time). Returns the records completed in this
+    * increment (reference final order) and the snapshot to resume from.
+    *
+    * Contract: arrivals are event-time ordered across increments, and a
+    * slice boundary must fall BETWEEN distinct event times — splitting a
+    * same-instant arrival group changes bounded-queue admission (the batch
+    * fixpoint drains all same-time arrivals before any worker tick; a
+    * split lets the worker free queue space in between). An arrival
+    * earlier than the resumed clock (late data) is enqueued at the current
+    * virtual time — the same clamping the reference applies to any arrival
+    * whose time has already passed (src/simulator.py:203,212). An
+    * increment with `horizon = +∞` flushes all remaining work.
+    */
+  def runIncremental(
+      cfg: SimConfig,
+      state: SimState,
+      input: Iterator[SimRequest],
+      horizon: Double
+  ): (Vector[SimCompleted], SimState) = {
+    val e = new Engine(cfg, input, Some(state))
+    advanceUntil(e, horizon)
+    (finish(e.completed).toVector, e.snapshot)
   }
 
   /** Fixed-step ("animation") run (E2, reference src/simulator.py:148-193):

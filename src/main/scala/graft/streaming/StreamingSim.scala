@@ -24,18 +24,26 @@ object StreamingSim {
 
   implicit private val outEnc: Encoder[(String, SimCompleted)] =
     Encoders.product[(String, SimCompleted)]
-  implicit private val stateEnc: Encoder[Long] = Encoders.scalaLong
+  implicit private val stateEnc: Encoder[SimCore.SimState] =
+    Encoders.product[SimCore.SimState]
   implicit private val keyEnc: Encoder[String] = Encoders.STRING
   implicit private val inEnc: Encoder[(String, SimRequest)] =
     Encoders.product[(String, SimRequest)]
 
+  /** Resumable per-scenario simulation: the full engine state (queues,
+    * in-flight work, rate-limit ledger, RNG position, virtual clock) lives
+    * in the GroupState; each micro-batch continues exactly where the
+    * previous one stopped and drains its arrivals to completion.
+    */
   private def simulateGroup(cfg: SimConfig)(
       key: String,
       rows: Iterator[(String, SimRequest)],
-      state: GroupState[Long]
+      state: GroupState[SimCore.SimState]
   ): Iterator[(String, SimCompleted)] = {
-    val out = SimCore.run(cfg, rows.map(_._2)).toVector
-    state.update(state.getOption.getOrElse(0L) + out.size)
+    val st = state.getOption.getOrElse(SimCore.SimState.initial(cfg))
+    val (out, next) =
+      SimCore.runIncremental(cfg, st, rows.map(_._2), Double.PositiveInfinity)
+    state.update(next)
     out.iterator.map(c => (key, c))
   }
 
