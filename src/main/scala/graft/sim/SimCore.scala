@@ -22,24 +22,36 @@ import graft.model._
   *
   * Determinism contract: arrivals drain in (simArrivalTime, seq) order;
   * workers tick in worker-id order; the biased dequeue draws from a seeded
-  * RNG ([[scala.util.Random]] — the engine defines its own seeded stream
-  * rather than replicating CPython's Mersenne-Twister bit stream; goldens
-  * that depend on the RNG are recomputed against this contract, SURVEY §7.3b).
+  * [[SimCore.SplitMixRandom]] stream (the engine defines its own seeded
+  * contract rather than replicating CPython's Mersenne-Twister bit stream;
+  * goldens that depend on the RNG are recomputed against this contract,
+  * SURVEY §7.3b).
   */
 object SimCore {
 
-  /** Seeded RNG with a draw counter, so simulation state can be
-    * snapshotted (seed + number of draws) and restored by replaying the
-    * stream — scala.util.Random's internal state is not otherwise
-    * extractable.
+  /** SplitMix64-based RNG whose full state is one Long — snapshot and
+    * restore are O(1) (scala.util.Random's internal state is not
+    * extractable, and replaying a draw count would cost O(total draws) per
+    * resume, quadratic over a stream's lifetime).
     */
-  final class CountingRandom(val seed: Long, skip: Long = 0L) {
-    private val rng = new scala.util.Random(seed)
-    private var _draws = 0L
-    (0L until skip).foreach(_ => rng.nextDouble())
-    _draws = skip
-    def nextDouble(): Double = { _draws += 1; rng.nextDouble() }
-    def draws: Long = _draws
+  final class SplitMixRandom(initialState: Long) {
+    private var s: Long = initialState
+    def nextDouble(): Double = {
+      s += 0x9e3779b97f4a7c15L
+      // 53-bit mantissa of the mixed state → uniform [0, 1).
+      (MinHashLike.mix64(s) >>> 11) * 1.1102230246251565e-16
+    }
+    def state: Long = s
+  }
+
+  /** SplitMix64 finalizer (shared with the MinHash expression family). */
+  private[sim] object MinHashLike {
+    @inline def mix64(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
   }
 
   // ----- Resumable-state snapshot model (encodable case classes) -----
@@ -62,7 +74,7 @@ object SimCore {
       workers: Seq[WorkerSnap],
       apiStamps: Seq[Seq[Double]],
       apiCurrentIndex: Int,
-      rngDraws: Long,
+      rngState: Long,
       priorityEnqueued: Long,
       normalEnqueued: Long
   )
@@ -75,7 +87,7 @@ object SimCore {
       workers = Seq.fill(cfg.numWorkers)(WorkerSnap(None, 0.0)),
       apiStamps = Seq.fill(cfg.numApis)(Nil),
       apiCurrentIndex = 0,
-      rngDraws = 0L,
+      rngState = 0L, // 0 ⇒ derive from cfg.rngSeed on first use
       priorityEnqueued = 0L,
       normalEnqueued = 0L
     )
@@ -174,6 +186,10 @@ object SimCore {
     def snapshotQueues: (Seq[InFlightSnap], Seq[InFlightSnap]) =
       (Nil, q.toSeq.map(_.toSnap))
     def restoreQueues(priority: Seq[InFlight], normal: Seq[InFlight], pCount: Long, nCount: Long): Unit = {
+      require(
+        priority.isEmpty && pCount == 0L,
+        "cannot restore a priority-strategy snapshot into a FIFO strategy"
+      )
       normal.foreach(q.enqueue)
       enqueued = nCount
     }
@@ -187,7 +203,7 @@ object SimCore {
   final class PriorityStrategy(
       thresholdSeconds: Double,
       bias: Double,
-      rng: CountingRandom
+      rng: SplitMixRandom
   ) extends TaskQueue {
     private val priorityQ = new FifoQueue[InFlight]()
     private val normalQ = new FifoQueue[InFlight]()
@@ -297,7 +313,15 @@ object SimCore {
 
     def snapshot: (Seq[Seq[Double]], Int) = (stamps.map(_.toSeq).toSeq, currentIndex)
     def restore(s: Seq[Seq[Double]], idx: Int): Unit = {
-      s.zipWithIndex.foreach { case (ts, i) => if (i < numApis) stamps(i).appendAll(ts) }
+      require(
+        s.size == numApis,
+        s"snapshot has ${s.size} endpoint ledgers but the config has $numApis — " +
+          "refusing to silently drop rate-limit state"
+      )
+      s.zipWithIndex.foreach { case (ts, i) =>
+        stamps(i).clear() // idempotent restore
+        stamps(i).appendAll(ts)
+      }
       currentIndex = idx
     }
   }
@@ -368,7 +392,9 @@ object SimCore {
     // stable `sorted(key=sim_arrival_time)` over input order
     // (src/simulator.py:41).
     val pending: Array[SimRequest] = input.toArray.sortBy(r => (r.simArrivalTime, r.seq))
-    private val rng = new CountingRandom(cfg.rngSeed, resume.map(_.rngDraws).getOrElse(0L))
+    private val rng = new SplitMixRandom(
+      resume.map(_.rngState).filter(_ != 0L).getOrElse(MinHashLike.mix64(cfg.rngSeed))
+    )
     val queue: TaskQueue = cfg.strategy match {
       case FifoConfig(maxSize)          => new FifoStrategy(maxSize)
       case PriorityConfig(thresh, bias) => new PriorityStrategy(thresh, bias, rng)
@@ -387,6 +413,12 @@ object SimCore {
     val completed = mutable.ArrayBuffer.empty[InFlight]
 
     resume.foreach { s =>
+      // Config drift between snapshot producer and consumer would silently
+      // lose in-flight tasks / rate-limit state — refuse instead.
+      require(
+        s.workers.size == cfg.numWorkers,
+        s"snapshot has ${s.workers.size} workers but the config has ${cfg.numWorkers}"
+      )
       queue.restoreQueues(
         s.priorityQ.map(InFlightSnap.restore),
         s.normalQ.map(InFlightSnap.restore),
@@ -394,10 +426,8 @@ object SimCore {
         s.normalEnqueued
       )
       s.workers.zipWithIndex.foreach { case (ws, i) =>
-        if (i < workers.length) {
-          workers(i).currentTask = ws.task.map(InFlightSnap.restore)
-          workers(i).busyUntil = ws.busyUntil
-        }
+        workers(i).currentTask = ws.task.map(InFlightSnap.restore)
+        workers(i).busyUntil = ws.busyUntil
       }
       api.restore(s.apiStamps, s.apiCurrentIndex)
     }
@@ -413,7 +443,7 @@ object SimCore {
         workers = workers.toSeq.map(w => WorkerSnap(w.currentTask.map(_.toSnap), w.busyUntil)),
         apiStamps = stamps,
         apiCurrentIndex = idx,
-        rngDraws = rng.draws,
+        rngState = rng.state,
         priorityEnqueued = counts("priority_enqueued"),
         normalEnqueued = counts("normal_enqueued")
       )
@@ -484,13 +514,6 @@ object SimCore {
     )
   }
 
-  /** Event-driven simulation run (reference: src/simulator.py:195-265).
-    *
-    * Consumes the full input (the fold is globally sequential — one shared
-    * queue and one shared rate-limit ledger couple all events, SURVEY
-    * §4.2), then returns completed records in the reference's final order:
-    * (finish if != -1 else +inf, arrivalTimeInQueue), stable.
-    */
   /** Advance the engine through every event with time <= horizon:
     * fixpoint drains + time-skips (src/simulator.py:75-98,197-258),
     * stopping before the first event beyond the horizon (in-flight work
@@ -521,6 +544,13 @@ object SimCore {
     }
   }
 
+  /** Event-driven simulation run (reference: src/simulator.py:195-265).
+    *
+    * Consumes the full input (the fold is globally sequential — one shared
+    * queue and one shared rate-limit ledger couple all events, SURVEY
+    * §4.2), then returns completed records in the reference's final order:
+    * (finish if != -1 else +inf, arrivalTimeInQueue), stable.
+    */
   def run(cfg: SimConfig, input: Iterator[SimRequest]): Iterator[SimCompleted] = {
     val e = new Engine(cfg, input)
     advanceUntil(e, Double.PositiveInfinity)
@@ -549,6 +579,17 @@ object SimCore {
       horizon: Double
   ): (Vector[SimCompleted], SimState) = {
     val e = new Engine(cfg, input, Some(state))
+    // An arrival beyond the horizon would be silently lost: advanceUntil
+    // stops before it and the snapshot does not carry un-drained pending
+    // requests. Refuse loudly instead.
+    if (e.pending.nonEmpty) {
+      val maxArrival = e.pending.last.simArrivalTime
+      require(
+        maxArrival <= horizon,
+        s"slice contains an arrival at $maxArrival beyond horizon $horizon — " +
+          "pass horizon >= the slice's max event time"
+      )
+    }
     advanceUntil(e, horizon)
     (finish(e.completed).toVector, e.snapshot)
   }

@@ -11,14 +11,22 @@ import graft.sim.SimCore
   * `flatMapGroupsWithState` (SURVEY §2.2 "stateful ops" — the core of the
   * reference, re-expressed on Structured Streaming's state machinery).
   *
-  * Each group key is an independent scenario; per micro-batch the group's
-  * new arrivals run through the deterministic [[SimCore]] fold. For a
-  * bounded replay (Trigger.AvailableNow → one batch) this is exactly the
-  * batch semantics — verified in tests against [[graft.sim.SimOperator]].
-  * The GroupState carries a processed-count watermark so a multi-batch
-  * deployment simulates each batch's arrivals as its own episode;
-  * carrying live queue/worker state across batches (a resumable EventLoop)
-  * is the designed extension seam.
+  * Each group key is an independent scenario whose full engine state
+  * (queues, in-flight work, rate-limit ledger, RNG state, virtual clock)
+  * lives in the GroupState between micro-batches. Two per-batch horizon
+  * policies, both deterministic:
+  *
+  *   - `flushPerBatch = true` (default): each batch's arrivals drain to
+  *     completion — the right semantics for a bounded replay (one
+  *     AvailableNow batch ≡ the one-shot batch run, asserted in
+  *     StreamingSimSpec). Across MULTIPLE batches the clock advances to
+  *     each batch's last completion, so a later batch's arrivals that
+  *     fall before it are clamped as late data (episodic semantics).
+  *   - `flushPerBatch = false`: horizon = the batch's max event time —
+  *     exact continuation of the one-shot simulation across batches
+  *     (IncrementalSimSpec's slice-fold contract); work still in flight
+  *     at the horizon completes in later batches, and the tail only
+  *     drains when a final flush batch arrives.
   */
 object StreamingSim {
 
@@ -30,19 +38,20 @@ object StreamingSim {
   implicit private val inEnc: Encoder[(String, SimRequest)] =
     Encoders.product[(String, SimRequest)]
 
-  /** Resumable per-scenario simulation: the full engine state (queues,
-    * in-flight work, rate-limit ledger, RNG position, virtual clock) lives
-    * in the GroupState; each micro-batch continues exactly where the
-    * previous one stopped and drains its arrivals to completion.
+  /** Resumable per-scenario simulation (see object doc for the two
+    * horizon policies).
     */
-  private def simulateGroup(cfg: SimConfig)(
+  private def simulateGroup(cfg: SimConfig, flushPerBatch: Boolean)(
       key: String,
       rows: Iterator[(String, SimRequest)],
       state: GroupState[SimCore.SimState]
   ): Iterator[(String, SimCompleted)] = {
     val st = state.getOption.getOrElse(SimCore.SimState.initial(cfg))
-    val (out, next) =
-      SimCore.runIncremental(cfg, st, rows.map(_._2), Double.PositiveInfinity)
+    val slice = rows.map(_._2).toVector
+    val horizon =
+      if (flushPerBatch || slice.isEmpty) Double.PositiveInfinity
+      else slice.map(_.simArrivalTime).max
+    val (out, next) = SimCore.runIncremental(cfg, st, slice.iterator, horizon)
     state.update(next)
     out.iterator.map(c => (key, c))
   }
@@ -50,7 +59,12 @@ object StreamingSim {
   /** Per-event-type scenarios simulated statefully over the events stream,
     * drained to completion; returns (scenario, completed…) rows.
     */
-  def run(spark: SparkSession, sfDir: String, cfg: SimConfig = SimConfig(numWorkers = 2)): DataFrame = {
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      cfg: SimConfig = SimConfig(numWorkers = 2),
+      flushPerBatch: Boolean = true
+  ): DataFrame = {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val keyed = stream
       .select(
@@ -69,7 +83,7 @@ object StreamingSim {
     val completed = keyed
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        simulateGroup(cfg)
+        simulateGroup(cfg, flushPerBatch)
       )
 
     val name = s"stream_sim_${System.nanoTime()}"
