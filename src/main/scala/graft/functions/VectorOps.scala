@@ -4,8 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, built from Spark's
-  * codegen'd higher-order functions (`zip_with` / `aggregate`) — no UDFs in
-  * the hot path, so whole-stage codegen spans the similarity computations.
+  * higher-order functions (`zip_with` / `aggregate`) — declarative and
+  * UDF-free, but NOTE: Spark HOFs are interpreted (no codegen), so for
+  * per-pair hot paths prefer [[VectorCosine]], which folds the same math
+  * in one compiled pass with bit-identical results.
   *
   * All math is done in Double after an explicit per-element cast: the
   * DuckDB oracle mirrors the same cast + left-fold order, giving

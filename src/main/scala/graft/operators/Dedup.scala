@@ -3,16 +3,21 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{SimHash64, TokenShingleHashes, VectorCosine}
 
 /** Deduplication suite for a training-data pipeline, over the `documents`
   * and `embeddings` tables: exact (hash groupBy), MinHash+LSH, SimHash,
   * n-gram Jaccard, and embedding-cosine near-dup.
   *
   * Scale design (100 TB): every method is candidate-generation-first —
-  * a cheap signature computed in one codegen'd scan, a bucket shuffle that
-  * only collides plausible near-dups, and exact verification restricted to
-  * candidate pairs. Nothing here ever materializes the O(n²) pair space.
+  * a cheap signature computed row-locally in one compiled pass inside the
+  * scan (the [[graft.functions.TokenShingleHashes]] /
+  * [[graft.functions.SimHash64]] / [[graft.functions.MinHashSignature]] /
+  * [[graft.functions.SrpSignatures]] expression family — Spark's
+  * higher-order functions are interpreted and were the hottest stage), a
+  * bucket shuffle that only collides plausible near-dups, and exact
+  * verification restricted to candidate pairs. Nothing here ever
+  * materializes the O(n²) pair space.
   */
 object Dedup {
 
@@ -64,6 +69,17 @@ object Dedup {
   def hashShingles(sh: DataFrame): DataFrame =
     sh.withColumn("shingles", expr("transform(shingles, s -> xxhash64(s))"))
 
+  /** Distinct hashed word n-shingles straight from the scan: one compiled
+    * pass per row ([[TokenShingleHashes]]), bit-identical hashes to
+    * `hashShingles(tokenShingles(...))` but without the interpreted
+    * HOF tree that dominated both dedup pipelines (SURVEY §8 bench note).
+    */
+  def hashedTokenShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val fn = s"token_shingle_hashes_$n"
+    TokenShingleHashes.register(docs.sparkSession, fn, n)
+    docs.select(col("doc_id"), expr(s"$fn(text)").as("shingles"))
+  }
+
   /** Exact Jaccard over shingle sets for a pre-bucketed candidate pair
     * relation (columns doc_a, doc_b) — the verification kernel shared by
     * the brute-force and LSH paths.
@@ -98,31 +114,47 @@ object Dedup {
     * lossless size-ratio check (`min >= t·max`) prunes it, and exact
     * verification keeps only true pairs. Result set is IDENTICAL to the
     * brute-force quadratic (the DuckDB oracle runs the quadratic form) at
-    * a cost of three keyed shuffles over |corpus|·prefix rows — the rarest
-    * ~20% of each doc's shingles — instead of an n² join.
+    * a cost of two keyed shuffles over the exploded shingles plus one over
+    * |corpus|·prefix rows — the rarest ~20% of each doc's shingles —
+    * instead of an n² join.
+    *
+    * Candidates are NOT deduplicated before verification: a pair can
+    * collide on several prefix shingles, but verification is a cheap
+    * array intersect/union while the dedup would be a full shuffle of the
+    * candidate relation — so duplicates are dropped AFTER the Jaccard
+    * filter, on the (tiny) surviving pair set.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = hashShingles(tokenShingles(docs, n))
-      .select(col("doc_id"), col("shingles"))
+    val sh = hashedTokenShingles(docs, n)
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
       .cache()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
     // docFreq is (hash, count) pairs — broadcast at this scale to keep the
     // exploded side un-shuffled; at lake scale drop the hint and let the
-    // shingle-keyed shuffle do it.
+    // shingle-keyed shuffle do it. The per-document (df, sh) ranking is a
+    // hash aggregate + local sort of each doc's small array — cheaper than
+    // a window, which would sort whole partitions.
+    // Cached: the self-join below would otherwise recompute the whole
+    // prefix pipeline once per side (self-joins don't share lineage).
     val prefixes = exploded
       .join(broadcast(docFreq), "sh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("sz")) + lit(1))
-      .select(col("doc_id"), col("sz"), col("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("sz")).as("sz"),
+        slice(
+          array_sort(collect_list(struct(col("df"), col("sh")))),
+          lit(1),
+          (floor((lit(1.0) - threshold) * max(col("sz"))) + lit(1)).cast("int")
+        ).as("pref")
+      )
+      .select(col("doc_id"), col("sz"), explode(col("pref.sh")).as("sh"))
+      .cache()
     val a = prefixes.toDF("doc_a", "sz_a", "sh")
     val b = prefixes.toDF("doc_b", "sz_b", "sh_b")
     val candidates = a
@@ -133,8 +165,7 @@ object Dedup {
           col("sz_b") >= col("sz_a") * threshold
       )
       .select("doc_a", "doc_b")
-      .distinct()
-    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold)
+    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()
   }
 
   // -------------------------------------------------------------- MinHash
@@ -150,12 +181,24 @@ object Dedup {
     * expression makes unnecessary.)
     */
   def minhashBands(shingled: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
     val spark = shingled.sparkSession
     val fn = s"minhash_sig_$numPerm"
     graft.functions.MinHashSignature.register(spark, fn, numPerm, seed = 42L)
-    val sigs = shingled.select(col("doc_id"), expr(s"$fn(shingles)").as("sig"))
+    bandsFromSig(
+      shingled.select(col("doc_id"), expr(s"$fn(shingles)").as("sig")),
+      numPerm,
+      bands
+    )
+  }
+
+  /** Band-hash a precomputed `sig` (array of `numPerm` minima) column —
+    * split out so callers can cache the signature relation and band-hash
+    * from the cache (a band self-join would otherwise re-evaluate the
+    * numPerm-permutation signature once per join side).
+    */
+  def bandsFromSig(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
     val bandCols = (0 until bands).map { bnd =>
       xxhash64((bnd * rows until (bnd + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
     }
@@ -195,33 +238,29 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8
   ): DataFrame = {
-    val sh = hashShingles(tokenShingles(docs, n))
+    val spark = docs.sparkSession
+    val fn = s"minhash_sig_$numPerm"
+    graft.functions.MinHashSignature.register(spark, fn, numPerm, seed = 42L)
+    // Shingles AND signature in the cache: both the band self-join (which
+    // evaluates its lineage once per side) and the verification read from
+    // here, so the 64-permutation signature is computed exactly once.
+    val sh = hashedTokenShingles(docs, n)
       .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"$fn(shingles)"))
       .cache()
-    val cands = minhashCandidates(minhashBands(sh, numPerm, bands))
-    verifyJaccard(cands, sh, threshold)
+    val cands = minhashCandidates(bandsFromSig(sh, numPerm, bands))
+    verifyJaccard(cands, sh.select("doc_id", "shingles"), threshold)
   }
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document: tokens hashed, each hash bit votes ±1,
-    * sign of the per-bit tally forms the signature. One explode + one
-    * 64-column hash-aggregate (all partial map-side).
+  /** 64-bit SimHash per document, row-locally via [[SimHash64]] —
+    * bit-identical to the explode → 64-column hash-aggregate formulation
+    * (same xxhash64 token hashes, same ±1 votes) minus its token shuffle.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(
-      col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok")
-    )
-    val h = xxhash64(col("tok"))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$j")
-    }
-    val tallies = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64)
-      .map(j => when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    tallies.select(col("doc_id"), sig.as("simhash"))
+    SimHash64.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("simhash64(text)").as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidate
@@ -266,6 +305,14 @@ object Dedup {
     * [[graft.functions.SrpSignatures]] expression computes every table's
     * bucket id), ONE bucket join on (table, signature) via posexplode,
     * exact-cosine verification of candidates only.
+    *
+    * Verification joins the (small, broadcastable) vector relation to the
+    * candidate stream — NOT the other way round: at a low threshold the
+    * candidate relation is the big side, so broadcasting it (or
+    * shuffle-deduplicating it before verification) would be the
+    * bottleneck. Duplicate candidates from multi-table collisions are
+    * dropped AFTER the cosine filter, on the small surviving set, and the
+    * cosine itself is one compiled pass ([[VectorCosine]]).
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
@@ -278,6 +325,7 @@ object Dedup {
     val spark = embeddings.sparkSession
     val fn = s"srp_neardup_${tables}_${planesPerTable}_$seed"
     graft.functions.SrpSignatures.register(spark, fn, dim, tables, planesPerTable, seed)
+    VectorCosine.register(spark)
     val signed = embeddings
       .select(col("vec_id"), col("embedding"), expr(s"$fn(embedding)").as("sigs"))
       .cache()
@@ -298,19 +346,18 @@ object Dedup {
           col("id_a") < col("id_b")
       )
       .select("id_a", "id_b")
-      .distinct()
 
     val va = signed.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val vb = signed.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     candidates
-      .join(va, "id_a")
-      .join(vb, "id_b")
+      .join(broadcast(va), "id_a")
+      .join(broadcast(vb), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
-        round(VectorOps.cosine(VectorOps.toDouble(col("v_a")), VectorOps.toDouble(col("v_b"))), 6)
-          .as("cosine")
+        round(expr("vector_cosine(v_a, v_b)"), 6).as("cosine")
       )
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }

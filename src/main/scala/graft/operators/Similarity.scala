@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.VectorCosine
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -17,16 +17,23 @@ import graft.functions.VectorOps
   *     sign-bit buckets; only same-bucket candidates are scored. At 100 TB
   *     the bucket join replaces the full scan per query with a hash lookup;
   *     recall is tunable via tables × planes.
+  *
+  * Scoring uses [[VectorCosine]] — one compiled pass per pair,
+  * bit-identical to the `zip_with`/`aggregate` double fold (and so to the
+  * DuckDB oracle), minus the interpreted-lambda overhead.
   */
 object Similarity {
 
-  private def cosCol(a: Column, b: Column): Column =
-    VectorOps.cosine(VectorOps.toDouble(a), VectorOps.toDouble(b))
+  private def cosCol(a: String, b: String): Column = {
+    // Registered once per session; name is stable.
+    expr(s"vector_cosine($a, $b)")
+  }
 
   /** Exact top-k neighbors for each query vector (query set must be small
     * enough to broadcast — it is the `LIMIT`ed probe set, not the corpus).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    VectorCosine.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val scored = corpus
       .crossJoin(broadcast(q))
@@ -34,7 +41,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(cosCol(col("q_vec"), col("embedding")), 6).as("cosine")
+        round(cosCol("q_vec", "embedding"), 6).as("cosine")
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -58,6 +65,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val fn = s"srp_ann_${tables}_${planesPerTable}_$seed"
     graft.functions.SrpSignatures.register(spark, fn, dim, tables, planesPerTable, seed)
+    VectorCosine.register(spark)
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(
           col("vec_id").as(idAs),
@@ -82,7 +90,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        round(cosCol(col("q_vec"), col("embedding")), 6).as("cosine")
+        round(cosCol("q_vec", "embedding"), 6).as("cosine")
       )
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
