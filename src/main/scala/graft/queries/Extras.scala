@@ -67,5 +67,18 @@ object Extras {
             FROM events GROUP BY event_type""")
   )
 
-  val all: Seq[QueryDef] = Seq(q41Json, q42Sketch, q43SaltedAgg)
+  /** Exact dedup as a STREAMING stateful aggregation over the document
+    * stream (running content-hash groups; see
+    * [[graft.streaming.StreamingOps.streamingDedupGroups]]) — same DuckDB
+    * oracle as the batch q25, because min/count are order-insensitive.
+    */
+  val q44StreamDedup: QueryDef = QueryDef(
+    "q44_stream_dedup",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingDedup(s, dir),
+    Some("""SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+            count(*) AS dup_cnt
+            FROM documents GROUP BY md5(text)""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup)
 }

@@ -63,9 +63,51 @@ object StreamingOps {
     * would hold back windows the watermark never passes on a bounded
     * input).
     */
-  def runHourlyWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"stream_hourly_${System.nanoTime()}"
-    val q = hourlyWindowAgg(eventsStream(spark, sfDir)).writeStream
+  def runHourlyWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    drainComplete(spark, "stream_hourly", hourlyWindowAgg(eventsStream(spark, sfDir)))
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Streaming DataFrame over the documents table — the continuously-
+    * arriving-corpus shape of a training-data ingest pipeline.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** Streaming exact dedup: content-hash groups maintained as running
+    * state over the document stream (keeper = min doc_id, live dup count).
+    * Same result as the batch [[graft.operators.Dedup.exactGroups]] on the
+    * bounded replay — and checked against the same DuckDB oracle — but the
+    * plan is a streaming stateful aggregation: at ingest time each
+    * micro-batch updates only the touched hash groups, so dedup state, not
+    * the corpus, is what lives in the state store. min/count are
+    * order-insensitive monoids, so arrival order across micro-batches
+    * cannot change the result.
+    */
+  def streamingDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Run the streaming dedup to completion over the bounded parquet stream. */
+  def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame =
+    drainComplete(spark, "stream_dedup", streamingDedupGroups(documentsStream(spark, sfDir)))
+
+  /** Drain a complete-mode streaming aggregation over a bounded source
+    * into a memory sink and hand back the final table.
+    */
+  private def drainComplete(spark: SparkSession, prefix: String, df: DataFrame): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SimHash64, TokenShingleHashes, VectorCosine, VectorOps}
+import graft.operators.Dedup
+
+/** Bit-parity of the compiled one-pass kernels against the declarative
+  * formulations they replaced — the performance rework is only safe
+  * because these are EXACT equivalences, so each is pinned here:
+  *
+  *   - TokenShingleHashes ≡ array_distinct∘transform∘xxhash64 (set-equal;
+  *     the expression returns ascending order)
+  *   - SimHash64 ≡ explode → 64-column ±1 vote aggregate
+  *   - VectorCosine ≡ zip_with/aggregate double fold (identical bits, not
+  *     just approximately equal — same cast + left-fold order)
+  */
+class KernelParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e f g h i j k l m n o p",
+    "repeated repeated repeated repeated repeated words words words",
+    "double  space and trailing space ",
+    "one two",
+    "Punctuated, sentence! with? marks; and CAPS",
+    ""
+  )
+
+  test("token shingle hashes match the HOF formulation as a set") {
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val fast = Dedup
+      .hashedTokenShingles(d, 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    // Docs with >= 3 words must agree exactly. The HOF formulation is fed
+    // only those: below 3 words its sequence() bound degenerates to the
+    // DESCENDING [1, 0] and slice(…, 0, …) throws — a latent bug the
+    // expression fixes by defining the short-doc case as the empty set,
+    // matching the DuckDB oracle's range() semantics.
+    val slow = Dedup
+      .hashShingles(Dedup.tokenShingles(d.filter(size(split(col("text"), " ")) >= 3), 3))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("shingles").toSet)
+      .toMap
+    assert(slow.nonEmpty)
+    for ((id, sh) <- slow) assert(fast(id) == sh, s"doc $id")
+    assert(fast(4L).isEmpty, "two-word doc has no trigram shingles")
+    assert(fast(6L).isEmpty, "empty doc has no shingles")
+  }
+
+  test("token shingle hashes are ascending and distinct") {
+    val d = Seq((1L, ("xy " * 200).trim)).toDF("doc_id", "text")
+    val sh = Dedup.hashedTokenShingles(d, 3).collect().head.getSeq[Long](1)
+    assert(sh == sh.distinct.sorted)
+    // "xy xy xy" repeated → exactly one distinct trigram shingle.
+    assert(sh.length == 1)
+  }
+
+  test("simhash64 matches the explode + 64-column vote aggregate bit-for-bit") {
+    val d = texts.zipWithIndex
+      .filter(_._1.nonEmpty)
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    SimHash64.register(spark)
+    val fast = d
+      .select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // The pre-rework formulation, inline (graft @ 403ecf6): xxhash64 per
+    // token, each bit votes ±1, sign of tally.
+    val tokens = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$j")
+    }
+    val tallies = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val slow = tallies
+      .select(col("doc_id"), sig.as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(fast == slow)
+  }
+
+  test("vector_cosine is bit-identical to the zip_with/aggregate fold") {
+    VectorCosine.register(spark)
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Array.fill(64)(rng.nextFloat() * 2f - 1f)))
+    val d = vecs.toDF("id", "v")
+    val pairs = d
+      .toDF("id_a", "a")
+      .crossJoin(d.toDF("id_b", "b"))
+      .select(
+        expr("vector_cosine(a, b)").as("fast"),
+        VectorOps.cosine(VectorOps.toDouble(col("a")), VectorOps.toDouble(col("b"))).as("slow")
+      )
+      .collect()
+    pairs.foreach { r =>
+      assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+      )
+    }
+  }
+
+  test("vector_cosine: NaN on zero vector, 1.0 on identical") {
+    VectorCosine.register(spark)
+    val d = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))
+    ).toDF("a", "b")
+    val out = d.select(expr("vector_cosine(a, b)")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1).isNaN)
+  }
+
+  test("token shingle width other than 3 works (bigrams)") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    TokenShingleHashes.register(spark, "tsh2", 2)
+    val fast = d.select(expr("tsh2(text)")).collect().head.getSeq[Long](0).toSet
+    val slow = Dedup
+      .hashShingles(
+        d.withColumn("lang", lit("en")).transform(Dedup.tokenShingles(_, 2))
+      )
+      .collect()
+      .head
+      .getAs[Seq[Long]]("shingles")
+      .toSet
+    assert(fast == slow && fast.size == 3)
+  }
+}
