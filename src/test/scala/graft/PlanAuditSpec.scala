@@ -65,4 +65,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("*("), "expression fell out of codegen")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), "UDF in plan")
   }
+
+  test("q26 minhash pipeline prunes the documents scan to (doc_id, text)") {
+    val plan = planOf(SparkEntry.queries("q26_minhash_lsh")(spark, sfDir))
+    // The signature kernel needs only the id and the text — the scan must
+    // not drag source/lang/n_chars through the shingle cache.
+    assert(plan.contains("ReadSchema"), plan.linesIterator.take(3).mkString("\n"))
+    assert(!plan.contains("n_chars"), "unpruned column n_chars in dedup scan")
+    assert(!plan.contains("source"), "unpruned column source in dedup scan")
+  }
+
+  test("q26 band self-join is a keyed equi-join, never a cartesian product") {
+    val plan = planOf(SparkEntry.queries("q26_minhash_lsh")(spark, sfDir))
+    assert(
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to an O(n²) join"
+    )
+  }
+
+  test("q29 verification broadcasts the vector relation, not the candidate stream") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val plan = planOf(graft.operators.Dedup.embeddingNearDupPairs(emb))
+    assert(plan.contains("BroadcastHashJoin"), "vector lookup not broadcast")
+    assert(!plan.contains("CartesianProduct"), "O(n²) verification join")
+  }
+
+  test("q30 brute-force ANN broadcasts the probe set against an un-shuffled corpus") {
+    val plan = planOf(SparkEntry.queries("q30_ann_brute")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), "probe set not broadcast")
+    // The corpus must reach the scoring join without a shuffle: everything
+    // below the join (printed after it) is scan-side, and the only
+    // Exchange in the plan is the final per-query top-k window's, above.
+    assert(!plan.split("BroadcastNestedLoopJoin").last.contains("Exchange hashpartitioning"),
+      "corpus shuffled before scoring")
+  }
 }
