@@ -80,5 +80,18 @@ object Extras {
             FROM documents GROUP BY md5(text)""")
   )
 
-  val all: Seq[QueryDef] = Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup)
+  /** MinHash-LSH near-dup detection as an INCREMENTAL streaming pipeline:
+    * stateful band buckets (GroupState) emit candidates the moment a
+    * near-copy arrives; exact verification is a stateless stream-static
+    * join. Equal to batch q26 on a bounded replay (StreamingNearDupSpec);
+    * rows-only here because the minhash family is engine-specific.
+    */
+  val q45StreamNeardup: QueryDef = QueryDef(
+    "q45_stream_neardup",
+    (s, dir) => graft.streaming.StreamingNearDup.run(s, dir),
+    None
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup, q45StreamNeardup)
 }
