@@ -95,4 +95,107 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a tiny driver-side coarse quantizer (k-means
+    * over a bounded deterministic training sample) assigns every corpus
+    * vector to exactly ONE cell row-locally
+    * ([[graft.functions.NearestCentroids]], nprobe=1 — no join, no
+    * shuffle); queries probe their `nprobe` nearest cells and score only
+    * those cells' members exactly.
+    *
+    * Scale shape: the quantizer is k×dim doubles shipped inside the plan;
+    * the inverted lists are just a `cell` column on the corpus — at 100 TB
+    * you'd write the corpus partitioned/bucketed by `cell` so a probe
+    * reads only its cells' files (partition pruning), and train the
+    * quantizer on a `TABLESAMPLE` instead of a head sample. Probed cells
+    * are disjoint (one cell per corpus vector), so no candidate dedupe is
+    * needed — unlike multi-table LSH.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      lloydIters: Int = 2,
+      trainLimit: Int = 2000
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorCosine.register(spark)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id"))
+      .limit(trainLimit)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = trainKMeans(sample, numCells, dim, lloydIters)
+    val assignFn = s"ivf_cell_${numCells}_$dim"
+    val probeFn = s"ivf_probe_${numCells}_${nprobe}_$dim"
+    graft.functions.NearestCentroids.register(spark, assignFn, centroids, numCells, dim, 1)
+    graft.functions.NearestCentroids.register(spark, probeFn, centroids, numCells, dim, nprobe)
+    val indexed = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding"),
+      element_at(expr(s"$assignFn(embedding)"), 1).as("cell")
+    )
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"),
+      explode(expr(s"$probeFn(embedding)")).as("cell")
+    )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    indexed
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Driver-side spherical k-means on the (bounded) training sample:
+    * deterministic init from the first k sample vectors, cosine
+    * assignment, mean update; empty cells keep their previous centroid.
+    */
+  private def trainKMeans(
+      sample: Array[Array[Float]],
+      k: Int,
+      dim: Int,
+      iters: Int
+  ): Array[Double] = {
+    require(sample.nonEmpty, "empty training sample")
+    val flat = new Array[Double](k * dim)
+    for (c <- 0 until k; i <- 0 until dim)
+      flat(c * dim + i) = sample(c % sample.length)(i).toDouble
+    var centroids = flat
+    for (_ <- 0 until iters) {
+      val normed = graft.functions.NearestCentroids.normalize(centroids, k, dim)
+      val sums = new Array[Double](k * dim)
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          var i = 0
+          while (i < math.min(dim, v.length)) { dot += v(i) * normed(c * dim + i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < math.min(dim, v.length)) { sums(best * dim + i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      val next = centroids.clone()
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        next(c * dim + i) = sums(c * dim + i) / counts(c)
+      centroids = next
+    }
+    centroids
+  }
 }

@@ -100,6 +100,20 @@ object LlmQueries {
     None
   )
 
+  /** IVF ANN — the third similarity-search path (exact brute, LSH, IVF):
+    * coarse-quantizer cells + nprobe probing, exact scoring inside probed
+    * cells. Rows-only (the k-means model is engine-specific); scoring
+    * exactness and recall are pinned in OperatorsSpec.
+    */
+  val q46AnnIvf: QueryDef = QueryDef(
+    "q46_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None
+  )
+
   val q32TextQuality: QueryDef = QueryDef(
     "q32_text_quality",
     (s, dir) => TextAnalysis.qualityMetrics(Tables.documents(s, dir)),
@@ -209,6 +223,6 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
-    q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats
+    q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf
   )
 }

@@ -83,6 +83,44 @@ class OperatorsSpec extends AnyFunSuite {
       math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
   }
 
+  test("IVF ANN: exact dup found (same cell), scores match brute, recall reasonable") {
+    val rng = new scala.util.Random(3)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v, 0), (1L, v, 0)) ++
+      (2L to 200L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, numCells = 8, nprobe = 3).collect()
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+    // The duplicate vector lands in the query's own (first-probed) cell.
+    assert(ivf.exists(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    // Scoring is exact: every IVF (query, neighbor) cosine equals brute's.
+    val bruteScores = brute
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val bruteAll = Similarity.bruteTopK(emb, queries, k = 200).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteAll(key) == r.getAs[Double]("cosine"), s"score mismatch at $key")
+    }
+    // Probing 3 of 8 cells: expect a usable fraction of the true top-5.
+    val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(r =>
+      hits((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / brute.length
+    assert(recall >= 0.2, s"recall@5 collapsed: $recall")
+    // Within each query, ranks are dense and ordered by cosine desc.
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getAs[Double]("cosine")).toSeq.reverse.sorted.reverse ==
+        sorted.map(_.getAs[Double]("cosine")).toSeq)
+    }
+  }
+
   test("embedding near-dup catches duplicate vectors through SRP buckets") {
     val rng = new scala.util.Random(1)
     val v = Array.fill(64)(rng.nextGaussian().toFloat)
