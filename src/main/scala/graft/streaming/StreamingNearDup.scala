@@ -137,14 +137,16 @@ object StreamingNearDup {
       )
       .filter(col("jaccard") >= threshold)
     val name = s"stream_neardup_${System.nanoTime()}"
-    val q = verified.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingOps.withStatePartitions(spark) {
+      val q = verified.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).distinct()
   }
 }

@@ -107,17 +107,35 @@ object StreamingOps {
     */
   private def drainComplete(spark: SparkSession, prefix: String, df: DataFrame): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
-    val q = df.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    withStatePartitions(spark) {
+      val q = df.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     }
     spark.table(name)
+  }
+
+  /** Streaming state is sharded by `spark.sql.shuffle.partitions` AT QUERY
+    * START (fixed for the checkpoint's lifetime) — it should be sized to
+    * the state keyspace, not to the session's batch-shuffle width: each
+    * state partition carries a state-store instance whose per-batch
+    * open/commit cost dwarfs these small keyspaces (event types, content
+    * hashes). Scopes the override to the streaming query it wraps; lake
+    * deployments with wide keyspaces pass a correspondingly larger value.
+    */
+  def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally spark.conf.set(key, prev)
   }
 }

@@ -87,17 +87,19 @@ object StreamingSim {
       )
 
     val name = s"stream_sim_${System.nanoTime()}"
-    val q = completed
-      .toDF("scenario", "completed")
-      .select(col("scenario"), col("completed.*"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingOps.withStatePartitions(spark) {
+      val q = completed
+        .toDF("scenario", "completed")
+        .select(col("scenario"), col("completed.*"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }
