@@ -194,6 +194,35 @@ object LlmQueries {
             FROM m""")
   )
 
+  /** Frame sampling over the media payloads (video-pipeline explode
+    * shape): every 2nd of the stub codec's n_frames contiguous frames,
+    * with per-frame byte count and mean — arithmetic the oracle
+    * replicates byte-for-byte (ASCII corpus ⇒ byte ≡ codepoint, as q36).
+    */
+  val q47FrameSample: QueryDef = QueryDef(
+    "q47_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal
+        .sampleFrames(media, stride = 2)
+        .withColumn("frame_mean_byte", round(col("frame_mean_byte"), 6))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id, length(text) AS n,
+                     [unicode(substr(text, i, 1))
+                      FOR i IN range(1, length(text) + 1)] AS codes,
+                     CAST(1 + length(text) % 7 AS INT) AS nf
+              FROM documents)
+            SELECT doc_id, CAST(j AS INT) AS frame_id,
+                   CAST((j + 1) * n // nf - j * n // nf AS BIGINT) AS frame_bytes,
+                   round(CASE WHEN (j + 1) * n // nf - j * n // nf > 0
+                     THEN CAST(list_sum(codes[j * n // nf + 1 : (j + 1) * n // nf]) AS DOUBLE)
+                          / ((j + 1) * n // nf - j * n // nf)
+                     ELSE 0.0 END, 6) AS frame_mean_byte
+            FROM m, (SELECT unnest([0, 2, 4, 6]) AS j) t
+            WHERE j < nf""")
+  )
+
   val q37EmbeddingStats: QueryDef = QueryDef(
     "q37_embedding_stats",
     (s, dir) => {
@@ -223,6 +252,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
-    q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf
+    q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
+    q47FrameSample
   )
 }

@@ -131,6 +131,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
   }
 
+  test("multimodal frame-sample, resize, and feature shapes") {
+    // 10-byte payload -> n_frames = 1 + 10%7 = 4; stride 2 samples j=0,2.
+    val text = "abcdefghij"
+    val media = Multimodal.mediaFromDocuments(docs(1L -> text))
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .orderBy($"frame_id").collect()
+    assert(frames.map(_.getAs[Int]("frame_id")).toSeq == Seq(0, 2))
+    // frame 0 = bytes [0, 2) = "ab"; frame 2 = [5, 7) = "fg".
+    assert(frames(0).getAs[Long]("frame_bytes") == 2L)
+    assert(frames(0).getAs[Double]("frame_mean_byte") == ('a' + 'b').toDouble / 2)
+    assert(frames(1).getAs[Double]("frame_mean_byte") == ('f' + 'g').toDouble / 2)
+
+    val resized = Multimodal.resize(media, outW = 2, outH = 3).collect()(0)
+    assert(resized.getAs[Int]("out_w") == 2 && resized.getAs[Int]("out_h") == 3)
+    val payload = resized.getAs[Array[Byte]]("payload")
+    assert(payload.length == 6)
+    // Nearest-neighbor positions i*10/6 = 0,1,3,5,6,8.
+    assert(new String(payload, "UTF-8") == "abdfgi")
+
+    // Features are ANN-compatible: histogram of a duplicate payload ranks
+    // first with cosine 1 through the UNCHANGED similarity operator.
+    val m2 = Multimodal.mediaFromDocuments(
+      docs(1L -> text, 2L -> text, 3L -> "zzzzzzzzzz zz zzz")
+    )
+    val emb = Multimodal.byteHistogramFeatures(m2)
+      .select($"doc_id".as("vec_id"), $"features".as("embedding"))
+    val top = Similarity.bruteTopK(emb, emb.filter($"vec_id" === 1), k = 1).collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
   test("quality metrics arithmetic on a known sentence") {
     val d = docs(1L -> "The cat sat on the mat.")
     val m = TextAnalysis.qualityMetrics(d).collect()(0)
