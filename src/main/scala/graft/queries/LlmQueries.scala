@@ -157,7 +157,35 @@ object LlmQueries {
   val q34LangId: QueryDef = QueryDef(
     "q34_langid",
     (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
-    None // heuristic argmax; deterministic but clumsy as portable SQL
+    // Same marker profiles as TextAnalysis.LangProfiles; the CASE order
+    // encodes the first-profile-wins tie-break. zh markers can't occur in
+    // the ASCII corpus but are kept for shape parity (score 0).
+    Some("""WITH s AS (
+              SELECT doc_id, lang AS labeled_lang,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','and','of','to','is','in','that','it'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_en,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('el','la','de','que','y','los','en','un'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_es,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('le','la','de','et','les','des','un','une'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_fr,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('der','die','und','das','ist','ein','nicht','mit'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_de,
+                0.0 AS s_zh
+              FROM documents)
+            SELECT doc_id, labeled_lang,
+              CASE
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh'
+              END AS predicted_lang,
+              round(greatest(s_en, s_es, s_fr, s_de, s_zh), 6) AS lang_score
+            FROM s""")
   )
 
   val q35Fingerprint: QueryDef = QueryDef(
@@ -168,7 +196,22 @@ object LlmQueries {
         .documents(s, dir)
         .select(col("doc_id"), expr("rolling_hash64(text)").as("fingerprint"))
     },
-    None // 64-bit wrapping polynomial hash; DuckDB BIGINT overflow traps
+    // The 64-bit wrapping fold, replicated in HUGEINT arithmetic: h stays
+    // < 2⁶⁴ so h·1000003 + b < 2⁸⁴ fits HUGEINT; mod 2⁶⁴ per step, then
+    // two's-complement back to signed BIGINT. ASCII corpus ⇒ codepoint ≡
+    // UTF-8 byte.
+    Some("""SELECT doc_id,
+              CAST(CASE WHEN hu >= 9223372036854775808
+                   THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fingerprint
+            FROM (
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS HUGEINT),
+                    [CAST(unicode(substr(text, i, 1)) AS HUGEINT)
+                     FOR i IN range(1, length(text) + 1)]),
+                  (acc, x) -> (acc * 1000003 + x) % 18446744073709551616
+                ) AS hu
+              FROM documents)""")
   )
 
   val q36MultimodalMeta: QueryDef = QueryDef(
