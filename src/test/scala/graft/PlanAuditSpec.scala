@@ -90,6 +90,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "O(n²) verification join")
   }
 
+  test("lake writer layout: partition pruning reaches the scan, rows intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/events"
+    graft.sources.LakeWriter.writeEventsLake(spark, sfDir, out)
+    val lake = spark.read.parquet(out)
+    // Pruning: a filter on the partition column appears as PartitionFilters
+    // in the scan, not as a post-scan Filter over all partitions.
+    val pruned = lake.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = planOf(pruned)
+    val pf = """PartitionFilters: \[[^\]]*\]""".r.findFirstIn(plan)
+    assert(pf.exists(_.contains("event_type")),
+      s"partition predicate not pushed to PartitionFilters: $pf")
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition predicate leaked into data filters")
+    // Layout is lossless.
+    val before = graft.sources.Tables.events(spark, sfDir).count()
+    assert(lake.count() == before)
+    // Directory layout: one dir per event_type, nested date dirs.
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")), dirs.mkString(","))
+  }
+
   test("q30 brute-force ANN broadcasts the probe set against an un-shuffled corpus") {
     val plan = planOf(SparkEntry.queries("q30_ann_brute")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"), "probe set not broadcast")
