@@ -89,5 +89,42 @@ object Temporal {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin, q40StreamSim)
+  /** Session windows (30-min gap) per user over events — Spark's
+    * `session_window` merges an event into the open session iff
+    * `ts < prev_ts + gap`, which the oracle replicates as gaps-and-islands
+    * (new session iff `ts - prev_ts >= gap`, cumulative-sum island ids).
+    */
+  val q48SessionWindow: QueryDef = QueryDef(
+    "q48_session_window",
+    (s, dir) => {
+      Tables
+        .events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"),
+          col("sum_value")
+        )
+    },
+    Some("""WITH x AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            y AS (
+              SELECT *, sum(new_sess) OVER
+                (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM x)
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM y GROUP BY user_id, sess_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow)
 }
