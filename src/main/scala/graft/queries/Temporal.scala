@@ -126,5 +126,59 @@ object Temporal {
             FROM y GROUP BY user_id, sess_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow)
+  /** Sliding event-time windows (1 h width, 30 min slide): each event
+    * lands in exactly two windows — floor-to-slide bucket and that bucket
+    * minus one slide — which is how the oracle enumerates membership
+    * (cross join with the two offsets) without Spark's window generator.
+    */
+  val q49SlidingWindow: QueryDef = QueryDef(
+    "q49_sliding_window",
+    (s, dir) => {
+      Tables
+        .events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          (unix_micros(col("window.start")) / lit(1000000L)).cast("long")
+            .as("window_start_sec"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value")
+        )
+    },
+    Some("""SELECT
+              CAST(epoch(time_bucket(INTERVAL 30 MINUTE, ts)) AS BIGINT) - off AS window_start_sec,
+              event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events, (SELECT unnest([0, 1800]) AS off) o
+            GROUP BY 1, 2""")
+  )
+
+  /** Pivot — event types to columns of per-user-bucket counts. The oracle
+    * is the portable conditional-aggregation form; the Spark side uses the
+    * dedicated `pivot` operator with pinned values (never the
+    * values-discovery overload — that is an extra job at scale).
+    */
+  val q50Pivot: QueryDef = QueryDef(
+    "q50_pivot",
+    (s, dir) => {
+      Tables
+        .events(s, dir)
+        .groupBy((col("user_id") % 100).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""SELECT user_id % 100 AS user_bucket,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'error') AS error,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
+    q49SlidingWindow, q50Pivot
+  )
 }
