@@ -449,10 +449,45 @@ object Relational {
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
   )
 
+  /** Unpivot (wide → long): lineitem measures melted to (metric, value)
+    * rows, re-aggregated per metric. The oracle is the portable UNION ALL
+    * form of the same melt.
+    */
+  val q51Unpivot: QueryDef = QueryDef(
+    "q51_unpivot",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric",
+          "value"
+        )
+        .groupBy(col("metric"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total"),
+          round(avg(col("value")), 6).as("mean")
+        )
+    },
+    Some("""WITH long AS (
+              SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem)
+            SELECT metric, count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(avg(value), 6) AS mean
+            FROM long GROUP BY metric""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2FilterProject, q3Percentiles, q4GroupZerofill, q5TopK,
     q6JoinChain, q7AntiJoin, q8SemiJoin, q9Window, q10SetOps,
     q11Rollup, q12Cube, q13Distinct, q14Datetime, q15String,
-    q16MathCase, q17RangeJoin, q18GroupingSets
+    q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot
   )
 }
