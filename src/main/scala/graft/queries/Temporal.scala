@@ -177,8 +177,45 @@ object Temporal {
             FROM events GROUP BY 1""")
   )
 
+  /** Time-series similarity across event types: hourly value series per
+    * type, aligned on the hour, pairwise Pearson correlation (the
+    * EDBT-2019-style streaming-similarity shape, batch-expressed). One
+    * hourly aggregate, a self-join on the hour bucket, one corr()
+    * aggregate per type pair — never a point-wise O(n²) series scan.
+    */
+  val q52SeriesCorr: QueryDef = QueryDef(
+    "q52_series_corr",
+    (s, dir) => {
+      val hourly = Tables
+        .events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type")
+        )
+        .agg(sum(col("value")).as("v"))
+      val a = hourly.select(col("hour"), col("event_type").as("type_a"), col("v").as("v_a"))
+      val b = hourly.select(col("hour").as("hour_b"), col("event_type").as("type_b"), col("v").as("v_b"))
+      a.join(b, col("hour") === col("hour_b") && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          round(corr(col("v_a"), col("v_b")), 6).as("pearson")
+        )
+    },
+    Some("""WITH hourly AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+                     sum(value) AS v
+              FROM events GROUP BY 1, 2)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_hours,
+                   round(corr(a.v, b.v), 6) AS pearson
+            FROM hourly a JOIN hourly b
+              ON a.hour = b.hour AND a.event_type < b.event_type
+            GROUP BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
-    q49SlidingWindow, q50Pivot
+    q49SlidingWindow, q50Pivot, q52SeriesCorr
   )
 }
