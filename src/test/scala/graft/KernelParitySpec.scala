@@ -127,6 +127,40 @@ class KernelParitySpec extends AnyFunSuite {
     assert(out(1).isNaN)
   }
 
+  test("fuzz: shingle and simhash kernels match the declarative forms on random texts") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "the", "of", "and", "x1", "y2", "z3", "word")
+    val randomTexts = Seq.tabulate(40) { i =>
+      val words = Seq.fill(3 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+      // Random double spaces exercise the empty-segment path.
+      val sep = if (rng.nextBoolean()) " " else "  "
+      (i.toLong, words.mkString(sep))
+    }
+    val d = randomTexts.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+    val fastSh = Dedup.hashedTokenShingles(d, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val slowSh = Dedup.hashShingles(Dedup.tokenShingles(d, 3)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("shingles").toSet).toMap
+    for ((id, sh) <- slowSh) assert(fastSh(id) == sh, s"shingle mismatch doc $id")
+
+    SimHash64.register(spark)
+    val fastSim = d.select(col("doc_id"), expr("simhash64(text)")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokens = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$j")
+    }
+    val sig = (0 until 64)
+      .map(j => when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val slowSim = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sig).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastSim == slowSim)
+  }
+
   test("token shingle width other than 3 works (bigrams)") {
     val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
     TokenShingleHashes.register(spark, "tsh2", 2)
