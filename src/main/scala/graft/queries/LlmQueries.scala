@@ -292,10 +292,62 @@ object LlmQueries {
             FROM n GROUP BY label""")
   )
 
+  /** End-to-end corpus preparation — the composition a training-data user
+    * actually runs: exact-dedup keepers (min doc_id per content hash) ∩
+    * quality gate ≥ 0.5, annotated with token counts. One semi join
+    * against the keeper set (broadcastable: one row per distinct content)
+    * + the row-local metric projections; no extra shuffle beyond the
+    * dedup aggregate.
+    */
+  val q53CorpusPrep: QueryDef = QueryDef(
+    "q53_corpus_prep",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = Dedup
+        .exactGroups(docs)
+        .select(col("keep_id").as("doc_id"))
+      val quality = TextAnalysis
+        .qualityMetrics(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val tokens = TextAnalysis
+        .tokenCounts(docs)
+        .select(col("doc_id"), col("n_tokens"))
+      docs
+        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(quality, "doc_id")
+        .join(tokens, "doc_id")
+        .filter(col("quality_score") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+    },
+    Some("""WITH keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            m AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                       AS BIGINT) AS n_stopwords,
+                     CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS BIGINT) AS n_punct,
+                     CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT m.doc_id, m.lang, m.n_tokens,
+                   round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                         least(CAST(n_stopwords AS DOUBLE) / n_words * 5.0, 1.0) * 0.4 +
+                         (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2,
+                         6) AS quality_score
+            FROM m JOIN keepers USING (doc_id)
+            WHERE round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                        least(CAST(n_stopwords AS DOUBLE) / n_words * 5.0, 1.0) * 0.4 +
+                        (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2,
+                        6) >= 0.5""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
-    q47FrameSample
+    q47FrameSample, q53CorpusPrep
   )
 }
