@@ -111,6 +111,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")), dirs.mkString(","))
   }
 
+  test("q53 corpus prep: keeper filter is a broadcast semi join") {
+    val plan = planOf(SparkEntry.queries("q53_corpus_prep")(spark, sfDir))
+    assert(plan.contains("LeftSemi"), "keeper filter not planned as semi join")
+    assert(plan.contains("BroadcastHashJoin"), "keeper set not broadcast")
+  }
+
   test("q30 brute-force ANN broadcasts the probe set against an un-shuffled corpus") {
     val plan = planOf(SparkEntry.queries("q30_ann_brute")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"), "probe set not broadcast")
