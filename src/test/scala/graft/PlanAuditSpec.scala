@@ -111,6 +111,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")), dirs.mkString(","))
   }
 
+  test("vector_cosine participates in codegen (scoring stays in WSCG)") {
+    graft.functions.VectorCosine.register(spark)
+    val df = graft.sources.Tables
+      .embeddings(spark, sfDir)
+      .selectExpr("vector_cosine(embedding, embedding) AS c")
+    val plan = planOf(df)
+    assert(plan.contains("*("), "cosine projection fell out of whole-stage codegen")
+  }
+
   test("q53 corpus prep: keeper filter is a broadcast semi join") {
     val plan = planOf(SparkEntry.queries("q53_corpus_prep")(spark, sfDir))
     assert(plan.contains("LeftSemi"), "keeper filter not planned as semi join")
