@@ -23,13 +23,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Isolation between measurements: beyond the cache, the streaming
+    // queries leave per-run debris in the shared JVM — memory-sink temp
+    // views (uniquely named, so they only accumulate) and loaded state
+    // store providers — which inflates GC pressure for everything timed
+    // after them. Release all of it, then let the cleaner actually run.
+    def resetSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect().foreach { t =>
+        if (t.isTemporary) spark.catalog.dropTempView(t.name)
+      }
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      System.gc()
+    }
+
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warmup pass (untimed).
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache()
+    resetSessionState()
 
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -37,7 +51,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Each query pays for (and then releases) its own cached
       // intermediates — later queries must not inherit memory pressure.
-      spark.catalog.clearCache()
+      resetSessionState()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
