@@ -264,11 +264,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidate
-    * generation via 4 × 16-bit band buckets (a pair within Hamming 3 of 64
-    * bits always shares at least one clean 16-bit band; wider distances
-    * are found with decreasing recall — standard SimHash banding).
+    * generation via 4 × 16-bit band buckets. EXACT (complete recall) only
+    * for maxHamming <= 3 — the default — since a pair within Hamming 3 of
+    * 64 bits always shares at least one clean 16-bit band (pigeonhole).
+    * Passing maxHamming > 3 turns this into candidate generation with
+    * decreasing recall at wider distances — standard SimHash banding;
+    * callers accepting that trade-off opt in explicitly.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs).cache()
     val banded = sigs.select(
       col("doc_id"),

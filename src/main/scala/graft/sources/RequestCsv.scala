@@ -51,7 +51,10 @@ object RequestCsv {
         try_to_timestamp(tsStr, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
         try_to_timestamp(tsStr, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         try_to_timestamp(col("request_time"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
-        try_to_timestamp(col("request_time"), lit("yyyy-MM-dd'T'HH:mm:ss"))
+        try_to_timestamp(col("request_time"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+        // Lenient ISO-8601 fallback for 1-5 fractional digits
+        // (fromisoformat on Python >= 3.11 accepts them, :50-53).
+        try_to_timestamp(tsStr)
       ).as("ts"),
       expr("try_cast(processing_time AS DOUBLE)").as("proc"),
       monotonically_increasing_id().as("seq")
@@ -65,8 +68,12 @@ object RequestCsv {
       .collect()
     if (bad.nonEmpty) {
       val r = bad(0)
-      // 1-based data row number (header excluded), reference :42
-      val rowNo = r.getAs[Long]("seq") + 1
+      // 1-based data row number (header excluded), reference :42.
+      // `seq` is monotonically_increasing_id — file-order monotone but NOT
+      // dense across input partitions (it jumps by 2^33 per partition), so
+      // the true row number is the count of rows at-or-before the failure.
+      // Only computed on the failure path.
+      val rowNo = parsed.filter(col("seq") <= r.getAs[Long]("seq")).count()
       val what =
         if (r.isNullAt(r.fieldIndex("ts"))) s"timestamp '${r.getAs[String]("raw_ts")}'"
         else s"float '${r.getAs[String]("raw_proc")}'"

@@ -52,6 +52,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.message.contains("row 1"))
   }
 
+  test("1-5 digit fractional seconds parse (fromisoformat parity, csv_parser.py:50-53)") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.123Z,1.0
+        |user2,2023-01-01T00:00:00.1,2.0
+        |user3,2023-01-01T00:00:00.12345+00:00,3.0
+        |""".stripMargin)
+    val rows = RequestCsv.read(spark, path).collect().sortBy(_.seq)
+    assert(rows(0).requestTimeMicros.contains(1672531200123000L))
+    assert(rows(1).requestTimeMicros.contains(1672531200100000L))
+    assert(rows(2).requestTimeMicros.contains(1672531200123450L))
+  }
+
+  test("malformed row in a multi-file read reports a real position, not a partition-id offset") {
+    val dir = Files.createTempDirectory("graft_req_multi")
+    Files.writeString(dir.resolve("a.csv"),
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.100000Z,1.0
+        |user2,2023-01-01T00:00:00.200000Z,2.0
+        |""".stripMargin)
+    Files.writeString(dir.resolve("b.csv"),
+      """user_id,request_time,processing_time
+        |user3,bad_timestamp_here,3.0
+        |""".stripMargin)
+    val e = intercept[RequestCsv.CsvParseException](RequestCsv.read(spark, dir.toString).collect())
+    // seq (monotonically_increasing_id) jumps by 2^33 across input files;
+    // the reported row number must be the rank in seq order, never the id.
+    val reported = "row (\\d+)".r.findFirstMatchIn(e.message).map(_.group(1).toLong)
+    assert(reported.exists(n => n >= 1 && n <= 3), s"got: ${e.message}")
+  }
+
   test("malformed float → error (test_csv_parser.py:110-116)") {
     val path = tmpCsv(
       """user_id,request_time,processing_time
