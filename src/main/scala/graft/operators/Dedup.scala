@@ -105,18 +105,30 @@ object Dedup {
   }
 
   /** EXACT word-shingle Jaccard pairs at threshold `t`, without the O(n²)
-    * pair space: prefix filtering (Chaudhuri/Xiao PPJoin family).
+    * pair space: prefix + positional filtering (Chaudhuri/Xiao PPJoin
+    * family).
     *
     * Shingles get a canonical global order (document frequency ascending,
     * hash tie-break); any pair with `j >= t` MUST share at least one of
     * each document's first `⌊(1-t)·|x|⌋ + 1` shingles in that order — so an
-    * equi-join on prefix shingles generates a candidate superset, the
-    * lossless size-ratio check (`min >= t·max`) prunes it, and exact
-    * verification keeps only true pairs. Result set is IDENTICAL to the
-    * brute-force quadratic (the DuckDB oracle runs the quadratic form) at
-    * a cost of two keyed shuffles over the exploded shingles plus one over
-    * |corpus|·prefix rows — the rarest ~20% of each doc's shingles —
-    * instead of an n² join.
+    * equi-join on prefix shingles generates a candidate superset, pruned
+    * losslessly by (1) the size-ratio check (`min >= t·max`) and (2) the
+    * positional filter: at the pair's FIRST shared prefix position
+    * `(i, j)` (1-based ranks), overlap can't exceed
+    * `1 + min(|x|-i, |y|-j)`, and `j(x,y) >= t` needs overlap
+    * `>= t·(|x|+|y|)/(1+t)` — the first-collision join row always carries
+    * the valid bound, so true pairs always survive. Exact verification
+    * keeps only true pairs: the result set is IDENTICAL to the brute-force
+    * quadratic (the DuckDB oracle runs the quadratic form) at a cost of
+    * three keyed shuffles over |corpus|·prefix-ish rows — the rarest ~20%
+    * of each doc's shingles — instead of an n² join. Both prune bounds
+    * carry a 1e-9 epsilon so float rounding can never drop an
+    * exactly-at-threshold pair (verification would never restore it).
+    *
+    * The docFreq join is a keyed shuffle, NOT a broadcast: |distinct
+    * shingles| grows with the corpus, and collecting it to the driver is
+    * the first thing to fall over at lake scale (it was also the slowest
+    * stage under memory pressure locally).
     *
     * Candidates are NOT deduplicated before verification: a pair can
     * collide on several prefix shingles, but verification is a cheap
@@ -135,15 +147,14 @@ object Dedup {
       .cache()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // docFreq is (hash, count) pairs — broadcast at this scale to keep the
-    // exploded side un-shuffled; at lake scale drop the hint and let the
-    // shingle-keyed shuffle do it. The per-document (df, sh) ranking is a
-    // hash aggregate + local sort of each doc's small array — cheaper than
-    // a window, which would sort whole partitions.
-    // Cached: the self-join below would otherwise recompute the whole
-    // prefix pipeline once per side (self-joins don't share lineage).
+    // The per-document (df, sh) ranking is a hash aggregate + local sort of
+    // each doc's small array — cheaper than a window, which would sort
+    // whole partitions. Cached: the self-join below would otherwise
+    // recompute the whole prefix pipeline once per side (self-joins don't
+    // share lineage). posexplode keeps each prefix shingle's 0-based rank
+    // for the positional filter.
     val prefixes = exploded
-      .join(broadcast(docFreq), "sh")
+      .join(docFreq, "sh")
       .groupBy(col("doc_id"))
       .agg(
         max(col("sz")).as("sz"),
@@ -153,16 +164,21 @@ object Dedup {
           (floor((lit(1.0) - threshold) * max(col("sz"))) + lit(1)).cast("int")
         ).as("pref")
       )
-      .select(col("doc_id"), col("sz"), explode(col("pref.sh")).as("sh"))
+      .select(col("doc_id"), col("sz"), posexplode(col("pref.sh")).as(Seq("pos", "sh")))
       .cache()
-    val a = prefixes.toDF("doc_a", "sz_a", "sh")
-    val b = prefixes.toDF("doc_b", "sz_b", "sh_b")
+    val eps = 1e-9
+    val a = prefixes.toDF("doc_a", "sz_a", "pos_a", "sh")
+    val b = prefixes.toDF("doc_b", "sz_b", "pos_b", "sh_b")
     val candidates = a
       .join(
         b,
         col("sh") === col("sh_b") && col("doc_a") < col("doc_b") &&
-          col("sz_a") >= col("sz_b") * threshold &&
-          col("sz_b") >= col("sz_a") * threshold
+          col("sz_a") >= col("sz_b") * threshold - eps &&
+          col("sz_b") >= col("sz_a") * threshold - eps &&
+          // overlap ubound (0-based pos: 1 + (sz-1-pos) = sz-pos) vs the
+          // required overlap, cross-multiplied to avoid a division
+          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) *
+            (1.0 + threshold) >= (col("sz_a") + col("sz_b")) * threshold - eps
       )
       .select("doc_a", "doc_b")
     verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()

@@ -62,6 +62,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram jaccard: prefix+positional filter matches the brute-force quadratic (seeded sweep)") {
+    // Random small-vocab corpus (forces heavy shingle sharing) + planted
+    // one-word-edit near-dups: the PPJoin pipeline must return EXACTLY the
+    // quadratic all-pairs result — completeness of prefix selection, the
+    // size-ratio prune, and the positional bound all pinned at once.
+    val rng = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val baseDocs = (0 until 40).map { i =>
+      i.toLong -> Seq.fill(6 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val editedDups = (0 until 10).map { i =>
+      val (src, text) = baseDocs(rng.nextInt(baseDocs.length))
+      val words = text.split(" ")
+      words(rng.nextInt(words.length)) = "zz"
+      (100L + i, words.mkString(" "))
+    }
+    val d = docs(baseDocs ++ editedDups: _*)
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairs(d, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sh = Dedup.hashedTokenShingles(d, 3).filter(size($"shingles") > 0)
+      val a = sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
+      val b = sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
+      val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")), 6).as("jaccard"))
+        .filter($"jaccard" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"threshold $t: fast ${fast.size} vs brute ${brute.size}")
+      assert(brute.nonEmpty, s"threshold $t produced an empty oracle — fixture too weak")
+    }
+  }
+
   test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
