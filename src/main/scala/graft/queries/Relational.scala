@@ -484,10 +484,55 @@ object Relational {
             FROM long GROUP BY metric""")
   )
 
+  /** PURE range join — no equi-key at all: every lineitem ship day joined
+    * into an overlapping promo calendar (14-day windows, 10-day stride, so
+    * boundary days belong to two windows). Spark's native plan for a
+    * range-only condition is BroadcastNestedLoopJoin — |L|·|R| comparisons;
+    * [[graft.operators.RangeJoin.pointInInterval]] bins the domain and
+    * turns it into an equi-join on the bin id (plan-audited in
+    * RangeJoinSpec). The oracle runs the naive BETWEEN join in DuckDB.
+    */
+  val q54IntervalJoin: QueryDef = QueryDef(
+    "q54_interval_join",
+    (s, dir) => {
+      // 1995-01-01 (unix day 9131) .. beyond max ship date, 256 windows
+      val windows = s.range(256).select(
+        col("id").cast("int").as("w_id"),
+        (lit(9131L) + col("id") * 10).as("w_start_day"),
+        (lit(9131L) + col("id") * 10 + 13).as("hi_day")
+      )
+      val points = Tables
+        .lineitem(s, dir)
+        .select(
+          datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long")
+            .as("ship_day"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        )
+      graft.operators.RangeJoin
+        .pointInInterval(points, windows, "ship_day", "w_start_day", "hi_day", binSize = 14L)
+        .groupBy(col("w_id"), col("w_start_day"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 2).as("revenue"))
+    },
+    Some("""WITH w AS (
+              SELECT CAST(i AS INT) AS w_id,
+                     CAST(9131 + 10 * i AS BIGINT) AS w_start_day,
+                     9131 + 10 * i + 13 AS hi_day
+              FROM range(0, 256) t(i)),
+            p AS (
+              SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+                     l_extendedprice * (1 - l_discount) AS rev
+              FROM lineitem)
+            SELECT w_id, w_start_day, count(*) AS n_items,
+                   round(sum(rev), 2) AS revenue
+            FROM p JOIN w ON p.ship_day BETWEEN w.w_start_day AND w.hi_day
+            GROUP BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2FilterProject, q3Percentiles, q4GroupZerofill, q5TopK,
     q6JoinChain, q7AntiJoin, q8SemiJoin, q9Window, q10SetOps,
     q11Rollup, q12Cube, q13Distinct, q14Datetime, q15String,
-    q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot
+    q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot, q54IntervalJoin
   )
 }

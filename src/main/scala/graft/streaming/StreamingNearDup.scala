@@ -121,8 +121,12 @@ object StreamingNearDup {
     val cands = candidatePairs(stream, n, numPerm, bands)
     // Static side: the corpus shingle relation the candidates verify
     // against (in production, the lake table the stream is ingesting into).
+    // Cached: a stream-static join re-executes the static plan EVERY
+    // micro-batch, and this one is joined on both sides — without the cache
+    // the corpus is re-shingled 2× per batch.
     val sh = Dedup
       .hashedTokenShingles(graft.sources.Tables.documents(spark, sfDir), n)
+      .cache()
     val verified = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -147,6 +151,8 @@ object StreamingNearDup {
       try q.processAllAvailable()
       finally q.stop()
     }
+    // The memory sink holds the drained rows; the shingle cache is done.
+    sh.unpersist()
     spark.table(name).distinct()
   }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** Binned range join ≡ the naive θ-join (which Spark plans as a nested
+  * loop), across boundaries, negative domains, and bin widths — plus the
+  * plan audit that the binned form actually avoids
+  * BroadcastNestedLoopJoin.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pointInInterval ≡ naive BETWEEN join (seeded sweep, negatives and boundaries)") {
+    val rng = new scala.util.Random(11)
+    // Domain straddles zero so floor-division vs truncation differences show.
+    val points = (0 until 400)
+      .map(i => (i.toLong, (rng.nextInt(2001) - 1000).toLong))
+      .toDF("p_id", "p")
+    val intervals = (0 until 60).map { i =>
+      val lo = (rng.nextInt(2001) - 1000).toLong
+      (1000L + i, lo, lo + rng.nextInt(120).toLong)
+    }.toDF("i_id", "lo", "hi")
+
+    val naive = points
+      .join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select("p_id", "i_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = RangeJoin
+        .pointInInterval(points, intervals, "p", "lo", "hi", binSize = w)
+        .select("p_id", "i_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+      assert(binned.toSeq == naive.toSeq, s"binSize $w")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("pointInInterval drops empty intervals instead of mis-joining them") {
+    val points = Seq((1L, 5L)).toDF("p_id", "p")
+    val intervals = Seq((10L, 8L, 2L)).toDF("i_id", "lo", "hi") // lo > hi
+    assert(RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 4L).count() == 0)
+  }
+
+  test("intervalOverlap ≡ naive overlap join, duplicate-free by construction") {
+    val rng = new scala.util.Random(13)
+    def mk(idBase: Long, n: Int) = (0 until n).map { i =>
+      val lo = (rng.nextInt(1200) - 600).toLong
+      (idBase + i, lo, lo + rng.nextInt(200).toLong)
+    }
+    val l = mk(0L, 80).toDF("l_id", "l_lo", "l_hi")
+    val r = mk(5000L, 80).toDF("r_id", "r_lo", "r_hi")
+    val naive = l
+      .join(r, $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi")
+      .select("l_id", "r_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .sorted
+    for (w <- Seq(16L, 128L, 3000L)) {
+      val rows = RangeJoin
+        .intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi", binSize = w)
+        .select("l_id", "r_id")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      // spans many shared bins at small widths — still exactly one row per pair
+      assert(rows.length == rows.distinct.length, s"binSize $w emitted duplicates")
+      assert(rows.sorted.toSeq == naive.toSeq, s"binSize $w")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("plan audit: binned form is a hash/broadcast join, naive range-only join is a nested loop") {
+    val points = spark.range(100).select($"id".as("p_id"), ($"id" * 3).as("p"))
+    val intervals = spark.range(20).select(
+      $"id".as("i_id"), ($"id" * 15).as("lo"), ($"id" * 15 + 10).as("hi"))
+
+    // sparkPlan, not executedPlan: AQE wraps the latter before execution
+    def hasBnlj(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+    assert(hasBnlj(naive), "expected Spark's native plan to be a nested loop")
+
+    val binned = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 16L)
+    assert(!hasBnlj(binned), "binned range join must not fall back to a nested loop")
+  }
+}
