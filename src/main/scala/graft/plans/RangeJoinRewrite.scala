@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Catalyst optimizer rule: rewrite a range-ONLY inner join —
+  * `p >= lo AND p <= hi` with no usable equi-conjunct, which Spark would
+  * otherwise execute as BroadcastNestedLoopJoin — into the binned
+  * equi-join of [[graft.operators.RangeJoin]], directly on the logical
+  * plan:
+  *
+  *   - point side gains `__graft_bin_p = floorDiv(p, w)` (exact long
+  *     arithmetic: `(x - pmod(x, w)) intdiv w`);
+  *   - interval side explodes `sequence(floorDiv(lo, w), floorDiv(hi, w))`
+  *     (one row per touched bin);
+  *   - the join becomes `__graft_bin_p = __graft_bin_i AND <original
+  *     condition>` — an equi-join JoinSelection plans as a hash join —
+  *     and a final Project restores the original output.
+  *
+  * Correct for any bin width: a point lives in exactly one bin, so a
+  * (point, interval) pair can collide at most once — no duplicates — and
+  * the original predicate still runs on every surviving row. An empty
+  * interval (`lo > hi`) explodes to a descending junk bin range, but the
+  * original predicate rejects every such row, as the θ-join would have.
+  *
+  * The rule only fires when `spark.graft.rangeJoin.binSize` is set to a
+  * positive long (the caller knows the domain's typical interval length;
+  * no default could). It is idempotent: after the rewrite the join HAS an
+  * equi-conjunct, so the guard no longer matches — safe under fixed-point
+  * rule batches.
+  *
+  * Registered via [[GraftExtensions]]
+  * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`) or added to
+  * a live session with [[GraftExtensions.install]].
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinSizeConf = "spark.graft.rangeJoin.binSize"
+
+  private def binSize: Option[Long] =
+    conf.getConfString(BinSizeConf, "").trim match {
+      case "" => None
+      case s => s.toLongOption.filter(_ > 0)
+    }
+
+  private def isIntegral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** Exact floor division on longs: (x - pmod(x, w)) intdiv w. */
+  private def binOf(e: Expression, w: Long): Expression = {
+    val x = asLong(e)
+    val width = Literal(w, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, width)), width)
+  }
+
+  /** `true` iff `e` only needs `side`'s output and is deterministic. */
+  private def from(e: Expression, side: LogicalPlan): Boolean =
+    e.deterministic && e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  def apply(plan: LogicalPlan): LogicalPlan = binSize match {
+    case None => plan
+    case Some(w) =>
+      plan.transformUp {
+        case j @ Join(left, right, Inner, Some(cond), hint)
+            if j.resolved && rewriteOf(j, left, right, cond, hint, w).isDefined =>
+          rewriteOf(j, left, right, cond, hint, w).get
+      }
+  }
+
+  /** The rewritten join, or None when the condition doesn't qualify. */
+  private def rewriteOf(
+      j: Join,
+      left: LogicalPlan,
+      right: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint,
+      w: Long
+  ): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    // An existing cross-side equi-conjunct means JoinSelection already has
+    // a hash-join key — nothing to fix.
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (from(a, left) && from(b, right)) || (from(a, right) && from(b, left))
+      case EqualNullSafe(a, b) =>
+        (from(a, left) && from(b, right)) || (from(a, right) && from(b, left))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // Find p >= lo and p <= hi over the same point expression, point on
+    // one side, both bounds on the other, all integral.
+    def lowerOf(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(p, lo) => Some((p, lo))
+      case LessThanOrEqual(lo, p) => Some((p, lo))
+      case _ => None
+    }
+    def upperOf(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(p, hi) => Some((p, hi))
+      case GreaterThanOrEqual(hi, p) => Some((p, hi))
+      case _ => None
+    }
+
+    val candidates = for {
+      (pLo, lo) <- conjuncts.flatMap(lowerOf)
+      (pHi, hi) <- conjuncts.flatMap(upperOf)
+      if pLo.semanticEquals(pHi) && isIntegral(pLo) && isIntegral(lo) && isIntegral(hi)
+      (pointSide, intervalSide, flipped) <-
+        (if (from(pLo, left) && from(lo, right) && from(hi, right))
+           Some((left, right, false))
+         else if (from(pLo, right) && from(lo, left) && from(hi, left))
+           Some((right, left, true))
+         else None).toSeq
+    } yield (pLo, lo, hi, pointSide, intervalSide, flipped)
+
+    candidates.headOption.map { case (p, lo, hi, pointSide, intervalSide, flipped) =>
+      val binP = Alias(binOf(p, w), "__graft_bin_p")()
+      val pointPlan = Project(pointSide.output :+ binP, pointSide)
+
+      // Sequence is time-zone aware; the optimizer runs after ResolveTimeZone,
+      // so the zone must be supplied here or the plan is unresolved.
+      val seq = Sequence(binOf(lo, w), binOf(hi, w), None, Some(conf.sessionLocalTimeZone))
+      val binIAttr = AttributeReference("__graft_bin_i", LongType, nullable = false)()
+      val intervalPlan = Generate(
+        Explode(seq),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(binIAttr),
+        child = intervalSide
+      )
+
+      val (newLeft, newRight) =
+        if (flipped) (intervalPlan, pointPlan) else (pointPlan, intervalPlan)
+      val newCond = And(EqualTo(binP.toAttribute, binIAttr), cond)
+      // Restore the original schema (and drop the bin plumbing).
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+}
+
+/** Session extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+}
+
+object GraftExtensions {
+  /** Add the rewrite to a LIVE session (extensions classes only apply at
+    * session construction). Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations = existing :+ RangeJoinRewrite
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GraftExtensions, RangeJoinRewrite}
+
+/** The automatic Catalyst rewrite of range-only joins: plain
+  * `df.join(other, p between lo and hi)` plans as a hash join once the
+  * rule is installed and the bin-size conf is set, with identical
+  * results; the rule stays inert without the conf and leaves equi-joins
+  * alone.
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftExtensions.install(s)
+    s
+  }
+  import spark.implicits._
+
+  private def withBinSize[A](w: Long)(body: => A): A = {
+    spark.conf.set(RangeJoinRewrite.BinSizeConf, w.toString)
+    try body
+    finally spark.conf.unset(RangeJoinRewrite.BinSizeConf)
+  }
+
+  private def hasBnlj(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+
+  private def pointsAndIntervals() = {
+    val rng = new scala.util.Random(17)
+    val points = (0 until 300)
+      .map(i => (i.toLong, (rng.nextInt(2001) - 1000).toLong))
+      .toDF("p_id", "p")
+    val intervals = (0 until 50).map { i =>
+      val lo = (rng.nextInt(2001) - 1000).toLong
+      (1000L + i, lo, lo + rng.nextInt(90).toLong)
+    }.toDF("i_id", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("rewrite fires: same rows as the nested-loop plan, but a hash join") {
+    val (points, intervals) = pointsAndIntervals()
+    def q() = points
+      .join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select("p_id", "i_id")
+
+    val naive = q()
+    assert(hasBnlj(naive), "without the conf the native plan is a nested loop")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    withBinSize(64L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten), "rewrite must remove the nested loop")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(rewritten.columns.toSeq == Seq("p_id", "i_id"), "schema must be unchanged")
+    }
+    assert(expected.nonEmpty)
+  }
+
+  test("rewrite handles a flipped join order (intervals on the left)") {
+    val (points, intervals) = pointsAndIntervals()
+    def q() = intervals
+      .join(points, $"p" >= $"lo" && $"p" <= $"hi")
+      .select("p_id", "i_id")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    withBinSize(32L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten))
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == expected.toSeq)
+    }
+  }
+
+  test("guard: joins that already have an equi-key are left alone") {
+    val (points, intervals) = pointsAndIntervals()
+    val p2 = points.withColumn("k", $"p_id" % 5)
+    val i2 = intervals.withColumn("k", $"i_id" % 5)
+    withBinSize(64L) {
+      val j = p2.join(i2, p2("k") === i2("k") && $"p" >= $"lo" && $"p" <= $"hi")
+      // already a hash join; the rewrite must not touch it (no bin columns)
+      assert(!hasBnlj(j))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    }
+  }
+
+  test("inert without the conf, and empty intervals never match") {
+    val points = Seq((1L, 5L)).toDF("p_id", "p")
+    val bad = Seq((10L, 8L, 2L)).toDF("i_id", "lo", "hi") // lo > hi
+    val j = points.join(bad, $"p" >= $"lo" && $"p" <= $"hi")
+    assert(hasBnlj(j), "no conf → no rewrite")
+    assert(j.count() == 0)
+    withBinSize(4L) {
+      assert(j.count() == 0, "descending junk bins must be filtered by the predicate")
+    }
+  }
+}
