@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-parquet lake sink — the write side of the 100 TB posture.
@@ -48,5 +48,78 @@ object LakeWriter {
       .events(spark, sfDir)
       .withColumn("event_date", to_date(col("ts")))
     writePartitioned(events, outPath, Seq("event_type", "event_date"), Seq("ts"))
+  }
+
+  // ------------------------------------------------------------- Z-order
+
+  /** Morton (Z-order) value of pre-bucketed dimensions: bit `i` of column
+    * `c` lands at position `i * nCols + c` of the interleaved value. Pure
+    * Column arithmetic (shifts/masks/sum) — whole-stage-codegen'd, no UDF.
+    * Inputs must already be long bucket ids in `[0, 2^bits)`.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits > 0 && bits * cols.size <= 62,
+      "need 1+ columns and bits*nCols <= 62")
+    val n = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** Write `df` clustered on the Z-order curve over `zCols` — the
+    * multi-dimensional analogue of `sortWithinPartitions`: a linear sort
+    * gives perfect file-level min/max locality on the FIRST sort column
+    * and none on the rest; the space-filling curve bounds every file's
+    * min/max box on EVERY z column, so parquet row-group stats (and a
+    * lake format's file stats) can skip data for predicates on any of
+    * them.
+    *
+    * Columns are quantized to `bits`-bit equal-width buckets over their
+    * observed [min, max] (one small agg job; no global sort, no driver
+    * collect beyond 2 values per column). Equal-width keeps the bucketing
+    * a pure scan-side expression; heavily skewed dimensions should be
+    * pre-transformed (e.g. log) by the caller, as with any equal-width
+    * histogram. `repartitionByRange` on the z-value both clusters and
+    * load-balances the write (range exchange samples the distribution).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 12,
+      numFiles: Int = 0,
+      maxRecordsPerFile: Long = 1000000L
+  ): Unit = {
+    val statExprs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val buckets = 1 << bits
+    val bucketed = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      // degenerate (constant) dimension → bucket 0
+      if (mx <= mn) lit(0L)
+      else
+        least(
+          lit(buckets.toLong - 1),
+          greatest(
+            lit(0L),
+            floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * buckets).cast("long")
+          )
+        )
+    }
+    val withZ = df.withColumn("__z", zValue(bucketed, bits))
+    val arranged =
+      (if (numFiles > 0) withZ.repartitionByRange(numFiles, col("__z"))
+       else withZ.repartitionByRange(col("__z")))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    arranged.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
   }
 }
