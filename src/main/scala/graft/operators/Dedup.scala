@@ -161,7 +161,13 @@ object Dedup {
         slice(
           array_sort(collect_list(struct(col("df"), col("sh")))),
           lit(1),
-          (floor((lit(1.0) - threshold) * max(col("sz"))) + lit(1)).cast("int")
+          // +1e-9 inside the floor: (1-t)·sz computed in floats lands just
+          // BELOW an exact integer (e.g. (1-0.8)·10 = 1.999…96), which
+          // would shave the prefix one short and lose an exactly-at-
+          // threshold pair (found live: a subset pair with j = 8/10 = t
+          // whose two non-shared shingles were precisely the shaved
+          // prefix).
+          (floor((lit(1.0) - threshold) * max(col("sz")) + lit(1e-9)) + lit(1)).cast("int")
         ).as("pref")
       )
       .select(col("doc_id"), col("sz"), posexplode(col("pref.sh")).as(Seq("pos", "sh")))

@@ -83,13 +83,15 @@ object Extras {
   /** MinHash-LSH near-dup detection as an INCREMENTAL streaming pipeline:
     * stateful band buckets (GroupState) emit candidates the moment a
     * near-copy arrives; exact verification is a stateless stream-static
-    * join. Equal to batch q26 on a bounded replay (StreamingNearDupSpec);
-    * rows-only here because the minhash family is engine-specific.
+    * join. Equal to batch q26 on a bounded replay (StreamingNearDupSpec),
+    * and — like q26 — equal to the exact pair set on this corpus, so it
+    * shares the quadratic DuckDB oracle (see
+    * [[LlmQueries.ngramJaccardOracle]]'s recall argument).
     */
   val q45StreamNeardup: QueryDef = QueryDef(
     "q45_stream_neardup",
     (s, dir) => graft.streaming.StreamingNearDup.run(s, dir),
-    None
+    Some(LlmQueries.ngramJaccardOracle)
   )
 
   val all: Seq[QueryDef] =

@@ -32,22 +32,21 @@ object LlmQueries {
             FROM documents GROUP BY md5(text)""")
   )
 
-  val q26MinhashLsh: QueryDef = QueryDef(
-    "q26_minhash_lsh",
-    (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir)),
-    None // seeded xxhash64 permutations are engine-specific
-  )
-
-  val q27SimhashPairs: QueryDef = QueryDef(
-    "q27_simhash_pairs",
-    (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
-    None
-  )
-
-  val q28NgramJaccard: QueryDef = QueryDef(
-    "q28_ngram_jaccard",
-    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)),
-    Some("""WITH g AS (
+  /** The brute-force quadratic word-trigram Jaccard in DuckDB — the oracle
+    * for every near-dup pipeline whose OUTPUT is the exact pair set at
+    * t = 0.8: q28 (PPJoin, lossless by construction) and q26/q45
+    * (MinHash-LSH banded candidates + exact verification; banding recall
+    * at the corpus's planted similarities j >= 0.8 is
+    * 1 - (1 - 0.8^4)^16 ≈ 0.9998 per borderline pair and ≈ 1 - 4e-8 at
+    * j = 0.9 — and the seeded hash family is deterministic, so equality
+    * with the exact set is a fixed fact of this corpus, verified at
+    * sf0.01 and sf0.1). The size-ratio prune carries a 1e-9 epsilon:
+    * b.sz * 0.8 computed in floats lands just ABOVE an exact integer
+    * (10 · 0.8 = 8.000…002) and would wrongly prune a subset pair with
+    * j = 8/10 = t exactly.
+    */
+  private[queries] val ngramJaccardOracle: String =
+    """WITH g AS (
               SELECT doc_id,
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
@@ -59,8 +58,25 @@ object LlmQueries {
                            len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
               FROM s a JOIN s b
                 ON a.doc_id < b.doc_id
-               AND a.sz >= b.sz * 0.8 AND b.sz >= a.sz * 0.8
-            ) WHERE jaccard >= 0.8""")
+               AND a.sz >= b.sz * 0.8 - 1e-9 AND b.sz >= a.sz * 0.8 - 1e-9
+            ) WHERE jaccard >= 0.8"""
+
+  val q26MinhashLsh: QueryDef = QueryDef(
+    "q26_minhash_lsh",
+    (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir)),
+    Some(ngramJaccardOracle)
+  )
+
+  val q27SimhashPairs: QueryDef = QueryDef(
+    "q27_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
+    None
+  )
+
+  val q28NgramJaccard: QueryDef = QueryDef(
+    "q28_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)),
+    Some(ngramJaccardOracle)
   )
 
   val q29EmbedNeardup: QueryDef = QueryDef(

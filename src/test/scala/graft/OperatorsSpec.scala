@@ -62,6 +62,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram jaccard: exactly-at-threshold subset pair survives float prefix shaving") {
+    // doc_a's 8 shingles ⊂ doc_b's 10 → j = 8/10 = 0.8 = t exactly, with
+    // (1-t)·10 = 1.999…96 in floats: an un-epsiloned floor shaves doc_b's
+    // prefix from 3 to 2, and when the 2 non-shared (rarest) shingles ARE
+    // that prefix the pair vanishes. Found live at sf0.1.
+    val a = (0 until 10).map(i => s"w$i").mkString(" ") // 8 trigram shingles
+    val b = (0 until 12).map(i => s"w$i").mkString(" ") // 10, superset
+    val d = docs(1L -> a, 2L -> b)
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == 0.8)
+  }
+
   test("ngram jaccard: prefix+positional filter matches the brute-force quadratic (seeded sweep)") {
     // Random small-vocab corpus (forces heavy shingle sharing) + planted
     // one-word-edit near-dups: the PPJoin pipeline must return EXACTLY the
