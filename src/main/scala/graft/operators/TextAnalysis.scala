@@ -106,4 +106,31 @@ object TextAnalysis {
       round(best.getField("score"), 6).as("lang_score")
     )
   }
+
+  /** Corpus vocabulary statistics — the IDF-build step of a training-data
+    * pipeline (and the raw material for stopword lists and BPE seeding):
+    * per word, total term frequency, document frequency, and
+    * `idf = ln(N / df)`.
+    *
+    * One explode + one hash aggregate (tf is a plain count; df an exact
+    * count-distinct, i.e. a two-level partial aggregate — no window, no
+    * collect). The corpus size N arrives via a broadcast one-row cross
+    * join, so the plan stays fully distributed and lazy.
+    */
+  def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .select(
+        col("word"),
+        col("tf"),
+        col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf")
+      )
+  }
 }

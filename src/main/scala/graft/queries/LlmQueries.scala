@@ -360,10 +360,28 @@ object LlmQueries {
                         6) >= 0.5""")
   )
 
+  /** Corpus vocabulary table (tf / df / idf) — the IDF-build step of a
+    * training-data pipeline, exact df via two-level partial aggregation.
+    */
+  val q55Vocab: QueryDef = QueryDef(
+    "q55_vocab",
+    (s, dir) => TextAnalysis.vocabStats(Tables.documents(s, dir)),
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT word, count(*) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   round(ln(CAST(n_docs AS DOUBLE) / count(DISTINCT doc_id)), 6) AS idf
+            FROM w, n
+            WHERE len(word) > 0
+            GROUP BY word, n_docs""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
-    q47FrameSample, q53CorpusPrep
+    q47FrameSample, q53CorpusPrep, q55Vocab
   )
 }
