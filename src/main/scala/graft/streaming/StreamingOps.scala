@@ -80,7 +80,9 @@ object StreamingOps {
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      // prefix glob: a continuously-ingesting corpus grows as
+      // documents_<n>.parquet arrivals next to the seed file
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(sfDir)
 
   /** Streaming exact dedup: content-hash groups maintained as running
@@ -121,6 +123,38 @@ object StreamingOps {
       }
     }
     spark.table(name)
+  }
+
+  /** Incremental lake ingest: drain a streaming DataFrame into a
+    * partitioned parquet table with a durable checkpoint — the
+    * readStream → transform → writeStream spine of the lake architecture.
+    *
+    * Exactly-once at the file level: the file source tracks consumed input
+    * files and the file sink commits written files through its own
+    * transaction log, both rooted in `checkpoint` — re-running with the
+    * same checkpoint ingests only files that arrived since the last drain,
+    * and a crashed batch is re-attempted without duplicating committed
+    * output (asserted in StreamingLakeSpec). `AvailableNow` processes the
+    * current backlog and stops, so the same call serves both a scheduled
+    * micro-batch ingest and a catch-up replay; on a live cluster swap the
+    * trigger for a processing-time one and the call runs forever.
+    */
+  def streamToLake(
+      df: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    val writer = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+    val q = (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** Streaming state is sharded by `spark.sql.shuffle.partitions` AT QUERY
