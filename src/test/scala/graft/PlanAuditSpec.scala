@@ -126,6 +126,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "keeper set not broadcast")
   }
 
+  test("q54 pure range join: binned equi-join, scan pruned to 3 columns, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q54_interval_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "range join fell back to a nested loop")
+    assert(plan.contains("Join"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("l_orderkey"), "unpruned lineitem column in range-join scan")
+  }
+
+  test("q55 vocab: df is a partial+final aggregate and N joins as a broadcast") {
+    val plan = planOf(SparkEntry.queries("q55_vocab")(spark, sfDir))
+    assert(plan.toLowerCase.contains("partial_"), "df count-distinct not partially aggregated")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "corpus-size row should broadcast")
+    assert(!plan.contains("SortAggregate"), "vocab agg should stay a hash aggregate")
+  }
+
   test("q30 brute-force ANN broadcasts the probe set against an un-shuffled corpus") {
     val plan = planOf(SparkEntry.queries("q30_ann_brute")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"), "probe set not broadcast")
