@@ -117,6 +117,39 @@ object TextAnalysis {
     * collect). The corpus size N arrives via a broadcast one-row cross
     * join, so the plan stays fully distributed and lazy.
     */
+  /** Top-k characteristic terms per document by TF-IDF — the
+    * feature-building step over [[vocabStats]]. The vocabulary (small by
+    * Heaps' law relative to the corpus) broadcasts into the per-doc term
+    * counts; ranking is one keyed window. The rank order is
+    * integer-only — (tf_doc desc, df asc, word asc) — which is the TF-IDF
+    * order wherever scores differ and stays reproducible across engines
+    * and float libms where they tie (a float order would hinge on the
+    * last ulp of `ln`).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf_doc"))
+    val vocab = vocabStats(docs).select(col("word"), col("df"), col("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf_doc").desc, col("df").asc, col("word").asc)
+    perDoc
+      .join(broadcast(vocab), "word")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(
+        col("doc_id"),
+        col("rk").cast("int").as("rk"),
+        col("word"),
+        col("tf_doc"),
+        col("df"),
+        round(col("tf_doc") * col("idf"), 6).as("tfidf")
+      )
+  }
+
   def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs

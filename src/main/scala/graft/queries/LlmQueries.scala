@@ -378,10 +378,36 @@ object LlmQueries {
             GROUP BY word, n_docs""")
   )
 
+  /** Top-3 characteristic terms per document by TF-IDF, integer-only rank
+    * order (tf desc, rare-first df, word) so both engines rank
+    * identically; the tfidf payload mirrors the engine's double rounding
+    * (idf rounded to 6, then the product rounded to 6).
+    */
+  val q56TfidfTop: QueryDef = QueryDef(
+    "q56_tfidf_top",
+    (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir)),
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            pd AS (SELECT doc_id, word, count(*) AS tf_doc
+                   FROM w WHERE len(word) > 0 GROUP BY 1, 2),
+            v AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                         round(ln(CAST(n_docs AS DOUBLE) / count(DISTINCT doc_id)), 6) AS idf
+                  FROM w, n WHERE len(word) > 0 GROUP BY word, n_docs),
+            s AS (SELECT pd.doc_id, pd.word, pd.tf_doc, v.df,
+                         round(pd.tf_doc * v.idf, 6) AS tfidf,
+                         row_number() OVER (PARTITION BY pd.doc_id
+                           ORDER BY pd.tf_doc DESC, v.df ASC, pd.word ASC) AS rk
+                  FROM pd JOIN v USING (word))
+            SELECT doc_id, CAST(rk AS INT) AS rk, word, tf_doc, df, tfidf
+            FROM s WHERE rk <= 3""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
-    q47FrameSample, q53CorpusPrep, q55Vocab
+    q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop
   )
 }
