@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a range-ONLY inner join —
   * `p >= lo AND p <= hi` with no usable equi-conjunct, which Spark would
@@ -48,11 +48,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case s => s.toLongOption.filter(_ > 0)
     }
 
-  private def isIntegral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+  /** Domains with an exact integral image: ints/longs as-is, dates as
+    * unix days, timestamps as epoch micros. The bin width is interpreted
+    * in that unit (days for dates, MICROSECONDS for timestamps).
+    */
+  private def isBinnable(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType | TimestampNTZType => UnixMicros(Cast(e, TimestampType))
+    case _ => Cast(e, LongType)
+  }
 
   /** Exact floor division on longs: (x - pmod(x, w)) intdiv w. */
   private def binOf(e: Expression, w: Long): Expression = {
@@ -113,7 +123,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val candidates = for {
       (pLo, lo) <- conjuncts.flatMap(lowerOf)
       (pHi, hi) <- conjuncts.flatMap(upperOf)
-      if pLo.semanticEquals(pHi) && isIntegral(pLo) && isIntegral(lo) && isIntegral(hi)
+      if pLo.semanticEquals(pHi) && isBinnable(pLo) && isBinnable(lo) && isBinnable(hi)
       (pointSide, intervalSide, flipped) <-
         (if (from(pLo, left) && from(lo, right) && from(hi, right))
            Some((left, right, false))

@@ -77,6 +77,43 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite covers date and timestamp domains (bin width in days / micros)") {
+    val events = spark
+      .range(200)
+      .select($"id".as("e_id"),
+        expr("timestamp_micros(cast(1672531200000000 + id * 3600000000 as long))").as("ts"))
+    val windows = spark
+      .range(12)
+      .select($"id".as("w_id"),
+        expr("timestamp_micros(cast(1672531200000000 + id * 57600000000 as long))").as("lo"),
+        expr("timestamp_micros(cast(1672531200000000 + id * 57600000000 + 86400000000 as long))").as("hi"))
+    def q() = events.join(windows, $"ts" >= $"lo" && $"ts" <= $"hi").select("e_id", "w_id")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.nonEmpty)
+    withBinSize(86400000000L) { // 1 day in micros
+      val rewritten = q()
+      assert(!hasBnlj(rewritten), "timestamp range join must rewrite")
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == expected.toSeq)
+    }
+
+    val dEvents = events.select($"e_id",
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")), ($"e_id" % 40).cast("int")).as("d"))
+    val dWindows = spark.range(8).select(
+      $"id".as("w_id"),
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")), ($"id" * 5).cast("int")).as("lo"),
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")), ($"id" * 5 + 6).cast("int")).as("hi"))
+    def dq() = dEvents.join(dWindows, $"d" >= $"lo" && $"d" <= $"hi").select("e_id", "w_id")
+    val dExpected = dq().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(dExpected.nonEmpty)
+    withBinSize(7L) { // 7 days
+      val rewritten = dq()
+      assert(!hasBnlj(rewritten), "date range join must rewrite")
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == dExpected.toSeq)
+    }
+  }
+
   test("guard: joins that already have an equi-key are left alone") {
     val (points, intervals) = pointsAndIntervals()
     val p2 = points.withColumn("k", $"p_id" % 5)
