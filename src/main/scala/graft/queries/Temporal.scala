@@ -214,8 +214,72 @@ object Temporal {
             GROUP BY 1, 2""")
   )
 
+  /** Cross-user session concurrency: every pair of overlapping sessions
+    * from DIFFERENT users (session = 30-min-gap `session_window`, end =
+    * last event + gap), via the binned
+    * [[graft.operators.RangeJoin.intervalOverlap]] — a pure interval-
+    * overlap self-join with no equi-key, the second nested-loop shape the
+    * binning removes (1-hour bins). Daily rollup: pair count + total
+    * overlap seconds (integer-µs sum, one division — cross-engine exact).
+    * The session relation is cached: the overlap self-join evaluates its
+    * lineage once per side. Oracle: gaps-and-islands sessions (q48's
+    * derivation) + naive overlap θ-join in DuckDB.
+    */
+  val q57SessionOverlap: QueryDef = QueryDef(
+    "q57_session_overlap",
+    (s, dir) => {
+      val sess = Tables
+        .events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("lo"),
+          unix_micros(col("session_window.end")).as("hi")
+        )
+        .cache()
+      val l = sess.select(col("user_id").as("user_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val r = sess.select(col("user_id").as("user_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.operators.RangeJoin
+        .intervalOverlap(l, r, "lo_a", "hi_a", "lo_b", "hi_b", binSize = 3600000000L)
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(expr("greatest(lo_a, lo_b) div 86400000000").as("day"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(
+            sum(least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b"))) /
+              lit(1000000.0),
+            2
+          ).as("overlap_sec")
+        )
+    },
+    Some("""WITH x AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            y AS (
+              SELECT *, sum(new_sess) OVER
+                (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM x),
+            sess AS (
+              SELECT user_id,
+                     CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+                     CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS hi
+              FROM y GROUP BY user_id, sess_id)
+            SELECT CAST(greatest(a.lo, b.lo) // 86400000000 AS BIGINT) AS day,
+                   count(*) AS n_pairs,
+                   round(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) / 1000000.0, 2)
+                     AS overlap_sec
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
-    q49SlidingWindow, q50Pivot, q52SeriesCorr
+    q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap
   )
 }
