@@ -125,19 +125,26 @@ object TextAnalysis {
     * order wherever scores differ and stays reproducible across engines
     * and float libms where they tie (a float order would hinge on the
     * last ulp of `ln`).
+    *
+    * @param broadcastVocab hint the vocab side broadcast (the default —
+    *                       right for any vocab that fits an executor);
+    *                       pass false at corpus scales where even the
+    *                       vocabulary is tens of GB, and the join becomes
+    *                       a keyed shuffle on `word`
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, broadcastVocab: Boolean = true): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf_doc"))
-    val vocab = vocabStats(docs).select(col("word"), col("df"), col("idf"))
+    val vocab0 = vocabStats(docs).select(col("word"), col("df"), col("idf"))
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf_doc").desc, col("df").asc, col("word").asc)
     perDoc
-      .join(broadcast(vocab), "word")
+      .join(vocab, "word")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(

@@ -141,6 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), "vocab agg should stay a hash aggregate")
   }
 
+  test("q57 interval-overlap self-join is binned, never a nested loop") {
+    val plan = planOf(SparkEntry.queries("q57_session_overlap")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "overlap join fell back to a nested loop")
+    assert(!plan.contains("CartesianProduct"), "overlap join planned as a cartesian product")
+  }
+
   test("q30 brute-force ANN broadcasts the probe set against an un-shuffled corpus") {
     val plan = planOf(SparkEntry.queries("q30_ann_brute")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"), "probe set not broadcast")
