@@ -186,6 +186,8 @@ object Temporal {
   val q52SeriesCorr: QueryDef = QueryDef(
     "q52_series_corr",
     (s, dir) => {
+      // Cached: the self-join evaluates its lineage once per side, and the
+      // hourly aggregate is the expensive part (full events scan).
       val hourly = Tables
         .events(s, dir)
         .groupBy(
@@ -193,6 +195,7 @@ object Temporal {
           col("event_type")
         )
         .agg(sum(col("value")).as("v"))
+        .cache()
       val a = hourly.select(col("hour"), col("event_type").as("type_a"), col("v").as("v_a"))
       val b = hourly.select(col("hour").as("hour_b"), col("event_type").as("type_b"), col("v").as("v_b"))
       a.join(b, col("hour") === col("hour_b") && col("type_a") < col("type_b"))
