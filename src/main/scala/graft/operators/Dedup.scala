@@ -190,6 +190,55 @@ object Dedup {
     verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()
   }
 
+  // ------------------------------------------------- dedup cluster closure
+
+  /** Connected components over a near-dup pair relation — the step that
+    * turns pairwise matches into dedup CLUSTERS (keep one doc per
+    * component, not per pair): every doc appearing in `pairs`
+    * (columns doc_a, doc_b) labeled with the minimum doc_id reachable
+    * through the match graph.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum of its own label and its neighbors' labels; fixpoint after
+    * O(component diameter) rounds. Near-dup graphs are short chains and
+    * small cliques, so this converges in a handful of keyed-join rounds —
+    * each round is one shuffle of the (labels ⋈ edges) join, nothing
+    * driver-side except the one-row convergence check. `localCheckpoint`
+    * truncates the growing lineage each round (on a cluster, a
+    * checkpoint-dir `checkpoint` — or the large-star/small-star variant —
+    * is the same loop at 100 TB).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = edges
+      .select(col("u").as("doc"))
+      .distinct()
+      .withColumn("rep", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("v"), col("rep").as("n_rep")), "v")
+        .groupBy(col("u"))
+        .agg(min(col("n_rep")).as("min_n"))
+      val updated = labels
+        .join(neighborMin.select(col("u").as("doc"), col("min_n")), Seq("doc"), "left")
+        .select(
+          col("doc"),
+          col("rep"),
+          least(col("rep"), coalesce(col("min_n"), col("rep"))).as("rep_next")
+        )
+        .localCheckpoint()
+      converged = updated.filter(col("rep_next") < col("rep")).isEmpty
+      labels = updated.select(col("doc"), col("rep_next").as("rep"))
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** MinHash band signatures: all `numPerm` permutation minima computed

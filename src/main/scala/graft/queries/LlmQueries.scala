@@ -378,6 +378,37 @@ object LlmQueries {
             GROUP BY word, n_docs""")
   )
 
+  /** Dedup clusters: connected components over the exact near-dup pair
+    * graph, rolled up to (cluster_rep, size) — the keep-one-per-CLUSTER
+    * decision a corpus dedup actually ships. Oracle: recursive-CTE
+    * transitive closure over the same quadratic pair set (min reachable
+    * id ≡ min-label-propagation fixpoint).
+    */
+  val q58DedupClusters: QueryDef = QueryDef(
+    "q58_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+      Dedup
+        .connectedComponents(pairs)
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS ($ngramJaccardOracle),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS doc, u AS label FROM edges
+              UNION
+              SELECT e.u AS doc, r.label
+              FROM edges e JOIN reach r ON r.doc = e.v)
+            SELECT CAST(min_label AS BIGINT) AS cluster_rep,
+                   count(*) AS cluster_size
+            FROM (SELECT doc, min(label) AS min_label FROM reach GROUP BY doc)
+            GROUP BY 1""")
+  )
+
   /** Top-3 characteristic terms per document by TF-IDF, integer-only rank
     * order (tf desc, rare-first df, word) so both engines rank
     * identically; the tfidf payload mirrors the engine's double rounding
@@ -408,6 +439,6 @@ object LlmQueries {
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
-    q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop
+    q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters
   )
 }

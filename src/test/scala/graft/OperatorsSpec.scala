@@ -109,6 +109,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components ≡ union-find on random pair graphs and a worst-case chain") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new scala.util.Random(29)
+    val randomPairs = (0 until 60).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val chain = (0L until 30L).map(i => (i, i + 1)) // diameter 30: many propagation rounds
+    for (pairs <- Seq(randomPairs, chain)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"pairs=${pairs.take(5)}...")
+    }
+  }
+
   test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
