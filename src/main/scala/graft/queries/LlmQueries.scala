@@ -380,14 +380,16 @@ object LlmQueries {
 
   /** Dedup clusters: connected components over the exact near-dup pair
     * graph, rolled up to (cluster_rep, size) — the keep-one-per-CLUSTER
-    * decision a corpus dedup actually ships. Oracle: recursive-CTE
-    * transitive closure over the same quadratic pair set (min reachable
-    * id ≡ min-label-propagation fixpoint).
+    * decision a corpus dedup actually ships. Pairs come from the
+    * MinHash-LSH pipeline (the one a 100 TB dedup would run; ≡ the exact
+    * pair set on this corpus, see [[ngramJaccardOracle]]). Oracle:
+    * recursive-CTE transitive closure over the quadratic pair set (min
+    * reachable id ≡ min-label-propagation fixpoint).
     */
   val q58DedupClusters: QueryDef = QueryDef(
     "q58_dedup_clusters",
     (s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+      val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
       Dedup
         .connectedComponents(pairs)
         .groupBy(col("cluster_rep"))
