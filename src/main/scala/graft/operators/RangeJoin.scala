@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor division of a long column by a positive width. */
+  /** Exact floor division of a long column by a positive width. The
+    * numerator is a multiple of `w` by construction; dividing it as a
+    * DECIMAL keeps the quotient exact across the FULL long range (Column
+    * `/` is double division, which silently loses integer precision past
+    * 2^53 — epoch micros are safe there, arbitrary ids are not).
+    */
   private[operators] def binOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** Inner join of `points` to every interval of `intervals` containing
     * the point: `lo <= point <= hi` (inclusive both ends), plus optional

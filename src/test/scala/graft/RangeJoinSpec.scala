@@ -45,6 +45,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("bins stay exact past 2^53 (double division would corrupt them)") {
+    val base = (1L << 60)
+    val points = Seq((1L, base + 5L), (2L, base + 105L), (3L, -base + 7L))
+      .toDF("p_id", "p")
+    val intervals = Seq(
+      (10L, base + 0L, base + 50L), // contains p=base+5
+      (11L, base + 100L, base + 120L), // contains p=base+105
+      (12L, -base + 0L, -base + 50L) // contains p=-base+7
+    ).toDF("i_id", "lo", "hi")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "p", "lo", "hi", binSize = 13L)
+      .select("p_id", "i_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(got.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
   test("pointInInterval drops empty intervals instead of mis-joining them") {
     val points = Seq((1L, 5L)).toDF("p_id", "p")
     val intervals = Seq((10L, 8L, 2L)).toDF("i_id", "lo", "hi") // lo > hi
