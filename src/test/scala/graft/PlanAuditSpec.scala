@@ -141,6 +141,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), "vocab agg should stay a hash aggregate")
   }
 
+  test("q56 per-group top-k gets WindowGroupLimit (rank filter pushed into the window)") {
+    // Catalyst's InferWindowGroupLimit turns row_number() <= k into a
+    // per-group limit BEFORE the full window sort materializes — the
+    // free-optimizer benefit of keeping top-k declarative.
+    val plan = planOf(SparkEntry.queries("q56_tfidf_top")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), "rank filter not pushed into the window")
+  }
+
   test("q57 interval-overlap self-join is binned, never a nested loop") {
     val plan = planOf(SparkEntry.queries("q57_session_overlap")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin"), "overlap join fell back to a nested loop")
