@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset curation: hash-based splits and samples.
+  *
+  * Training pipelines need splits that are STABLE — a document's
+  * train/val/test assignment must not change when the corpus is
+  * re-partitioned, re-ordered, grown, or re-processed on a different
+  * cluster. Seeded `rand()` gives none of that (it is
+  * partition-order-dependent); hashing the record's identity gives all
+  * of it: `bucket = md5(id || salt) mod buckets` is a pure row-local
+  * projection — no shuffle, no state, reproducible everywhere (and in
+  * the DuckDB oracle). The salt lets different experiments draw
+  * independent splits from the same corpus.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a record id and salt: the first
+    * 8 md5 hex digits parsed as a long. Row-local, codegen'd, identical
+    * across engines (md5 of the id's canonical string form).
+    */
+  def hashBucket(id: Column, buckets: Int, salt: String): Column = {
+    require(buckets > 0, "buckets must be positive")
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** Assign every row a split label by hash bucket (of 1000):
+    * `[0, trainPerMille)` → train, `[trainPerMille, trainPerMille +
+    * valPerMille)` → val, rest → test. Fractions are exact in
+    * expectation and — unlike `randomSplit` — the same row always lands
+    * in the same split.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      salt: String = "v1",
+      trainPerMille: Int = 900,
+      valPerMille: Int = 50
+  ): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000, "per-mille fractions exceed 1000")
+    val b = hashBucket(col(idCol), 1000, salt)
+    df.withColumn(
+      "split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + valPerMille, "val")
+        .otherwise("test")
+    )
+  }
+
+  /** Deterministic ~`perMille`/1000 sample: keep rows whose bucket falls
+    * below the threshold. Re-running, re-partitioning, or growing the
+    * input never changes which surviving rows are kept.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      perMille: Int,
+      salt: String = "v1"
+  ): DataFrame =
+    df.filter(hashBucket(col(idCol), 1000, salt) < perMille)
+}

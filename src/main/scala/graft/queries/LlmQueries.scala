@@ -437,10 +437,37 @@ object LlmQueries {
             FROM s WHERE rk <= 3""")
   )
 
+  /** Stable train/val/test assignment by identity hash (md5 bucket of
+    * 1000 — reproducible across partitionings, engines, and corpus
+    * growth, unlike seeded rand), rolled up per (split, lang) with an
+    * id checksum so the oracle pins the exact membership, not just the
+    * counts.
+    */
+  val q59HashSplit: QueryDef = QueryDef(
+    "q59_hash_split",
+    (s, dir) => {
+      graft.operators.Sampling
+        .hashSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    },
+    Some("""SELECT
+              CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split,
+              lang, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))
+                          AS BIGINT) % 1000 AS b
+              FROM documents)
+            GROUP BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
-    q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters
+    q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
+    q59HashSplit
   )
 }

@@ -136,6 +136,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split: stable under repartitioning and corpus growth; fractions sane; salts independent") {
+    val base = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "doc_id").select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assignments(base)
+    assert(assignments(base.repartition(13)) == a, "repartitioning changed assignments")
+    val grown = (0L until 3000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val g = assignments(grown)
+    assert(a.forall { case (k, v) => g(k) == v }, "corpus growth changed existing assignments")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.03 && math.abs(frac("val") - 0.05) < 0.02)
+    // different salt → a genuinely different draw
+    val other = Sampling.hashSplit(base, "doc_id", salt = "v2").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other != a)
+    // deterministic sample is a subset-stable filter
+    val s1 = Sampling.deterministicSample(base, "doc_id", 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(grown, "doc_id", 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s2) && math.abs(s1.size / 2000.0 - 0.1) < 0.03)
+  }
+
   test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
