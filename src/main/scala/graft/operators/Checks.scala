@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates for lake tables — the expectation checks an ingest
+  * pipeline runs before publishing a partition (dbt-test / Delta-
+  * constraint shape, engine-native).
+  *
+  * All row-level rules evaluate in ONE pass over the table: each rule
+  * becomes a conditional-count aggregate, so adding a rule never adds a
+  * scan. Uniqueness is the exception by nature (it needs a keyed
+  * aggregate) and runs as its own groupBy, reported in the same result
+  * shape.
+  */
+object Checks {
+
+  /** One scan, one row per rule: (rule, n_violations) for every named
+    * predicate that rows are EXPECTED to satisfy.
+    */
+  def rowChecks(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val counters = rules.map { case (name, expect) =>
+      struct(
+        lit(name).as("rule"),
+        sum(when(!coalesce(expect, lit(false)), 1L).otherwise(0L)).as("n_violations")
+      )
+    }
+    df.agg(array(counters.head +: counters.tail: _*).as("c"))
+      .select(explode(col("c")).as("r"))
+      .select(col("r.rule"), col("r.n_violations"))
+  }
+
+  /** Duplicate-key report in the same (rule, n_violations) shape:
+    * violations = number of EXTRA rows beyond one per key.
+    */
+  def uniqueCheck(df: DataFrame, ruleName: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n") - 1), lit(0L)).as("n_violations")
+      )
+      .select(lit(ruleName).as("rule"), col("n_violations"))
+
+  /** Row rules + uniqueness rules, one result table. */
+  def run(
+      df: DataFrame,
+      rowRules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil
+  ): DataFrame =
+    uniqueRules.foldLeft(rowChecks(df, rowRules)) { case (acc, (name, keys)) =>
+      acc.unionByName(uniqueCheck(df, name, keys))
+    }
+}

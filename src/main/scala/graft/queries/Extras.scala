@@ -94,6 +94,54 @@ object Extras {
     Some(LlmQueries.ngramJaccardOracle)
   )
 
+  /** Publish-gate quality checks over lineitem: every row rule is a
+    * conditional count in ONE scan (adding rules never adds scans);
+    * the uniqueness rule is its own keyed aggregate. A mix of passing
+    * and failing rules so both outcomes are pinned.
+    */
+  val q60QualityChecks: QueryDef = QueryDef(
+    "q60_quality_checks",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.Checks.run(
+        li,
+        rowRules = Seq(
+          "qty_in_1_50" -> col("l_quantity").between(1, 50),
+          "discount_in_0_0.1" -> col("l_discount").between(0.0, 0.1),
+          "shipdate_not_null" -> col("l_shipdate").isNotNull,
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "qty_under_40" -> (col("l_quantity") < 40) // deliberately failing
+        ),
+        uniqueRules = Seq(
+          "orderkey_linenumber_unique" -> Seq("l_orderkey", "l_linenumber")
+        )
+      )
+    },
+    Some("""SELECT 'qty_in_1_50' AS rule,
+                   CAST(count(*) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE))
+                        AS BIGINT) AS n_violations FROM lineitem
+            UNION ALL
+            SELECT 'discount_in_0_0.1',
+                   CAST(count(*) FILTER (NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE))
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'shipdate_not_null',
+                   CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'price_positive',
+                   CAST(count(*) FILTER (NOT coalesce(l_extendedprice > 0, FALSE))
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'qty_under_40',
+                   CAST(count(*) FILTER (NOT coalesce(l_quantity < 40, FALSE))
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'orderkey_linenumber_unique',
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+            FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup, q45StreamNeardup)
+    Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup, q45StreamNeardup,
+      q60QualityChecks)
 }

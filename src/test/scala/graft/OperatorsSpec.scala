@@ -160,6 +160,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1.subsetOf(s2) && math.abs(s1.size / 2000.0 - 0.1) < 0.03)
   }
 
+  test("quality checks: null rows violate, all row rules share one scan") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 60L))
+      .toDF("id", "qty")
+    val out = Checks.run(
+      df,
+      rowRules = Seq("qty_1_50" -> $"qty".between(1, 50), "id_nn" -> $"id".isNotNull),
+      uniqueRules = Seq("id_unique" -> Seq("id"))
+    ).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // null qty is a violation (expectation not provably satisfied), 60 too
+    assert(out == Map("qty_1_50" -> 2L, "id_nn" -> 0L, "id_unique" -> 0L))
+
+    val dup = df.union(df)
+    val dupOut = Checks.uniqueCheck(dup, "id_unique", Seq("id")).collect()
+    assert(dupOut(0).getLong(1) == 3L) // one extra row per key
+
+    // one pass: the row-rules plan reads its source exactly once
+    val plan = Checks.rowChecks(df, Seq("a" -> $"qty".isNotNull, "b" -> ($"qty" > 0)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), "row rules must not fan out into per-rule scans")
+  }
+
   test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
