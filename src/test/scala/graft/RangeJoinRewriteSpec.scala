@@ -114,6 +114,22 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("extra non-equi conjuncts ride along unchanged") {
+    val (points, intervals) = pointsAndIntervals()
+    val p2 = points.withColumn("flag", $"p_id" % 3)
+    val i2 = intervals.withColumn("iflag", $"i_id" % 3)
+    def q() = p2.join(i2, $"p" >= $"lo" && $"p" <= $"hi" && $"flag" =!= $"iflag")
+      .select("p_id", "i_id")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.nonEmpty)
+    withBinSize(64L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten))
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == expected.toSeq)
+    }
+  }
+
   test("guard: joins that already have an equi-key are left alone") {
     val (points, intervals) = pointsAndIntervals()
     val p2 = points.withColumn("k", $"p_id" % 5)
