@@ -463,11 +463,34 @@ object LlmQueries {
             GROUP BY 1, 2""")
   )
 
+  /** Sequence packing manifest: documents assigned in stable doc_id order
+    * to ~512-token training chunks via the distributed prefix-sum (see
+    * [[graft.operators.Packing]]); the oracle runs the naive global
+    * cumulative sum the two-phase form must equal.
+    */
+  val q61Packing: QueryDef = QueryDef(
+    "q61_packing",
+    (s, dir) => graft.operators.Packing.packByTokenBudget(Tables.documents(s, dir)),
+    Some("""WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+            c AS (
+              SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+                       AS cum_excl
+              FROM t)
+            SELECT CAST(cum_excl // 512 AS BIGINT) AS chunk_id,
+                   count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
     q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
-    q59HashSplit
+    q59HashSplit, q61Packing
   )
 }

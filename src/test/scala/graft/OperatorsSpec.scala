@@ -181,6 +181,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "row rules must not fan out into per-rule scans")
   }
 
+  test("packing: two-phase prefix sum ≡ naive global cumsum across bucket sizes; overflow bounded") {
+    val rng = new scala.util.Random(31)
+    val rows = (0L until 500L).map(i => (i, Seq.fill(3 + rng.nextInt(60))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val budget = 200L
+    // naive reference: exclusive cumsum in doc order
+    val toks = rows.map { case (id, t) => (id, t.split(" ").length.toLong) }
+    val naive = toks.scanLeft(((-1L, 0L), 0L)) { case ((_, cum), (id, n)) => ((id, n), cum + n) }
+      .drop(1).map { case ((id, n), cumIncl) => id -> ((cumIncl - n) / budget) }.toMap
+    for (bucket <- Seq(7L, 64L, 1000L)) {
+      val got = Packing.chunkAssignments(df, budget, bucket).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == naive, s"bucketSize $bucket diverges from the global cumsum")
+    }
+    // chunk totals exceed the budget by less than their last doc
+    val manifest = Packing.packByTokenBudget(df, budget).collect()
+    assert(manifest.forall(_.getAs[Long]("n_tokens") < budget + 63))
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == toks.map(_._2).sum)
+  }
+
   test("brute-force ANN ranks an exact duplicate vector first with cosine 1") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
