@@ -190,6 +190,37 @@ object Dedup {
     verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()
   }
 
+  // --------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with ANY benchmark
+    * document — the docs a training run must drop so it doesn't memorize
+    * its own eval set. Returns (doc_id, n_shared).
+    *
+    * Shape at scale: both sides shingle row-locally
+    * ([[hashedTokenShingles]]); the benchmark's DISTINCT shingle set
+    * (small — it's the eval suite, not the corpus) hits the exploded
+    * corpus through one equi-join on the shingle hash, and a per-doc
+    * count-distinct closes it. The corpus is never self-joined and never
+    * shuffled except by shingle key.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minShared: Int = 8
+  ): DataFrame = {
+    val c = hashedTokenShingles(corpus, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val b = hashedTokenShingles(benchmark, n)
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+    c.join(b, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------- dedup cluster closure
 
   /** Connected components over a near-dup pair relation — the step that

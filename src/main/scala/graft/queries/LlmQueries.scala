@@ -463,6 +463,36 @@ object LlmQueries {
             GROUP BY 1, 2""")
   )
 
+  /** Benchmark decontamination: corpus docs sharing >= 8 distinct word
+    * trigrams with the held-out pseudo-benchmark (doc_id % 10 == 0) — the
+    * docs a training run drops so it can't memorize its eval set. The
+    * oracle joins on trigram STRINGS where the engine joins on xxhash64
+    * shingle hashes: counts agree unless 64-bit hashes collide within a
+    * doc pair (~1e-10 over this corpus).
+    */
+  val q62Decontam: QueryDef = QueryDef(
+    "q62_decontam",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup
+        .contaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0)
+        )
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+    },
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
+              FROM documents),
+            b AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id % 10 = 0),
+            c AS (SELECT doc_id, unnest(gs) AS sh FROM g WHERE doc_id % 10 <> 0)
+            SELECT doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared
+            FROM c JOIN b USING (sh)
+            GROUP BY doc_id HAVING count(DISTINCT c.sh) >= 8""")
+  )
+
   /** Sequence packing manifest: documents assigned in stable doc_id order
     * to ~512-token training chunks via the distributed prefix-sum (see
     * [[graft.operators.Packing]]); the oracle runs the naive global
@@ -491,6 +521,6 @@ object LlmQueries {
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
     q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
-    q59HashSplit, q61Packing
+    q59HashSplit, q61Packing, q62Decontam
   )
 }

@@ -181,6 +181,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "row rules must not fan out into per-rule scans")
   }
 
+  test("decontamination flags the benchmark's near-copy, not unrelated docs") {
+    val bench = docs(100L -> (0 until 40).map(i => s"b$i").mkString(" "))
+    val nearCopy = (0 until 40).map(i => if (i == 20) "zzz" else s"b$i").mkString(" ")
+    val clean = (0 until 40).map(i => s"c$i").mkString(" ")
+    val corpus = docs(1L -> nearCopy, 2L -> clean)
+    val out = Dedup.contaminatedDocs(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) >= 30L) // one-word edit keeps ~35 of 38 trigrams
+  }
+
   test("packing: two-phase prefix sum ≡ naive global cumsum across bucket sizes; overflow bounded") {
     val rng = new scala.util.Random(31)
     val rows = (0L until 500L).map(i => (i, Seq.fill(3 + rng.nextInt(60))("w").mkString(" ")))
