@@ -107,6 +107,29 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style repetition metrics — the duplicate-fraction quality
+    * rules a corpus filter applies per document: fraction of words that
+    * are repeats of an earlier word, and fraction of word trigrams that
+    * are repeats. Row-local (one compiled pass via the distinct-shingle
+    * kernel; no shuffle, no explode).
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val fn = "token_shingle_hashes_3"
+    graft.functions.TokenShingleHashes.register(docs.sparkSession, fn, 3)
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nGrams = greatest(nWords - 2, lit(0))
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / nWords, 6)
+        .as("dup_word_ratio"),
+      when(nGrams === 0, 0.0)
+        .otherwise(round(lit(1.0) - size(expr(s"$fn(text)")).cast("double") / nGrams, 6))
+        .as("dup_3gram_ratio")
+    )
+  }
+
   /** Corpus vocabulary statistics — the IDF-build step of a training-data
     * pipeline (and the raw material for stopword lists and BPE seeding):
     * per word, total term frequency, document frequency, and

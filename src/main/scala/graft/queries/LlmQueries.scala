@@ -463,6 +463,28 @@ object LlmQueries {
             GROUP BY 1, 2""")
   )
 
+  /** Gopher-style repetition quality rules: per-doc duplicate-word and
+    * duplicate-trigram fractions, row-local via the distinct-shingle
+    * kernel (the oracle rebuilds both fractions from string lists).
+    */
+  val q63Repetition: QueryDef = QueryDef(
+    "q63_repetition",
+    (s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir)),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                      FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS gs
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_words,
+                   round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+                     AS dup_word_ratio,
+                   CASE WHEN len(gs) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+                   END AS dup_3gram_ratio
+            FROM t""")
+  )
+
   /** Benchmark decontamination: corpus docs sharing >= 8 distinct word
     * trigrams with the held-out pseudo-benchmark (doc_id % 10 == 0) — the
     * docs a training run drops so it can't memorize its eval set. The
@@ -521,6 +543,6 @@ object LlmQueries {
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
     q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
-    q59HashSplit, q61Packing, q62Decontam
+    q59HashSplit, q61Packing, q62Decontam, q63Repetition
   )
 }

@@ -181,6 +181,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "row rules must not fan out into per-rule scans")
   }
 
+  test("repetition metrics: repeated phrase scores high, unique text zero") {
+    val repeated = Seq.fill(5)("spam and eggs").mkString(" ") // 15 words, 3 distinct
+    val unique = "one two three four five six"
+    val d = docs(1L -> repeated, 2L -> unique)
+    val out = TextAnalysis.repetitionMetrics(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((15, 0.8, 0.769231))) // 1 - 3 distinct of 13 trigrams
+    assert(out(2L) == ((6, 0.0, 0.0)))
+  }
+
   test("decontamination flags the benchmark's near-copy, not unrelated docs") {
     val bench = docs(100L -> (0 until 40).map(i => s"b$i").mkString(" "))
     val nearCopy = (0 until 40).map(i => if (i == 20) "zzz" else s"b$i").mkString(" ")
