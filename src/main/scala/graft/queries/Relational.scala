@@ -529,10 +529,46 @@ object Relational {
             GROUP BY 1, 2""")
   )
 
+  /** Full outer join — the one join flavor the rest of the catalogue
+    * doesn't exercise: high-value customers against large recent orders,
+    * keeping unmatched rows from BOTH sides, rolled up to match-status
+    * counts per nation-bucket.
+    */
+  val q64FullOuter: QueryDef = QueryDef(
+    "q64_full_outer",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_nationkey") % 5, lit(-1)).cast("int").as("nation_bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_order_only"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_customer_only")
+        )
+    },
+    Some("""SELECT CAST(coalesce(c_nationkey % 5, -1) AS INT) AS nation_bucket,
+                   count(*) AS n_rows,
+                   CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_order_only,
+                   CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_customer_only
+            FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 7000) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 150000) o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2FilterProject, q3Percentiles, q4GroupZerofill, q5TopK,
     q6JoinChain, q7AntiJoin, q8SemiJoin, q9Window, q10SetOps,
     q11Rollup, q12Cube, q13Distinct, q14Datetime, q15String,
-    q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot, q54IntervalJoin
+    q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot, q54IntervalJoin,
+    q64FullOuter
   )
 }
