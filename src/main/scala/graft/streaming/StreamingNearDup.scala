@@ -110,7 +110,8 @@ object StreamingNearDup {
       n: Int = 3,
       numPerm: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      stateParts: Int = 8
   ): DataFrame = {
     val stream = StreamingOps.documentsStream(spark, sfDir)
     // NOTE: no streaming dropDuplicates here — flatMapGroupsWithState
@@ -141,7 +142,7 @@ object StreamingNearDup {
       )
       .filter(col("jaccard") >= threshold)
     val name = s"stream_neardup_${System.nanoTime()}"
-    StreamingOps.withStatePartitions(spark) {
+    StreamingOps.withStatePartitions(spark, stateParts) {
       val q = verified.writeStream
         .outputMode("append")
         .format("memory")

@@ -63,7 +63,8 @@ object StreamingSim {
       spark: SparkSession,
       sfDir: String,
       cfg: SimConfig = SimConfig(numWorkers = 2),
-      flushPerBatch: Boolean = true
+      flushPerBatch: Boolean = true,
+      stateParts: Int = 8
   ): DataFrame = {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val keyed = stream
@@ -87,7 +88,7 @@ object StreamingSim {
       )
 
     val name = s"stream_sim_${System.nanoTime()}"
-    StreamingOps.withStatePartitions(spark) {
+    StreamingOps.withStatePartitions(spark, stateParts) {
       val q = completed
         .toDF("scenario", "completed")
         .select(col("scenario"), col("completed.*"))
