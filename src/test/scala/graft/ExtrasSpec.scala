@@ -35,6 +35,23 @@ class ExtrasSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.1)
   }
 
+  test("HLL sketches MERGE losslessly: union of per-shard sketches ≡ whole-corpus sketch") {
+    // The property that makes sketches work at lake scale: build one
+    // sketch per partition/shard/day, union the binaries, and the
+    // estimate is identical to sketching the whole table at once.
+    val li = graft.sources.Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_orderkey"))
+    val whole = li
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("e"))
+      .head().getLong(0)
+    val merged = li
+      .withColumn("shard", col("l_orderkey") % 7)
+      .groupBy(col("shard"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .select(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+      .head().getLong(0)
+    assert(merged == whole, s"sharded-merge estimate $merged != whole-table estimate $whole")
+  }
+
   test("salted aggregation ≡ plain groupBy") {
     val salted = SparkEntry.queries("q43_salted_agg")(spark, sfDir).collect()
     val plain = graft.sources.Tables
