@@ -62,17 +62,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
-  test("ngram jaccard: exactly-at-threshold subset pair survives float prefix shaving") {
-    // doc_a's 8 shingles ⊂ doc_b's 10 → j = 8/10 = 0.8 = t exactly, with
-    // (1-t)·10 = 1.999…96 in floats: an un-epsiloned floor shaves doc_b's
-    // prefix from 3 to 2, and when the 2 non-shared (rarest) shingles ARE
-    // that prefix the pair vanishes. Found live at sf0.1.
-    val a = (0 until 10).map(i => s"w$i").mkString(" ") // 8 trigram shingles
-    val b = (0 until 12).map(i => s"w$i").mkString(" ") // 10, superset
-    val d = docs(1L -> a, 2L -> b)
-    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
-    assert(pairs.length == 1)
-    assert(pairs(0).getAs[Double]("jaccard") == 0.8)
+  test("ngram jaccard: exactly-at-threshold subset pairs survive float prefix shaving") {
+    // doc_a's k shingles ⊂ doc_b's m → j = k/m = t exactly, with (1-t)·m
+    // landing just below an integer in floats: an un-epsiloned floor
+    // shaves doc_b's prefix one short, and when the non-shared (rarest)
+    // shingles ARE that prefix the pair vanishes. Found live at sf0.1
+    // with t=0.8; swept here across exact-rational thresholds.
+    for ((k, m, t) <- Seq((8, 10, 0.8), (8, 12, 2.0 / 3), (9, 12, 0.75), (9, 10, 0.9))) {
+      val a = (0 until k + 2).map(i => s"w$i").mkString(" ") // k trigram shingles
+      val b = (0 until m + 2).map(i => s"w$i").mkString(" ") // m, superset
+      val d = docs(1L -> a, 2L -> b)
+      val pairs = Dedup.ngramJaccardPairs(d, threshold = t).collect()
+      assert(pairs.length == 1, s"lost the j=$k/$m pair at t=$t")
+      assert(math.abs(pairs(0).getAs[Double]("jaccard") - k.toDouble / m) < 1e-6)
+    }
   }
 
   test("ngram jaccard: prefix+positional filter matches the brute-force quadratic (seeded sweep)") {
