@@ -23,7 +23,9 @@ object Checks {
     val counters = rules.map { case (name, expect) =>
       struct(
         lit(name).as("rule"),
-        sum(when(!coalesce(expect, lit(false)), 1L).otherwise(0L)).as("n_violations")
+        // outer coalesce: an EMPTY table has zero violations, not null
+        coalesce(sum(when(!coalesce(expect, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as("n_violations")
       )
     }
     df.agg(array(counters.head +: counters.tail: _*).as("c"))

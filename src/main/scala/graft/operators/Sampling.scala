@@ -31,7 +31,9 @@ object Sampling {
     * `[0, trainPerMille)` → train, `[trainPerMille, trainPerMille +
     * valPerMille)` → val, rest → test. Fractions are exact in
     * expectation and — unlike `randomSplit` — the same row always lands
-    * in the same split.
+    * in the same split. A NULL id hashes to a null bucket and falls
+    * through both `when` branches: null-id rows land deterministically
+    * in `test` (they can never leak into training data).
     */
   def hashSplit(
       df: DataFrame,

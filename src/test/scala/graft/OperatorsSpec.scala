@@ -182,6 +182,12 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = Checks.rowChecks(df, Seq("a" -> $"qty".isNotNull, "b" -> ($"qty" > 0)))
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union"), "row rules must not fan out into per-rule scans")
+
+    // an empty table has zero violations, not null
+    val empty = Checks.run(df.filter($"id" < 0),
+      rowRules = Seq("r" -> $"qty".isNotNull), uniqueRules = Seq("u" -> Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty == Map("r" -> 0L, "u" -> 0L))
   }
 
   test("repetition metrics: repeated phrase scores high, unique text zero") {
