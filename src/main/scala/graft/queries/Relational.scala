@@ -501,18 +501,27 @@ object Relational {
         (lit(9131L) + col("id") * 10).as("w_start_day"),
         (lit(9131L) + col("id") * 10 + 13).as("hi_day")
       )
+      // Money accumulates as DECIMAL: a double sum is partition-order-
+      // dependent, and rounding it to cents flips engines when the true
+      // sum sits near a half-cent boundary (seen live at sf0.001). The
+      // double→decimal(18,4) cast is deterministic here — source values
+      // carry 2-3 decimals, nowhere near the 4th-decimal cast boundary.
       val points = Tables
         .lineitem(s, dir)
         .select(
           datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
             .cast("long")
             .as("ship_day"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("rev")
         )
       graft.operators.RangeJoin
         .pointInInterval(points, windows, "ship_day", "w_start_day", "hi_day", binSize = 14L)
         .groupBy(col("w_id"), col("w_start_day"))
-        .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 2).as("revenue"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("rev")), 2).cast("double").as("revenue")
+        )
     },
     Some("""WITH w AS (
               SELECT CAST(i AS INT) AS w_id,
@@ -521,10 +530,11 @@ object Relational {
               FROM range(0, 256) t(i)),
             p AS (
               SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
-                     l_extendedprice * (1 - l_discount) AS rev
+                     CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
               FROM lineitem)
             SELECT w_id, w_start_day, count(*) AS n_items,
-                   round(sum(rev), 2) AS revenue
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
             FROM p JOIN w ON p.ship_day BETWEEN w.w_start_day AND w.hi_day
             GROUP BY 1, 2""")
   )
