@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Multi-SF oracle sweep — the driver's t2 gate runs only sf0.01, but both
+# off-gate scale factors have surfaced real boundary bugs (float prefix
+# shaving at sf0.1, half-cent sum rounding at sf0.001). Run this before
+# calling a round done.
+#
+# Usage: scripts/sweep_verify.sh [--with-sf01]
+#   sf0.001 + sf0.01 always; --with-sf01 adds sf0.1 EXCLUDING the
+#   quadratic-Jaccard-family oracles (q26/q28/q45/q58 — intractable for
+#   DuckDB there; cross-validated engine-side by LSH == exact-PPJoin).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+for sf in sf0.001 sf0.01; do
+  out="/tmp/sweep_$sf"
+  rm -rf "$out"
+  sbt -batch "runMain graft.Verify /root/testdata/$sf $out" >/dev/null
+  echo "== $sf =="
+  python3 scripts/local_verify.py "/root/testdata/$sf" "$out" | tail -1
+done
+
+if [[ "${1:-}" == "--with-sf01" ]]; then
+  out=/tmp/sweep_sf0.1
+  rm -rf "$out"
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out" >/dev/null
+  python3 - "$out" <<'EOF'
+import json, sys
+from pathlib import Path
+out = sys.argv[1]
+oracle = json.loads(Path(out, "oracle_sql.json").read_text())
+skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup", "q58_dedup_clusters"}
+Path(out, "oracle_sql.json").write_text(
+    json.dumps({k: v for k, v in oracle.items() if k not in skip}))
+print("sf0.1: skipping quadratic-family oracles:", sorted(skip))
+EOF
+  echo "== sf0.1 =="
+  python3 scripts/local_verify.py /root/testdata/sf0.1 "$out" | tail -1
+fi
