@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at the target scale factor
   * and prints ONE JSON line.
   *
-  * Two passes: an untimed warmup (JIT, codegen compilation, parquet footer
-  * reads) then the timed pass, with the Spark cache cleared in between so
-  * the measurement reflects steady-state query cost, not residual cached
-  * intermediates.
+  * One untimed warmup pass (JIT, codegen compilation, parquet footer
+  * reads), then TWO timed runs per query with the session state reset
+  * between all runs; each query reports the faster timed run, so the
+  * measurement reflects achievable steady-state cost, not residual
+  * cached intermediates or a one-off GC pause.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
