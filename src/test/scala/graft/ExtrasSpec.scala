@@ -52,6 +52,19 @@ class ExtrasSpec extends AnyFunSuite {
     assert(merged == whole, s"sharded-merge estimate $merged != whole-table estimate $whole")
   }
 
+  test("JSONL and ORC round-trip the documents table losslessly") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(100)
+    val expected = docs.collect().map(_.mkString("|")).sorted.toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    docs.write.mode("overwrite").json(s"$base/j")
+    docs.write.mode("overwrite").orc(s"$base/o")
+    val viaJson = spark.read.schema(docs.schema).json(s"$base/j")
+    val viaOrc = spark.read.orc(s"$base/o")
+    assert(viaJson.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    assert(viaOrc.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    assert(viaOrc.schema == docs.schema)
+  }
+
   test("salted aggregation ≡ plain groupBy") {
     val salted = SparkEntry.queries("q43_salted_agg")(spark, sfDir).collect()
     val plain = graft.sources.Tables
