@@ -35,13 +35,15 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Exact floor division of a long column by a positive width. The
-    * numerator is a multiple of `w` by construction; dividing it as a
+    * numerator is a multiple of `w` by construction; computing it in
     * DECIMAL keeps the quotient exact across the FULL long range (Column
     * `/` is double division, which silently loses integer precision past
-    * 2^53 — epoch micros are safe there, arbitrary ids are not).
+    * 2^53 — epoch micros are safe there, arbitrary ids are not) and the
+    * subtraction overflow-free even within `w` of Long.MinValue (where
+    * long `c - pmod` would trip ANSI overflow).
     */
   private[operators] def binOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+    ((c.cast("decimal(38,0)") - pmod(c, lit(w))) / lit(w)).cast("long")
 
   /** Inner join of `points` to every interval of `intervals` containing
     * the point: `lo <= point <= hi` (inclusive both ends), plus optional

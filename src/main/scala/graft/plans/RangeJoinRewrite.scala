@@ -79,9 +79,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case None => plan
     case Some(w) =>
       plan.transformUp {
-        case j @ Join(left, right, Inner, Some(cond), hint)
-            if j.resolved && rewriteOf(j, left, right, cond, hint, w).isDefined =>
-          rewriteOf(j, left, right, cond, hint, w).get
+        // returning `j` itself is reference-equal → transformUp records
+        // no change, so the no-match path costs one qualification check
+        case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
+          rewriteOf(j, left, right, cond, hint, w).getOrElse(j)
       }
   }
 

@@ -47,12 +47,13 @@ class RangeJoinSpec extends AnyFunSuite {
 
   test("bins stay exact past 2^53 (double division would corrupt them)") {
     val base = (1L << 60)
-    val points = Seq((1L, base + 5L), (2L, base + 105L), (3L, -base + 7L))
-      .toDF("p_id", "p")
+    val points = Seq((1L, base + 5L), (2L, base + 105L), (3L, -base + 7L),
+      (4L, Long.MinValue + 2L)).toDF("p_id", "p")
     val intervals = Seq(
       (10L, base + 0L, base + 50L), // contains p=base+5
       (11L, base + 100L, base + 120L), // contains p=base+105
-      (12L, -base + 0L, -base + 50L) // contains p=-base+7
+      (12L, -base + 0L, -base + 50L), // contains p=-base+7
+      (13L, Long.MinValue, Long.MinValue + 40L) // long-subtract here would overflow
     ).toDF("i_id", "lo", "hi")
     val got = RangeJoin
       .pointInInterval(points, intervals, "p", "lo", "hi", binSize = 13L)
@@ -60,7 +61,7 @@ class RangeJoinSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sorted
-    assert(got.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)))
   }
 
   test("pointInInterval drops empty intervals instead of mis-joining them") {
