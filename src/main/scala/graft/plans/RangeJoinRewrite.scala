@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a range-ONLY inner join —
   * `p >= lo AND p <= hi` with no usable equi-conjunct, which Spark would
@@ -64,11 +64,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Cast(e, LongType)
   }
 
-  /** Exact floor division on longs: (x - pmod(x, w)) intdiv w. */
+  /** Exact floor division on the FULL long domain: (x - pmod(x, w)) / w
+    * with the subtraction in decimal(38,0), mirroring
+    * [[graft.operators.RangeJoin.binOf]] — raw long `x - pmod(x, w)`
+    * overflows for x within w of Long.MinValue (a runtime failure under
+    * ANSI mode, Spark 4's default), which would turn a working
+    * nested-loop join into a crash.
+    */
   private def binOf(e: Expression, w: Long): Expression = {
     val x = asLong(e)
     val width = Literal(w, LongType)
-    IntegralDivide(Subtract(x, Pmod(x, width)), width)
+    val dec = DecimalType(38, 0)
+    val num = Subtract(Cast(x, dec), Cast(Pmod(x, width), dec))
+    Cast(Divide(num, Cast(width, dec)), LongType)
   }
 
   /** `true` iff `e` only needs `side`'s output and is deterministic. */

@@ -98,6 +98,10 @@ object LakeWriter {
     val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
     val buckets = 1 << bits
     val bucketed = zCols.zipWithIndex.map { case (c, i) =>
+      // empty input / all-NULL column → NULL min/max: degenerate dimension,
+      // same as the constant-column case (getDouble would NPE)
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val mn = stats.getDouble(2 * i)
       val mx = stats.getDouble(2 * i + 1)
       // degenerate (constant) dimension → bucket 0
@@ -110,6 +114,7 @@ object LakeWriter {
             floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * buckets).cast("long")
           )
         )
+      }
     }
     val withZ = df.withColumn("__z", zValue(bucketed, bits))
     val arranged =
