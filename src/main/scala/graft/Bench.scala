@@ -66,12 +66,19 @@ object Bench {
       // A failed query reports -1, never a (misleadingly fast) elapsed time.
       (name, if (ok) times.map(_._1).min else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt appends an ~80-char "[success]" line
+    // after us. Full-precision doubles for 64+ queries made the line ~2450
+    // chars, so its head fell outside the tail window and the driver recorded
+    // parsed:null (rounds 1-3). Millisecond precision keeps the line ~1450
+    // chars — well inside the window — and loses nothing a benchmark needs.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

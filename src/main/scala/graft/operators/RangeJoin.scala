@@ -93,6 +93,15 @@ object RangeJoin {
     * equi-keys. Output carries all columns of both inputs (names must be
     * disjoint) and is duplicate-free: each overlapping pair is emitted
     * only from its first shared bin, not once per shared bin.
+    *
+    * PRECONDITION: intervals must be well-formed (`lo <= hi`). Ill-formed
+    * rows are dropped before binning — note this is NOT equivalent to the
+    * raw θ-join for such rows: the naive overlap predicate can be true of
+    * a degenerate interval (e.g. [5,2] vs [0,10] satisfies
+    * `a_lo <= b_hi && b_lo <= a_hi`), but a row whose "interval" is empty
+    * as a set overlaps nothing, so dropping it is the set-semantics
+    * answer. Callers who need θ-join parity on malformed data must clean
+    * or swap the bounds first (`least`/`greatest`).
     */
   def intervalOverlap(
       left: DataFrame,

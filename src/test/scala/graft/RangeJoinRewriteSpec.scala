@@ -142,6 +142,32 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("extreme long domain: bins near Long.MinValue don't overflow under ANSI") {
+    // Raw long `x - pmod(x, w)` overflows for x within w of Long.MinValue —
+    // under ANSI mode (Spark 4 default) that is a runtime crash, so the rule
+    // must use the same decimal(38,0) floor-division as RangeJoin.binOf.
+    val points = Seq(
+      (1L, Long.MinValue),
+      (2L, Long.MinValue + 2L),
+      (3L, Long.MaxValue - 1L),
+      (4L, 0L)
+    ).toDF("p_id", "p")
+    val intervals = Seq(
+      (10L, Long.MinValue, Long.MinValue + 5L),
+      (11L, Long.MaxValue - 10L, Long.MaxValue),
+      (12L, -3L, 3L)
+    ).toDF("i_id", "lo", "hi")
+    def q() = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi").select("p_id", "i_id")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L)))
+    withBinSize(64L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten), "extreme-domain range join must still rewrite")
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == expected.toSeq)
+    }
+  }
+
   test("inert without the conf, and empty intervals never match") {
     val points = Seq((1L, 5L)).toDF("p_id", "p")
     val bad = Seq((10L, 8L, 2L)).toDF("i_id", "lo", "hi") // lo > hi
