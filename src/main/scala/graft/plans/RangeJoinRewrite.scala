@@ -167,19 +167,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Session extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`). */
+/** Session extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * the range-join optimizer rule plus SQL registration of every custom
+  * kernel expression ([[graft.functions.GraftFunctions]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+    graft.functions.GraftFunctions.registrations.foreach(extensions.injectFunction)
+  }
 }
 
 object GraftExtensions {
-  /** Add the rewrite to a LIVE session (extensions classes only apply at
-    * session construction). Idempotent.
+  /** Add the rewrite + SQL kernel functions to a LIVE session (extensions
+    * classes only apply at session construction). Idempotent.
     */
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations = existing :+ RangeJoinRewrite
+    graft.functions.GraftFunctions.registerAll(spark)
   }
 }

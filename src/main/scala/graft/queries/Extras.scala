@@ -141,7 +141,55 @@ object Extras {
             FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)""")
   )
 
+  /** MERGE INTO a partitioned parquet lake table, end to end: seed the
+    * table with odd-keyed orders partitioned by status, apply a CDC-style
+    * batch (every third key: re-priced, moved to partition 'U'; every
+    * fifteenth: deleted), read the table back. Exercises upsert, insert,
+    * delete, cross-partition moves and the partition-pruned rewrite of
+    * [[graft.sources.LakeMerge]]; the oracle recomputes the merged state
+    * relationally (anti-join survivors ∪ surviving updates).
+    */
+  val q65MergeUpsert: QueryDef = QueryDef(
+    "q65_merge_upsert",
+    (s, dir) => {
+      val orders = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q65").resolve("orders_lake").toString
+      orders
+        .filter(col("o_orderkey") % 2 === 1)
+        .write.partitionBy("o_orderstatus").parquet(path)
+      val updates = orders
+        .filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("is_delete", col("o_orderkey") % 15 === 0)
+      graft.sources.LakeMerge.mergeInto(
+        s, path, updates,
+        keyCols = Seq("o_orderkey"),
+        partitionCols = Seq("o_orderstatus"),
+        deleteCol = Some("is_delete"))
+      s.read.parquet(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 2 = 1
+            ), upd AS (
+              SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice,
+                     'U' AS o_orderstatus, (o_orderkey % 15 = 0) AS del
+              FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM upd WHERE NOT del
+            UNION ALL
+            SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+            FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q41Json, q42Sketch, q43SaltedAgg, q44StreamDedup, q45StreamNeardup,
-      q60QualityChecks)
+      q60QualityChecks, q65MergeUpsert)
 }

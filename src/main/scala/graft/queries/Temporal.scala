@@ -281,8 +281,28 @@ object Temporal {
             GROUP BY 1""")
   )
 
+  /** STREAM-STREAM inner join with watermark-bounded state: purchases
+    * attributed to same-user clicks in the preceding 30 minutes, run as a
+    * real Structured Streaming query over two bounded replays (see
+    * [[graft.streaming.StreamingOps.clickPurchaseAttribution]]); the
+    * oracle is the equivalent batch θ-join.
+    */
+  val q66StreamStreamJoin: QueryDef = QueryDef(
+    "q66_stream_stream_join",
+    (s, dir) => graft.streaming.StreamingOps.runClickPurchaseAttribution(s, dir),
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+                   p.value AS purchase_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
-    q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap
+    q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap,
+    q66StreamStreamJoin
   )
 }

@@ -172,4 +172,74 @@ object StreamingOps {
     try body
     finally spark.conf.set(key, prev)
   }
+
+  /** STREAM-STREAM inner join with event-time range bounds: every purchase
+    * matched to the same user's click events in the preceding
+    * `windowMinutes` (inclusive both ends) — the funnel-attribution /
+    * conversion-tracking shape.
+    *
+    * Both sides carry a watermark and the join condition bounds
+    * `purchase_ts` relative to `click_ts`, which is exactly what Spark's
+    * stream-stream join needs to BOUND STATE: a buffered click can be
+    * evicted once the purchase-side watermark passes
+    * `click_ts + windowMinutes`, so at 100 TB/day the state store holds
+    * one window's worth of clicks per user, not the stream's history.
+    * Inner-join matches emit as they are found (append mode) — only state
+    * EVICTION waits for the watermark, so a bounded replay drains
+    * completely.
+    */
+  def clickPurchaseAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val c = clicks
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(
+        p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "inner")
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("purchase_value"))
+  }
+
+  /** Run the attribution join over two independent bounded replays of the
+    * events table and return the drained match set.
+    */
+  def runClickPurchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = clickPurchaseAttribution(
+      eventsStream(spark, sfDir).filter(col("event_type") === "click"),
+      eventsStream(spark, sfDir).filter(col("event_type") === "purchase"))
+    val name = s"stream_attr_${System.nanoTime()}"
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
 }

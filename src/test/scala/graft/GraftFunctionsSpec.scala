@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.plans.GraftExtensions
+
+/** The SQL surface of the custom kernels: after [[GraftExtensions.install]]
+  * every kernel is callable from `spark.sql`, produces the same values as
+  * its DataFrame/expression form, and rejects non-literal static
+  * parameters at analysis time.
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftExtensions.install(s)
+    s
+  }
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox jumps over the lazy cat"),
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("rolling_hash64 in SQL: default base, explicit base, parity with expression form") {
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = spark
+      .sql("SELECT id, rolling_hash64(text) AS h, rolling_hash64(text, 31) AS h31 FROM gf_docs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // independent reimplementation of the fold, straight over UTF-8 bytes
+    def roll(s: String, base: Long): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * base + (b & 0xff))
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), roll(r.getString(1), 1000003L), roll(r.getString(1), 31L)))
+      .sortBy(_._1)
+    assert(viaSql.toSeq == expected.toSeq)
+    assert(viaSql.map(_._2).distinct.length == 4, "distinct texts must hash distinctly")
+  }
+
+  test("simhash64 + token_shingle_hashes + minhash_signature compose in pure SQL") {
+    docs.createOrReplaceTempView("gf_docs")
+    val sig = spark.sql(
+      """SELECT id,
+             simhash64(text) AS sh,
+             token_shingle_hashes(text, 3) AS shingles,
+             minhash_signature(token_shingle_hashes(text, 3), 16, 42) AS mh
+         FROM gf_docs WHERE text <> ''""")
+    val rows = sig.collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    // near-identical docs 1 and 3 agree on most minhash coordinates;
+    // unrelated doc 2 does not
+    val mh = rows.map(r => r.getSeq[Long](3))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(mh.forall(_.length == 16))
+    assert(agree(mh(0), mh(2)) > agree(mh(0), mh(1)))
+    // shingle parity with the registered-temp-function path used internally
+    graft.functions.TokenShingleHashes.register(spark, "tsh_ref", 3)
+    val ref = spark.sql("SELECT id, tsh_ref(text) AS s FROM gf_docs WHERE text <> ''")
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
+    assert(rows.map(_.getSeq[Long](2)).toSeq == ref.toSeq)
+  }
+
+  test("vector_cosine in SQL matches the HOF composition") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 0.25f))
+    ).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("gf_vecs")
+    val sql = spark.sql("SELECT id, vector_cosine(a, b) AS c FROM gf_vecs")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val hof = vecs.select($"id", VectorOps.cosine($"a", $"b").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    sql.zip(hof).foreach { case ((_, s), (_, h)) => assert(math.abs(s - h) < 1e-12) }
+    assert(math.abs(sql(0)._2 - 1.0) < 1e-12 && math.abs(sql(1)._2) < 1e-12)
+  }
+
+  test("static parameters must be literals — analysis-time error, not runtime") {
+    docs.createOrReplaceTempView("gf_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_signature(token_shingle_hashes(text, 3), id, 42) FROM gf_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("num_perm"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT token_shingle_hashes(text) FROM gf_docs").collect()
+    }
+    assert(e2.getMessage.contains("token_shingle_hashes"))
+  }
+}

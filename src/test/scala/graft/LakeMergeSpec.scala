@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.LakeMerge
+
+/** MERGE INTO semantics over a plain parquet lake table: upsert, insert,
+  * delete, cross-partition moves, emptied-partition removal — and the
+  * scale property that untouched partitions' files are not rewritten.
+  */
+class LakeMergeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_merge").resolve("t").toString
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "status", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("unpartitioned: update + insert + delete in one merge") {
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "status", "v").write.parquet(path)
+    val updates = Seq(
+      (2L, "a", 20.0, false), // update
+      (4L, "b", 4.0, false), // insert
+      (3L, "b", 0.0, true) // delete
+    ).toDF("k", "status", "v", "is_delete")
+    LakeMerge.mergeInto(spark, path, updates, Seq("k"), deleteCol = Some("is_delete"))
+    assert(rowsOf(spark.read.parquet(path)) ==
+      Set((1L, "a", 1.0), (2L, "a", 20.0), (4L, "b", 4.0)))
+  }
+
+  test("partitioned: cross-partition move, emptied partition removed, untouched files intact") {
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "c", 4.0))
+      .toDF("k", "status", "v")
+      .write.partitionBy("status").parquet(path)
+
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$path/status=$part")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val aFilesBefore = files("a")
+    assert(aFilesBefore.nonEmpty)
+
+    val updates = Seq(
+      (2L, "c", 20.0, false), // moves b -> c; partition b becomes empty
+      (5L, "d", 5.0, false), // insert into brand-new partition d
+      (4L, "c", 0.0, true) // delete in c
+    ).toDF("k", "status", "v", "is_delete")
+    LakeMerge.mergeInto(spark, path, updates, Seq("k"),
+      partitionCols = Seq("status"), deleteCol = Some("is_delete"))
+
+    assert(rowsOf(spark.read.parquet(path)) ==
+      Set((1L, "a", 1.0), (2L, "c", 20.0), (3L, "c", 3.0), (5L, "d", 5.0)))
+    // the emptied source partition is gone entirely
+    assert(files("b").isEmpty)
+    assert(!new java.io.File(s"$path/status=b").exists())
+    // untouched partition a: same physical files, byte-for-byte no rewrite
+    assert(files("a") == aFilesBefore)
+  }
+
+  test("merge with no matching partitions still inserts; second merge is idempotent on keys") {
+    val path = tmp()
+    Seq((1L, "a", 1.0)).toDF("k", "status", "v")
+      .write.partitionBy("status").parquet(path)
+    val ins = Seq((2L, "z", 2.0)).toDF("k", "status", "v")
+    LakeMerge.mergeInto(spark, path, ins, Seq("k"), partitionCols = Seq("status"))
+    LakeMerge.mergeInto(spark, path, ins, Seq("k"), partitionCols = Seq("status"))
+    assert(rowsOf(spark.read.parquet(path)) == Set((1L, "a", 1.0), (2L, "z", 2.0)))
+  }
+
+  test("compact collapses small files per partition without changing content") {
+    val path = tmp()
+    val df = spark.range(200)
+      .select($"id".as("k"),
+        (when($"id" % 2 === 0, "even").otherwise("odd")).as("status"),
+        ($"id" * 1.5).as("v"))
+    // fragment: 8 writer tasks per partition directory
+    df.repartition(8).write.partitionBy("status").parquet(path)
+    def fileCount(part: String): Int =
+      new java.io.File(s"$path/status=$part")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount("even") > 1)
+    val before = rowsOf(spark.read.parquet(path))
+    LakeMerge.compact(spark, path, partitionCols = Seq("status"))
+    assert(fileCount("even") == 1 && fileCount("odd") == 1)
+    assert(rowsOf(spark.read.parquet(path)) == before)
+  }
+
+  test("compact unpartitioned to a target file count") {
+    val path = tmp()
+    spark.range(100).select($"id".as("k"), lit("x").as("status"), ($"id" * 1.0).as("v"))
+      .repartition(16).write.parquet(path)
+    val before = rowsOf(spark.read.parquet(path))
+    LakeMerge.compact(spark, path, numFiles = 2)
+    val n = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n == 2)
+    assert(rowsOf(spark.read.parquet(path)) == before)
+  }
+}
