@@ -270,6 +270,96 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path next to [[connectedComponents]]: min-label
+    * propagation needs O(component diameter) rounds (a 10⁶-node chain of
+    * pairwise near-dups = 10⁶ shuffles), star contraction converges in
+    * O(log n) rounds on any topology.
+    *
+    *   - large-star: per node u over its full neighborhood,
+    *     m = min(Γ(u) ∪ {u}); every LARGER neighbor re-attaches to m.
+    *   - small-star: edges oriented large→small; per node u,
+    *     every smaller neighbor (and u itself) attaches to the minimum.
+    *
+    * Each round is two self-describing shuffles (groupBy min + equi-join
+    * back), no driver-side state; a (count, hash-sum) signature detects
+    * the fixpoint — if a full round leaves the edge set identical, every
+    * further round does too (both operators are deterministic functions
+    * of the set). At convergence the edge set IS the star forest
+    * node → component-min.
+    *
+    * Output schema matches [[connectedComponents]]: (doc_id, cluster_rep),
+    * one row per node that appears in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val nodes = pairs
+      .select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc")))
+      .distinct()
+      .cache()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym
+        .groupBy("u")
+        .agg(min(col("v")).as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      // every group key u has at least one smaller neighbor, so the
+      // neighborhood minimum is already < u
+      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      oriented
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // (cardinality, hash-sum) set signature; decimal(38,0) sum cannot
+    // overflow and is order-insensitive
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+      ).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    // At the fixpoint every edge points node → component minimum; roots
+    // (the minima) have no outgoing edge and label themselves.
+    val out = nodes
+      .join(edges.select(col("u").as("doc"), col("v").as("star_rep")), Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), coalesce(col("star_rep"), col("doc")).as("cluster_rep"))
+    nodes.unpersist()
+    out
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** MinHash band signatures: all `numPerm` permutation minima computed

@@ -63,4 +63,31 @@ object Sampling {
       salt: String = "v1"
   ): DataFrame =
     df.filter(hashBucket(col(idCol), 1000, salt) < perMille)
+
+  /** STRATIFIED deterministic sampling: each stratum value keeps its own
+    * per-mille rate (strata absent from the map keep `defaultPerMille`).
+    * The curation move behind corpus rebalancing — e.g. downsample the
+    * dominant language, keep all of a rare one — with the same
+    * stability guarantees as [[deterministicSample]]: the rate lookup
+    * compiles to a row-local CASE (no join, no shuffle, null stratum →
+    * default rate), so rebalancing a 100 TB corpus is a pure scan-side
+    * filter.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      perMilleByStratum: Map[String, Int],
+      defaultPerMille: Int = 1000,
+      salt: String = "v1"
+  ): DataFrame = {
+    require((defaultPerMille +: perMilleByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "per-mille rates must be in [0, 1000]")
+    // deterministic iteration order so the generated CASE is stable
+    val threshold = perMilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol), 1000, salt) < threshold)
+  }
 }

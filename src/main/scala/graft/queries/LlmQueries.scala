@@ -538,11 +538,46 @@ object LlmQueries {
             FROM c GROUP BY 1""")
   )
 
+  /** Corpus rebalancing by STRATIFIED deterministic sampling: per-language
+    * keep rates (downsample dominant en to 40%, keep rarer langs at
+    * 80-100%) as a row-local hash filter — no shuffle, stable under
+    * reprocessing. The oracle pins exact membership via the md5-bucket
+    * parity of q59.
+    */
+  val q67StratifiedSample: QueryDef = QueryDef(
+    "q67_stratified_sample",
+    (s, dir) => {
+      graft.operators.Sampling
+        .stratifiedSample(
+          Tables.documents(s, dir),
+          strataCol = "lang",
+          idCol = "doc_id",
+          perMilleByStratum = Map("en" -> 400, "de" -> 800, "zh" -> 1000),
+          defaultPerMille = 600)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+    },
+    Some("""SELECT lang, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))
+                          AS BIGINT) % 1000 AS b
+              FROM documents)
+            WHERE b < (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800
+                       WHEN 'zh' THEN 1000 ELSE 600 END)
+            GROUP BY lang""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinhashLsh, q27SimhashPairs, q28NgramJaccard,
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
     q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
-    q59HashSplit, q61Packing, q62Decontam, q63Repetition
+    q59HashSplit, q61Packing, q62Decontam, q63Repetition, q67StratifiedSample
   )
 }

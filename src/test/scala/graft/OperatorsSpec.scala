@@ -139,6 +139,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star components ≡ union-find, including a 512-node chain (O(log n) rounds)") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new scala.util.Random(31)
+    val randomPairs = (0 until 80).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val clique = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i + 100L, j + 100L)
+    // a 512-node chain has diameter 511: min-label propagation would need
+    // ~511 rounds; star contraction finishes this in a handful — running
+    // it at all inside a unit test is the O(log n) demonstration
+    val chain = (0L until 511L).map(i => (i, i + 1))
+    for (pairs <- Seq(randomPairs, clique.toSeq, chain)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponentsStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"pairs=${pairs.take(5)}...")
+    }
+    // parity with the propagation variant on the random graph
+    val df = randomPairs.toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("hash split: stable under repartitioning and corpus growth; fractions sane; salts independent") {
     val base = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
@@ -161,6 +197,29 @@ class OperatorsSpec extends AnyFunSuite {
     val s2 = Sampling.deterministicSample(grown, "doc_id", 100).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(s1.subsetOf(s2) && math.abs(s1.size / 2000.0 - 0.1) < 0.03)
+  }
+
+  test("stratified sample: per-stratum rates honored, default applied, membership stable") {
+    val docs = (0L until 3000L)
+      .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 200, "de" -> 800)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.stratifiedSample(df, "lang", "doc_id", rates, defaultPerMille = 500)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k = kept(docs)
+    // ~1000 docs per stratum; rates should land near 20% / 80% / 50%
+    def frac(lang: String, m: Long => Boolean): Double =
+      k.count(m).toDouble / 1000.0
+    assert(math.abs(frac("en", _ % 3 == 0) - 0.2) < 0.05)
+    assert(math.abs(frac("de", _ % 3 == 1) - 0.8) < 0.05)
+    assert(math.abs(frac("fr", _ % 3 == 2) - 0.5) < 0.05)
+    assert(kept(docs.repartition(17)) == k, "repartitioning changed membership")
+    // a kept en-doc stays kept when its stratum's rate only increases
+    val up = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 600),
+        defaultPerMille = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k.filter(_ % 3 == 0).subsetOf(up))
   }
 
   test("quality checks: null rows violate, all row rules share one scan") {
