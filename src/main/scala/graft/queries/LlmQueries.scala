@@ -411,6 +411,24 @@ object LlmQueries {
             GROUP BY 1""")
   )
 
+  /** Same clusters as q58, computed by the LARGE-STAR/SMALL-STAR
+    * contraction ([[Dedup.connectedComponentsStar]], O(log n) rounds —
+    * the variant a 100 TB dedup with deep duplicate chains needs) against
+    * the same recursive-CTE oracle: both component algorithms are now
+    * oracle-checked, not just parity-checked against each other.
+    */
+  val q69DedupClustersStar: QueryDef = QueryDef(
+    "q69_dedup_clusters_star",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
+      Dedup
+        .connectedComponentsStar(pairs)
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+    },
+    q58DedupClusters.oracle
+  )
+
   /** Top-3 characteristic terms per document by TF-IDF, integer-only rank
     * order (tf desc, rare-first df, word) so both engines rank
     * identically; the tfidf payload mirrors the engine's double rounding
@@ -578,6 +596,7 @@ object LlmQueries {
     q29EmbedNeardup, q30AnnBrute, q31AnnLsh, q32TextQuality, q33TokenCount,
     q34LangId, q35Fingerprint, q36MultimodalMeta, q37EmbeddingStats, q46AnnIvf,
     q47FrameSample, q53CorpusPrep, q55Vocab, q56TfidfTop, q58DedupClusters,
-    q59HashSplit, q61Packing, q62Decontam, q63Repetition, q67StratifiedSample
+    q59HashSplit, q61Packing, q62Decontam, q63Repetition, q67StratifiedSample,
+    q69DedupClustersStar
   )
 }

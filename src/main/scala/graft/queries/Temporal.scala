@@ -300,9 +300,20 @@ object Temporal {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")
   )
 
+  /** Per-user session windows as a STREAMING stateful aggregation (merging
+    * session state, append mode, sentinel-flushed bounded replay — see
+    * [[graft.streaming.StreamingOps.sessionAgg]]). Same oracle as the
+    * batch q48: the drained result is row-identical.
+    */
+  val q68StreamSession: QueryDef = QueryDef(
+    "q68_stream_session",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingSessionAgg(s, dir),
+    q48SessionWindow.oracle
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
     q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap,
-    q66StreamStreamJoin
+    q66StreamStreamJoin, q68StreamSession
   )
 }

@@ -173,6 +173,68 @@ object StreamingOps {
     finally spark.conf.set(key, prev)
   }
 
+  /** Streaming SESSION WINDOWS: per-user 30-minute-gap sessions maintained
+    * as merging state (Spark's session_window aggregation unions adjacent
+    * windows as events arrive — state per OPEN session, not per event).
+    *
+    * Append output mode is the scale-correct choice (complete mode would
+    * re-emit every closed session each batch), but append only emits a
+    * session once the watermark passes its close; on a BOUNDED replay the
+    * watermark stalls `delay` short of max event time, pinning the last
+    * sessions open forever. The drain therefore unions a far-future
+    * SENTINEL row from a side directory: after the batch containing it,
+    * the watermark jumps past every real session and the trailing no-data
+    * micro-batch (`noDataMicroBatches`, on by default) flushes them. The
+    * sentinel's own (never-closing) session is filtered by its reserved
+    * user id. On a live unbounded stream no sentinel is needed — fresh
+    * events advance the watermark continuously; this is purely the
+    * bounded-replay flush idiom (same role as an end-of-stream marker in
+    * a Kafka replay).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 second")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        col("sum_value"))
+
+  private val SentinelUser = -1L
+
+  /** Drain the streaming session aggregation over the bounded events
+    * replay (sentinel-flushed; see [[sessionAgg]]) — row-identical to the
+    * batch q48 session_window query.
+    */
+  def runStreamingSessionAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_sentinel").resolve("data").toString
+    import spark.implicits._
+    // raw events shape: ts as nanos-since-epoch long (year ~2286)
+    Seq((-1L, 7258118400000000000L, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(sentinelDir)
+    val sentinel = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = sessionAgg(eventsStream(spark, sfDir).unionByName(sentinel))
+    val name = s"stream_session_${System.nanoTime()}"
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).filter(col("user_id") =!= SentinelUser)
+  }
+
   /** STREAM-STREAM inner join with event-time range bounds: every purchase
     * matched to the same user's click events in the preceding
     * `windowMinutes` (inclusive both ends) — the funnel-attribution /
