@@ -149,17 +149,42 @@ object Extras {
     * [[graft.sources.LakeMerge]]; the oracle recomputes the merged state
     * relationally (anti-join survivors ∪ surviving updates).
     */
+  /** Seed table staged ONCE per (JVM, sf dir) and file-copied into a fresh
+    * location per run: the query measures MERGE INTO an existing lake
+    * table, and each run must mutate its own copy — rebuilding the seed
+    * through a Spark write every run would bill fixture setup to the
+    * merge. Plain recursive file copy (no JVM parquet encode).
+    */
+  private val q65Seeds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    val it = java.nio.file.Files.walk(from).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val dest = to.resolve(from.relativize(p).toString)
+      if (F.isDirectory(p)) F.createDirectories(dest)
+      else { F.createDirectories(dest.getParent); F.copy(p, dest) }
+    }
+  }
+
   val q65MergeUpsert: QueryDef = QueryDef(
     "q65_merge_upsert",
     (s, dir) => {
       val orders = Tables
         .orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val seed = q65Seeds.computeIfAbsent(dir, { d =>
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_q65_seed").resolve("orders_lake").toString
+        orders
+          .filter(col("o_orderkey") % 2 === 1)
+          .write.partitionBy("o_orderstatus").parquet(p)
+        p
+      })
       val path = java.nio.file.Files
         .createTempDirectory("graft_q65").resolve("orders_lake").toString
-      orders
-        .filter(col("o_orderkey") % 2 === 1)
-        .write.partitionBy("o_orderstatus").parquet(path)
+      copyTree(java.nio.file.Paths.get(seed), java.nio.file.Paths.get(path))
       val updates = orders
         .filter(col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))

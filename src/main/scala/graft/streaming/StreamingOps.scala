@@ -191,9 +191,17 @@ object StreamingOps {
     * bounded-replay flush idiom (same role as an end-of-stream marker in
     * a Kafka replay).
     */
-  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      // late tolerance: on a live stream this is how far out-of-order an
+      // event may arrive and still extend its session; a bounded replay's
+      // sentinel (year 2200) out-jumps any sane delay, so the flush idiom
+      // is unaffected by the setting
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
     events
-      .withWatermark("ts", "1 second")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(
