@@ -164,4 +164,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.split("BroadcastNestedLoopJoin").last.contains("Exchange hashpartitioning"),
       "corpus shuffled before scoring")
   }
+
+  test("q67 stratified sample is a pure scan-side filter: one exchange (the final agg)") {
+    val plan = planOf(SparkEntry.queries("q67_stratified_sample")(spark, sfDir))
+    // the per-stratum rate CASE + hash filter must not introduce a join
+    // or extra shuffle — rebalancing must stay a map-side operation
+    assert(!plan.contains("Join"), "stratified rate lookup became a join")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected only the final agg shuffle, got $exchanges:\n$plan")
+  }
 }
