@@ -107,6 +107,53 @@ object LakeMerge {
     }
   }
 
+  /** CDC APPLY: drain a stream of change rows into the lake table, one
+    * MERGE per micro-batch (`foreachBatch` — the standard lake-upsert
+    * sink shape). Batches apply in order, so a later batch's version of a
+    * key wins; within a batch, `sequenceCol` (a CDC log offset /
+    * change timestamp) picks the latest version per key — without it the
+    * caller must guarantee per-batch key uniqueness (MERGE's usual
+    * precondition).
+    *
+    * Delivery is at-least-once (foreachBatch's contract): safe here
+    * because replaying a batch re-merges the SAME key versions — upserts
+    * overwrite with identical rows, deletes of absent keys are no-ops —
+    * so the table converges. The file-source checkpoint in
+    * `checkpoint` confines replays to the interrupted batch.
+    */
+  def streamMergeToLake(
+      updates: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil,
+      deleteCol: Option[String] = None,
+      sequenceCol: Option[String] = None
+  ): Unit = {
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val versioned = sequenceCol.fold(batch.toDF()) { sc =>
+          // latest change per key within the batch (CDC compaction)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(sc).desc)
+          batch.toDF()
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", sc)
+        }
+        if (!versioned.isEmpty) {
+          mergeInto(batch.sparkSession, path, versioned, keyCols, partitionCols, deleteCol)
+        }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Rewrite a table in place with small-file compaction: each partition's
     * rows are collapsed into the fewest files (capped by
     * `maxRecordsPerFile`), the defrag counterpart of a streaming or
