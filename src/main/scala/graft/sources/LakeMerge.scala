@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * a status change on a status-partitioned table): the old partition is
   * rewritten without the row, the new one with it. Partitions left EMPTY
   * by the merge are removed explicitly (dynamic overwrite only replaces
-  * partitions it writes). The merged slice is persisted across (written-
-  * partition listing + write) so the rewrite is one pass over the touched
-  * slice, not two.
+  * partitions it writes). The merged slice is made DURABLE in a staging
+  * directory before the overwrite begins — the overwrite replaces the
+  * very files the slice was computed from, so its source must not be a
+  * recomputable lineage over them.
   *
   * A plain-parquet table has no transaction log, so the swap is not
   * atomic the way a table format's metadata commit is: a reader
@@ -75,24 +76,40 @@ object LakeMerge {
       val slice = existing.filter(partitionFilter(partitionCols, touchedParts))
       val mergedSlice = upserts
         .unionByName(slice.join(touchedKeys, keyCols, "left_anti"))
-        .persist()
+      // The merged slice must be DURABLE before the overwrite starts: it
+      // reads the very files the overwrite replaces, and sourcing the
+      // write from a persist()ed plan leaves a recompute-after-cache-loss
+      // path that would re-read mid-overwrite files on a real cluster.
+      // One flat staging write of the touched slice (partition values
+      // stay as data columns) severs that lineage completely.
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(path + s"__merge_staging_${System.nanoTime()}")
+      mergedSlice.write.parquet(staging.toString)
       try {
-        val writtenParts = mergedSlice
-          .select(partitionCols.map(col): _*)
-          .distinct()
-          .collect()
-          .map(_.toSeq)
-          .toSet
-        withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-          mergedSlice.write
-            .mode("overwrite")
-            .partitionBy(partitionCols: _*)
-            .parquet(path)
-        }
+        // an all-deletes merge can leave the slice empty; parquet writes
+        // no readable footer for an empty frame, so short-circuit
+        val hasData = fs.listStatus(staging)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        val writtenParts: Set[Seq[Any]] =
+          if (!hasData) Set.empty
+          else {
+            val staged = spark.read.parquet(staging.toString)
+            withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+              staged.write
+                .mode("overwrite")
+                .partitionBy(partitionCols: _*)
+                .parquet(path)
+            }
+            staged
+              .select(partitionCols.map(col): _*)
+              .distinct()
+              .collect()
+              .map(_.toSeq)
+              .toSet
+          }
         // A partition whose every row was deleted or moved away is written
         // zero rows — dynamic overwrite leaves its old files in place, so
         // drop the directory itself.
-        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         touchedParts
           .filterNot(r => writtenParts.contains(r.toSeq))
           .foreach { r =>
@@ -102,7 +119,7 @@ object LakeMerge {
             fs.delete(new Path(path, dir), true)
           }
       } finally {
-        mergedSlice.unpersist()
+        fs.delete(staging, true)
       }
     }
   }

@@ -79,6 +79,22 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(rowsOf(spark.read.parquet(path)) == Set((1L, "a", 1.0), (2L, "z", 2.0)))
   }
 
+  test("all-deletes merge: empty merged slice, every touched partition directory removed") {
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "status", "v").write.partitionBy("status").parquet(path)
+    val deletes = Seq((1L, "a", 0.0, true), (2L, "a", 0.0, true))
+      .toDF("k", "status", "v", "is_delete")
+    LakeMerge.mergeInto(spark, path, deletes, Seq("k"),
+      partitionCols = Seq("status"), deleteCol = Some("is_delete"))
+    assert(!new java.io.File(s"$path/status=a").exists(), "emptied partition a not removed")
+    assert(rowsOf(spark.read.parquet(path)) == Set((3L, "b", 3.0)))
+    // no staging debris left behind
+    val parent = new java.io.File(path).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__merge_staging")),
+      "staging dir not cleaned up")
+  }
+
   test("compact collapses small files per partition without changing content") {
     val path = tmp()
     val df = spark.range(200)
