@@ -38,7 +38,11 @@ object Bench {
       System.gc()
     }
 
+    // SPARK_GRAFT_ONLY=q1_agg,q66_... : time a subset (iteration tool;
+    // the driver never sets it, so the full catalogue runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // Warmup pass (untimed).
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()

@@ -296,11 +296,17 @@ object StreamingOps {
     * events table and return the drained match set.
     */
   def runClickPurchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE source, two filtered branches: a streaming self-join tracks a
+    // single file source (one listing + one offset log) instead of two
+    val events = eventsStream(spark, sfDir)
     val joined = clickPurchaseAttribution(
-      eventsStream(spark, sfDir).filter(col("event_type") === "click"),
-      eventsStream(spark, sfDir).filter(col("event_type") === "purchase"))
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
     val name = s"stream_attr_${System.nanoTime()}"
-    withStatePartitions(spark) {
+    // a stream-stream join keeps FOUR state stores per partition (two per
+    // side); at this keyspace fewer, fatter state partitions beat the
+    // default — per-store open/commit is the floor, not the join work
+    withStatePartitions(spark, 4) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
