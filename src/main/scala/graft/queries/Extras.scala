@@ -49,7 +49,10 @@ object Extras {
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          // heavy hitters: count-min-style top-k sketch (merge-able, like
+          // the HLL next to it — the lake-scale frequent-items primitive)
+          expr("approx_top_k(l_returnflag, 3)").as("top_flags")
         )
     },
     None

@@ -35,6 +35,17 @@ class ExtrasSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.1)
   }
 
+  test("approx_top_k heavy hitters are EXACT on a small domain (sketch capacity > cardinality)") {
+    val row = SparkEntry.queries("q42_sketch")(spark, sfDir).collect()(0)
+    val got = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_flags")
+      .map(r => r.getString(0) -> r.getLong(1))
+    val exact = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (k, n) => (-n, k) }.take(3)
+    assert(got.toSeq == exact.toSeq, s"got $got expected ${exact.toSeq}")
+  }
+
   test("HLL sketches MERGE losslessly: union of per-shard sketches ≡ whole-corpus sketch") {
     // The property that makes sketches work at lake scale: build one
     // sketch per partition/shard/day, union the binaries, and the
