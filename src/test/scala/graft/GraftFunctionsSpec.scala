@@ -83,6 +83,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sql(0)._2 - 1.0) < 1e-12 && math.abs(sql(1)._2) < 1e-12)
   }
 
+  test("the spark.sql.extensions class path registers the kernels (fresh SessionState)") {
+    // newSession() builds a FRESH SessionState (empty temp registry) from
+    // the session's extensions: if the kernels resolve there, they came
+    // through GraftExtensions.injectFunction — the production
+    // `--conf spark.sql.extensions` wiring (SparkTestSession sets it) —
+    // not through this suite's registerAll on the base session.
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      """SELECT simhash64('a b c') AS sh,
+             rolling_hash64('abc') AS rh,
+             size(token_shingle_hashes('a b c d', 2)) AS n""").head()
+    assert(r.getInt(2) == 3)
+    // and DESCRIBE FUNCTION knows them (ExpressionInfo registered)
+    val desc = s2.sql("DESCRIBE FUNCTION simhash64").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("simhash64"))
+  }
+
   test("static parameters must be literals — analysis-time error, not runtime") {
     docs.createOrReplaceTempView("gf_docs")
     val e = intercept[AnalysisException] {

@@ -9,6 +9,10 @@ object SparkTestSession {
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      // the PRODUCTION wiring: optimizer rule + SQL kernel functions come
+      // in through the extensions class, so every suite runs the same
+      // session shape a cluster deployment configures
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
