@@ -311,9 +311,27 @@ object Temporal {
     q48SessionWindow.oracle
   )
 
+  /** Per-user running totals on the MODERN arbitrary-state API
+    * (`transformWithState`, RocksDB-backed ValueState — see
+    * [[graft.streaming.StatefulCounter]]): the final emission per user
+    * over the bounded replay equals the batch per-user aggregate, which
+    * is the oracle.
+    */
+  val q70StatefulTotals: QueryDef = QueryDef(
+    "q70_stateful_totals",
+    (s, dir) => graft.streaming.StatefulCounter.run(s, dir)
+      .select(
+        col("user_id"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value")),
+    Some("""SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
     q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap,
-    q66StreamStreamJoin, q68StreamSession
+    q66StreamStreamJoin, q68StreamSession, q70StatefulTotals
   )
 }

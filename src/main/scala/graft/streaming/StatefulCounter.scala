@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Per-user running totals on the modern arbitrary-state API
+  * (`transformWithState`, Spark 4) — the successor to
+  * `flatMapGroupsWithState` that [[StreamingSim]] uses: typed per-key
+  * state handles (value/list/map) with optional TTL, timers, and a
+  * RocksDB-backed store. This operator is the minimal production shape:
+  * one `ValueState` per user accumulating (event count, value sum),
+  * emitting the updated totals every time the user appears in a batch —
+  * the continuously-maintained per-entity aggregate behind rate limiting,
+  * spend caps, and per-user quality accounting.
+  *
+  * State is per-key and incremental: a batch touches only the users it
+  * contains, so at 100 TB/day the store holds one small record per ACTIVE
+  * user, not the stream. transformWithState requires the RocksDB state
+  * store provider (scoped to the query here).
+  */
+object StatefulCounter {
+
+  final case class EventIn(user_id: Long, value: Double)
+  final case class Totals(user_id: Long, n_events: Long, total_value: Double)
+
+  class Processor extends StatefulProcessor[Long, EventIn, Totals] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[EventIn],
+        timerValues: TimerValues
+    ): Iterator[Totals] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator(Totals(key, n, sum))
+    }
+  }
+
+  /** The streaming transform: keyed by user, update-mode emissions. */
+  def runningTotals(events: DataFrame): org.apache.spark.sql.Dataset[Totals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Drain the bounded events replay; the LAST emission per user is the
+    * final running total. RocksDB provider scoped to this query.
+    */
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"tws_totals_${System.nanoTime()}"
+      StreamingOps.withStatePartitions(spark) {
+        val q = runningTotals(StreamingOps.eventsStream(spark, sfDir))
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      // keep the final emission per user (running count is monotonic)
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("t"))
+        .select(col("user_id"), col("t.n_events"), col("t.total_value"))
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+}
