@@ -293,11 +293,11 @@ object Dedup {
     * one row per node that appears in `pairs`.
     */
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    // consumed once (the final labeling join) — no cache
     val nodes = pairs
       .select(col("doc_a").as("doc"))
       .union(pairs.select(col("doc_b").as("doc")))
       .distinct()
-      .cache()
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -353,11 +353,9 @@ object Dedup {
     }
     // At the fixpoint every edge points node → component minimum; roots
     // (the minima) have no outgoing edge and label themselves.
-    val out = nodes
+    nodes
       .join(edges.select(col("u").as("doc"), col("v").as("star_rep")), Seq("doc"), "left")
       .select(col("doc").as("doc_id"), coalesce(col("star_rep"), col("doc")).as("cluster_rep"))
-    nodes.unpersist()
-    out
   }
 
   // -------------------------------------------------------------- MinHash
