@@ -90,4 +90,63 @@ object RequestCsv {
       )
       .as[SimRequest]
   }
+
+  /** LENIENT lake-ingest variant of the same contract: instead of failing
+    * the job on the first malformed row (the reference's interactive-CLI
+    * behavior above), parse what parses and QUARANTINE the rest — at
+    * 100 TB a single bad row must not kill an ingest, but it must not be
+    * silently dropped either (quarantines feed a dead-letter table and a
+    * [[graft.operators.Checks]] gate).
+    *
+    * Returns (clean, quarantined): `clean` carries the typed rows;
+    * `quarantined` carries the raw columns plus a `reason`. The split is
+    * one pass — the same try_-cast projection, routed by nullness — and
+    * entirely distributed (no driver-side failure probe).
+    */
+  def readLenient(spark: SparkSession, path: String): (Dataset[SimRequest], DataFrame) = {
+    val raw = spark.read
+      .option("header", "true")
+      .csv(path)
+    val required = Seq("user_id", "request_time", "processing_time")
+    val missing = required.filterNot(raw.columns.contains)
+    if (missing.nonEmpty)
+      throw CsvParseException(s"CSV is missing required column(s): ${missing.mkString(", ")}")
+
+    val tsStr = regexp_replace(col("request_time"), "Z$", "+00:00")
+    val parsed = raw.select(
+      col("user_id"),
+      col("request_time").as("raw_ts"),
+      col("processing_time").as("raw_proc"),
+      coalesce(
+        try_to_timestamp(tsStr, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        try_to_timestamp(tsStr, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        try_to_timestamp(col("request_time"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        try_to_timestamp(col("request_time"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+        try_to_timestamp(tsStr)
+      ).as("ts"),
+      expr("try_cast(processing_time AS DOUBLE)").as("proc"),
+      monotonically_increasing_id().as("seq")
+    )
+    val badTs = col("ts").isNull && col("raw_ts").isNotNull
+    val badProc = col("proc").isNull && col("raw_proc").isNotNull
+    val clean = parsed
+      .filter(!badTs && !badProc)
+      .select(
+        col("user_id").as("userId"),
+        unix_micros(col("ts")).as("requestTimeMicros"),
+        col("proc").as("processingTime"),
+        ((unix_micros(col("ts")) - lit(SimStartMicros)) / lit(1000000.0)).as("simArrivalTime"),
+        col("seq")
+      )
+      .as[SimRequest]
+    val quarantined = parsed
+      .filter(badTs || badProc)
+      .select(
+        col("user_id"),
+        col("raw_ts").as("request_time"),
+        col("raw_proc").as("processing_time"),
+        when(badTs, "malformed_timestamp").otherwise("malformed_float").as("reason")
+      )
+    (clean, quarantined)
+  }
 }

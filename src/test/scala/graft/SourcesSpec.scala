@@ -83,6 +83,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(reported.exists(n => n >= 1 && n <= 3), s"got: ${e.message}")
   }
 
+  test("lenient ingest: clean rows parse, malformed rows quarantine with a reason") {
+    val path = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.100000Z,1.0
+        |user2,not-a-timestamp,2.0
+        |user3,2023-01-01T00:00:00.300000Z,abc
+        |user4,2023-01-01T00:00:01Z,4.0
+        |""".stripMargin)
+    val (clean, quarantined) = graft.sources.RequestCsv.readLenient(spark, path)
+    assert(clean.collect().map(_.userId).toSet == Set("user1", "user4"))
+    val q = quarantined.collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[String]("reason")).toMap
+    assert(q == Map("user2" -> "malformed_timestamp", "user3" -> "malformed_float"))
+    // lenient and strict agree on fully-clean input
+    val okPath = tmpCsv(
+      """user_id,request_time,processing_time
+        |user1,2023-01-01T00:00:00.100000Z,1.0
+        |""".stripMargin)
+    val (c2, q2) = graft.sources.RequestCsv.readLenient(spark, okPath)
+    assert(q2.isEmpty)
+    assert(c2.collect().toSeq == graft.sources.RequestCsv.read(spark, okPath).collect().toSeq)
+  }
+
   test("malformed float → error (test_csv_parser.py:110-116)") {
     val path = tmpCsv(
       """user_id,request_time,processing_time
