@@ -21,20 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object LakeWriter {
 
-  /** Write `df` as a partitioned, sorted, size-bounded parquet table. */
+  /** Write `df` as a partitioned, sorted, size-bounded parquet table.
+    *
+    * `bloomFilterCols` adds a parquet BLOOM FILTER per listed column
+    * (`parquet.bloom.filter.enabled#<col>`): point lookups on a
+    * high-cardinality non-sort column (an id probe on a time-sorted
+    * table) can then skip row groups that min/max stats cannot — min/max
+    * on an unsorted id column spans nearly the full domain in every
+    * group, so only the bloom filter's membership bits prune. Costs a few
+    * KB per column per row group; worth it exactly for id-shaped probe
+    * columns, wasted on low-cardinality or sorted ones.
+    */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 1000000L
+      maxRecordsPerFile: Long = 1000000L,
+      bloomFilterCols: Seq[String] = Nil
   ): Unit = {
     val arranged = df
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-    arranged.write
+    val writer = arranged.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    val withBlooms = bloomFilterCols.foldLeft(writer)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    withBlooms
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
