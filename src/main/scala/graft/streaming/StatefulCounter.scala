@@ -45,6 +45,66 @@ object StatefulCounter {
     }
   }
 
+  // ------------------------------------------------------ timer variant
+
+  final case class Seen(user_id: Long, ts_us: Long)
+  final case class WentQuiet(user_id: Long, last_seen_us: Long)
+
+  /** EVENT-TIME TIMER processor: emits one `WentQuiet(user, last_seen)`
+    * when the watermark passes `last event + gap` — the inactivity-
+    * detection shape (session timeout, liveness alerting, abandoned-cart)
+    * that plain windowed aggregation cannot express: the OUTPUT is
+    * triggered by the ABSENCE of input. Each new event re-arms the
+    * per-key timer (delete + register — timers are per-key singletons
+    * here); when one fires, state is cleared, so a user who returns
+    * later starts a fresh quiet-watch.
+    */
+  class QuietTimer(gapUs: Long) extends StatefulProcessor[Long, Seen, WentQuiet] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "last_seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Seen],
+        timerValues: TimerValues
+    ): Iterator[WentQuiet] = {
+      val maxTs = rows.map(_.ts_us).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (maxTs > prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer((prev + gapUs) / 1000L)
+        lastSeen.update(maxTs)
+        getHandle.registerTimer((maxTs + gapUs) / 1000L) // timers are in millis
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[WentQuiet] = {
+      val last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      lastSeen.clear()
+      if (last == Long.MinValue) Iterator.empty
+      else Iterator(WentQuiet(key, last))
+    }
+  }
+
+  /** Inactivity detection over a watermarked event stream. */
+  def quietUsers(events: DataFrame, gapUs: Long): org.apache.spark.sql.Dataset[WentQuiet] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Seen]
+      .groupByKey(_.user_id)
+      .transformWithState(new QuietTimer(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** The streaming transform: keyed by user, update-mode emissions. */
   def runningTotals(events: DataFrame): org.apache.spark.sql.Dataset[Totals] = {
     val spark = events.sparkSession
