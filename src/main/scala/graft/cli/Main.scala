@@ -25,6 +25,25 @@ object Main {
       System.err.println("usage: graft.cli.Main <csv_file> [-w N] [-q M] [--fifo]")
       sys.exit(2)
     }
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-sim")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** The whole pipeline against a CALLER-OWNED session — separated from
+    * `main` so the CLI is end-to-end testable in-process (a test must not
+    * let the CLI stop the shared SparkContext).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.nonEmpty, "run() needs at least the csv path")
     val csvFile = args(0)
     def intFlag(names: Set[String]): Option[Int] =
       args.sliding(2).collectFirst {
@@ -35,17 +54,7 @@ object Main {
     val useFifo = args.contains("--fifo")
     val animation = args.contains("--animation")
 
-    val spark = SparkSession
-      .builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-sim")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    try {
+    {
       val requests =
         try RequestCsv.read(spark, csvFile)
         catch {
@@ -113,8 +122,6 @@ object Main {
       println(s"    priority: ${s.getAs[Long]("priority_queue_enqueued_total")}")
       println(s"    normal:   ${s.getAs[Long]("normal_queue_enqueued_total")}")
       println("-----------------------------\n")
-    } finally {
-      spark.stop()
     }
   }
 }
