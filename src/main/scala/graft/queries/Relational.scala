@@ -574,11 +574,42 @@ object Relational {
             GROUP BY 1""")
   )
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 lineitems
+    * per order, expressed through the SQL surface (not a window
+    * function): exercises Spark's subquery decorrelation
+    * (DecorrelateInnerQuery rewrites the per-row limit into a ranked
+    * join) end-to-end. Ties broken by line number so both engines rank
+    * identically.
+    */
+  val q71LateralTopN: QueryDef = QueryDef(
+    "q71_lateral_topn",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_q71_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_q71_orders")
+      s.sql("""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+               FROM graft_q71_orders o,
+               LATERAL (SELECT l_linenumber, l_extendedprice
+                        FROM graft_q71_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber
+                        LIMIT 2) t
+               WHERE o.o_custkey % 100 = 0""")
+    },
+    Some("""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+            FROM orders o,
+            LATERAL (SELECT l_linenumber, l_extendedprice
+                     FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber
+                     LIMIT 2) t
+            WHERE o.o_custkey % 100 = 0""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2FilterProject, q3Percentiles, q4GroupZerofill, q5TopK,
     q6JoinChain, q7AntiJoin, q8SemiJoin, q9Window, q10SetOps,
     q11Rollup, q12Cube, q13Distinct, q14Datetime, q15String,
     q16MathCase, q17RangeJoin, q18GroupingSets, q51Unpivot, q54IntervalJoin,
-    q64FullOuter
+    q64FullOuter, q71LateralTopN
   )
 }
