@@ -95,6 +95,43 @@ class LakeMergeSpec extends AnyFunSuite {
       "staging dir not cleaned up")
   }
 
+  test("property sweep: random merge sequences equal an in-memory keyed fold") {
+    val rng = new scala.util.Random(43)
+    val statuses = Array("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val path = tmp()
+      // seed table
+      var model = (0L until 40L)
+        .map(k => k -> ((statuses(rng.nextInt(3)), rng.nextInt(1000) / 10.0)))
+        .toMap
+      model.toSeq.map { case (k, (st, v)) => (k, st, v) }
+        .toDF("k", "status", "v")
+        .write.partitionBy("status").parquet(path)
+      // several random CDC batches: upserts (possibly moving partition),
+      // inserts of new keys, deletes of existing and absent keys
+      for (_ <- 1 to 4) {
+        val ops = (1 to 12).map { _ =>
+          val k = rng.nextInt(60).toLong // may or may not exist
+          val del = rng.nextInt(4) == 0
+          (k, statuses(rng.nextInt(3)), rng.nextInt(1000) / 10.0, del)
+        }
+        // one winner per key within the batch (merge precondition):
+        // keep the LAST op for duplicated keys, like a compacted CDC batch
+        val compacted = ops.groupBy(_._1).map(_._2.last).toSeq
+        LakeMerge.mergeInto(spark, path,
+          compacted.toDF("k", "status", "v", "is_delete"),
+          keyCols = Seq("k"), partitionCols = Seq("status"),
+          deleteCol = Some("is_delete"))
+        compacted.foreach { case (k, st, v, del) =>
+          model = if (del) model - k else model + (k -> ((st, v)))
+        }
+      }
+      val got = rowsOf(spark.read.parquet(path))
+      val want = model.map { case (k, (st, v)) => (k, st, v) }.toSet
+      assert(got == want, s"trial $trial diverged: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("compact collapses small files per partition without changing content") {
     val path = tmp()
     val df = spark.range(200)
