@@ -1,8 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SqlBridge
+
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** As-of join: for each left row, attach the most recent right row with
   * `right.time <= left.time` on the same key.
@@ -86,5 +91,67 @@ object AsOfJoin {
       leftCols.map(col) ++
         rightValueCols.map { case (_, a) => col(s"__asof.$a").as(a) }: _*
     )
+  }
+
+  /** The same as-of semantics through the engine's first-class physical
+    * operator ([[graft.plans.AsOfJoinExec]] — preference (c): custom
+    * LogicalPlan + SparkStrategy + SparkPlan): one hash exchange per side,
+    * local (key, time) sorts, then a single-pass per-partition merge with
+    * O(1) state. Differentially tested against [[asOf]] and the q24
+    * DuckDB oracle.
+    *
+    * Parameter contract is identical to [[asOf]]; at equal right times the
+    * largest tie-break wins on both paths.
+    */
+  def asOfExec(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val spark = left.sparkSession
+    AsOfJoinStrategy.ensureRegistered(spark)
+
+    // Pre-prune the right side to (key, time, tie-breaks, values): column
+    // pruning does not see through a custom logical node, so the scan
+    // width is fixed here instead.
+    val r2 = right.select(
+      Seq(
+        col(rightKey).as("__rk"),
+        col(rightTime).cast("timestamp").as("__rt")
+      ) ++ rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }
+        ++ rightValueCols.map { case (c, a) => col(c).as(a) }: _*
+    )
+    val keyType = r2.schema("__rk").dataType
+    val l2 = left
+      .withColumn("__lk", col(leftKey).cast(keyType))
+      .withColumn("__lt", col(leftTime).cast("timestamp"))
+
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"internal as-of column $n missing")
+      )
+
+    val plan = AsOfJoinPlan(
+      lPlan,
+      rPlan,
+      leftKeys = Seq(attr(lPlan, "__lk")),
+      rightKeys = Seq(attr(rPlan, "__rk")),
+      leftTime = attr(lPlan, "__lt"),
+      rightTime = attr(rPlan, "__rt"),
+      rightTieBreaks = rightTieBreak.indices.map(i => attr(rPlan, s"__tb$i"))
+    )
+    SqlBridge
+      .ofRows(spark, plan)
+      .select(
+        left.columns.map(col).toSeq ++
+          rightValueCols.map { case (_, a) => col(a) }: _*
+      )
   }
 }

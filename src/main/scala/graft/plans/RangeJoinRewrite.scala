@@ -174,6 +174,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+    extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
     graft.functions.GraftFunctions.registrations.foreach(extensions.injectFunction)
   }
 }
@@ -186,6 +187,7 @@ object GraftExtensions {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations = existing :+ RangeJoinRewrite
+    AsOfJoinStrategy.ensureRegistered(spark)
     graft.functions.GraftFunctions.registerAll(spark)
   }
 }

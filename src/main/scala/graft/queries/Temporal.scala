@@ -72,6 +72,46 @@ object Temporal {
             ) WHERE rn = 1""")
   )
 
+  /** q24's as-of semantics through the engine's first-class physical
+    * operator ([[graft.plans.AsOfJoinExec]]: custom LogicalPlan +
+    * SparkStrategy + sort-merge SparkPlan — one hash exchange per side,
+    * local sorts, single-pass merge). Same output shape and the same
+    * DuckDB oracle as q24: the custom operator itself is hash-checked.
+    */
+  val q72AsofExec: QueryDef = QueryDef(
+    "q72_asof_exec",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables
+        .orders(s, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_orderkey"),
+          col("o_totalprice")
+        )
+      AsOfJoin
+        .asOfExec(
+          e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightValueCols = Seq(
+            "o_orderkey" -> "last_orderkey",
+            "o_totalprice" -> "last_totalprice"
+          ),
+          rightTieBreak = Seq("o_orderkey")
+        )
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_orderkey"),
+          col("last_totalprice")
+        )
+    },
+    q24AsofJoin.oracle
+  )
+
   /** The simulator hosted on Structured Streaming state
     * (flatMapGroupsWithState), one scenario per event type; summary per
     * scenario. Equal by construction to the batch fan-out q39 on a bounded
@@ -332,6 +372,6 @@ object Temporal {
   val all: Seq[QueryDef] = Seq(
     q23StreamWindow, q24AsofJoin, q40StreamSim, q48SessionWindow,
     q49SlidingWindow, q50Pivot, q52SeriesCorr, q57SessionOverlap,
-    q66StreamStreamJoin, q68StreamSession, q70StatefulTotals
+    q66StreamStreamJoin, q68StreamSession, q70StatefulTotals, q72AsofExec
   )
 }
