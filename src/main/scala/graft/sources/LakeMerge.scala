@@ -37,7 +37,22 @@ import org.apache.spark.sql.functions._
   * targets — are unaffected.
   *
   * Preconditions: partition values non-null; `updates` carries the
-  * table's full schema (plus the optional delete-flag column).
+  * table's full schema (plus the optional delete-flag column) — unless
+  * `evolveSchema` is set.
+  *
+  * Schema evolution (`evolveSchema = true`) supports column ADDITION with
+  * SQL-MERGE semantics:
+  *   - source columns absent from the table are added; existing rows read
+  *     null for them;
+  *   - table columns absent from the source keep their existing values on
+  *     matched (updated) rows and are null on inserted rows;
+  *   - overlapping columns keep the TABLE's type (source values are cast)
+  *     so file schemas stay merge-compatible; type evolution is not
+  *     supported.
+  * On a partitioned table only touched partitions are rewritten, so after
+  * an evolving merge file schemas differ across partitions — readers must
+  * use parquet's `mergeSchema` option (files without the column read null)
+  * until a [[compact]] normalizes every file to the union schema.
   */
 object LakeMerge {
 
@@ -47,14 +62,48 @@ object LakeMerge {
       updates: DataFrame,
       keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
-      deleteCol: Option[String] = None
+      deleteCol: Option[String] = None,
+      evolveSchema: Boolean = false
   ): Unit = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
-    val existing = spark.read.parquet(path)
-    val dataCols = existing.columns.toSeq
-    val upserts = deleteCol
-      .fold(updates)(d => updates.filter(!col(d)))
-      .select(dataCols.map(col): _*)
+    val existing0 = {
+      val r = spark.read
+      (if (evolveSchema) r.option("mergeSchema", "true") else r).parquet(path)
+    }
+    val tableCols = existing0.columns.toSeq
+    val srcCols = updates.columns.toSeq.filterNot(deleteCol.contains)
+    val newCols = if (evolveSchema) srcCols.filterNot(tableCols.contains) else Nil
+    val missingCols = if (evolveSchema) tableCols.filterNot(srcCols.contains) else Nil
+    if (evolveSchema) {
+      require(keyCols.forall(srcCols.contains),
+        s"evolveSchema merge: key columns ${keyCols.filterNot(srcCols.contains)} missing from updates")
+      require(partitionCols.forall(srcCols.contains),
+        s"evolveSchema merge: partition columns ${partitionCols.filterNot(srcCols.contains)} missing from updates")
+    }
+    // Union schema, table columns first — the post-merge file layout.
+    val dataCols = tableCols ++ newCols
+    // Existing rows under the union schema: added columns read null.
+    val existing = newCols.foldLeft(existing0)((df, c) =>
+      df.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+
+    val upsertRows = deleteCol.fold(updates)(d => updates.filter(!col(d)))
+    val upserts =
+      if (!evolveSchema) upsertRows.select(dataCols.map(col): _*)
+      else {
+        // Overlapping columns cast to the table's type: parquet mergeSchema
+        // does not widen, so a type drift here would poison the table.
+        val srcTyped = upsertRows.select(srcCols.map { c =>
+          if (tableCols.contains(c)) col(c).cast(existing0.schema(c).dataType).as(c)
+          else col(c)
+        }: _*)
+        if (missingCols.isEmpty) srcTyped.select(dataCols.map(col): _*)
+        else
+          // SQL MERGE: target-only columns keep their current values on
+          // matched rows (one keyed lookup), null on inserts.
+          srcTyped
+            .join(existing0.select((keyCols ++ missingCols).map(col): _*), keyCols, "left")
+            .select(dataCols.map(col): _*)
+      }
     // Every key in `updates` — upsert or delete — evicts the current row.
     val touchedKeys = updates.select(keyCols.map(col): _*).distinct()
 
@@ -145,7 +194,8 @@ object LakeMerge {
       checkpoint: String,
       partitionCols: Seq[String] = Nil,
       deleteCol: Option[String] = None,
-      sequenceCol: Option[String] = None
+      sequenceCol: Option[String] = None,
+      evolveSchema: Boolean = false
   ): Unit = {
     val q = updates.writeStream
       .outputMode("append")
@@ -163,7 +213,8 @@ object LakeMerge {
             .drop("__rn", sc)
         }
         if (!versioned.isEmpty) {
-          mergeInto(batch.sparkSession, path, versioned, keyCols, partitionCols, deleteCol)
+          mergeInto(batch.sparkSession, path, versioned, keyCols, partitionCols, deleteCol,
+            evolveSchema)
         }
       }
       .start()
@@ -175,7 +226,9 @@ object LakeMerge {
     * rows are collapsed into the fewest files (capped by
     * `maxRecordsPerFile`), the defrag counterpart of a streaming or
     * micro-batch ingest that accretes one file per trigger. Content is
-    * unchanged.
+    * unchanged. Reads with `mergeSchema`, so it doubles as the
+    * schema-normalize pass after an evolving [[mergeInto]]: every file
+    * comes out carrying the union schema.
     */
   def compact(
       spark: SparkSession,
@@ -184,7 +237,7 @@ object LakeMerge {
       maxRecordsPerFile: Long = 1000000L,
       numFiles: Int = 1
   ): Unit = {
-    val df = spark.read.parquet(path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val arranged =
       if (partitionCols.isEmpty) df.repartition(numFiles)
       // hash-cluster rows by partition key so each partition directory is

@@ -160,4 +160,63 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(n == 2)
     assert(rowsOf(spark.read.parquet(path)) == before)
   }
+
+  test("schema evolution: new source column lands; survivors read null; target-only kept on update, null on insert") {
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("k", "status", "v").write.parquet(path)
+    // updates add `tag`, and OMIT the table column `v`
+    val updates = Seq((2L, "a", "hot"), (3L, "b", "new")).toDF("k", "status", "tag")
+    LakeMerge.mergeInto(spark, path, updates, Seq("k"), evolveSchema = true)
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue),
+        Option(r.getAs[String]("tag"))))).toMap
+    assert(out(1L) == ((Some(1.0), None)))      // untouched: v kept, tag null
+    assert(out(2L) == ((Some(2.0), Some("hot")))) // updated: v PRESERVED, tag set
+    assert(out(3L) == ((None, Some("new"))))    // inserted: v null, tag set
+  }
+
+  test("schema evolution, partitioned: untouched partition keeps old files; mergeSchema read sees nulls; compact normalizes") {
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "status", "v")
+      .write.partitionBy("status").parquet(path)
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$path/status=$part")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val aBefore = files("a")
+
+    val updates = Seq((2L, "b", 20.0, "hot"), (3L, "b", 3.0, "warm"))
+      .toDF("k", "status", "v", "tag")
+    LakeMerge.mergeInto(spark, path, updates, Seq("k"),
+      partitionCols = Seq("status"), evolveSchema = true)
+
+    // the untouched partition was not rewritten — its files predate `tag`
+    assert(files("a") == aBefore)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val out = merged.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(merged.columns.indexOf("v")),
+        Option(r.getAs[String]("tag"))))).toMap
+    assert(out == Map(
+      1L -> ((1.0, None)), 2L -> ((20.0, Some("hot"))), 3L -> ((3.0, Some("warm")))))
+
+    // compact rewrites every file to the union schema: a PLAIN read (no
+    // mergeSchema) must now surface `tag` everywhere
+    LakeMerge.compact(spark, path, partitionCols = Seq("status"))
+    val plain = spark.read.parquet(path)
+    assert(plain.columns.contains("tag"))
+    assert(plain.count() == 3)
+  }
+
+  test("schema evolution: overlapping column cast to the table's type, not drifted") {
+    val path = tmp()
+    Seq((1L, "a", 1.0)).toDF("k", "status", "v").write.parquet(path)
+    // v arrives as Int — must come out Double (the table's type)
+    val updates = Seq((2, "a", 7)).toDF("k", "status", "v")
+      .select($"k".cast("long").as("k"), $"status", $"v")
+    LakeMerge.mergeInto(spark, path, updates, Seq("k"), evolveSchema = true)
+    val df = spark.read.parquet(path)
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(rowsOf(df) == Set((1L, "a", 1.0), (2L, "a", 7.0)))
+  }
 }
