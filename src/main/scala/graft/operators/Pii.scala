@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the scrub pass every training-data
+  * pipeline runs before a corpus ships: find emails / IPv4 addresses /
+  * SSN-shaped ids, replace them with typed placeholder tags, and report
+  * per-document match counts so the pipeline can quarantine PII-dense
+  * documents instead of just masking them.
+  *
+  * Row-local by construction (regexp_replace / regexp_count inside one
+  * codegen'd projection — no UDF, no shuffle): at 100 TB this runs at
+  * scan speed and composes with the quality gates in [[Checks]].
+  *
+  * Patterns deliberately use the regex subset shared by Java's engine and
+  * RE2 (character classes, bounded repetition — no backreferences or
+  * lookarounds), so the same rules are portable to other engines and an
+  * oracle can replay them.
+  */
+object Pii {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Add `n_email`, `n_ip`, `n_ssn` counts and a `redacted` text column
+    * (emails replaced first: an email's host part must not be re-matched
+    * as a bare hostname by later rules).
+    */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("n_ssn", regexp_count(t, lit(SsnRe)))
+      .withColumn(
+        "redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re,
+            "<IP>"),
+          SsnRe,
+          "<SSN>")
+      )
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GroupTopK, Pii, Winnow}
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Round-4 additions: VARIANT semi-structured access, bounded-state top-k
+  * per group, deterministic per-stratum sampling, winnowing passage
+  * overlap, PII redaction, and the left-outer stream-stream join.
+  */
+object Round4 {
+
+  /** Semi-structured access through the VARIANT type (Spark 4's
+    * parse-once binary JSON — the lake-scale answer to per-access
+    * `get_json_object` string re-parsing): `parse_json` the props column
+    * once, typed `variant_get` extraction, then a relational aggregate on
+    * the extracted value.
+    */
+  val q73Variant: QueryDef = QueryDef(
+    "q73_variant",
+    (s, dir) => {
+      Tables
+        .events(s, dir)
+        .select(
+          col("event_type"),
+          col("value"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy((col("k") % 10).cast("int").as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          round(sum(col("value")), 2).as("sum_val"))
+    },
+    Some("""SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+                   count(*) AS n,
+                   count(DISTINCT event_type) AS n_types,
+                   round(sum(value), 2) AS sum_val
+            FROM events GROUP BY 1""")
+  )
+
+  /** Top-3 orders by total price per priority class via the k-bounded
+    * aggregator ([[GroupTopK]]) — the shuffle carries groups × k structs,
+    * not the fact table; the oracle is the window-function formulation it
+    * replaces.
+    */
+  val q74TopkGroup: QueryDef = QueryDef(
+    "q74_topk_group",
+    (s, dir) => {
+      GroupTopK
+        .topKPerGroup(
+          Tables.orders(s, dir),
+          Seq("o_orderpriority"),
+          col("o_totalprice"),
+          col("o_orderkey"),
+          k = 3)
+        .select(
+          col("o_orderpriority"),
+          col("rank"),
+          col("id").as("o_orderkey"),
+          col("v").as("o_totalprice"))
+    },
+    Some("""SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) t
+            WHERE rank <= 3""")
+  )
+
+  /** Deterministic fixed-SIZE per-stratum sample (reservoir semantics
+    * without randomness): rank documents per language by an
+    * engine-independent md5 score and keep the top 20 — stable under
+    * reruns, repartitioning and corpus growth, like [[graft.operators.Sampling]]'s
+    * rate-based splits but with an exact per-stratum count. Reuses the
+    * k-bounded aggregator, so no stratum is ever fully sorted.
+    */
+  val q75GroupSample: QueryDef = QueryDef(
+    "q75_group_sample",
+    (s, dir) => {
+      val scored = Tables
+        .documents(s, dir)
+        .withColumn(
+          "__h",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("s1"))), 1, 8), 16, 10)
+            .cast("long"))
+      GroupTopK
+        .topKPerGroup(scored, Seq("lang"), col("__h"), col("doc_id"), k = 20)
+        .select(
+          col("lang"),
+          col("rank"),
+          col("id").as("doc_id"),
+          col("v").cast("long").as("h"))
+    },
+    Some("""SELECT lang, CAST(rank AS INT) AS rank, doc_id, h FROM (
+              SELECT lang, doc_id, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rank
+              FROM (
+                SELECT lang, doc_id,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))
+                            AS BIGINT) AS h
+                FROM documents) s) r
+            WHERE rank <= 20""")
+  )
+
+  /** Winnowing passage-overlap pairs (see [[Winnow]]): n=4 word shingles,
+    * w=4 selection windows, pairs sharing >= 4 rare fingerprints. The
+    * oracle rebuilds the identical fingerprint sets with DuckDB list
+    * comprehensions (shared md5 hash).
+    */
+  val q76WinnowOverlap: QueryDef = QueryDef(
+    "q76_winnow_overlap",
+    (s, dir) => Winnow.overlapPairs(Tables.documents(s, dir)),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            hs AS (SELECT doc_id,
+                     [CAST(('0x' || substring(md5(array_to_string(ts[i:i+3], ' ')), 1, 8)) AS BIGINT)
+                      FOR i IN range(1, len(ts) - 2)] AS hl
+                   FROM toks WHERE len(ts) >= 7),
+            fps AS (SELECT doc_id,
+                      list_distinct([list_min(hl[i:i+3]) FOR i IN range(1, len(hl) - 2)]) AS fp
+                    FROM hs),
+            posting AS (SELECT doc_id, unnest(fp) AS fingerprint FROM fps),
+            rare AS (SELECT fingerprint FROM posting
+                     GROUP BY fingerprint HAVING count(*) <= 64)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM posting a JOIN posting b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            WHERE a.fingerprint IN (SELECT fingerprint FROM rare)
+            GROUP BY 1, 2 HAVING count(*) >= 4""")
+  )
+
+  /** PII scrub over a corpus with deterministically injected PII (the
+    * synthetic documents carry none, so the query plants one email + one
+    * IPv4 per doc and an SSN on every third doc, then redacts and counts
+    * — both engines run the identical construction, so the oracle checks
+    * the full detect/replace arithmetic).
+    */
+  val q77PiiRedact: QueryDef = QueryDef(
+    "q77_pii_redact",
+    (s, dir) => {
+      val injected = Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+            when(col("doc_id") % 3 === 0, lit(" ssn 123-45-6789")).otherwise(lit(""))
+          ).as("text"))
+      Pii
+        .redact(injected)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast("long").as("emails"),
+          sum(col("n_ip")).cast("long").as("ips"),
+          sum(col("n_ssn")).cast("long").as("ssns"),
+          sum(length(col("redacted"))).cast("long").as("redacted_chars"))
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+                    CAST(sum(len(regexp_extract_all(t, '${Pii.EmailRe}'))) AS BIGINT) AS emails,
+                    CAST(sum(len(regexp_extract_all(t, '${Pii.Ipv4Re}'))) AS BIGINT) AS ips,
+                    CAST(sum(len(regexp_extract_all(t, '${Pii.SsnRe}'))) AS BIGINT) AS ssns,
+                    CAST(sum(length(
+                      regexp_replace(regexp_replace(regexp_replace(
+                        t, '${Pii.EmailRe}', '<EMAIL>', 'g'),
+                        '${Pii.Ipv4Re}', '<IP>', 'g'),
+                        '${Pii.SsnRe}', '<SSN>', 'g'))) AS BIGINT) AS redacted_chars
+             FROM (SELECT lang,
+                          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                               || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                               || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+                   FROM documents) d
+             GROUP BY lang""")
+  )
+
+  /** STREAM-STREAM LEFT OUTER join (watermark-proved unmatched emission —
+    * see [[graft.streaming.StreamingOps.clickPurchaseAttributionLeftOuter]]);
+    * the oracle is the equivalent batch left θ-join.
+    */
+  val q78StreamLeftOuter: QueryDef = QueryDef(
+    "q78_stream_left_outer",
+    (s, dir) => StreamingOps.runClickPurchaseAttributionLeftOuter(s, dir),
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q73Variant,
+    q74TopkGroup,
+    q75GroupSample,
+    q76WinnowOverlap,
+    q77PiiRedact,
+    q78StreamLeftOuter
+  )
+}

@@ -292,6 +292,91 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** STREAM-STREAM LEFT OUTER join, same key + event-time range condition
+    * as [[clickPurchaseAttribution]]: every click emits, matched or not —
+    * the "which impressions never converted" shape.
+    *
+    * Outer semantics force the timing difference that matters at scale:
+    * an inner match can emit the moment both rows are buffered, but a
+    * NULL-extended row can only emit once the watermark proves no
+    * matching purchase can still arrive (`click_ts + windowMinutes` has
+    * passed) — so unmatched output trails the stream by the window plus
+    * the watermark delay, and the state bound is identical to the inner
+    * join's. On a bounded replay that final proof never arrives for the
+    * tail; the runner drains it with the same far-future sentinel idiom
+    * as [[runStreamingSessionAgg]], sent through BOTH sides so both
+    * watermarks jump.
+    */
+  def clickPurchaseAttributionLeftOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val c = clicks
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(
+        p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "leftOuter")
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("purchase_value"))
+  }
+
+  /** Drain the left-outer attribution join over the bounded events replay.
+    * Sentinel rows pass both type filters (one "click", one "purchase")
+    * so each side's watermark node sees the far-future timestamp; their
+    * own output rows are filtered by the reserved user id.
+    */
+  def runClickPurchaseAttributionLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_sentinel").resolve("data").toString
+    import spark.implicits._
+    Seq(
+      (-1L, 7258118400000000000L, SentinelUser, "click", 0.0, "{}"),
+      (-2L, 7258118400000000000L, SentinelUser, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(sentinelDir)
+    val sentinel = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsStream(spark, sfDir).unionByName(sentinel)
+    val joined = clickPurchaseAttributionLeftOuter(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    val name = s"stream_attr_lo_${System.nanoTime()}"
+    withStatePartitions(spark, 4) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).filter(col("user_id") =!= SentinelUser)
+  }
+
   /** Run the attribution join over two independent bounded replays of the
     * events table and return the drained match set.
     */

@@ -90,4 +90,44 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("left outer: unmatched clicks emit exactly once with nulls, after the watermark proof") {
+    val dir = Files.createTempDirectory("graft_ssj_lo").toString
+    // f1: two clicks; f2 (later micro-batch): one matching purchase, plus a
+    // far-future sentinel pair that pushes both watermarks so the
+    // unmatched click's null row can actually emit on the bounded replay
+    Seq((1L, ts(0), 7L, "click", 0.0, "{}"), (2L, ts(5), 8L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes: the file source orders batches by them
+    val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    Seq(
+      (10L, ts(20), 7L, "purchase", 9.5, "{}"), // matches click 1
+      (-1L, far, -1L, "click", 0.0, "{}"),
+      (-2L, far, -1L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    def sideStream(typ: String) =
+      spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .filter(col("event_type") === typ)
+
+    val joined = StreamingOps.clickPurchaseAttributionLeftOuter(
+      sideStream("click"), sideStream("purchase"))
+    val name = s"ssj_lo_${System.nanoTime()}"
+    StreamingOps.withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val got = spark.table(name).filter(col("user_id") =!= -1L)
+      .select("click_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // click 1 matched (and must NOT also emit a null row); click 2 unmatched
+    assert(got == Set((1L, Some(10L)), (2L, None)))
+  }
 }
