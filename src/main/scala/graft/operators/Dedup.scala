@@ -293,10 +293,15 @@ object Dedup {
     * one row per node that appears in `pairs`.
     */
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    // Materialize the (possibly expensive — e.g. a full MinHash-LSH
+    // pipeline) pair set ONCE: both the node universe and the initial
+    // edge set derive from it, and without the checkpoint each would
+    // re-execute the whole upstream lineage.
+    val base = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
     // consumed once (the final labeling join) — no cache
-    val nodes = pairs
-      .select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc")))
+    val nodes = base
+      .select(col("u").as("doc"))
+      .union(base.select(col("v").as("doc")))
       .distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -337,8 +342,7 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    var edges = base
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
