@@ -102,6 +102,13 @@ object GraftFunctions {
       "_FUNC_(a, b) - cosine similarity of two numeric arrays (NaN when a norm is 0).") {
       case Seq(a, b) => VectorCosine(a, b)
       case args => arity("vector_cosine", args, "2")
+    },
+    make("shingle_posexplode",
+      "_FUNC_(text, n) - table function: one row per word n-shingle, (pos, shingle).") {
+      case args @ Seq(s, n) =>
+        orInvalid("shingle_posexplode", args)(
+          literalLong(n, "shingle_posexplode", "n").map(w => ShingleExplode(s, w.toInt)))
+      case args => arity("shingle_posexplode", args, "2")
     }
   )
 

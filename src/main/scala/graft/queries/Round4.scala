@@ -195,12 +195,44 @@ object Round4 {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")
   )
 
+  /** Word-trigram inverted-index statistics through the custom Generator
+    * UDTF ([[graft.functions.ShingleExplode]] — `shingle_posexplode` in a
+    * SELECT list, like built-in posexplode): per shingle, occurrences,
+    * document frequency and minimum position. The oracle rebuilds the
+    * positional shingling with a correlated range scan.
+    */
+  val q79ShingleExplode: QueryDef = QueryDef(
+    "q79_shingle_explode",
+    (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables
+        .documents(s, dir)
+        .selectExpr("doc_id", "shingle_posexplode(text, 3) AS (pos, shingle)")
+        .groupBy(col("shingle"))
+        .agg(
+          count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("pos")).as("min_pos"))
+    },
+    Some("""SELECT s.shingle AS shingle, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(min(s.pos) AS INT) AS min_pos
+            FROM (
+              SELECT doc_id,
+                     unnest([{'pos': i - 1,
+                              'shingle': array_to_string(ts[i:i+2], ' ')}
+                             FOR i IN range(1, len(ts) - 1)]) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t)
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
     q75GroupSample,
     q76WinnowOverlap,
     q77PiiRedact,
-    q78StreamLeftOuter
+    q78StreamLeftOuter,
+    q79ShingleExplode
   )
 }

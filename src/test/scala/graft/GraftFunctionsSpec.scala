@@ -112,4 +112,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("token_shingle_hashes"))
   }
+
+  test("shingle_posexplode: UDTF rows in SELECT list and LATERAL VIEW, ≡ composed form") {
+    docs.createOrReplaceTempView("gf_docs")
+    val got = spark
+      .sql("""SELECT id, s.pos, s.shingle
+              FROM gf_docs LATERAL VIEW shingle_posexplode(text, 3) s AS pos, shingle""")
+      .as[(Long, Int, String)].collect().toSet
+    // composed built-in equivalent
+    val want = spark
+      .sql("""SELECT id, posexplode(transform(sequence(0, size(split(text, ' ')) - 3),
+                i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))) AS (pos, shingle)
+              FROM gf_docs WHERE size(split(text, ' ')) >= 3""")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._3 == "the quick brown"))
+    // empty text ("" splits to one token < n): no rows, doc dropped like explode
+    assert(!got.exists(_._1 == 4L))
+    // SELECT-list generator with multi-alias also works
+    val inline = spark
+      .sql("SELECT shingle_posexplode('a b c d', 2) AS (p, sh) FROM (SELECT 1)")
+      .as[(Int, String)].collect().toSet
+    assert(inline == Set((0, "a b"), (1, "b c"), (2, "c d")))
+    // static width must be a literal — analysis-time error
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT shingle_posexplode(text, id) FROM gf_docs").collect()
+    }
+    assert(e.getMessage.contains("shingle_posexplode"))
+  }
 }
