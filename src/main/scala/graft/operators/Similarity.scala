@@ -157,6 +157,134 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN ([[graft.functions.PqKernels]]) — the third
+    * scale path next to LSH buckets and IVF cells, for when the corpus's
+    * EMBEDDINGS no longer fit the cluster: vectors are encoded once into
+    * `m` small codes (the persisted index column at 100 TB — 8 ints
+    * instead of 64 floats per vector), each query precomputes an m×ksub
+    * lookup table, and the candidate scan scores a vector in m ADDS
+    * (asymmetric distance computation). The top `rerank` candidates per
+    * query are then re-scored EXACTLY against their true embeddings —
+    * standard two-stage PQ retrieval, so the emitted `cosine` values are
+    * exact and only the candidate choice is approximate.
+    *
+    * Codebooks are trained driver-side per subspace (deterministic seeded
+    * Lloyd on a bounded sample, like [[ivfTopK]]'s coarse quantizer) and
+    * ship inside the plan.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerank: Int = 32,
+      lloydIters: Int = 3,
+      trainLimit: Int = 2000
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    VectorCosine.register(spark)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id"))
+      .limit(trainLimit)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codebooks = trainPqCodebooks(sample, m, ksub, dim, lloydIters)
+    val fn = s"pq_${m}_${ksub}_$dim"
+    graft.functions.PqKernels.register(spark, fn, codebooks, m, ksub, dim)
+
+    // Index scan: codes only (this is the column a deployment persists).
+    val coded = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      expr(s"${fn}_encode(embedding)").as("codes"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"),
+      expr(s"${fn}_lut(embedding)").as("lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    val candidates = coded
+      .crossJoin(broadcast(probes.select(col("query_id"), col("lut"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        expr(s"${fn}_adc(codes, lut)").as("adc"))
+      .withColumn("adc_rank", row_number().over(w))
+      .filter(col("adc_rank") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // Exact rerank of the small candidate set: fetch the true embeddings
+    // with one broadcast semi-shaped join, score exactly, final top-k.
+    val wx = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(probes.select(col("query_id"), col("q_vec"))), "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-subspace L2 Lloyd iterations on the bounded sample: deterministic
+    * striped init (sample rows 0, stride, 2·stride, … per subspace), empty
+    * cells keep their previous centroid. Returns [m][ksub][dsub] flattened.
+    */
+  private def trainPqCodebooks(
+      sample: Array[Array[Float]],
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int
+  ): Array[Double] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dsub = dim / m
+    val books = new Array[Double](m * ksub * dsub)
+    val stride = math.max(1, sample.length / ksub)
+    for (s <- 0 until m; c <- 0 until ksub; i <- 0 until dsub) {
+      val v = sample((c * stride) % sample.length)
+      val x = s * dsub + i
+      books((s * ksub + c) * dsub + i) = if (x < v.length) v(x).toDouble else 0.0
+    }
+    for (_ <- 0 until iters; s <- 0 until m) {
+      val sums = new Array[Double](ksub * dsub)
+      val counts = new Array[Int](ksub)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub) {
+            val x = s * dsub + i
+            val vi = if (x < v.length) v(x).toDouble else 0.0
+            val diff = vi - books((s * ksub + c) * dsub + i)
+            d2 += diff * diff
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dsub) {
+          val x = s * dsub + i
+          sums(best * dsub + i) += (if (x < v.length) v(x).toDouble else 0.0)
+          i += 1
+        }
+        counts(best) += 1
+      }
+      for (c <- 0 until ksub if counts(c) > 0; i <- 0 until dsub)
+        books((s * ksub + c) * dsub + i) = sums(c * dsub + i) / counts(c)
+    }
+    books
+  }
+
   /** Driver-side spherical k-means on the (bounded) training sample:
     * deterministic init from the first k sample vectors, cosine
     * assignment, mean update; empty cells keep their previous centroid.

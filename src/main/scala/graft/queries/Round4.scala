@@ -226,6 +226,21 @@ object Round4 {
             GROUP BY 1""")
   )
 
+  /** PQ ANN — fourth similarity-search path (exact brute, LSH, IVF, PQ):
+    * m-code compressed index scan + ADC lookups + exact rerank (see
+    * [[graft.operators.Similarity.pqTopK]]). Rows-only like q31/q46 (the
+    * trained codebooks are engine-specific); the ADC/rerank arithmetic is
+    * spec-checked against brute force.
+    */
+  val q80AnnPq: QueryDef = QueryDef(
+    "q80_ann_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
@@ -233,6 +248,7 @@ object Round4 {
     q76WinnowOverlap,
     q77PiiRedact,
     q78StreamLeftOuter,
-    q79ShingleExplode
+    q79ShingleExplode,
+    q80AnnPq
   )
 }

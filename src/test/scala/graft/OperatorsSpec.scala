@@ -349,6 +349,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: dup found, emitted scores exact, recall floor; full rerank ≡ brute") {
+    val rng = new scala.util.Random(5)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v, 0), (1L, v, 0)) ++
+      (2L to 200L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 3)
+    val pq = Similarity.pqTopK(emb, queries, k = 5).collect()
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+    // the exact duplicate has the minimal ADC distance too — always retrieved
+    assert(pq.exists(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    // emitted cosines come from the exact rerank stage, so every
+    // (query, neighbor) score equals the brute-force value
+    val bruteAll = Similarity.bruteTopK(emb, queries, k = 200).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteAll(key) == r.getAs[Double]("cosine"), s"score mismatch at $key")
+    }
+    // ADC candidates then exact rerank: expect most of the true top-5
+    val hits = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(r =>
+      hits((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / brute.length
+    assert(recall >= 0.4, s"recall@5 collapsed: $recall")
+    // rerank >= corpus makes candidate selection lossless: exactly brute
+    val full = Similarity.pqTopK(emb, queries, k = 5, rerank = 300).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val bruteSet = brute
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(full == bruteSet)
+  }
+
   test("embedding near-dup catches duplicate vectors through SRP buckets") {
     val rng = new scala.util.Random(1)
     val v = Array.fill(64)(rng.nextGaussian().toFloat)
