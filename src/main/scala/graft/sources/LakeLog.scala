@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet table with a file-listing commit log — the
+  * transactional-lake core (what Delta/Iceberg/Hudi provide) built from
+  * first principles on the two primitives every distributed store has:
+  * immutable data files and one atomic rename.
+  *
+  * Layout:
+  * {{{
+  *   <path>/data/<uuid>-part-*.parquet     immutable, never rewritten
+  *   <path>/_graft_log/00000000001.json    commit v1: full file listing
+  *   <path>/_graft_log/00000000002.json    commit v2: ...
+  * }}}
+  *
+  * Every commit file carries the COMPLETE data-file listing of its
+  * snapshot (no log replay needed to read — one file fetch resolves any
+  * version; at 100 TB the listing is thousands of names, still KBs).
+  * Readers never list the data directory, so half-written files from a
+  * failed job are invisible until (unless) their commit publishes —
+  * that is the whole isolation story:
+  *
+  *   - WRITE: stage part files into `data/` under a fresh UUID prefix,
+  *     then publish the next log entry with `ATOMIC_MOVE`+
+  *     fail-if-exists — a compare-and-swap on the version number.
+  *     Losing a race throws [[LakeLog.CommitConflictException]]; the
+  *     caller's files are unreferenced garbage (vacuumable), never
+  *     corruption.
+  *   - READ: resolve version → read exactly that listing. Time travel is
+  *     reading an older commit file; snapshot isolation is free because
+  *     data files are immutable.
+  *   - VACUUM: delete data files referenced by NO retained commit (a
+  *     failed writer's orphans, or all-versions-expired files after log
+  *     truncation).
+  *
+  * Single-JVM rename semantics stand in for the object-store
+  * conditional-PUT a cluster deployment would use; the log format and
+  * read path are storage-agnostic.
+  */
+object LakeLog {
+
+  final class CommitConflictException(v: Long)
+      extends RuntimeException(s"concurrent commit lost the race for version $v")
+
+  private def logDir(path: String): Path = Paths.get(path, "_graft_log")
+  private def dataDir(path: String): Path = Paths.get(path, "data")
+
+  private def commitFile(path: String, v: Long): Path =
+    logDir(path).resolve(f"$v%011d.json")
+
+  /** Versions present in the log, ascending. */
+  def versions(path: String): Seq[Long] = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+      .toSeq.sorted
+  }
+
+  def latestVersion(path: String): Option[Long] = versions(path).lastOption
+
+  /** The data files of a snapshot (relative names under data/). */
+  def listing(path: String, version: Long): Seq[String] = {
+    val f = commitFile(path, version)
+    require(Files.exists(f), s"version $version does not exist under $path")
+    val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    // one quoted relative filename per line between the brackets; the
+    // .parquet suffix keeps the JSON keys out of the match
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  }
+
+  /** Read a snapshot: latest, or `version` for time travel. An empty
+    * listing (e.g. an overwrite with an empty frame) reads as an empty
+    * slice of the nearest non-empty snapshot's schema.
+    */
+  def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version
+    else latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $path"))
+    val files = listing(path, v)
+    if (files.isEmpty) {
+      // schema-only snapshot: an empty slice of any committed file set
+      val any = versions(path).reverseIterator
+        .map(listing(path, _)).find(_.nonEmpty).flatMap(_.headOption)
+      any match {
+        case Some(f) =>
+          spark.read.parquet(dataDir(path).resolve(f).toString).limit(0)
+        case None => spark.emptyDataFrame
+      }
+    } else {
+      spark.read.parquet(files.map(f => dataDir(path).resolve(f).toString): _*)
+    }
+  }
+
+  /** Create or replace the table with `df` as version 1 (create) or the
+    * next version (replace — old snapshots stay readable).
+    *
+    * `expectedLatest` is optimistic concurrency control: the commit only
+    * publishes as `expectedLatest + 1`; if another writer got there
+    * first, [[CommitConflictException]] — the caller re-reads and
+    * decides, its staged files are harmless vacuumable orphans. Without
+    * it the overwrite targets whatever the latest version is at publish
+    * time (last-replacer-wins, still never corrupting).
+    */
+  def overwrite(df: DataFrame, path: String, expectedLatest: Option[Long] = None): Long =
+    commit(df, path, carryForward = false, expectedLatest)
+
+  /** Append `df` as a new version: previous snapshot's files plus the new
+    * ones. Appenders never rewrite existing files, so concurrent readers
+    * of any version are unaffected.
+    */
+  def append(df: DataFrame, path: String): Long =
+    commit(df, path, carryForward = true, None)
+
+  private def commit(
+      df: DataFrame,
+      path: String,
+      carryForward: Boolean,
+      expectedLatest: Option[Long]
+  ): Long = {
+    Files.createDirectories(dataDir(path))
+    Files.createDirectories(logDir(path))
+    // stage: write under a throwaway dir, move parts into data/ under a
+    // fresh uuid prefix (move, not copy: same filesystem)
+    val staging = Files.createTempDirectory("graft_lakelog_stage")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val uuid = UUID.randomUUID().toString.take(8)
+    val moved = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"$uuid-${p.getFileName}"
+        Files.move(p, dataDir(path).resolve(name))
+        name
+      }
+      .toSeq
+    // CAS publish loop: losing a race to version v retries at v+1 for
+    // APPENDS (the new files are still valid additions to the newer
+    // snapshot); an overwrite that loses its race must NOT silently
+    // clobber the winner — surface the conflict.
+    var v = expectedLatest.getOrElse(latestVersion(path).getOrElse(0L)) + 1
+    while (true) {
+      val base = if (carryForward && v > 1) listing(path, v - 1) else Nil
+      val all = base ++ moved
+      val body = all.map(f => s"""    "$f"""").mkString(
+        s"""{\n  "version": $v,\n  "files": [\n""", ",\n", "\n  ]\n}\n")
+      val tmp = Files.createTempFile(logDir(path), s".v$v", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      // Publish via hard LINK, not rename: POSIX rename() silently
+      // REPLACES an existing target (so ATOMIC_MOVE is not a CAS), while
+      // link() fails with EEXIST atomically — and the linked content is
+      // complete, so readers never see a partial commit file.
+      try {
+        Files.createLink(commitFile(path, v), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          if (!carryForward) throw new CommitConflictException(v)
+          v += 1 // append retry: rebase on the winner's listing
+      }
+    }
+    v // unreachable
+  }
+
+  /** Delete data files referenced by no retained version (failed-writer
+    * orphans; post-truncation garbage). Returns the deleted names.
+    */
+  def vacuum(path: String): Seq[String] = {
+    val referenced = versions(path).flatMap(listing(path, _)).toSet
+    val dir = dataDir(path)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(p => !referenced.contains(p.getFileName.toString))
+      .map { p => Files.delete(p); p.getFileName.toString }
+      .toSeq
+  }
+
+  /** Drop all but the last `keep` versions from the log (their files
+    * become vacuumable unless newer snapshots still reference them).
+    */
+  def truncateLog(path: String, keep: Int): Unit = {
+    val vs = versions(path)
+    vs.dropRight(keep).foreach(v => Files.deleteIfExists(commitFile(path, v)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.LakeLog
+
+/** The snapshot-versioned lake table: append/overwrite create readable
+  * versions, time travel reads exact historical snapshots, losing an
+  * overwrite race is a surfaced conflict (never silent clobber), and
+  * vacuum deletes only unreferenced files.
+  */
+class LakeLogSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_lakelog").resolve("t").toString
+
+  test("append chain: every version reads its exact snapshot") {
+    val path = tmp()
+    val v1 = LakeLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    val v2 = LakeLog.append(Seq((3L, "c")).toDF("id", "s"), path)
+    val v3 = LakeLog.append(Seq((4L, "d")).toDF("id", "s"), path)
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    def ids(v: Long) = LakeLog.read(spark, path, v).select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L))
+    // latest == v3
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == ids(3))
+    assert(LakeLog.versions(path) == Seq(1L, 2L, 3L))
+  }
+
+  test("overwrite starts a new lineage; old snapshots stay readable (time travel)") {
+    val path = tmp()
+    LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path)
+    LakeLog.append(Seq((2L, "b")).toDF("id", "s"), path)
+    val v3 = LakeLog.overwrite(Seq((9L, "z")).toDF("id", "s"), path)
+    assert(v3 == 3L)
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(9L))
+    assert(LakeLog.read(spark, path, 2L).select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("staged-but-uncommitted files are invisible to readers and vacuumable") {
+    val path = tmp()
+    LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path)
+    // simulate a failed writer: orphan parquet dropped straight into data/
+    val orphanSrc = Files.createTempDirectory("graft_orphan")
+    Seq((99L, "junk")).toDF("id", "s").coalesce(1).write.mode("overwrite")
+      .parquet(orphanSrc.toString)
+    val part = Files.list(orphanSrc).iterator()
+    var moved = 0
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(p, java.nio.file.Paths.get(path, "data", s"orphan-${p.getFileName}"))
+        moved += 1
+      }
+    }
+    assert(moved > 0)
+    // invisible to the snapshot read
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L))
+    // vacuum removes exactly the orphans
+    val deleted = LakeLog.vacuum(path)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("orphan-")))
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("optimistic overwrite: losing the race is a surfaced conflict, never a clobber") {
+    val path = tmp()
+    LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path)
+    // a concurrent writer publishes v2 between our read (latest=1) and commit
+    val winner = java.nio.file.Paths.get(path, "_graft_log", f"${2L}%011d.json")
+    Files.write(winner, """{ "version": 2, "files": [] }""".getBytes)
+    intercept[LakeLog.CommitConflictException] {
+      LakeLog.overwrite(Seq((7L, "x")).toDF("id", "s"), path, expectedLatest = Some(1L))
+    }
+    // the winner's (empty) snapshot is intact, our staged files are orphans
+    assert(LakeLog.read(spark, path, 2L).count() == 0L)
+    assert(LakeLog.vacuum(path).nonEmpty)
+    // an append in the same situation rebases onto the winner instead
+    val v = LakeLog.append(Seq((8L, "y")).toDF("id", "s"), path)
+    assert(v == 3L)
+    assert(LakeLog.read(spark, path, 3L).select("id").as[Long].collect().toSet == Set(8L))
+  }
+
+  test("truncateLog + vacuum reclaims files no retained snapshot references") {
+    val path = tmp()
+    LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path) // v1
+    LakeLog.overwrite(Seq((2L, "b")).toDF("id", "s"), path) // v2: v1's files now only in v1
+    LakeLog.truncateLog(path, keep = 1)
+    assert(LakeLog.versions(path) == Seq(2L))
+    val deleted = LakeLog.vacuum(path)
+    assert(deleted.nonEmpty, "v1-only files should be reclaimed")
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(2L))
+  }
+}
