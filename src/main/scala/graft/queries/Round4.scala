@@ -241,6 +241,46 @@ object Round4 {
     None
   )
 
+  /** TIME TRAVEL on the snapshot-versioned lake table
+    * ([[graft.sources.LakeLog]]): v1 = odd orders, v2 = append even
+    * orders, v3 = overwrite with only 'F' orders; the query unions a
+    * per-version aggregate from all three snapshots — every version stays
+    * readable after later appends AND after the overwrite. The oracle
+    * reconstructs each snapshot relationally.
+    */
+  val q81TimeTravel: QueryDef = QueryDef(
+    "q81_time_travel",
+    (s, dir) => {
+      val orders = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q81").resolve("orders_versioned").toString
+      graft.sources.LakeLog.overwrite(orders.filter(col("o_orderkey") % 2 === 1), path)
+      graft.sources.LakeLog.append(orders.filter(col("o_orderkey") % 2 === 0), path)
+      graft.sources.LakeLog.overwrite(orders.filter(col("o_orderstatus") === "F"), path)
+      def snap(v: Long) =
+        graft.sources.LakeLog
+          .read(s, path, v)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")), 2).as("price_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"), col("price_sum"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3))
+    },
+    Some("""SELECT CAST(v AS BIGINT) AS version, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM (
+              SELECT 1 AS v, * FROM orders WHERE o_orderkey % 2 = 1
+              UNION ALL
+              SELECT 2 AS v, * FROM orders
+              UNION ALL
+              SELECT 3 AS v, * FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
@@ -249,6 +289,7 @@ object Round4 {
     q77PiiRedact,
     q78StreamLeftOuter,
     q79ShingleExplode,
-    q80AnnPq
+    q80AnnPq,
+    q81TimeTravel
   )
 }
