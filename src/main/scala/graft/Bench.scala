@@ -77,9 +77,14 @@ object Bench {
     // parsed:null (rounds 1-3). Millisecond precision keeps the line ~1450
     // chars — well inside the window — and loses nothing a benchmark needs.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // Short keys ("q78", not "q78_stream_left_outer"): at 81 queries the
+    // full-name line crossed the 2000-char tail window and the driver
+    // recorded parsed:null (r01-r03 all did). qNN is unique (SURVEY §8
+    // maps it back) and keeps the line ~1.1 KB with room to grow.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
