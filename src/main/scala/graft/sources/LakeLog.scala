@@ -119,13 +119,35 @@ object LakeLog {
     * of any version are unaffected.
     */
   def append(df: DataFrame, path: String): Long =
-    commit(df, path, carryForward = true, None)
+    commit(df, path, carryForward = true, None, None)
+
+  /** Origins (caller-supplied idempotence tokens) of every committed
+    * version — the ledger a restarted at-least-once producer consults.
+    */
+  def origins(path: String): Set[String] =
+    versions(path).flatMap { v =>
+      val txt = new String(Files.readAllBytes(commitFile(path, v)), StandardCharsets.UTF_8)
+      "\"origin\": \"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    }.toSet
+
+  /** Append exactly once per `origin`: a commit tagged with an origin the
+    * log already carries is skipped (returns None). This is the
+    * at-least-once → exactly-once bridge for a retrying producer (e.g. a
+    * foreachBatch sink re-delivering a micro-batch after a crash, even
+    * with a FRESH checkpoint — the table itself remembers what landed).
+    * Assumes one producer per origin value; concurrent distinct-origin
+    * writers are safe (append CAS rebases).
+    */
+  def appendIfAbsent(df: DataFrame, path: String, origin: String): Option[Long] =
+    if (origins(path).contains(origin)) None
+    else Some(commit(df, path, carryForward = true, None, Some(origin)))
 
   private def commit(
       df: DataFrame,
       path: String,
       carryForward: Boolean,
-      expectedLatest: Option[Long]
+      expectedLatest: Option[Long],
+      origin: Option[String] = None
   ): Long = {
     Files.createDirectories(dataDir(path))
     Files.createDirectories(logDir(path))
@@ -150,8 +172,9 @@ object LakeLog {
     while (true) {
       val base = if (carryForward && v > 1) listing(path, v - 1) else Nil
       val all = base ++ moved
+      val originField = origin.map(o => s""""origin": "$o",\n  """).getOrElse("")
       val body = all.map(f => s"""    "$f"""").mkString(
-        s"""{\n  "version": $v,\n  "files": [\n""", ",\n", "\n  ]\n}\n")
+        s"""{\n  "version": $v,\n  $originField"files": [\n""", ",\n", "\n  ]\n}\n")
       val tmp = Files.createTempFile(logDir(path), s".v$v", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       // Publish via hard LINK, not rename: POSIX rename() silently

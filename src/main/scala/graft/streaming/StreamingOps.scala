@@ -157,6 +157,39 @@ object StreamingOps {
     finally q.stop()
   }
 
+  /** Stream into a SNAPSHOT-VERSIONED table ([[graft.sources.LakeLog]]):
+    * one commit per micro-batch via foreachBatch, each tagged with the
+    * batch id as its idempotence origin. The checkpoint gives
+    * at-least-once redelivery; [[graft.sources.LakeLog.appendIfAbsent]]
+    * turns that into exactly-once AT THE TABLE — a redelivered batch
+    * (crash between commit and checkpoint advance) is skipped because the
+    * table's own log remembers its origin. That protection extends to a
+    * wiped checkpoint ONLY while the replayed batch boundaries match the
+    * originals (batch ids restart at 0); if more source data arrived
+    * before the wipe, batch 0's replay would bundle it with already-
+    * committed rows and the origin skip would drop it — restore the
+    * checkpoint, don't delete it. Readers meanwhile get atomic per-batch
+    * visibility and time travel across the ingest history — the
+    * transactional-sink story a bare parquet file sink cannot offer.
+    */
+  def streamToVersionedLake(
+      df: DataFrame,
+      tablePath: String,
+      checkpoint: String
+  ): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.LakeLog.appendIfAbsent(batch.toDF(), tablePath, s"batch-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Streaming state is sharded by `spark.sql.shuffle.partitions` AT QUERY
     * START (fixed for the checkpoint's lifetime) — it should be sized to
     * the state keyspace, not to the session's batch-shuffle width: each

@@ -87,6 +87,45 @@ class LakeLogSpec extends AnyFunSuite {
     assert(LakeLog.read(spark, path, 3L).select("id").as[Long].collect().toSet == Set(8L))
   }
 
+  test("origin-tagged appends are exactly-once; duplicate origins are skipped") {
+    val path = tmp()
+    LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path)
+    assert(LakeLog.appendIfAbsent(Seq((2L, "b")).toDF("id", "s"), path, "batch-0") == Some(2L))
+    // redelivery of the same batch (at-least-once producer): no-op
+    assert(LakeLog.appendIfAbsent(Seq((2L, "b")).toDF("id", "s"), path, "batch-0").isEmpty)
+    assert(LakeLog.appendIfAbsent(Seq((3L, "c")).toDF("id", "s"), path, "batch-1") == Some(3L))
+    assert(LakeLog.versions(path) == Seq(1L, 2L, 3L))
+    assert(LakeLog.origins(path) == Set("batch-0", "batch-1"))
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("streaming ingest into the versioned table: re-drain and checkpoint loss add nothing") {
+    val src = Files.createTempDirectory("graft_lakelog_src").toString
+    val path = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(src)
+    def drain(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema("id long, s string").parquet(src)
+      graft.streaming.StreamingOps.streamToVersionedLake(stream, path, checkpoint)
+    }
+    val ckpt1 = Files.createTempDirectory("graft_lakelog_ck").toString
+    drain(ckpt1)
+    val v1 = LakeLog.latestVersion(path).get
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // same checkpoint re-drain: source says nothing new — no new version
+    drain(ckpt1)
+    assert(LakeLog.latestVersion(path).get == v1)
+    // checkpoint WIPED: the file source replays batch 0, but the table's
+    // origin ledger skips it — still exactly-once at the table
+    drain(Files.createTempDirectory("graft_lakelog_ck2").toString)
+    assert(LakeLog.latestVersion(path).get == v1)
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // genuinely new data under the original checkpoint lands as one commit
+    Seq((3L, "c")).toDF("id", "s").coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt1)
+    assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("truncateLog + vacuum reclaims files no retained snapshot references") {
     val path = tmp()
     LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path) // v1
