@@ -173,4 +173,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected only the final agg shuffle, got $exchanges:\n$plan")
   }
+
+  test("q74 k-bounded top-k aggregates partial+final — no Window, no full Sort") {
+    val plan = planOf(SparkEntry.queries("q74_topk_group")(spark, sfDir))
+    // the row_number formulation this replaces would show Window + a
+    // per-partition Sort of the whole fact table
+    assert(!plan.contains("Window"), "top-k fell back to a window function")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"no typed aggregate in:\n$plan")
+    assert(plan.toLowerCase.contains("partial_"),
+      "no partial (map-side) aggregation — shuffle carries the full fact table")
+  }
+
+  test("q76 winnowing selects fingerprints scan-side: no shuffle below the explode") {
+    val plan = planOf(
+      graft.operators.Winnow.fingerprints(
+        graft.sources.Tables.documents(spark, sfDir)))
+    // fingerprint selection must be row-local: Generate (the explode)
+    // sits directly on the scan with no Exchange or Window beneath it
+    assert(plan.contains("Generate"), s"no explode in:\n$plan")
+    assert(!plan.contains("Exchange"), "fingerprint selection shuffled")
+    assert(!plan.contains("Window"), "fingerprint selection used a window sort")
+  }
 }
