@@ -111,15 +111,20 @@ object LakeLog {
     * it the overwrite targets whatever the latest version is at publish
     * time (last-replacer-wins, still never corrupting).
     */
-  def overwrite(df: DataFrame, path: String, expectedLatest: Option[Long] = None): Long =
-    commit(df, path, carryForward = false, expectedLatest)
+  def overwrite(
+      df: DataFrame,
+      path: String,
+      expectedLatest: Option[Long] = None,
+      statsCols: Seq[String] = Nil
+  ): Long =
+    commit(df, path, carryForward = false, expectedLatest, None, statsCols)
 
   /** Append `df` as a new version: previous snapshot's files plus the new
     * ones. Appenders never rewrite existing files, so concurrent readers
     * of any version are unaffected.
     */
-  def append(df: DataFrame, path: String): Long =
-    commit(df, path, carryForward = true, None, None)
+  def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
+    commit(df, path, carryForward = true, None, None, statsCols)
 
   /** Origins (caller-supplied idempotence tokens) of every committed
     * version — the ledger a restarted at-least-once producer consults.
@@ -138,16 +143,22 @@ object LakeLog {
     * Assumes one producer per origin value; concurrent distinct-origin
     * writers are safe (append CAS rebases).
     */
-  def appendIfAbsent(df: DataFrame, path: String, origin: String): Option[Long] =
+  def appendIfAbsent(
+      df: DataFrame,
+      path: String,
+      origin: String,
+      statsCols: Seq[String] = Nil
+  ): Option[Long] =
     if (origins(path).contains(origin)) None
-    else Some(commit(df, path, carryForward = true, None, Some(origin)))
+    else Some(commit(df, path, carryForward = true, None, Some(origin), statsCols))
 
   private def commit(
       df: DataFrame,
       path: String,
       carryForward: Boolean,
       expectedLatest: Option[Long],
-      origin: Option[String] = None
+      origin: Option[String] = None,
+      statsCols: Seq[String] = Nil
   ): Long = {
     Files.createDirectories(dataDir(path))
     Files.createDirectories(logDir(path))
@@ -184,6 +195,7 @@ object LakeLog {
       try {
         Files.createLink(commitFile(path, v), tmp)
         Files.deleteIfExists(tmp)
+        writeStatsSidecar(path, v, moved, statsCols, carryForward)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -193,6 +205,132 @@ object LakeLog {
       }
     }
     v // unreachable
+  }
+
+  // ------------------------------------------------------ manifest stats
+
+  /** Per-file [min, max] of `col` for every file of snapshot `v` that has
+    * stats (from the commit's `.stats.json` sidecar; files committed
+    * without stats are simply absent — readers treat them as unprunable).
+    */
+  def fileStats(path: String, version: Long, colName: String): Map[String, (Double, Double)] = {
+    val f = logDir(path).resolve(f"$version%011d.stats.json")
+    if (!Files.exists(f)) return Map.empty
+    val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
+    val colRe = ("\"" + java.util.regex.Pattern.quote(colName) +
+      "\": \\[([-0-9.eE]+), ([-0-9.eE]+)\\]").r
+    fileRe.findAllMatchIn(txt).flatMap { m =>
+      colRe.findFirstMatchIn(m.group(2)).map(c =>
+        m.group(1) -> (c.group(1).toDouble, c.group(2).toDouble))
+    }.toMap
+  }
+
+  /** Snapshot read PRUNED by the manifest: only files whose recorded
+    * [min, max] for `colName` intersects [lo, hi] are opened (files
+    * without stats are kept — correctness first). This is data skipping
+    * from the LOG alone — no file listing, no footer reads at query time;
+    * at 100 TB the manifest fetch replaces opening every file to learn it
+    * was irrelevant. Compose with [[graft.sources.LakeWriter.writeZOrdered]]-style
+    * layout so file ranges are actually tight. The caller still applies
+    * its own row filter — pruning is file-granular, not row-exact.
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      colName: String,
+      lo: Double,
+      hi: Double,
+      version: Long = -1L
+  ): DataFrame = {
+    val v = if (version >= 0) version
+    else latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $path"))
+    val stats = fileStats(path, v, colName)
+    val keep = listing(path, v).filter(f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (keep.isEmpty) read(spark, path, v).limit(0)
+    else spark.read.parquet(keep.map(f => dataDir(path).resolve(f).toString): _*)
+  }
+
+  /** Write commit `v`'s stats sidecar: footer-derived [min, max] per
+    * requested column for the NEW files, merged with the carried-forward
+    * files' entries from the previous sidecar (any column set recorded
+    * there). Sidecars are an optimization layer: written after the CAS
+    * win, so a crash in between leaves a valid commit that simply prunes
+    * nothing; losing stats never loses rows.
+    */
+  private def writeStatsSidecar(
+      path: String,
+      v: Long,
+      newFiles: Seq[String],
+      statsCols: Seq[String],
+      carryForward: Boolean
+  ): Unit = {
+    val prev: Map[String, String] =
+      if (!carryForward || v <= 1) Map.empty
+      else {
+        val pf = logDir(path).resolve(f"${v - 1}%011d.stats.json")
+        if (!Files.exists(pf)) Map.empty
+        else {
+          val txt = new String(Files.readAllBytes(pf), StandardCharsets.UTF_8)
+          "\"([^\"]+\\.parquet)\": (\\{[^}]*\\})".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toMap
+        }
+      }
+    val fresh: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else newFiles.map { f =>
+        val st = footerStats(dataDir(path).resolve(f), statsCols)
+        f -> st.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c": [$mn, $mx]""" }
+          .mkString("{", ", ", "}")
+      }.toMap
+    val all = prev ++ fresh
+    if (all.nonEmpty) {
+      val body = all.toSeq.sortBy(_._1)
+        .map { case (f, s) => s""""$f": $s""" }
+        .mkString("{ ", ",\n  ", " }\n")
+      Files.write(
+        logDir(path).resolve(f"$v%011d.stats.json"),
+        body.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Driver-side footer scan of a data file: per-column [min, max] over
+    * all row groups for the requested NUMERIC columns (int/long/float/
+    * double/date). Stats are captured once here, at commit time — reads
+    * never touch footers (the Delta/Iceberg write-side-stats discipline).
+    */
+  private def footerStats(file: Path, statsCols: Seq[String]): Map[String, (Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      for {
+        block <- reader.getFooter.getBlocks.asScala
+        chunk <- block.getColumns.asScala
+        name = chunk.getPath.toDotString
+        if statsCols.contains(name)
+        st = chunk.getStatistics
+        if st != null && st.hasNonNullValue
+      } {
+        val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+          case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
+          case _ => (Double.NaN, Double.NaN) // non-numeric: no stats
+        }
+        if (!mn.isNaN) {
+          val prev = acc.get(name)
+          acc(name) = (
+            prev.fold(mn)(p => math.min(p._1, mn)),
+            prev.fold(mx)(p => math.max(p._2, mx)))
+        }
+      }
+      acc.toMap
+    } finally reader.close()
   }
 
   /** Delete data files referenced by no retained version (failed-writer
@@ -213,6 +351,9 @@ object LakeLog {
     */
   def truncateLog(path: String, keep: Int): Unit = {
     val vs = versions(path)
-    vs.dropRight(keep).foreach(v => Files.deleteIfExists(commitFile(path, v)))
+    vs.dropRight(keep).foreach { v =>
+      Files.deleteIfExists(commitFile(path, v))
+      Files.deleteIfExists(logDir(path).resolve(f"$v%011d.stats.json"))
+    }
   }
 }

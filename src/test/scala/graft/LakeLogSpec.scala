@@ -126,6 +126,38 @@ class LakeLogSpec extends AnyFunSuite {
     assert(LakeLog.read(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("manifest stats prune files at read time; results stay exact") {
+    val path = tmp()
+    // three appends with disjoint id ranges → three files with tight
+    // footer ranges recorded in the sidecars
+    LakeLog.overwrite(
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      path, statsCols = Seq("id"))
+    LakeLog.append(
+      (101L to 200L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      path, statsCols = Seq("id"))
+    LakeLog.append(
+      (201L to 300L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      path, statsCols = Seq("id"))
+    val v = LakeLog.latestVersion(path).get
+    assert(LakeLog.fileStats(path, v, "id").size == 3)
+    // a range inside the middle file opens ONE file, not three
+    val pruned = LakeLog.readPruned(spark, path, "id", 120, 180)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.mkString(","))
+    assert(pruned.filter($"id".between(120, 180)).count() == 61L)
+    // pruning is file-granular: the caller's row filter still applies,
+    // and the filtered result equals the unpruned read's
+    val full = LakeLog.read(spark, path).filter($"id".between(120, 180))
+      .select("id").as[Long].collect().toSet
+    val got = pruned.filter($"id".between(120, 180))
+      .select("id").as[Long].collect().toSet
+    assert(got == full)
+    // a range beyond every file reads nothing but keeps the schema
+    assert(LakeLog.readPruned(spark, path, "id", 1000, 2000).count() == 0L)
+    // a column with no recorded stats keeps every file (correctness first)
+    assert(LakeLog.readPruned(spark, path, "nope", 0, 1).inputFiles.length == 3)
+  }
+
   test("truncateLog + vacuum reclaims files no retained snapshot references") {
     val path = tmp()
     LakeLog.overwrite(Seq((1L, "a")).toDF("id", "s"), path) // v1
