@@ -281,6 +281,47 @@ object Round4 {
             GROUP BY 1""")
   )
 
+  /** Manifest-pruned lake read ([[graft.sources.LakeLog.readPruned]]):
+    * orders land in three snapshot commits with per-file key stats; the
+    * query prunes to the key range's files from the log alone, then
+    * filters and aggregates. The oracle is the plain relational filter —
+    * file skipping must be invisible in the result.
+    */
+  val q82ManifestPrune: QueryDef = QueryDef(
+    "q82_manifest_prune",
+    (s, dir) => {
+      val orders = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q82").resolve("orders_stats").toString
+      val third = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 3
+      def slice(lo: Long, hi: Long) =
+        orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi).coalesce(1)
+      graft.sources.LakeLog.overwrite(
+        slice(0, third), path, statsCols = Seq("o_orderkey"))
+      graft.sources.LakeLog.append(
+        slice(third, 2 * third), path, statsCols = Seq("o_orderkey"))
+      graft.sources.LakeLog.append(
+        slice(2 * third, Long.MaxValue), path, statsCols = Seq("o_orderkey"))
+      graft.sources.LakeLog
+        .readPruned(s, path, "o_orderkey", lo = third + 1, hi = 2 * third)
+        .filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
+              AND o_orderkey <= 2 * (SELECT max(o_orderkey) // 3 FROM orders)
+            GROUP BY o_orderstatus""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
@@ -290,6 +331,7 @@ object Round4 {
     q78StreamLeftOuter,
     q79ShingleExplode,
     q80AnnPq,
-    q81TimeTravel
+    q81TimeTravel,
+    q82ManifestPrune
   )
 }

@@ -80,4 +80,33 @@ class ScaleBehaviorSpec extends AnyFunSuite {
         s"no dynamic partition pruning subquery in the scan:\n$plan")
     }
   }
+
+  test("runtime bloom filter: a selective dim filter injects row-level fact pruning") {
+    // DPP prunes PARTITIONS; the runtime bloom filter is its row-level
+    // sibling for joins on NON-partition columns — the dim side's join
+    // keys build a bloom filter that drops fact rows before the shuffle.
+    // At 100 TB this is the difference between shuffling the full fact
+    // table and shuffling the ~matching slice.
+    val dir = Files.createTempDirectory("graft_bloom").resolve("fact").toString
+    spark.range(200000)
+      .select($"id", ($"id" % 5000).as("join_key"), ($"id" * 1.1).as("v"))
+      .write.parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(5000)
+      .select($"id".as("d_key"), concat(lit("n"), $"id" % 100).as("d_name"))
+      .filter($"d_name" === "n3") // selective: 1% of dim keys survive
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join: the bloom's target
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0"
+    ) {
+      val joined = fact.join(dim, fact("join_key") === dim("d_key"))
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect()(0).getLong(0) == 2000L) // 50 keys × 40 rows
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+    }
+  }
 }
