@@ -55,15 +55,22 @@ object LakeLog {
   private def commitFile(path: String, v: Long): Path =
     logDir(path).resolve(f"$v%011d.json")
 
+  /** `Files.list` with the stream closed (it holds a directory fd). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toSeq
+    finally st.close()
+  }
+
   /** Versions present in the log, ascending. */
   def versions(path: String): Seq[Long] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .flatMap(n => n.stripSuffix(".json").toLongOption)
-      .toSeq.sorted
+      .sorted
   }
 
   def latestVersion(path: String): Option[Long] = versions(path).lastOption
@@ -167,7 +174,7 @@ object LakeLog {
     val staging = Files.createTempDirectory("graft_lakelog_stage")
     df.write.mode("overwrite").parquet(staging.toString)
     val uuid = UUID.randomUUID().toString.take(8)
-    val moved = Files.list(staging).iterator().asScala
+    val moved = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"$uuid-${p.getFileName}"
@@ -340,10 +347,9 @@ object LakeLog {
     val referenced = versions(path).flatMap(listing(path, _)).toSet
     val dir = dataDir(path)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => !referenced.contains(p.getFileName.toString))
       .map { p => Files.delete(p); p.getFileName.toString }
-      .toSeq
   }
 
   /** Drop all but the last `keep` versions from the log (their files
