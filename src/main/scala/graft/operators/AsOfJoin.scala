@@ -45,6 +45,69 @@ object AsOfJoin {
       rightTime: String,
       rightValueCols: Seq[(String, String)],
       rightTieBreak: Seq[String] = Nil
+  ): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightValueCols, rightTieBreak, forward = false)
+
+  /** FORWARD as-of: the EARLIEST right row with `right.time >= left.time`
+    * per key (the other `merge_asof` direction — "next scheduled event",
+    * "first fill after the order"). Same single-shuffle union + running
+    * window, scanned in descending time order so the carried payload is
+    * the nearest future row; at equal times the right row is visible
+    * (inclusive), and among simultaneous right rows the largest tie-break
+    * wins, mirroring the backward contract.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil
+  ): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightValueCols, rightTieBreak, forward = true)
+
+  /** Backward as-of with a STALENESS BOUND: a match older than
+    * `tolerance` (e.g. "30 days") is nulled out — "most recent order,
+    * but only if reasonably fresh", `merge_asof(tolerance=...)`. Runs the
+    * plain as-of carrying the matched right time, then applies the bound
+    * as a row-local filter; cost is identical to [[asOf]].
+    */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      tolerance: String,
+      rightTieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val withRt = asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightValueCols :+ (rightTime -> "__asof_rt"), rightTieBreak, forward = false)
+    val fresh = col("__asof_rt").isNotNull &&
+      col("__asof_rt") >= col(leftTime).cast("timestamp") - expr(s"INTERVAL $tolerance")
+    rightValueCols
+      .foldLeft(withRt) { case (df, (_, a)) =>
+        df.withColumn(a, when(fresh, col(a)))
+      }
+      .drop("__asof_rt")
+  }
+
+  private def asOfImpl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String],
+      forward: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightValueCols.map { case (c, a) => col(c).as(a) }: _*)
@@ -75,8 +138,11 @@ object AsOfJoin {
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // Forward scans in DESCENDING time: the running last then carries the
+    // NEAREST FUTURE right row. Side and tie-break orders are unchanged —
+    // right rows stay visible at equal times, max tie-break still wins.
     val order: Seq[Column] =
-      Seq(col("__time").asc, col("__side").asc) ++
+      Seq(if (forward) col("__time").desc else col("__time").asc, col("__side").asc) ++
         rightTieBreak.indices.map(i => col(s"__tb$i").asc)
     val w = Window
       .partitionBy(col("__key"))

@@ -322,6 +322,103 @@ object Round4 {
             GROUP BY o_orderstatus""")
   )
 
+  /** As-of with a staleness bound ([[graft.operators.AsOfJoin.asOfTolerance]]):
+    * each error event annotated with the user's most recent click, but
+    * only if within the last hour — matches older than the tolerance are
+    * nulled (`merge_asof(tolerance=...)` semantics).
+    */
+  val q83AsofTolerance: QueryDef = QueryDef(
+    "q83_asof_tolerance",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val errors = e
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id").as("c_user"),
+          col("ts").as("c_ts"),
+          col("event_id").as("c_id"),
+          col("value").as("c_value"))
+      graft.operators.AsOfJoin
+        .asOfTolerance(
+          errors, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts", rightTime = "c_ts",
+          rightValueCols = Seq("c_id" -> "last_click_id", "c_value" -> "last_click_value"),
+          tolerance = "1 hour",
+          rightTieBreak = Seq("c_id"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_click_id"),
+          col("last_click_value"))
+    },
+    Some("""SELECT event_id, user_id, ts_us,
+                   CASE WHEN fresh THEN last_click_id END AS last_click_id,
+                   CASE WHEN fresh THEN last_click_value END AS last_click_value
+            FROM (
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                     c.event_id AS last_click_id, c.value AS last_click_value,
+                     (c.ts IS NOT NULL AND c.ts >= e.ts - INTERVAL 1 HOUR) AS fresh,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY c.ts DESC NULLS LAST,
+                                c.event_id DESC NULLS LAST) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = e.user_id AND c.ts <= e.ts
+            ) WHERE rn = 1""")
+  )
+
+  /** FORWARD as-of ([[graft.operators.AsOfJoin.asOfForward]]): each error
+    * event annotated with the user's NEXT purchase at or after the
+    * error — the other merge_asof direction, same one-shuffle plan.
+    */
+  val q84AsofForward: QueryDef = QueryDef(
+    "q84_asof_forward",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val errors = e
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          col("event_id").as("p_id"),
+          col("value").as("p_value"))
+      graft.operators.AsOfJoin
+        .asOfForward(
+          errors, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          rightValueCols = Seq("p_id" -> "next_purchase_id", "p_value" -> "next_purchase_value"),
+          rightTieBreak = Seq("p_id"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("next_purchase_id"),
+          col("next_purchase_value"))
+    },
+    Some("""SELECT event_id, user_id, ts_us, next_purchase_id, next_purchase_value
+            FROM (
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                     p.event_id AS next_purchase_id, p.value AS next_purchase_value,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY p.ts ASC NULLS LAST,
+                                p.event_id DESC NULLS LAST) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON p.user_id = e.user_id AND p.ts >= e.ts
+            ) WHERE rn = 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
@@ -332,6 +429,8 @@ object Round4 {
     q79ShingleExplode,
     q80AnnPq,
     q81TimeTravel,
-    q82ManifestPrune
+    q82ManifestPrune,
+    q83AsofTolerance,
+    q84AsofForward
   )
 }

@@ -100,6 +100,38 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(Winnow.overlapPairs(d, minShared = 1, maxDocFreq = 64).count() == 10L) // C(5,2)
   }
 
+  // ----------------------------------------------------- as-of variants
+
+  private def t(min: Int) = java.sql.Timestamp.valueOf(f"2023-01-01 10:$min%02d:00")
+
+  test("asOfForward picks the earliest right row at-or-after, inclusive, max tie-break") {
+    val l = Seq((1L, 1L, t(10)), (2L, 1L, t(40)), (3L, 2L, t(5))).toDF("lid", "k", "ts")
+    val r = Seq(
+      (1L, t(10), 100L), // equal time: visible to lid 1
+      (1L, t(10), 101L), // simultaneous: larger id wins
+      (1L, t(30), 102L), // before lid 2: invisible forward
+      (2L, t(1), 200L) // only a PAST row for key 2: lid 3 unmatched
+    ).toDF("k2", "rts", "rid")
+    val got = graft.operators.AsOfJoin
+      .asOfForward(l, r, "k", "k2", "ts", "rts",
+        rightValueCols = Seq("rid" -> "next_id"), rightTieBreak = Seq("rid"))
+      .select("lid", "next_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(101L), 2L -> None, 3L -> None))
+  }
+
+  test("asOfTolerance nulls stale matches, keeps fresh ones") {
+    val l = Seq((1L, 1L, t(30)), (2L, 1L, t(59))).toDF("lid", "k", "ts")
+    val r = Seq((1L, t(25), 7L)).toDF("k2", "rts", "rid")
+    val got = graft.operators.AsOfJoin
+      .asOfTolerance(l, r, "k", "k2", "ts", "rts",
+        rightValueCols = Seq("rid" -> "last_id"), tolerance = "10 minutes")
+      .select("lid", "last_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 1: 5 min stale → kept; lid 2: 34 min stale → nulled
+    assert(got == Map(1L -> Some(7L), 2L -> None))
+  }
+
   // ------------------------------------------------------------------ PII
 
   test("redact finds and replaces emails, IPv4s, SSNs; counts match") {
