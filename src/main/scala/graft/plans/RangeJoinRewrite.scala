@@ -163,6 +163,70 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val newCond = And(EqualTo(binP.toAttribute, binIAttr), cond)
       // Restore the original schema (and drop the bin plumbing).
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }.orElse(overlapRewriteOf(j, left, right, cond, conjuncts, hint, w))
+  }
+
+  /** Interval-OVERLAP rewrite: `a_lo <= b_hi AND b_lo <= a_hi` with each
+    * interval's bounds on one side — the two-sided sibling of the
+    * point-in-interval case above. Both sides explode their touched-bin
+    * range; the equi-key is the bin, and a FIRST-SHARED-BIN guard
+    * (`bin = greatest(binOf(a_lo), binOf(b_lo))`) makes each qualifying
+    * pair survive exactly once, so no Distinct is needed.
+    *
+    * The rewrite is TOTAL — no well-formedness precondition, unlike
+    * [[graft.operators.RangeJoin.intervalOverlap]]: `sequence(x, y)`
+    * yields the SAME bin SET for a malformed interval (descending
+    * sequence covers [min..max]), floor-division is monotone so the guard
+    * bin `binOf(max(a_lo, b_lo))` lies in both contiguous bin ranges
+    * whenever the original predicate holds, and that predicate is
+    * re-applied verbatim on every surviving row. Pure band joins
+    * (`b.t BETWEEN a.t - d AND a.t + d`) match the point case first and
+    * never reach here.
+    */
+  private def overlapRewriteOf(
+      j: Join,
+      left: LogicalPlan,
+      right: LogicalPlan,
+      cond: Expression,
+      conjuncts: Seq[Expression],
+      hint: JoinHint,
+      w: Long
+  ): Option[LogicalPlan] = {
+    // normalize every conjunct to x <= y
+    def le(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(x, y) => Some((x, y))
+      case GreaterThanOrEqual(y, x) => Some((x, y))
+      case _ => None
+    }
+    val les = conjuncts.flatMap(le)
+    val candidates = for {
+      (aLo, bHi) <- les if from(aLo, left) && from(bHi, right)
+      (bLo, aHi) <- les if from(bLo, right) && from(aHi, left)
+      if Seq(aLo, aHi, bLo, bHi).forall(isBinnable)
+    } yield (aLo, aHi, bLo, bHi)
+
+    candidates.headOption.map { case (aLo, aHi, bLo, bHi) =>
+      val binOut = (side: LogicalPlan, lo: Expression, hi: Expression, n: String) => {
+        val startAlias = Alias(binOf(lo, w), s"__graft_start_$n")()
+        val withStart = Project(side.output :+ startAlias, side)
+        val seq = Sequence(
+          startAlias.toAttribute, binOf(hi, w), None, Some(conf.sessionLocalTimeZone))
+        val binAttr = AttributeReference(s"__graft_bin_$n", LongType, nullable = false)()
+        val gen = Generate(
+          Explode(seq),
+          unrequiredChildIndex = Nil,
+          outer = false,
+          qualifier = None,
+          generatorOutput = Seq(binAttr),
+          child = withStart
+        )
+        (gen, startAlias.toAttribute, binAttr)
+      }
+      val (newLeft, aStart, aBin) = binOut(left, aLo, aHi, "a")
+      val (newRight, bStart, bBin) = binOut(right, bLo, bHi, "b")
+      val firstSharedBin = EqualTo(aBin, Greatest(Seq(aStart, bStart)))
+      val newCond = And(And(EqualTo(aBin, bBin), firstSharedBin), cond)
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
     }
   }
 }

@@ -142,6 +142,47 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-OVERLAP θ-join rewrites to a binned hash join, duplicate-free") {
+    val rng = new scala.util.Random(23)
+    def ivals(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = (rng.nextInt(2001) - 1000).toLong
+      (idBase + i, lo, lo + rng.nextInt(200).toLong)
+    }.toDF("id", "lo", "hi")
+    val a = ivals(120, 0).toDF("a_id", "a_lo", "a_hi")
+    val b = ivals(80, 1000).toDF("b_id", "b_lo", "b_hi")
+    def q() = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi").select("a_id", "b_id")
+
+    val naive = q()
+    assert(hasBnlj(naive), "overlap θ-join natively plans as a nested loop")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.nonEmpty)
+    withBinSize(128L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten), "overlap rewrite must remove the nested loop")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // exact multiset equality: the first-shared-bin guard must emit each
+      // overlapping pair exactly once, with no Distinct in the plan
+      assert(got.toSeq == expected.toSeq)
+      assert(!rewritten.queryExecution.optimizedPlan.toString.contains("Distinct"))
+    }
+  }
+
+  test("overlap rewrite is total: malformed intervals keep θ-join semantics") {
+    // [5,2] overlaps [0,10] under the naive predicate (5<=10 && 0<=2) —
+    // the rewrite must preserve that, NOT apply set semantics (contrast
+    // RangeJoin.intervalOverlap, which documents dropping such rows)
+    val a = Seq((1L, 5L, 2L), (2L, 8L, 9L), (3L, -7L, -7L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 0L, 10L), (11L, 100L, 90L)).toDF("b_id", "b_lo", "b_hi")
+    def q() = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi").select("a_id", "b_id")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    withBinSize(4L) {
+      val rewritten = q()
+      assert(!hasBnlj(rewritten))
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == expected.toSeq)
+    }
+  }
+
   test("extreme long domain: bins near Long.MinValue don't overflow under ANSI") {
     // Raw long `x - pmod(x, w)` overflows for x within w of Long.MinValue —
     // under ANSI mode (Spark 4 default) that is a runtime crash, so the rule
