@@ -419,6 +419,67 @@ object Round4 {
             ) WHERE rn = 1""")
   )
 
+  /** Z-order clustered layout round-trip
+    * ([[graft.sources.LakeWriter.writeZOrdered]]): lineitem rewritten
+    * clustered on (l_partkey, l_suppkey), then a two-dimensional range
+    * predicate + aggregate over the clustered copy. The oracle is the
+    * plain filter-aggregate — the curve layout must be invisible in
+    * results (its file-skipping effect is pinned by ZOrderSpec).
+    */
+  val q85ZorderQuery: QueryDef = QueryDef(
+    "q85_zorder_query",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q85").resolve("lineitem_z").toString
+      val li = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.sources.LakeWriter.writeZOrdered(li, path, Seq("l_partkey", "l_suppkey"), bits = 8)
+      s.read
+        .parquet(path)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 50)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("key_sum"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("qty_sum"))
+    },
+    Some("""SELECT count(*) AS n,
+                   CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sum
+            FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 50""")
+  )
+
+  /** In-job observed metrics ([[graft.operators.Observe.withMetrics]] —
+    * `Dataset.observe`, accumulator-backed, no second scan): the metric
+    * row gathered while a count job runs becomes the query result; the
+    * oracle recomputes the same aggregates relationally.
+    */
+  val q86Observe: QueryDef = QueryDef(
+    "q86_observe",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 10)
+      val (_, m) = graft.operators.Observe.withMetrics(
+        li,
+        s"q86_${System.nanoTime()}",
+        Seq(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("qty_sum"),
+          max(col("l_extendedprice")).as("max_price"))
+      )(_.count())
+      import s.implicits._
+      Seq((
+        m("n_rows").asInstanceOf[Long],
+        m("qty_sum").asInstanceOf[java.math.BigDecimal]
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue(),
+        m("max_price").asInstanceOf[Double]
+      )).toDF("n_rows", "qty_sum", "max_price")
+    },
+    Some("""SELECT count(*) AS n_rows,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sum,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem WHERE l_quantity > 10""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q73Variant,
     q74TopkGroup,
@@ -431,6 +492,8 @@ object Round4 {
     q81TimeTravel,
     q82ManifestPrune,
     q83AsofTolerance,
-    q84AsofForward
+    q84AsofForward,
+    q85ZorderQuery,
+    q86Observe
   )
 }
