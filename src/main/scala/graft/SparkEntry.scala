@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.SimConfig
-import graft.queries.{Extras, LlmQueries, QueryDef, Relational, Round4, SimQueries, Temporal}
+import graft.queries.{Extras, LlmQueries, QueryDef, Relational, Round4, Round5, SimQueries, Temporal}
 import graft.sim.SimOperator
 import graft.sources.EventRequests
 import graft.stats.Statistics
@@ -19,7 +19,8 @@ import graft.stats.Statistics
 object SparkEntry {
 
   private def catalogue: Seq[QueryDef] =
-    Relational.all ++ SimQueries.all ++ Temporal.all ++ LlmQueries.all ++ Extras.all ++ Round4.all
+    Relational.all ++ SimQueries.all ++ Temporal.all ++ LlmQueries.all ++ Extras.all ++
+      Round4.all ++ Round5.all
 
   /** Flagship: full reference pipeline on the lake — events → typed
     * requests → discrete-event simulation (4 workers, priority queue) →

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-5 additions, part 1 — SQL-surface completeness: interval RANGE
+  * window frames, null-safe joins, correlated scalar subqueries
+  * (decorrelation), array higher-order functions, per-group exact
+  * percentiles, and JSON/ORC sink-source round trips.
+  */
+object Round5 {
+
+  /** RANGE-framed window: rolling one-hour count/sum per user over the
+    * event stream — the time-valued frame (`RANGE BETWEEN INTERVAL
+    * PRECEDING`) that rows-framed windows can't express. Spark orders by
+    * epoch micros with a [-3.6e9, 0] range frame; the oracle uses the
+    * equivalent interval frame. One shuffle on user_id; the frame scan is
+    * a single ordered pass per partition.
+    */
+  val q87RangeFrame: QueryDef = QueryDef(
+    "q87_range_frame",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables
+        .events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          round(sum(col("value")).over(w), 2).as("val_1h"))
+    },
+    Some("""SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   count(*) OVER w AS cnt_1h,
+                   round(sum(value) OVER w, 2) AS val_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+  )
+
+  /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): customers with a
+    * nulled-out nation key (every 10th) still join — to an UNKNOWN dim
+    * row — instead of silently dropping. EqualNullSafe is a hash-join key
+    * for Catalyst, so the small dim side broadcasts; no null-bucket skew
+    * lands on the fact side.
+    */
+  val q88NullsafeJoin: QueryDef = QueryDef(
+    "q88_nullsafe_join",
+    (s, dir) => {
+      val cust = Tables
+        .customer(s, dir)
+        .select(
+          when(col("c_custkey") % 10 === 0, lit(null))
+            .otherwise(col("c_nationkey"))
+            .cast("long")
+            .as("nk"),
+          col("c_acctbal"))
+      val dim = Tables
+        .nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("dk"), col("n_name"))
+        .unionByName(s.sql("SELECT CAST(NULL AS BIGINT) AS dk, 'UNKNOWN' AS n_name"))
+      cust
+        .join(broadcast(dim), cust("nk") <=> dim("dk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal_sum"))
+    },
+    Some("""SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal_sum
+            FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                              ELSE c_nationkey END AS nk,
+                         c_acctbal
+                  FROM customer) c
+            JOIN (SELECT n_nationkey AS dk, n_name FROM nation
+                  UNION ALL SELECT NULL, 'UNKNOWN') d
+              ON c.nk IS NOT DISTINCT FROM d.dk
+            GROUP BY n_name""")
+  )
+
+  /** Correlated scalar subqueries through the SQL surface: per-order item
+    * count and max item price (correlated on the outer order key) plus an
+    * uncorrelated max-price ratio. Catalyst decorrelates both correlated
+    * subqueries into aggregated left joins — `.explain` shows hash joins,
+    * never a per-row re-execution.
+    */
+  val q89ScalarSubquery: QueryDef = QueryDef(
+    "q89_scalar_subquery",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice,
+                      (SELECT count(*) FROM g_lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+                      (SELECT round(max(l_extendedprice), 2) FROM g_lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey) AS max_item,
+                      round(o_totalprice /
+                            (SELECT max(o_totalprice) FROM g_orders), 6) AS price_frac
+               FROM g_orders o
+               WHERE o_orderkey % 7 = 0""")
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+                   (SELECT round(max(l_extendedprice), 2) FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) AS max_item,
+                   round(o_totalprice /
+                         (SELECT max(o_totalprice) FROM orders), 6) AS price_frac
+            FROM orders o
+            WHERE o_orderkey % 7 = 0""")
+  )
+
+  /** Array higher-order functions (transform / filter / aggregate /
+    * zip_with) over per-order quantity arrays — all codegen-friendly
+    * lambda expressions, no UDFs. The arrays are sorted so the fold order
+    * (and therefore every result) is engine-independent.
+    */
+  val q90HofArrays: QueryDef = QueryDef(
+    "q90_hof_arrays",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).cast("long").as("n_items"),
+          aggregate(
+            transform(col("qs"), x => x * lit(2L)),
+            lit(0L),
+            (acc, x) => acc + x).as("doubled_sum"),
+          size(filter(col("qs"), _ > lit(20L))).cast("long").as("n_big"),
+          aggregate(
+            zip_with(col("qs"), reverse(col("qs")), (a, b) => a * b),
+            lit(0L),
+            (acc, x) => acc + x).as("rev_dot"))
+    },
+    Some("""SELECT l_orderkey,
+                   CAST(len(qs) AS BIGINT) AS n_items,
+                   CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT) AS doubled_sum,
+                   CAST(len(list_filter(qs, x -> x > 20)) AS BIGINT) AS n_big,
+                   CAST(list_sum([qs[i] * qs[len(qs) - i + 1]
+                                  FOR i IN range(1, len(qs) + 1)]) AS BIGINT) AS rev_dot
+            FROM (SELECT l_orderkey,
+                         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+                  FROM lineitem GROUP BY 1)""")
+  )
+
+  /** Exact percentiles PER GROUP (q3 is global): linear-interpolation
+    * `percentile` keyed by return flag — partial aggregation still
+    * applies (Spark's exact percentile buffers per group pre-shuffle),
+    * and the group count keeps the cardinality visible.
+    */
+  val q91GroupPercentiles: QueryDef = QueryDef(
+    "q91_group_percentiles",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.90)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  /** JSON sink + source round trip: high-value events written as
+    * line-delimited JSON, read back with an explicit schema (no inference
+    * job at scale), aggregated. The oracle reads the original table — the
+    * round trip must be lossless. Timestamps survive via epoch micros
+    * (ISO-string round-tripping is writer-version-dependent; a lake
+    * pipeline pins the representation).
+    */
+  val q92JsonRoundtrip: QueryDef = QueryDef(
+    "q92_json_roundtrip",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q92").resolve("events_json").toString
+      Tables
+        .events(s, dir)
+        .filter(col("value") > 50)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, value DOUBLE")
+        .json(path)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_sum"),
+          min(col("ts_us")).as("min_ts_us"),
+          round(sum(col("value")), 2).as("val_sum"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(user_id) AS BIGINT) AS user_sum,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   round(sum(value), 2) AS val_sum
+            FROM events WHERE value > 50 GROUP BY event_type""")
+  )
+
+  /** ORC sink + source round trip — the second columnar format (parquet
+    * is the lake default): orders written as ORC with a sort-within-
+    * partitions layout, read back, filtered and aggregated. Predicate
+    * pushdown applies to ORC scans exactly as to parquet.
+    */
+  val q93OrcRoundtrip: QueryDef = QueryDef(
+    "q93_orc_roundtrip",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q93").resolve("orders_orc").toString
+      Tables
+        .orders(s, dir)
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").orc(path)
+      s.read
+        .orc(path)
+        .filter(col("o_totalprice") > 100000)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q87RangeFrame,
+    q88NullsafeJoin,
+    q89ScalarSubquery,
+    q90HofArrays,
+    q91GroupPercentiles,
+    q92JsonRoundtrip,
+    q93OrcRoundtrip
+  )
+}
