@@ -31,6 +31,49 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** PASSAGE (chunk)-level exact dedup — the within-and-across-document
+    * variant of [[exactGroups]] (RefinedWeb/FineWeb-style): documents are
+    * cut into fixed-size word chunks; globally, only the FIRST occurrence
+    * of each distinct chunk (by (doc_id, chunk index)) survives; each
+    * document is reassembled from its surviving chunks in order.
+    *
+    * Output: (doc_id, n_chunks, n_kept, kept_text).
+    *
+    * Plan shape: chunking is row-local (split/slice/posexplode — no
+    * shuffle); first-occurrence election is ONE window over the chunk
+    * text; reassembly is one keyed aggregate back to doc_id. Two shuffles
+    * total, both on keys with near-uniform cardinality (distinct chunk
+    * texts / doc ids). At 100 TB the window key would be a 128-bit chunk
+    * hash instead of the raw string (collision-negligible, ~10× less
+    * shuffle I/O); the raw text is kept here so the DuckDB oracle can
+    * replay the exact semantics.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = split(col("text"), " ")
+    val chunked = docs.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          // nonneg domain, so the int cast of the double division is floor
+          sequence(lit(0), ((size(ts) - 1) / chunkWords).cast("int")),
+          i => array_join(slice(ts, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val firstOcc = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+    chunked
+      .withColumn("kept", row_number().over(firstOcc) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("kept_text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct character n-gram shingle set per document (codegen'd HOF —

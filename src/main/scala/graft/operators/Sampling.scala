@@ -90,4 +90,34 @@ object Sampling {
       }
     df.filter(hashBucket(col(idCol), 1000, salt) < threshold)
   }
+
+  /** Deterministic GLOBAL SHUFFLE + sharding for training order: every
+    * row gets a hash-derived sort key, a shard id (`hash mod shards`),
+    * and its position within the shard (ascending hash, id tie-break).
+    * The "random" training order is thus a pure function of (id, salt) —
+    * reproducible across reruns, partitionings and engines, and a new
+    * salt is a fresh epoch-level reshuffle.
+    *
+    * Position is per-shard `row_number`, so the only sort is within each
+    * shard's partition (one hash shuffle on shard, ~n/shards rows each).
+    * At 100 TB the writer would `repartitionByRange(shard, __h)` and let
+    * each task stream its shard file in hash order — no global sort
+    * either way.
+    */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    // 15 hex digits = 60 bits: fits a long with headroom, same
+    // cross-engine md5 contract as hashBucket
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn(
+        "pos",
+        row_number()
+          .over(Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
+          .cast("long"))
+      .drop("__h")
+  }
 }

@@ -54,6 +54,34 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** fastText-style LINEAR quality classifier: a fixed-weight margin over
+    * row-local features (word count, mean word length, stopword fraction,
+    * type-token ratio, long-word fraction), bucketed into quality tiers.
+    * The real pipeline would load trained weights; the shape — features →
+    * dot product → threshold — is identical, a pure scan-side projection
+    * with no shuffle, so 100 TB classifies at scan speed.
+    *
+    * Every feature and the margin are computed in a fixed left-associated
+    * operation order so the DuckDB oracle reproduces the arithmetic
+    * bit-for-bit.
+    */
+  def classifierScore(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val meanWlen = (length(col("text")) - size(w) + 1).cast("double") / nWords
+    val stopFrac = size(filter(w, x => array_contains(stopArr, x))).cast("double") / nWords
+    val ttr = size(array_distinct(w)).cast("double") / nWords
+    val longFrac = size(filter(w, x => length(x) >= 6)).cast("double") / nWords
+    val margin =
+      ttr * 0.8 + stopFrac * 2.0 - meanWlen * 0.1 + nWords * 0.004 + longFrac * 1.5 - 1.2
+    docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      round(margin, 6).as("margin"),
+      when(margin > 0.2, "high").when(margin > 0, "mid").otherwise("low").as("bucket"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish `\w+|[^\w\s]` regex
     * tokenization (word pieces and isolated punctuation), with a
     * chars-per-token ratio — the usual pre-training corpus size estimate.

@@ -239,6 +239,153 @@ object Round5 {
             FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority""")
   )
 
+  /** Passage-level exact dedup ([[graft.operators.Dedup.chunkDedup]]):
+    * 10-word chunks, global first-occurrence election, per-document
+    * reassembly. The oracle replays the identical chunking + window
+    * election in DuckDB (kept text compared via md5).
+    */
+  val q94ChunkDedup: QueryDef = QueryDef(
+    "q94_chunk_dedup",
+    (s, dir) => {
+      graft.operators.Dedup
+        .chunkDedup(Tables.documents(s, dir), chunkWords = 10)
+        .select(
+          col("doc_id"),
+          col("n_chunks"),
+          col("n_kept"),
+          md5(col("kept_text")).as("kept_md5"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            chunks AS (
+              SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+                SELECT doc_id,
+                       unnest([{'idx': CAST((i - 1) // 10 AS INT),
+                                'chunk': array_to_string(ts[i:i+9], ' ')}
+                               FOR i IN range(1, len(ts) + 1, 10)]) AS u
+                FROM toks) t),
+            flagged AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+              FROM chunks)
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(coalesce(
+                     array_to_string(list(chunk ORDER BY idx) FILTER (WHERE kept), ' '),
+                     '')) AS kept_md5
+            FROM flagged GROUP BY doc_id""")
+  )
+
+  /** Linear quality classifier
+    * ([[graft.operators.TextAnalysis.classifierScore]]): fixed-weight
+    * margin over row-local text features, bucketed into tiers; the oracle
+    * reproduces the exact feature + dot-product arithmetic.
+    */
+  val q95Classifier: QueryDef = QueryDef(
+    "q95_classifier",
+    (s, dir) => graft.operators.TextAnalysis.classifierScore(Tables.documents(s, dir)),
+    Some("""SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                   round(
+                     (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.8
+                     + (CAST(len(list_filter(ws, w -> list_contains(
+                          ['the','a','of','and','to','in','is','on','for','with'], w)))
+                        AS DOUBLE) / len(ws)) * 2.0
+                     - (CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) * 0.1
+                     + CAST(len(ws) AS DOUBLE) * 0.004
+                     + (CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws)) * 1.5
+                     - 1.2, 6) AS margin,
+                   CASE WHEN
+                     (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.8
+                     + (CAST(len(list_filter(ws, w -> list_contains(
+                          ['the','a','of','and','to','in','is','on','for','with'], w)))
+                        AS DOUBLE) / len(ws)) * 2.0
+                     - (CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) * 0.1
+                     + CAST(len(ws) AS DOUBLE) * 0.004
+                     + (CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws)) * 1.5
+                     - 1.2 > 0.2 THEN 'high'
+                   WHEN
+                     (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.8
+                     + (CAST(len(list_filter(ws, w -> list_contains(
+                          ['the','a','of','and','to','in','is','on','for','with'], w)))
+                        AS DOUBLE) / len(ws)) * 2.0
+                     - (CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) * 0.1
+                     + CAST(len(ws) AS DOUBLE) * 0.004
+                     + (CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws)) * 1.5
+                     - 1.2 > 0 THEN 'mid'
+                   ELSE 'low' END AS bucket
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)""")
+  )
+
+  /** Deterministic global shuffle + sharding
+    * ([[graft.operators.Sampling.shardAssign]]): training order as a pure
+    * function of (doc_id, salt) — shard and in-shard position both
+    * oracle-replayable.
+    */
+  val q96ShuffleShard: QueryDef = QueryDef(
+    "q96_shuffle_shard",
+    (s, dir) => {
+      graft.operators.Sampling
+        .shardAssign(Tables.documents(s, dir), "doc_id", shards = 8, salt = "shuf1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                   row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shuf1'), 1, 15))
+                              AS BIGINT) AS h
+                  FROM documents)""")
+  )
+
+  /** Versioned-lake snapshot diff ([[graft.sources.LakeLog.diff]]): v1 and
+    * v2 are constructed so the change set contains all three kinds —
+    * added (new keys), removed (dropped keys), changed (price bump on
+    * every 5th key). The oracle rebuilds both snapshots relationally and
+    * full-outer-joins them.
+    */
+  val q97TableDiff: QueryDef = QueryDef(
+    "q97_table_diff",
+    (s, dir) => {
+      val orders = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q97").resolve("orders_diff").toString
+      graft.sources.LakeLog.overwrite(orders.filter(col("o_orderkey") % 3 =!= 0), path)
+      graft.sources.LakeLog.overwrite(
+        orders
+          .filter(col("o_orderkey") % 2 =!= 0)
+          .select(
+            col("o_orderkey"),
+            (col("o_totalprice") +
+              when(col("o_orderkey") % 5 === 0, 1.0).otherwise(0.0)).as("o_totalprice")),
+        path)
+      graft.sources.LakeLog
+        .diff(s, path, 1L, 2L, Seq("o_orderkey"), Seq("o_totalprice"))
+        .filter(col("change_type") =!= "unchanged")
+        .select(
+          col("o_orderkey"),
+          col("change_type"),
+          round(col("o_totalprice_old"), 2).as("price_old"),
+          round(col("o_totalprice_new"), 2).as("price_new"))
+    },
+    Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+                 v2 AS (SELECT o_orderkey,
+                               o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                                   THEN 1.0 ELSE 0.0 END AS o_totalprice
+                        FROM orders WHERE o_orderkey % 2 <> 0)
+            SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+                   CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                        WHEN v2.o_orderkey IS NULL THEN 'removed'
+                        WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   round(v1.o_totalprice, 2) AS price_old,
+                   round(v2.o_totalprice, 2) AS price_new
+            FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+            WHERE CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                       WHEN v2.o_orderkey IS NULL THEN 'removed'
+                       WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'changed'
+                       ELSE 'unchanged' END <> 'unchanged'""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -246,6 +393,10 @@ object Round5 {
     q90HofArrays,
     q91GroupPercentiles,
     q92JsonRoundtrip,
-    q93OrcRoundtrip
+    q93OrcRoundtrip,
+    q94ChunkDedup,
+    q95Classifier,
+    q96ShuffleShard,
+    q97TableDiff
   )
 }

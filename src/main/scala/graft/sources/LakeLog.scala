@@ -108,6 +108,50 @@ object LakeLog {
     }
   }
 
+  /** SNAPSHOT DIFF: keyed change set between two committed versions —
+    * the audit/CDC-extraction primitive a versioned lake enables (what
+    * changed between yesterday's and today's snapshot, without either
+    * writer having logged its changes).
+    *
+    * Output: `keyCols`, then `<c>_old`/`<c>_new` per value column, then
+    * `change_type` ∈ {added, removed, changed, unchanged}. Comparison is
+    * null-safe per value column.
+    *
+    * Plan shape: two snapshot scans pruned to key+value columns, ONE
+    * full-outer hash join on the keys. No window, no sort; at 100 TB both
+    * sides shuffle once on the same key (or zero times if the table is
+    * bucketed by it).
+    */
+  def diff(
+      spark: SparkSession,
+      path: String,
+      v1: Long,
+      v2: Long,
+      keyCols: Seq[String],
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def side(v: Long, suffix: String, marker: String) =
+      read(spark, path, v).select(
+        keyCols.map(col) ++
+          valueCols.map(c => col(c).as(s"${c}_$suffix")) :+
+          lit(true).as(marker): _*)
+    val joined = side(v1, "old", "__a")
+      .join(side(v2, "new", "__b"), keyCols, "full_outer")
+    val anyChanged = valueCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    joined
+      .withColumn(
+        "change_type",
+        when(col("__a").isNull, "added")
+          .when(col("__b").isNull, "removed")
+          .when(anyChanged, "changed")
+          .otherwise("unchanged"))
+      .drop("__a", "__b")
+  }
+
   /** Create or replace the table with `df` as version 1 (create) or the
     * next version (replace — old snapshots stay readable).
     *

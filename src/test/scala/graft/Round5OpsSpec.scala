@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.sources.LakeLog
+
+/** Round-5 operators: chunk-level dedup election/reassembly, classifier
+  * feature arithmetic, shard-assign stability, and lake snapshot diff.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ----------------------------------------------------------- chunkDedup
+
+  test("chunkDedup keeps first occurrence across and within documents") {
+    // chunkWords=2: doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 repeats
+    // its own chunk: [g h][g h]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "g h g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .chunkDedup(docs, chunkWords = 2)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toMap1
+
+    assert(got(1L) == (2L, 2L, "a b c d"))
+    // doc 2 loses its first chunk to doc 1
+    assert(got(2L) == (2L, 1L, "e f"))
+    // doc 3's second copy of "g h" loses to its own first
+    assert(got(3L) == (2L, 1L, "g h"))
+  }
+
+  test("chunkDedup: a document whose every chunk is seen earlier keeps empty text") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Dedup
+      .chunkDedup(docs, chunkWords = 2)
+      .select("doc_id", "n_kept", "kept_text")
+      .as[(Long, Long, String)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got(2L) == (0L, ""))
+  }
+
+  test("chunkDedup: trailing partial chunk is its own unit") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text") // [a b][c d][e]
+    val got = Dedup
+      .chunkDedup(docs, chunkWords = 2)
+      .select("n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, String)]
+      .head()
+    assert(got == (3L, 3L, "a b c d e"))
+  }
+
+  // ------------------------------------------------------ classifierScore
+
+  test("classifierScore computes the documented margin on a crafted doc") {
+    // "the the cat" → n=3, distinct=2, stop=2, mean_wlen=(11-3+1)/3=3,
+    // long=0  margin = (2/3)*0.8 + (2/3)*2.0 - 3*0.1 + 3*0.004 - 1.2
+    val df = Seq((7L, "the the cat")).toDF("doc_id", "text")
+    val row = TextAnalysis.classifierScore(df)
+      .select("n_words", "margin", "bucket").as[(Long, Double, String)].head()
+    val expected = BigDecimal(
+      (2.0 / 3) * 0.8 + (2.0 / 3) * 2.0 - 3.0 * 0.1 + 3 * 0.004 + 0.0 * 1.5 - 1.2
+    ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row._1 == 3L)
+    assert(math.abs(row._2 - expected) < 1e-12)
+    assert(row._3 == (if (expected > 0.2) "high" else if (expected > 0) "mid" else "low"))
+  }
+
+  // ---------------------------------------------------------- shardAssign
+
+  test("shardAssign: positions are 1..n per shard and stable under repartition") {
+    val df = (1L to 300L).toDF("id")
+    val a = Sampling.shardAssign(df, "id", shards = 4, salt = "s")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    val b = Sampling.shardAssign(df.repartition(7), "id", shards = 4, salt = "s")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    // a different salt is a different permutation
+    val c = Sampling.shardAssign(df, "id", shards = 4, salt = "t")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a != c)
+  }
+
+  // -------------------------------------------------------- LakeLog.diff
+
+  test("diff classifies added/removed/changed/unchanged with null-safe compare") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_diff").resolve("t").toString
+    val v1 = Seq(
+      (1L, Some(10.0)), // unchanged
+      (2L, Some(20.0)), // changed
+      (3L, Some(30.0)), // removed
+      (4L, None)        // null -> null: unchanged (null-safe)
+    ).toDF("k", "v")
+    val v2 = Seq(
+      (1L, Some(10.0)),
+      (2L, Some(21.0)),
+      (4L, None),
+      (5L, Some(50.0)) // added
+    ).toDF("k", "v")
+    LakeLog.overwrite(v1, path)
+    LakeLog.overwrite(v2, path)
+    val got = LakeLog.diff(spark, path, 1L, 2L, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  private implicit class MapOps(rows: Array[(Long, Long, Long, String)]) {
+    def toMap1: Map[Long, (Long, Long, String)] =
+      rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+  }
+}
