@@ -285,6 +285,73 @@ object Similarity {
     books
   }
 
+  /** DISTRIBUTED Lloyd's k-means over the embedding column — the
+    * clustering pass behind semantic dedup (SemDeDup-style: cluster,
+    * then compare only within a cluster) and IVF-like partitioning, run
+    * as DataFrame jobs so the corpus never leaves the executors:
+    *
+    *   - assignment is a pure scan-side projection (k ordered-fold
+    *     distance expressions over the vector, argmin with
+    *     lowest-centroid tie-break) — no shuffle, no UDF;
+    *   - the update step is one explode + (cluster, dim) hash aggregate
+    *     (64·k cells), collected to the driver (k×dim doubles — tiny at
+    *     any corpus scale);
+    *   - centroids are QUANTIZED to the binary grid floor(x·2²⁰)/2²⁰
+    *     between iterations: power-of-two scaling is exact in IEEE
+    *     doubles, so any engine (the DuckDB oracle replays the identical
+    *     iterations relationally) lands on bit-identical centroids and
+    *     assignments don't wobble on last-ulp arithmetic differences.
+    *
+    * Init is deterministic: the k lowest-id vectors. An emptied cluster
+    * keeps its previous centroid. Output: (vec_id, cluster, dist2).
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0, iters >= 0")
+    val pts = emb.select(
+      col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def quant(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+
+    def assign(centroids: Array[Array[Double]]): DataFrame = {
+      val dists = centroids.map { c =>
+        val carr = array(c.map(lit): _*)
+        aggregate(
+          zip_with(col("v"), carr, (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, x) => acc + x)
+      }
+      val best = dists.zipWithIndex.tail.foldLeft((lit(0L), dists(0))) {
+        case ((bi, bd), (d, i)) =>
+          (when(d < bd, lit(i.toLong)).otherwise(bi), when(d < bd, d).otherwise(bd))
+      }
+      pts.select(col("vec_id"), col("v"), best._1.as("cluster"), best._2.as("dist2"))
+    }
+
+    var centroids: Array[Array[Double]] = pts
+      .filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray.map(quant))
+    require(centroids.length == k, s"need vec_id 0..${k - 1} present for deterministic init")
+    val dim = centroids(0).length
+
+    for (_ <- 1 to iters) {
+      val means = assign(centroids)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = quant(r.getDouble(2)))
+          c.toInt -> arr
+        }
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    assign(centroids).drop("v")
+  }
+
   /** Driver-side spherical k-means on the (bounded) training sample:
     * deterministic init from the first k sample vectors, cosine
     * assignment, mean update; empty cells keep their previous centroid.

@@ -386,6 +386,115 @@ object Round5 {
                        ELSE 'unchanged' END <> 'unchanged'""")
   )
 
+  /** RECURSIVE CTE through the SQL surface (Spark 4's WITH RECURSIVE —
+    * UnionLoop execution): documents within each (lang, id-range) bucket
+    * form a successor chain via `lead`; the recursion walks every chain
+    * from its head, labeling each node with its root and depth. The
+    * functional graph is cycle-free by construction, so UNION ALL
+    * recursion terminates with exactly one row per document. The oracle
+    * runs the identical recursion in DuckDB (`div` vs `//` is the only
+    * dialect difference).
+    */
+  val q98RecursiveCte: QueryDef = QueryDef(
+    "q98_recursive_cte",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+      s.sql("""WITH RECURSIVE e AS (
+                 SELECT doc_id AS src,
+                        lead(doc_id) OVER (PARTITION BY lang, doc_id div 50
+                                           ORDER BY doc_id) AS dst
+                 FROM g_documents),
+               reach(root, node, depth) AS (
+                 SELECT src, src, 0 FROM e
+                 WHERE src NOT IN (SELECT dst FROM e WHERE dst IS NOT NULL)
+                 UNION ALL
+                 SELECT r.root, e2.dst, r.depth + 1
+                 FROM reach r JOIN e e2 ON r.node = e2.src
+                 WHERE e2.dst IS NOT NULL)
+               SELECT root, node, CAST(depth AS INT) AS depth FROM reach""")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT doc_id AS src,
+                     lead(doc_id) OVER (PARTITION BY lang, doc_id // 50
+                                        ORDER BY doc_id) AS dst
+              FROM documents),
+            reach(root, node, depth) AS (
+              SELECT src, src, 0 FROM e
+              WHERE src NOT IN (SELECT dst FROM e WHERE dst IS NOT NULL)
+              UNION ALL
+              SELECT r.root, e2.dst, r.depth + 1
+              FROM reach r JOIN e e2 ON r.node = e2.src
+              WHERE e2.dst IS NOT NULL)
+            SELECT root, node, CAST(depth AS INT) AS depth FROM reach""")
+  )
+
+  /** Distributed Lloyd's k-means
+    * ([[graft.operators.Similarity.kmeansAssign]], k=4, one update
+    * round): thanks to the binary-grid centroid quantization the DuckDB
+    * oracle replays the ENTIRE iteration relationally — init from the 4
+    * lowest-id vectors, ordered-fold distances, argmin assignment,
+    * per-dimension mean, reassignment — and the membership checksum
+    * (sum of vec_ids per cluster) must agree exactly.
+    */
+  val q99Kmeans: QueryDef = QueryDef(
+    "q99_kmeans",
+    (s, dir) => {
+      graft.operators.Similarity
+        .kmeansAssign(Tables.embeddings(s, dir), k = 4, iters = 1)
+        .groupBy(col("cluster"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("vec_id")).as("id_sum"),
+          round(avg(col("dist2")), 4).as("avg_d2"))
+    },
+    Some("""WITH pts AS (SELECT vec_id,
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+            c0 AS (SELECT vec_id AS cid,
+                          list_transform(v, x -> floor(x * 1048576.0) / 1048576.0) AS c
+                   FROM pts WHERE vec_id < 4),
+            d1 AS (SELECT p.vec_id, c.cid,
+                          list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
+                                    FOR i IN range(1, len(p.v) + 1)]) AS d
+                   FROM pts p CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d, cid) AS rn
+                         FROM d1) WHERE rn = 1),
+            c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+                     SELECT a1.cluster AS cid, i AS pos,
+                            floor(avg(p.v[i]) * 1048576.0) / 1048576.0 AS m
+                     FROM a1 JOIN pts p USING (vec_id)
+                     CROSS JOIN range(1, 65) t(i)
+                     GROUP BY 1, 2) GROUP BY cid),
+            d2 AS (SELECT p.vec_id, c.cid,
+                          list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
+                                    FOR i IN range(1, len(p.v) + 1)]) AS d
+                   FROM pts p CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, cid AS cluster, d
+                   FROM (SELECT vec_id, cid, d,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d, cid) AS rn
+                         FROM d2) WHERE rn = 1)
+            SELECT cluster, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+                   round(avg(d), 4) AS avg_d2
+            FROM a2 GROUP BY cluster""")
+  )
+
+  /** MapState streaming aggregate
+    * ([[graft.streaming.StatefulCounter.TypeCounts]]): per-user
+    * per-event-type running counts through `transformWithState` map
+    * state, drained over the bounded replay; the final counts must equal
+    * the batch GROUP BY — the oracle.
+    */
+  val q100StreamMapstate: QueryDef = QueryDef(
+    "q100_stream_mapstate",
+    (s, dir) => graft.streaming.StatefulCounter.runTypeCounts(s, dir),
+    Some("""SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -397,6 +506,9 @@ object Round5 {
     q94ChunkDedup,
     q95Classifier,
     q96ShuffleShard,
-    q97TableDiff
+    q97TableDiff,
+    q98RecursiveCte,
+    q99Kmeans,
+    q100StreamMapstate
   )
 }

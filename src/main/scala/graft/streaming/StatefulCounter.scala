@@ -105,6 +105,84 @@ object StatefulCounter {
       .transformWithState(new QuietTimer(gapUs), TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // --------------------------------------------------- MapState variant
+
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MAP-STATE processor: one `MapState[event_type, count]` per user —
+    * the per-key sub-keyed aggregate (per-user per-category counters,
+    * feature accumulators, per-device sessions) that a `ValueState`
+    * would have to serialize wholesale on every update; `MapState`
+    * reads/writes only the touched sub-key, so a user with thousands of
+    * categories pays O(batch), not O(state). Emits the updated count for
+    * every (user, type) touched by the batch.
+    */
+  class TypeCounts extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TypedEvent],
+        timerValues: TimerValues
+    ): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val n = touched.getOrElse(
+          e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L) + 1L
+        touched(e.event_type) = n
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Keyed map-state transform: per-user per-event-type running counts. */
+  def typeCounts(events: DataFrame): org.apache.spark.sql.Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCounts, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Drain the bounded replay; counts are monotonic per (user, type), so
+    * the final state is the max emission. RocksDB provider scoped to the
+    * query.
+    */
+  def runTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"tws_typecounts_${System.nanoTime()}"
+      StreamingOps.withStatePartitions(spark) {
+        val q = typeCounts(StreamingOps.eventsStream(spark, sfDir))
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table(name)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   /** The streaming transform: keyed by user, update-mode emissions. */
   def runningTotals(events: DataFrame): org.apache.spark.sql.Dataset[Totals] = {
     val spark = events.sparkSession

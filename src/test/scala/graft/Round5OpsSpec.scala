@@ -122,6 +122,52 @@ class Round5OpsSpec extends AnyFunSuite {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  // --------------------------------------------------------- kmeansAssign
+
+  test("kmeansAssign separates well-separated clusters and is repartition-stable") {
+    val rnd = new scala.util.Random(7)
+    def around(cx: Double, cy: Double) =
+      Array((cx + rnd.nextGaussian() * 0.1).toFloat, (cy + rnd.nextGaussian() * 0.1).toFloat)
+    // vec 0 near (0,0), vec 1 near (10,10) → deterministic init picks one
+    // seed per true cluster
+    val rows = (Array(0L -> Array(0.1f, -0.1f), 1L -> Array(10.2f, 9.9f)) ++
+      (2L to 60L).map(i => i -> (if (i % 2 == 0) around(0, 0) else around(10, 10)))).toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .kmeansAssign(df, k = 2, iters = 2)
+      .select("vec_id", "cluster", "dist2")
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(got.length == rows.length)
+    got.foreach { case (id, cluster, d2) =>
+      val expected = if (id == 0 || (id >= 2 && id % 2 == 0)) 0L else 1L
+      assert(cluster == expected, s"vec $id in cluster $cluster")
+      assert(d2 >= 0.0 && d2 < 1.0) // tight clusters → small residual
+    }
+    val again = graft.operators.Similarity
+      .kmeansAssign(df.repartition(5), k = 2, iters = 2)
+      .select("vec_id", "cluster", "dist2")
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("kmeansAssign iters=0 assigns to the nearest quantized seed vector") {
+    val df = Seq(
+      (0L, Array(0f, 0f)),
+      (1L, Array(4f, 4f)),
+      (2L, Array(0.6f, 0.9f)), // closer to (0,0)
+      (3L, Array(3.0f, 2.9f))  // closer to (4,4)
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .kmeansAssign(df, k = 2, iters = 0)
+      .select("vec_id", "cluster")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long, String)]) {
     def toMap1: Map[Long, (Long, Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
