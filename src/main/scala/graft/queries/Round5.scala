@@ -391,7 +391,10 @@ object Round5 {
     * form a successor chain via `lead`; the recursion walks every chain
     * from its head, labeling each node with its root and depth. The
     * functional graph is cycle-free by construction, so UNION ALL
-    * recursion terminates with exactly one row per document. The oracle
+    * recursion terminates with exactly one row per document. The 10-id
+    * bucket bounds chain length (= loop iterations — each UnionLoop round
+    * is a job, so recursion DEPTH, not row count, is the scale cost; keep
+    * recursive workloads shallow-and-wide, as here). The oracle
     * runs the identical recursion in DuckDB (`div` vs `//` is the only
     * dialect difference).
     */
@@ -399,23 +402,27 @@ object Round5 {
     "q98_recursive_cte",
     (s, dir) => {
       Tables.documents(s, dir).createOrReplaceTempView("g_documents")
-      s.sql("""WITH RECURSIVE e AS (
-                 SELECT doc_id AS src,
-                        lead(doc_id) OVER (PARTITION BY lang, doc_id div 50
-                                           ORDER BY doc_id) AS dst
-                 FROM g_documents),
-               reach(root, node, depth) AS (
-                 SELECT src, src, 0 FROM e
-                 WHERE src NOT IN (SELECT dst FROM e WHERE dst IS NOT NULL)
+      // Materialize the edge list ONCE: a CTE referenced inside the
+      // recursive member is re-evaluated every loop round, so the window
+      // would otherwise rerun per iteration.
+      s.sql("""SELECT doc_id AS src,
+                      lead(doc_id) OVER (PARTITION BY lang, doc_id div 10
+                                         ORDER BY doc_id) AS dst
+               FROM g_documents""")
+        .localCheckpoint()
+        .createOrReplaceTempView("g_edges")
+      s.sql("""WITH RECURSIVE reach(root, node, depth) AS (
+                 SELECT src, src, 0 FROM g_edges
+                 WHERE src NOT IN (SELECT dst FROM g_edges WHERE dst IS NOT NULL)
                  UNION ALL
                  SELECT r.root, e2.dst, r.depth + 1
-                 FROM reach r JOIN e e2 ON r.node = e2.src
+                 FROM reach r JOIN g_edges e2 ON r.node = e2.src
                  WHERE e2.dst IS NOT NULL)
                SELECT root, node, CAST(depth AS INT) AS depth FROM reach""")
     },
     Some("""WITH RECURSIVE e AS (
               SELECT doc_id AS src,
-                     lead(doc_id) OVER (PARTITION BY lang, doc_id // 50
+                     lead(doc_id) OVER (PARTITION BY lang, doc_id // 10
                                         ORDER BY doc_id) AS dst
               FROM documents),
             reach(root, node, depth) AS (

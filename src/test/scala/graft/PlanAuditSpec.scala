@@ -195,4 +195,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "fingerprint selection shuffled")
     assert(!plan.contains("Window"), "fingerprint selection used a window sort")
   }
+
+  test("q88 null-safe join broadcasts the dim (EqualNullSafe is a hash-join key)") {
+    val plan = planOf(SparkEntry.queries("q88_nullsafe_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"null-safe join not hash/broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "null-safe join fell to nested loop")
+  }
+
+  test("q89 correlated scalar subqueries decorrelate into joins (no per-row re-execution)") {
+    val plan = planOf(SparkEntry.queries("q89_scalar_subquery")(spark, sfDir))
+    // decorrelation: correlated subqueries become aggregate+join; only the
+    // uncorrelated max() may remain as a (run-once) scalar subquery node
+    assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "subquery executed as nested loop")
+  }
+
+  test("q94 chunk dedup: chunking is scan-side; exactly two exchanges (election, reassembly)") {
+    val plan = planOf(
+      graft.operators.Dedup.chunkDedup(graft.sources.Tables.documents(spark, sfDir)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges in:\n$plan")
+    assert(plan.contains("Generate"), "no scan-side explode")
+  }
+
+  test("q96 shard assign: one exchange (the per-shard position window)") {
+    val plan = planOf(
+      graft.operators.Sampling.shardAssign(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", 8, "s"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("q99 kmeans assignment is a pure scan-side projection (no shuffle, no UDF)") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    // probe the assignment shape via the public API with iters=0
+    val plan = planOf(graft.operators.Similarity.kmeansAssign(emb, k = 4, iters = 0))
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), "UDF in hot path")
+  }
 }
