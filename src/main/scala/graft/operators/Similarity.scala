@@ -303,7 +303,9 @@ object Similarity {
     *     assignments don't wobble on last-ulp arithmetic differences.
     *
     * Init is deterministic: the k lowest-id vectors. An emptied cluster
-    * keeps its previous centroid. Output: (vec_id, cluster, dist2).
+    * keeps its previous centroid. Output: (vec_id, v, cluster, dist2) —
+    * the double-cast vector rides along so compositions (e.g.
+    * [[semanticNearDupPairs]]) don't re-join the embedding table.
     */
   def kmeansAssign(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 0, "need k > 0, iters >= 0")
@@ -349,7 +351,40 @@ object Similarity {
         }
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
-    assign(centroids).drop("v")
+    assign(centroids)
+  }
+
+  /** SemDeDup-style SEMANTIC near-dup pairs: k-means first, then exact
+    * cosine only WITHIN each cluster — the candidate-generation-first
+    * shape of every dedup operator here, with the cluster as the bucket:
+    * pair work drops from O(n²) to O(n²/k) (choose k ∝ corpus size to
+    * bound cluster width; the cluster join key also partitions the
+    * shuffle). Cosine is an ordered fold, so the DuckDB oracle replays it
+    * exactly on top of the k-means oracle chain.
+    *
+    * Output: (cluster, id_a, id_b, cos) for pairs with cosine above
+    * `threshold` (strict), id_a < id_b.
+    */
+  def semanticNearDupPairs(
+      emb: DataFrame,
+      k: Int = 4,
+      iters: Int = 1,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters)
+    val a = assigned.select(
+      col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(
+      col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val cos = dot(col("va"), col("vb")) /
+      (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cos)
+      .filter(col("cos") > threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** Driver-side spherical k-means on the (bounded) training sample:

@@ -502,6 +502,213 @@ object Round5 {
             FROM events GROUP BY user_id, event_type""")
   )
 
+  /** Incremental materialized aggregate
+    * ([[graft.sources.MaterializedAgg]]): orders land in three appends;
+    * the rollup is refreshed from each manifest delta (appended files
+    * only — never a rescan) and must equal the direct aggregate over the
+    * whole table — the oracle.
+    */
+  val q101IncrementalMv: QueryDef = QueryDef(
+    "q101_incremental_mv",
+    (s, dir) => {
+      val orders = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q101").resolve("orders_mv").toString
+      val third = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 3
+      def slice(lo: Long, hi: Long) =
+        orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      graft.sources.LakeLog.overwrite(slice(-1, third), path) // keys start at 0
+      graft.sources.LakeLog.append(slice(third, 2 * third), path)
+      graft.sources.LakeLog.append(slice(2 * third, Long.MaxValue), path)
+      val keys = Seq("o_orderstatus")
+      val sums = Seq("o_totalprice", "o_orderkey")
+      val mv1 = graft.sources.MaterializedAgg.refresh(s, path, None, 0, 1, keys, sums)
+      val mv2 = graft.sources.MaterializedAgg.refresh(s, path, Some(mv1), 1, 2, keys, sums)
+      val mv3 = graft.sources.MaterializedAgg.refresh(s, path, Some(mv2), 2, 3, keys, sums)
+      mv3.select(
+        col("o_orderstatus"),
+        col("n"),
+        col("o_orderkey_sum").as("key_sum"),
+        round(col("o_totalprice_sum"), 2).as("price_sum"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders GROUP BY o_orderstatus""")
+  )
+
+  /** SemDeDup-style semantic near-dup
+    * ([[graft.operators.Similarity.semanticNearDupPairs]]): k-means
+    * clusters as the candidate buckets, exact cosine only within a
+    * cluster. The oracle extends q99's relational k-means replay with the
+    * within-cluster pair join and the identical ordered-fold cosine.
+    */
+  val q102SemanticDedup: QueryDef = QueryDef(
+    "q102_semantic_dedup",
+    (s, dir) => graft.operators.Similarity
+      .semanticNearDupPairs(Tables.embeddings(s, dir), k = 4, iters = 1, threshold = 0.3),
+    Some("""WITH pts AS (SELECT vec_id,
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+            c0 AS (SELECT vec_id AS cid,
+                          list_transform(v, x -> floor(x * 1048576.0) / 1048576.0) AS c
+                   FROM pts WHERE vec_id < 4),
+            d1 AS (SELECT p.vec_id, c.cid,
+                          list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
+                                    FOR i IN range(1, len(p.v) + 1)]) AS d
+                   FROM pts p CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d, cid) AS rn
+                         FROM d1) WHERE rn = 1),
+            c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+                     SELECT a1.cluster AS cid, i AS pos,
+                            floor(avg(p.v[i]) * 1048576.0) / 1048576.0 AS m
+                     FROM a1 JOIN pts p USING (vec_id)
+                     CROSS JOIN range(1, 65) t(i)
+                     GROUP BY 1, 2) GROUP BY cid),
+            d2 AS (SELECT p.vec_id, c.cid,
+                          list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
+                                    FOR i IN range(1, len(p.v) + 1)]) AS d
+                   FROM pts p CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT vec_id, cid, d,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d, cid) AS rn
+                         FROM d2) WHERE rn = 1),
+            pairs AS (
+              SELECT x.cluster AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+                     list_sum([px.v[i] * py.v[i] FOR i IN range(1, len(px.v) + 1)]) /
+                     (sqrt(list_sum([px.v[i] * px.v[i] FOR i IN range(1, len(px.v) + 1)])) *
+                      sqrt(list_sum([py.v[i] * py.v[i] FOR i IN range(1, len(py.v) + 1)]))) AS cos
+              FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              JOIN pts px ON px.vec_id = x.vec_id
+              JOIN pts py ON py.vec_id = y.vec_id)
+            SELECT cluster, id_a, id_b, round(cos, 6) AS cos
+            FROM pairs WHERE cos > 0.3""")
+  )
+
+  /** End-to-end curation composition: chunk-dedup → reassembled text →
+    * classifier tiers → deterministic shards → per-(shard, tier) rollup.
+    * Every stage is an already-oracled operator; this query checks the
+    * COMPOSITION (the oracle replays the full chain on the rebuilt text,
+    * not the original).
+    */
+  val q103CurationE2e: QueryDef = QueryDef(
+    "q103_curation_e2e",
+    (s, dir) => {
+      val deduped = graft.operators.Dedup
+        .chunkDedup(Tables.documents(s, dir), chunkWords = 10)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      val scored = graft.operators.TextAnalysis.classifierScore(deduped)
+      graft.operators.Sampling
+        .shardAssign(scored, "doc_id", shards = 4, salt = "cur1")
+        .groupBy(col("shard"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_words")).as("words"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            chunks AS (
+              SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+                SELECT doc_id,
+                       unnest([{'idx': CAST((i - 1) // 10 AS INT),
+                                'chunk': array_to_string(ts[i:i+9], ' ')}
+                               FOR i IN range(1, len(ts) + 1, 10)]) AS u
+                FROM toks) t),
+            flagged AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+              FROM chunks),
+            rebuilt AS (
+              SELECT doc_id,
+                     array_to_string(list(chunk ORDER BY idx) FILTER (WHERE kept), ' ') AS text,
+                     CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM flagged GROUP BY doc_id),
+            feats AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                      FROM rebuilt WHERE n_kept > 0),
+            scored AS (
+              SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                     (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.8
+                     + (CAST(len(list_filter(ws, w -> list_contains(
+                          ['the','a','of','and','to','in','is','on','for','with'], w)))
+                        AS DOUBLE) / len(ws)) * 2.0
+                     - (CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) * 0.1
+                     + CAST(len(ws) AS DOUBLE) * 0.004
+                     + (CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws)) * 1.5
+                     - 1.2 AS margin
+              FROM feats),
+            sharded AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN margin > 0.2 THEN 'high'
+                          WHEN margin > 0 THEN 'mid' ELSE 'low' END AS bucket,
+                     CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'cur1'), 1, 15))
+                               AS BIGINT) % 4 AS INT) AS shard
+              FROM scored)
+            SELECT shard, bucket, count(*) AS n,
+                   CAST(sum(n_words) AS BIGINT) AS words,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM sharded GROUP BY shard, bucket""")
+  )
+
+  /** Manual salted join ([[graft.operators.Skew.saltedJoin]]): fact rows
+    * spread across (key, salt) reducers, dim replicated per salt — must
+    * be row-for-row the plain inner join, which is the oracle.
+    */
+  val q104SaltedJoin: QueryDef = QueryDef(
+    "q104_salted_join",
+    (s, dir) => {
+      val fact = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew
+        .saltedJoin(fact, dim, key = "l_orderkey", idCol = "l_linenumber", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("key_sum"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""")
+  )
+
+  /** ROLLUP with grouping metadata: `grouping_id` + per-column `grouping`
+    * flags distinguish "NULL because subtotal" from "NULL in the data" —
+    * both engines share the bitmask convention (last rollup column =
+    * LSB).
+    */
+  val q105GroupingId: QueryDef = QueryDef(
+    "q105_grouping_id",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -516,6 +723,11 @@ object Round5 {
     q97TableDiff,
     q98RecursiveCte,
     q99Kmeans,
-    q100StreamMapstate
+    q100StreamMapstate,
+    q101IncrementalMv,
+    q102SemanticDedup,
+    q103CurationE2e,
+    q104SaltedJoin,
+    q105GroupingId
   )
 }

@@ -108,6 +108,26 @@ object LakeLog {
     }
   }
 
+  /** Files added between `fromV` (exclusive; 0 = before the first commit)
+    * and `toV` — the manifest-level delta an incremental consumer reads.
+    */
+  def appendedFiles(path: String, fromV: Long, toV: Long): Seq[String] = {
+    val before = if (fromV <= 0) Set.empty[String] else listing(path, fromV).toSet
+    (listing(path, toV).toSet -- before).toSeq.sorted
+  }
+
+  /** Read ONLY the files appended between two versions. For append-only
+    * tables this is the incremental scan: a consumer that maintains
+    * derived state (see [[MaterializedAgg]]) reads the delta, never the
+    * table — the manifest, not a full listing or scan, names the new
+    * files.
+    */
+  def readDelta(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    val files = appendedFiles(path, fromV, toV)
+    if (files.isEmpty) read(spark, path, toV).limit(0)
+    else spark.read.parquet(files.map(f => dataDir(path).resolve(f).toString): _*)
+  }
+
   /** SNAPSHOT DIFF: keyed change set between two committed versions —
     * the audit/CDC-extraction primitive a versioned lake enables (what
     * changed between yesterday's and today's snapshot, without either

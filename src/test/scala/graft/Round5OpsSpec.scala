@@ -168,6 +168,81 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
 
+  // ------------------------------------------------------ MaterializedAgg
+
+  test("MaterializedAgg refresh chain equals a full recompute; delta reads only new files") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mv").resolve("t").toString
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"k${i % 3}", i * 1.5)).toDF("id", "k", "v")
+    LakeLog.overwrite(batch(1, 100), path)
+    LakeLog.append(batch(101, 180), path)
+    LakeLog.append(batch(181, 200), path)
+
+    // the incremental scan must read ONLY the files of the new commit
+    val v2Files = LakeLog.readDelta(spark, path, 1, 2).inputFiles.toSet
+    val v1Files = LakeLog.readDelta(spark, path, 0, 1).inputFiles.toSet
+    assert(v2Files.nonEmpty && v1Files.nonEmpty && v2Files.intersect(v1Files).isEmpty)
+    assert(LakeLog.readDelta(spark, path, 1, 2).count() == 80)
+
+    val keys = Seq("k"); val sums = Seq("v")
+    val mv1 = graft.sources.MaterializedAgg.refresh(spark, path, None, 0, 1, keys, sums)
+    val mv2 = graft.sources.MaterializedAgg.refresh(spark, path, Some(mv1), 1, 2, keys, sums)
+    val mv3 = graft.sources.MaterializedAgg.refresh(spark, path, Some(mv2), 2, 3, keys, sums)
+    val got = mv3.select("k", "n", "v_sum").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = LakeLog.read(spark, path).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == want(k)._1)
+      assert(math.abs(s - want(k)._2) < 1e-6)
+    }
+  }
+
+  // ------------------------------------------------- semanticNearDupPairs
+
+  test("semanticNearDupPairs finds a planted duplicate and equals brute within-cluster") {
+    val rnd = new scala.util.Random(11)
+    def vec(cx: Double) = Array.fill(8)((cx + rnd.nextGaussian() * 0.05).toFloat)
+    // two tight clusters; vec 100 duplicates vec 7's direction exactly
+    val base = (0L to 59L).map(i => i -> vec(if (i % 2 == 0) 1.0 else -1.0))
+    val planted = base.toMap.apply(7L)
+    val rows = base :+ (100L -> planted.map(x => (x * 2.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticNearDupPairs(df, k = 2, iters = 1, threshold = 0.999)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 7L && p._2 == 100L && p._3 > 0.9999),
+      s"planted duplicate not found in ${got.mkString(",")}")
+    // every reported pair really is above threshold by brute cosine
+    val vecs = rows.toMap
+    got.foreach { case (a, b, _) =>
+      val (va, vb) = (vecs(a).map(_.toDouble), vecs(b).map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(cos > 0.999, s"pair ($a,$b) cos $cos below threshold")
+    }
+  }
+
+  // ----------------------------------------------------------- saltedJoin
+
+  test("saltedJoin equals the plain join on a 90%-hot-key fact table") {
+    val fact = (1L to 2000L)
+      .map(i => (if (i % 10 == 0) i % 7 else 0L, i, i * 0.5))
+      .toDF("k", "row_id", "v") // 90% of rows share key 0
+    val dim = (0L to 6L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val got = graft.operators.Skew
+      .saltedJoin(fact, dim, key = "k", idCol = "row_id", salts = 8)
+      .select("k", "row_id", "v", "name")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._2)
+    val want = fact.join(dim, Seq("k"))
+      .select("k", "row_id", "v", "name")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._2)
+    assert(got.toSeq == want.toSeq)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long, String)]) {
     def toMap1: Map[Long, (Long, Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
