@@ -371,15 +371,15 @@ object Similarity {
       iters: Int = 1,
       threshold: Double = 0.3
   ): DataFrame = {
+    VectorCosine.register(emb.sparkSession)
     val assigned = kmeansAssign(emb, k, iters)
     val a = assigned.select(
       col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(
       col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
-    val cos = dot(col("va"), col("vb")) /
-      (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))
+    // compiled one-pass kernel — bit-identical to the ordered-fold HOF
+    // form (each accumulator folds in index order), so oracle parity holds
+    val cos = cosCol("va", "vb")
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cos)
