@@ -709,6 +709,112 @@ object Round5 {
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
   )
 
+  /** Entity-resolution fuzzy match: candidate pairs only WITHIN a
+    * (brand, type) block — the classic blocking step that keeps edit
+    * distance off the O(n²) pair space — scored with `levenshtein`
+    * (codegen'd) and thresholded. Both engines share the standard edit
+    * distance.
+    */
+  val q106FuzzyMatch: QueryDef = QueryDef(
+    "q106_fuzzy_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val a = p.select(
+        col("p_brand"), col("p_type"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(
+        col("p_brand"), col("p_type"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_type"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          min(col("dist")).as("min_dist"),
+          sum(col("key_a") + col("key_b")).as("key_sum"))
+    },
+    Some("""SELECT a.p_brand, a.p_type, count(*) AS n_pairs,
+                   CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist,
+                   CAST(sum(a.p_partkey + b.p_partkey) AS BIGINT) AS key_sum
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            GROUP BY a.p_brand, a.p_type""")
+  )
+
+  /** Deterministic pagination: total order (price desc, key tie-break) +
+    * LIMIT/OFFSET — `Dataset.offset` composes with the sorted limit so
+    * the page is stable across reruns and partitionings.
+    */
+  val q107LimitOffset: QueryDef = QueryDef(
+    "q107_limit_offset",
+    (s, dir) => {
+      Tables
+        .orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50 OFFSET 100""")
+  )
+
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): duplicate
+    * multiplicities must survive — the result is aggregated to
+    * (value, multiplicity) rows, which is exactly what ALL semantics
+    * change vs q10's DISTINCT set ops.
+    */
+  val q108SetopsAll: QueryDef = QueryDef(
+    "q108_setops_all",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "R").select(col("l_quantity").cast("int").as("q"))
+      val b = li.filter(col("l_returnflag") === "A").select(col("l_quantity").cast("int").as("q"))
+      a.exceptAll(b).groupBy(col("q")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+        .unionByName(
+          a.intersectAll(b).groupBy(col("q")).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("intersect_all")))
+    },
+    Some("""SELECT q, count(*) AS n, 'except_all' AS op FROM (
+              SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_returnflag = 'R'
+              EXCEPT ALL
+              SELECT CAST(l_quantity AS INT) FROM lineitem WHERE l_returnflag = 'A')
+            GROUP BY q
+            UNION ALL
+            SELECT q, count(*) AS n, 'intersect_all' AS op FROM (
+              SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_returnflag = 'R'
+              INTERSECT ALL
+              SELECT CAST(l_quantity AS INT) FROM lineitem WHERE l_returnflag = 'A')
+            GROUP BY q""")
+  )
+
+  /** OUTER explode: a document whose filter leaves no long words still
+    * yields one (doc_id, NULL) row — `explode_outer`'s null-preservation
+    * vs plain explode's row drop. The oracle emulates with a [NULL]
+    * substitution.
+    */
+  val q109ExplodeOuter: QueryDef = QueryDef(
+    "q109_explode_outer",
+    (s, dir) => {
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), w => length(w) >= 9)).as("word"))
+    },
+    Some("""SELECT doc_id,
+                   unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS word
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> length(w) >= 9) AS ws
+                  FROM documents)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -728,6 +834,10 @@ object Round5 {
     q102SemanticDedup,
     q103CurationE2e,
     q104SaltedJoin,
-    q105GroupingId
+    q105GroupingId,
+    q106FuzzyMatch,
+    q107LimitOffset,
+    q108SetopsAll,
+    q109ExplodeOuter
   )
 }

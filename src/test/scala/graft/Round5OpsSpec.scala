@@ -60,6 +60,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == (3L, 3L, "a b c d e"))
   }
 
+  test("chunkDedup identity: globally unique chunks reassemble every doc verbatim") {
+    val rnd = new scala.util.Random(3)
+    // words carry the doc id, so no chunk can repeat across documents
+    val docs = (1L to 40L).map { d =>
+      val n = 1 + rnd.nextInt(37)
+      d -> (1 to n).map(i => s"w${d}_$i").mkString(" ")
+    }
+    val got = Dedup
+      .chunkDedup(docs.toDF("doc_id", "text"), chunkWords = 10)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toMap1
+    docs.foreach { case (d, text) =>
+      val nWords = text.split(" ").length
+      val expChunks = (nWords - 1) / 10 + 1
+      assert(got(d) == (expChunks.toLong, expChunks.toLong, text), s"doc $d")
+    }
+  }
+
   // ------------------------------------------------------ classifierScore
 
   test("classifierScore computes the documented margin on a crafted doc") {
