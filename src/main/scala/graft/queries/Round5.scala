@@ -815,6 +815,104 @@ object Round5 {
                   FROM documents)""")
   )
 
+  /** STREAM-STREAM FULL OUTER join
+    * ([[graft.streaming.StreamingOps.clickPurchaseAttributionFullOuter]])
+    * — completes the streaming join matrix (inner q66, left q78):
+    * unmatched rows on BOTH sides surface after watermark proof. Oracle:
+    * the equivalent batch full θ-join.
+    */
+  val q110StreamFullOuter: QueryDef = QueryDef(
+    "q110_stream_full_outer",
+    (s, dir) => graft.streaming.StreamingOps.runClickPurchaseAttributionFullOuter(s, dir),
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   coalesce(c.user_id, p.user_id) AS user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")
+  )
+
+  /** try_* ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, so
+    * division by zero / long overflow THROW unless the try_ variants are
+    * used — the validate-then-report surface for dirty data. Nulls from
+    * each failure mode are counted per group; the oracle reproduces them
+    * with nullif/CASE guards.
+    */
+  val q111TryFuncs: QueryDef = QueryDef(
+    "q111_try_funcs",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 10).as("div_safe"),
+          try_add(lit(Long.MaxValue), col("l_orderkey")).as("add_safe"),
+          try_to_timestamp(col("l_returnflag")).as("ts_safe"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("div_safe").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          round(sum(col("div_safe")), 2).as("div_sum"),
+          sum(when(col("add_safe").isNull, 1L).otherwise(0L)).as("n_add_null"),
+          sum(when(col("ts_safe").isNull, 1L).otherwise(0L)).as("n_ts_null"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CASE WHEN l_quantity = 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+                   round(sum(l_extendedprice / nullif(l_quantity - 10, 0)), 2) AS div_sum,
+                   CAST(sum(CASE WHEN l_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_null,
+                   CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS TIMESTAMP) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_null
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  /** Map-typed higher-order functions: per-order line→qty and line→price
+    * maps (`map_from_entries`), `transform_values` doubling,
+    * `map_zip_with` amount = qty2 × price, `map_filter` threshold, then
+    * an explode back to rows. The oracle replays the per-line arithmetic
+    * relationally — the map layer must be semantically invisible.
+    */
+  val q112MapFuncs: QueryDef = QueryDef(
+    "q112_map_funcs",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        // line numbers repeat within an order in this corpus; map keys
+        // must be unique, so collapse to one (qty, price) per line first
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(
+          min(col("l_quantity").cast("long")).as("q"),
+          min(col("l_extendedprice")).as("p"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          map_from_entries(collect_list(struct(col("l_linenumber"), col("q"))))
+            .as("qty_m"),
+          map_from_entries(collect_list(struct(col("l_linenumber"), col("p"))))
+            .as("price_m"))
+        .select(
+          col("l_orderkey"),
+          explode(
+            map_filter(
+              map_zip_with(
+                transform_values(col("qty_m"), (_, v) => v * 2),
+                col("price_m"),
+                (_, q2, p) => q2 * p),
+              (_, v) => v > 1000.0)))
+        .select(
+          col("l_orderkey"),
+          col("key").as("line"),
+          round(col("value"), 2).as("amount"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber AS line, round((q * 2) * p, 2) AS amount
+            FROM (SELECT l_orderkey, l_linenumber,
+                         min(CAST(l_quantity AS BIGINT)) AS q,
+                         min(l_extendedprice) AS p
+                  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+            WHERE (q * 2) * p > 1000.0""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -838,6 +936,9 @@ object Round5 {
     q106FuzzyMatch,
     q107LimitOffset,
     q108SetopsAll,
-    q109ExplodeOuter
+    q109ExplodeOuter,
+    q110StreamFullOuter,
+    q111TryFuncs,
+    q112MapFuncs
   )
 }

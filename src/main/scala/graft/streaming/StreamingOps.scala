@@ -374,6 +374,81 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** FULL OUTER stream-stream join — completes the attribution matrix
+    * (inner / left / full): unmatched CLICKS null-extend like the left
+    * join, and unmatched PURCHASES also surface once their side's
+    * watermark proves no in-window click can arrive. Same state bound as
+    * the inner join; the user key is coalesced across sides so every
+    * output row names its entity.
+    */
+  def clickPurchaseAttributionFullOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val c = clicks
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(
+        p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "fullOuter")
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("purchase_value"))
+  }
+
+  /** Drain the full-outer attribution join over the bounded replay; the
+    * sentinel pair matches itself and is filtered by the reserved user.
+    */
+  def runClickPurchaseAttributionFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_sentinel").resolve("data").toString
+    import spark.implicits._
+    Seq(
+      (-1L, 7258118400000000000L, SentinelUser, "click", 0.0, "{}"),
+      (-2L, 7258118400000000000L, SentinelUser, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(sentinelDir)
+    val sentinel = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsStream(spark, sfDir).unionByName(sentinel)
+    val joined = clickPurchaseAttributionFullOuter(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    val name = s"stream_attr_fo_${System.nanoTime()}"
+    withStatePartitions(spark, 4) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).filter(col("user_id") =!= SentinelUser)
+  }
+
   /** Drain the left-outer attribution join over the bounded events replay.
     * Sentinel rows pass both type filters (one "click", one "purchase")
     * so each side's watermark node sees the far-future timestamp; their
