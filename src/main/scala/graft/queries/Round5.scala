@@ -913,6 +913,21 @@ object Round5 {
             WHERE (q * 2) * p > 1000.0""")
   )
 
+  /** STREAM-STATIC broadcast enrichment + COMPLETE output mode
+    * ([[graft.streaming.StreamingOps.runStreamStaticEnrich]]): the event
+    * stream joins a static dim broadcast per micro-batch (no streaming
+    * state), aggregated in complete mode; the final table must equal the
+    * batch join+aggregate — the oracle.
+    */
+  val q113StreamStatic: QueryDef = QueryDef(
+    "q113_stream_static",
+    (s, dir) => graft.streaming.StreamingOps.runStreamStaticEnrich(s, dir),
+    Some("""SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+                   round(sum(value), 2) AS val_sum
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -939,6 +954,7 @@ object Round5 {
     q109ExplodeOuter,
     q110StreamFullOuter,
     q111TryFuncs,
-    q112MapFuncs
+    q112MapFuncs,
+    q113StreamStatic
   )
 }

@@ -374,6 +374,34 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** STREAM-STATIC dimension enrichment: the streaming fact side joins a
+    * static dim BROADCAST per micro-batch — no streaming state at all
+    * (unlike stream-stream joins), the canonical shape for enriching an
+    * event stream with slowly-changing reference data at any scale.
+    */
+  def runStreamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = graft.sources.Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_custkey").as("user_key"),
+        col("c_mktsegment").as("segment"))
+    val enriched = eventsStream(spark, sfDir)
+      .join(broadcast(users), col("user_id") === col("user_key"), "inner")
+    val name = s"stream_static_${System.nanoTime()}"
+    val q = enriched
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** FULL OUTER stream-stream join — completes the attribution matrix
     * (inner / left / full): unmatched CLICKS null-extend like the left
     * join, and unmatched PURCHASES also surface once their side's
