@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as DataFrame jobs. Companion to the
+  * dedup-cluster operators ([[Dedup.connectedComponents]] /
+  * [[Dedup.connectedComponentsStar]]) — PageRank here is the canonical
+  * "loop over joins" shape: each iteration is one join + one keyed
+  * aggregate, the per-iteration result is localCheckpoint'd to truncate
+  * lineage (the loop would otherwise compound the plan), and rank values
+  * are QUANTIZED to the binary grid floor(x·2⁴⁰)/2⁴⁰ per iteration —
+  * power-of-two scaling is exact in IEEE doubles, so restarts and the
+  * DuckDB oracle land on identical ranks (same trick as
+  * [[Similarity.kmeansAssign]]'s centroids).
+  */
+object Graph {
+
+  private val GridScale = 1099511627776.0 // 2^40
+
+  private def quant(c: org.apache.spark.sql.Column) =
+    floor(c * GridScale) / GridScale
+
+  /** PageRank with damping `d` over `edges(src, dst)` (deduplicated
+    * internally), nodes from `nodes(id)`. No dangling-mass
+    * redistribution: a sink node's rank leaks, the standard simplified
+    * formulation — documented so the oracle can replay it. Output:
+    * (id, r) after `iters` synchronous iterations from the uniform
+    * distribution.
+    *
+    * Scale shape: per iteration, one shuffle keyed on src (contribution
+    * join) and one on dst (incoming sum); the rank/degree relations ride
+    * along their key, so a 10⁹-edge graph runs iters × 2 exchanges with
+    * no driver-side data beyond the node count.
+    */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = nodes.count().toDouble
+    val base = (1.0 - damping) / n
+    var ranks = nodes
+      .select(col("id"), quant(lit(1.0) / n).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val incoming = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(incoming, nodes("id") === incoming("dst"), "left")
+        .select(
+          col("id"),
+          quant(lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

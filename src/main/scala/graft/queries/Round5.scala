@@ -928,6 +928,70 @@ object Round5 {
             GROUP BY c_mktsegment, event_type""")
   )
 
+  /** PageRank over the nation trade graph
+    * ([[graft.operators.Graph.pageRank]]): edges = distinct
+    * customer-nation → supplier-nation pairs realized by order lines;
+    * 3 synchronous iterations, damping 0.85, grid-quantized ranks. The
+    * oracle unrolls the identical iterations as chained CTEs.
+    */
+  val q114Pagerank: QueryDef = QueryDef(
+    "q114_pagerank",
+    (s, dir) => {
+      val edges = Tables
+        .orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .select(
+          col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+      val nodes = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("id"))
+      graft.operators.Graph
+        .pageRank(nodes, edges, iters = 3)
+        .select(col("id"), round(col("r"), 6).as("rank"))
+    },
+    Some("""WITH edges AS (
+              SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                              CAST(s.s_nationkey AS BIGINT) AS dst
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+            r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+                          floor(1.0 / n * 1099511627776.0) / 1099511627776.0 AS r
+                   FROM nation, nn),
+            r1 AS (SELECT r0.id,
+                          floor(((SELECT (1.0 - 0.85) / n FROM nn)
+                                 + 0.85 * coalesce(m.s, 0.0)) * 1099511627776.0)
+                          / 1099511627776.0 AS r
+                   FROM r0 LEFT JOIN (
+                     SELECT e.dst, sum(r0.r / d.deg) AS s
+                     FROM edges e JOIN r0 ON r0.id = e.src
+                     JOIN outdeg d ON d.src = e.src GROUP BY e.dst) m
+                   ON m.dst = r0.id),
+            r2 AS (SELECT r1.id,
+                          floor(((SELECT (1.0 - 0.85) / n FROM nn)
+                                 + 0.85 * coalesce(m.s, 0.0)) * 1099511627776.0)
+                          / 1099511627776.0 AS r
+                   FROM r1 LEFT JOIN (
+                     SELECT e.dst, sum(r1.r / d.deg) AS s
+                     FROM edges e JOIN r1 ON r1.id = e.src
+                     JOIN outdeg d ON d.src = e.src GROUP BY e.dst) m
+                   ON m.dst = r1.id),
+            r3 AS (SELECT r2.id,
+                          floor(((SELECT (1.0 - 0.85) / n FROM nn)
+                                 + 0.85 * coalesce(m.s, 0.0)) * 1099511627776.0)
+                          / 1099511627776.0 AS r
+                   FROM r2 LEFT JOIN (
+                     SELECT e.dst, sum(r2.r / d.deg) AS s
+                     FROM edges e JOIN r2 ON r2.id = e.src
+                     JOIN outdeg d ON d.src = e.src GROUP BY e.dst) m
+                   ON m.dst = r2.id)
+            SELECT id, round(r, 6) AS rank FROM r3""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -955,6 +1019,7 @@ object Round5 {
     q110StreamFullOuter,
     q111TryFuncs,
     q112MapFuncs,
-    q113StreamStatic
+    q113StreamStatic,
+    q114Pagerank
   )
 }

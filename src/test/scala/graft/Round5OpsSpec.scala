@@ -263,6 +263,78 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  // -------------------------------------------- randomized property sweeps
+
+  test("chunkDedup sweep: random corpora with planted repeats equal an in-memory fold") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"t$i")
+      val docs = (1L to 30L).map { d =>
+        d -> (0 until (5 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val cw = 3
+      // reference: first occurrence of each chunk by (doc_id, idx)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (d, text) =>
+        val chunks = text.split(" ").grouped(cw).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        d -> (chunks.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toMap
+      val got = Dedup
+        .chunkDedup(docs.toDF("doc_id", "text"), chunkWords = cw)
+        .select("doc_id", "n_chunks", "n_kept", "kept_text")
+        .as[(Long, Long, Long, String)]
+        .collect()
+        .toMap1
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("MaterializedAgg sweep: random append sequences equal a full recompute") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_mv_sweep$seed").resolve("t").toString
+      val nCommits = 2 + rnd.nextInt(4)
+      var id = 0L
+      for (c <- 1 to nCommits) {
+        val batch = (1 to (1 + rnd.nextInt(120))).map { _ =>
+          id += 1; (id, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)
+        }
+        if (c == 1) LakeLog.overwrite(batch.toDF("id", "k", "v"), path)
+        else LakeLog.append(batch.toDF("id", "k", "v"), path)
+      }
+      var mv: Option[org.apache.spark.sql.DataFrame] = None
+      for (v <- 1L to nCommits.toLong)
+        mv = Some(graft.sources.MaterializedAgg.refresh(
+          spark, path, mv, v - 1, v, Seq("k"), Seq("v")))
+      val got = mv.get.select("k", "n", "v_sum").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val want = LakeLog.read(spark, path).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  // ------------------------------------------------------------- pageRank
+
+  test("pageRank: ranks are positive and total mass is bounded by 1") {
+    val nodes = (0L to 9L).toDF("id")
+    // ring graph: every node one out-edge → no leak, mass stays uniform
+    val ring = (0L to 9L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(nodes, ring, iters = 5)
+      .select("id", "r").as[(Long, Double)].collect().toMap
+    assert(r.size == 10)
+    r.values.foreach(v => assert(math.abs(v - 0.1) < 1e-9, s"ring rank $v != 0.1"))
+    // star graph: hub receives all mass, leaves only the base share
+    val star = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+    val s = graft.operators.Graph.pageRank(nodes, star, iters = 5)
+      .select("id", "r").as[(Long, Double)].collect().toMap
+    assert(s(0L) > s(1L) * 5, s"hub ${s(0L)} not dominant over leaf ${s(1L)}")
+    assert(s.values.forall(_ > 0) && s.values.sum <= 1.0 + 1e-9)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long, String)]) {
     def toMap1: Map[Long, (Long, Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
