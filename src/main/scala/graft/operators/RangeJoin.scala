@@ -45,6 +45,23 @@ object RangeJoin {
   private[operators] def binOf(c: Column, w: Long): Column =
     ((c.cast("decimal(38,0)") - pmod(c, lit(w))) / lit(w)).cast("long")
 
+  /** Data-driven bin width: the mean interval length of a (sampled)
+    * interval relation, rounded UP to the next power of two — each
+    * interval then touches O(1) bins (~2 on average) while points stay
+    * single-bin. One tiny aggregate job; at 100 TB run it on a slice
+    * (`intervals.sample(...)` or a partition pushdown) — the choice only
+    * affects constant factors, never correctness. Degenerate inputs
+    * (empty relation, all empty intervals) fall back to 1.
+    */
+  def autoBinSize(intervals: DataFrame, loCol: String, hiCol: String): Long = {
+    val row = intervals
+      .filter(col(loCol).cast("long") <= col(hiCol).cast("long"))
+      .agg(avg(col(hiCol).cast("long") - col(loCol).cast("long")))
+      .head()
+    val mean = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (mean <= 1.0) 1L else java.lang.Long.highestOneBit(math.ceil(mean).toLong - 1) << 1
+  }
+
   /** Inner join of `points` to every interval of `intervals` containing
     * the point: `lo <= point <= hi` (inclusive both ends), plus optional
     * extra equi-keys. Output carries all columns of both inputs (names

@@ -992,6 +992,36 @@ object Round5 {
             SELECT id, round(r, 6) AS rank FROM r3""")
   )
 
+  /** Calendar-aware date functions (beyond q14's epoch arithmetic):
+    * month-end, quarter truncation, day-of-week (normalized to DuckDB's
+    * 0=Sunday), month addition with end-of-month clamping, and day
+    * difference from a fixed epoch.
+    */
+  val q115DateFuncs: QueryDef = QueryDef(
+    "q115_date_funcs",
+    (s, dir) => {
+      Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(
+          col("o_orderkey"),
+          col("d"),
+          last_day(col("d")).as("month_end"),
+          date_trunc("quarter", col("d")).cast("date").as("quarter_start"),
+          (dayofweek(col("d")) - 1).as("dow"),
+          add_months(col("d"), 2).as("plus2m"),
+          datediff(col("d"), lit("2023-01-01").cast("date")).as("days_since"))
+    },
+    Some("""SELECT o_orderkey, o_orderdate::DATE AS d,
+                   last_day(o_orderdate::DATE) AS month_end,
+                   date_trunc('quarter', o_orderdate::DATE)::DATE AS quarter_start,
+                   CAST(dayofweek(o_orderdate::DATE) AS INT) AS dow,
+                   (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE AS plus2m,
+                   CAST(datediff('day', DATE '2023-01-01', o_orderdate::DATE) AS INT)
+                     AS days_since
+            FROM orders""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -1020,6 +1050,7 @@ object Round5 {
     q111TryFuncs,
     q112MapFuncs,
     q113StreamStatic,
-    q114Pagerank
+    q114Pagerank,
+    q115DateFuncs
   )
 }
