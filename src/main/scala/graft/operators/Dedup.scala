@@ -50,6 +50,7 @@ object Dedup {
     */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(chunkWords > 0, "chunkWords must be positive")
     val ts = split(col("text"), " ")
     val chunked = docs.select(
       col("doc_id"),

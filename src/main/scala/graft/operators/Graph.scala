@@ -43,6 +43,7 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = nodes.count().toDouble
+    require(n > 0, "pageRank needs a non-empty node set")
     val base = (1.0 - damping) / n
     var ranks = nodes
       .select(col("id"), quant(lit(1.0) / n).as("r"))

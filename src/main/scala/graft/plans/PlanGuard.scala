@@ -34,7 +34,7 @@ object PlanGuard {
     case q: QueryStageExec => walk(q.plan)
     case _ =>
       val name = p.getClass.getSimpleName
-      val here = Offenders.filter(name.startsWith).map(_ => name)
+      val here = if (Offenders.exists(name.startsWith)) Seq(name) else Nil
       here ++ (p.children ++ p.innerChildren.collect { case sp: SparkPlan => sp })
         .flatMap(walk)
   }
@@ -56,17 +56,25 @@ object PlanGuard {
   /** Session-wide audit: every completed action whose plan contained an
     * offender is recorded as (action name, offending node names).
     */
-  final class Listener extends QueryExecutionListener {
+  final class Listener(maxRecorded: Int = 256) extends QueryExecutionListener {
     private val hits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]
+    private val droppedCount = new java.util.concurrent.atomic.AtomicLong
     def offenders: Seq[(String, Seq[String])] = {
       val it = hits.iterator(); val b = Seq.newBuilder[(String, Seq[String])]
       while (it.hasNext) b += it.next()
       b.result()
     }
-    def clear(): Unit = hits.clear()
+    /** Offenders seen after the buffer filled (always-on sessions stay
+      * bounded; the count says how much was elided).
+      */
+    def dropped: Long = droppedCount.get()
+    def clear(): Unit = { hits.clear(); droppedCount.set(0L) }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       val bad = walk(qe.executedPlan).distinct
-      if (bad.nonEmpty) hits.add((funcName, bad))
+      if (bad.nonEmpty) {
+        if (hits.size < maxRecorded) hits.add((funcName, bad))
+        else droppedCount.incrementAndGet()
+      }
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }

@@ -442,6 +442,11 @@ object Round5 {
     * lowest-id vectors, ordered-fold distances, argmin assignment,
     * per-dimension mean, reassignment — and the membership checksum
     * (sum of vec_ids per cluster) must agree exactly.
+    *
+    * Replay precondition: no cluster empties (the operator would keep
+    * its previous centroid — SQL has no such memory). Holds on this
+    * corpus at every tested scale factor (the multi-SF sweep pins it:
+    * an emptied cluster would change counts and fail the hash check).
     */
   val q99Kmeans: QueryDef = QueryDef(
     "q99_kmeans",
@@ -470,11 +475,13 @@ object Round5 {
                                                    ORDER BY d, cid) AS rn
                          FROM d1) WHERE rn = 1),
             c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
-                     SELECT a1.cluster AS cid, i AS pos,
-                            floor(avg(p.v[i]) * 1048576.0) / 1048576.0 AS m
-                     FROM a1 JOIN pts p USING (vec_id)
-                     CROSS JOIN range(1, 65) t(i)
-                     GROUP BY 1, 2) GROUP BY cid),
+                     SELECT cid, pos,
+                            floor(avg(val) * 1048576.0) / 1048576.0 AS m
+                     FROM (SELECT a1.cluster AS cid,
+                                  generate_subscripts(p.v, 1) AS pos,
+                                  unnest(p.v) AS val
+                           FROM a1 JOIN pts p USING (vec_id)) e
+                     GROUP BY cid, pos) g GROUP BY cid),
             d2 AS (SELECT p.vec_id, c.cid,
                           list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
                                     FOR i IN range(1, len(p.v) + 1)]) AS d
@@ -565,11 +572,13 @@ object Round5 {
                                                    ORDER BY d, cid) AS rn
                          FROM d1) WHERE rn = 1),
             c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
-                     SELECT a1.cluster AS cid, i AS pos,
-                            floor(avg(p.v[i]) * 1048576.0) / 1048576.0 AS m
-                     FROM a1 JOIN pts p USING (vec_id)
-                     CROSS JOIN range(1, 65) t(i)
-                     GROUP BY 1, 2) GROUP BY cid),
+                     SELECT cid, pos,
+                            floor(avg(val) * 1048576.0) / 1048576.0 AS m
+                     FROM (SELECT a1.cluster AS cid,
+                                  generate_subscripts(p.v, 1) AS pos,
+                                  unnest(p.v) AS val
+                           FROM a1 JOIN pts p USING (vec_id)) e
+                     GROUP BY cid, pos) g GROUP BY cid),
             d2 AS (SELECT p.vec_id, c.cid,
                           list_sum([(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])
                                     FOR i IN range(1, len(p.v) + 1)]) AS d

@@ -113,7 +113,18 @@ object LakeLog {
     */
   def appendedFiles(path: String, fromV: Long, toV: Long): Seq[String] = {
     val before = if (fromV <= 0) Set.empty[String] else listing(path, fromV).toSet
-    (listing(path, toV).toSet -- before).toSeq.sorted
+    val after = listing(path, toV).toSet
+    // An incremental consumer is only sound over APPEND-ONLY history: if
+    // any commit in (fromV, toV] dropped files (an overwrite), the delta
+    // would double-count against state derived from the dead files.
+    // Detectable for free — fail loudly instead of returning wrong data.
+    val dropped = before -- after
+    require(
+      dropped.isEmpty,
+      s"non-append history between v$fromV and v$toV under $path: " +
+        s"${dropped.size} file(s) removed (overwrite/compaction) — " +
+        "rebuild derived state from scratch instead of a delta refresh")
+    (after -- before).toSeq.sorted
   }
 
   /** Read ONLY the files appended between two versions. For append-only

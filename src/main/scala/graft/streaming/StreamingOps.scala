@@ -388,17 +388,21 @@ object StreamingOps {
     val enriched = eventsStream(spark, sfDir)
       .join(broadcast(users), col("user_id") === col("user_key"), "inner")
     val name = s"stream_static_${System.nanoTime()}"
-    val q = enriched
-      .groupBy(col("segment"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // ~25 aggregate keys: scope state partitions down like every other
+    // drain here — per-store open/commit is the floor at this keyspace
+    withStatePartitions(spark) {
+      val q = enriched
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 

@@ -221,6 +221,18 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MaterializedAgg refresh refuses a delta across an overwrite (no silent double count)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mv_ow").resolve("t").toString
+    LakeLog.overwrite((1L to 10L).map(i => (i, "a", 1.0)).toDF("id", "k", "v"), path)
+    LakeLog.overwrite((1L to 5L).map(i => (i, "a", 2.0)).toDF("id", "k", "v"), path)
+    val mv1 = graft.sources.MaterializedAgg.refresh(spark, path, None, 0, 1, Seq("k"), Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.MaterializedAgg.refresh(spark, path, Some(mv1), 1, 2, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("non-append history"))
+  }
+
   // ------------------------------------------------- semanticNearDupPairs
 
   test("semanticNearDupPairs finds a planted duplicate and equals brute within-cluster") {
