@@ -1031,6 +1031,77 @@ object Round5 {
             FROM orders""")
   )
 
+  /** Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP):
+    * per-region sorted nation roster — deterministic because the order
+    * clause totally orders each group. DuckDB's `string_agg ORDER BY` is
+    * the same aggregate.
+    */
+  val q116Listagg: QueryDef = QueryDef(
+    "q116_listagg",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+      s.sql("""SELECT n_regionkey,
+                      listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+                      count(*) AS n
+               FROM g_nation GROUP BY n_regionkey""")
+    },
+    Some("""SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS names,
+                   count(*) AS n
+            FROM nation GROUP BY n_regionkey""")
+  )
+
+  /** Statistical aggregate family: sample stddev/variance, exact median
+    * (interpolated order statistic), and Pearson correlation per group.
+    * Rounding margins are sized to the magnitudes (dimensionless or
+    * quantity-scaled stats at 6 dp) so one-pass co-moment differences
+    * between engines stay far below the rounding grid.
+    */
+  val q117StatsAggs: QueryDef = QueryDef(
+    "q117_stats_aggs",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(median(col("l_extendedprice")), 6).as("med_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+    },
+    Some("""SELECT l_linestatus, count(*) AS n,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(median(l_extendedprice), 6) AS med_price,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+            FROM lineitem GROUP BY l_linestatus""")
+  )
+
+  /** Linear-regression aggregates (regr_*): slope/intercept/R² of
+    * extended price on quantity per return flag — the standard
+    * least-squares co-moment definitions both engines share.
+    */
+  val q118Regression: QueryDef = QueryDef(
+    "q118_regression",
+    (s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -1060,6 +1131,9 @@ object Round5 {
     q112MapFuncs,
     q113StreamStatic,
     q114Pagerank,
-    q115DateFuncs
+    q115DateFuncs,
+    q116Listagg,
+    q117StatsAggs,
+    q118Regression
   )
 }
