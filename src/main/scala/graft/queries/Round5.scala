@@ -1102,6 +1102,20 @@ object Round5 {
             FROM lineitem GROUP BY l_returnflag""")
   )
 
+  /** Streaming materialized view
+    * ([[graft.streaming.StreamingOps.streamMaterializedAgg]]): three
+    * micro-batches each merge a partial aggregate into a versioned lake
+    * snapshot (origin-idempotent overwrite per batch id); the final
+    * snapshot must equal the direct aggregate over all events — the
+    * oracle.
+    */
+  val q119StreamMv: QueryDef = QueryDef(
+    "q119_stream_mv",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingMaterializedAgg(s, dir),
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS val_sum
+            FROM events GROUP BY event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -1134,6 +1148,7 @@ object Round5 {
     q115DateFuncs,
     q116Listagg,
     q117StatsAggs,
-    q118Regression
+    q118Regression,
+    q119StreamMv
   )
 }

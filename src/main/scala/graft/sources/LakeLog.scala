@@ -208,6 +208,16 @@ object LakeLog {
   def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
     commit(df, path, carryForward = true, None, None, statsCols)
 
+  /** Origin-idempotent OVERWRITE: publish `df` as the next snapshot
+    * unless a committed version already carries `origin` — the
+    * replace-the-table sibling of [[appendIfAbsent]], for at-least-once
+    * producers whose payload is a full replacement (e.g. a continuously
+    * re-derived materialized view). Returns None when skipped.
+    */
+  def overwriteIfAbsent(df: DataFrame, path: String, origin: String): Option[Long] =
+    if (origins(path).contains(origin)) None
+    else Some(commit(df, path, carryForward = false, None, Some(origin), Nil))
+
   /** Origins (caller-supplied idempotence tokens) of every committed
     * version — the ledger a restarted at-least-once producer consults.
     */

@@ -374,6 +374,68 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** STREAMING MATERIALIZED VIEW: every micro-batch's partial aggregate
+    * ([[graft.sources.MaterializedAgg.aggOf]]) merges into a
+    * [[graft.sources.LakeLog]]-versioned snapshot of the rollup —
+    * incremental view maintenance driven by the stream itself. Each
+    * publish is an origin-idempotent overwrite keyed on the batch id, so
+    * an at-least-once redelivery of a batch is skipped instead of
+    * double-counted, and every intermediate MV state stays readable via
+    * time travel. Per batch the work is O(batch) + O(|MV|), never a
+    * rescan of history.
+    */
+  def streamMaterializedAgg(
+      stream: DataFrame,
+      mvPath: String,
+      keyCols: Seq[String],
+      sumCols: Seq[String]
+  )(start: org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val writer = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val partial = graft.sources.MaterializedAgg.aggOf(batch, keyCols, sumCols)
+      val next = graft.sources.LakeLog.latestVersion(mvPath) match {
+        case Some(v) =>
+          graft.sources.MaterializedAgg.merge(
+            graft.sources.LakeLog.read(spark, mvPath, v), partial, keyCols)
+        case None => partial
+      }
+      graft.sources.LakeLog.overwriteIfAbsent(next, mvPath, s"batch-$batchId")
+      ()
+    }
+    val q = start(writer)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** Drain a 3-slice replay of the events table through the streaming MV
+    * (maxFilesPerTrigger=1 forces one merge per slice) and read the final
+    * rollup snapshot.
+    */
+  def runStreamingMaterializedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_smv")
+    val srcDir = base.resolve("src").toString
+    val mvPath = base.resolve("mv").toString
+    val ev = graft.sources.Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    (0 to 2).foreach(i =>
+      ev.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    streamMaterializedAgg(stream, mvPath, Seq("event_type"), Seq("value")) { w =>
+      w.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+    }
+    graft.sources.LakeLog
+      .read(spark, mvPath)
+      .select(col("event_type"), col("n"), round(col("value_sum"), 2).as("val_sum"))
+  }
+
   /** STREAM-STATIC dimension enrichment: the streaming fact side joins a
     * static dim BROADCAST per micro-batch — no streaming state at all
     * (unlike stream-stream joins), the canonical shape for enriching an

@@ -233,6 +233,34 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-append history"))
   }
 
+  test("streaming MV: one snapshot per micro-batch; origin redelivery is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_smv_spec")
+    val srcDir = base.resolve("src").toString
+    val mvPath = base.resolve("mv").toString
+    (1 to 3).foreach(i =>
+      Seq((i.toLong, s"k${i % 2}", i * 10.0)).toDF("id", "k", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir))
+    val stream = spark.readStream
+      .schema("id BIGINT, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    graft.streaming.StreamingOps.streamMaterializedAgg(
+      stream, mvPath, Seq("k"), Seq("v")) { w =>
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+    }
+    // one MV snapshot per micro-batch, every intermediate state readable
+    assert(LakeLog.versions(mvPath).size == 3)
+    val fin = LakeLog.read(spark, mvPath).select("k", "n", "v_sum")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fin == Map("k0" -> (1L, 20.0), "k1" -> (2L, 40.0)))
+    // redelivering an already-committed batch origin is skipped
+    val dup = Seq(("k0", 99L, 999.0)).toDF("k", "n", "v_sum")
+    assert(LakeLog.overwriteIfAbsent(dup, mvPath, "batch-0").isEmpty)
+    assert(LakeLog.versions(mvPath).size == 3)
+  }
+
   // ------------------------------------------------- semanticNearDupPairs
 
   test("semanticNearDupPairs finds a planted duplicate and equals brute within-cluster") {
