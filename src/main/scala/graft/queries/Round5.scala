@@ -1116,6 +1116,43 @@ object Round5 {
             FROM events GROUP BY event_type""")
   )
 
+  /** Ranking-family completion (q9 covers row_number/running sum/lag):
+    * rank, dense_rank, ntile, percent_rank, cume_dist, nth_value and
+    * first_value over a totally-ordered per-customer window — every
+    * function deterministic because the order key is unique.
+    */
+  val q120WindowRanks: QueryDef = QueryDef(
+    "q120_window_ranks",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+          round(first_value(col("o_totalprice")).over(w), 2).as("top_price"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cdist,
+                   round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+                   round(first_value(o_totalprice) OVER w, 2) AS top_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -1149,6 +1186,7 @@ object Round5 {
     q116Listagg,
     q117StatsAggs,
     q118Regression,
-    q119StreamMv
+    q119StreamMv,
+    q120WindowRanks
   )
 }
