@@ -5,10 +5,24 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Round-5 additions, part 1 — SQL-surface completeness: interval RANGE
-  * window frames, null-safe joins, correlated scalar subqueries
-  * (decorrelation), array higher-order functions, per-group exact
-  * percentiles, and JSON/ORC sink-source round trips.
+/** Round-5 additions (q87–q120).
+  *
+  * SQL surface: RANGE frames, null-safe joins, correlated scalar
+  * subqueries, array/map higher-order functions, per-group percentiles,
+  * recursive CTEs, grouping_id, multiset set ops, pagination, outer
+  * explode, try_* ANSI safety, date functions, LISTAGG, statistical and
+  * regression aggregates, the ranking window family; JSON/ORC round
+  * trips.
+  *
+  * Training-pipeline operators: chunk-level dedup, linear quality
+  * classifier, deterministic shuffle/sharding, curation composition,
+  * oracle-exact distributed k-means and SemDeDup semantic pairs,
+  * blocked-levenshtein entity resolution, PageRank.
+  *
+  * Lake & streaming: snapshot diff, incremental materialized aggregates
+  * from manifest deltas, streaming MV with origin-idempotent versioned
+  * publishes, MapState counters, stream-stream full outer, stream-static
+  * broadcast enrichment, salted joins.
   */
 object Round5 {
 
