@@ -1167,6 +1167,67 @@ object Round5 {
                          ORDER BY o_totalprice DESC, o_orderkey)""")
   )
 
+  /** Schema-aligning union (`unionByName(allowMissingColumns)`): two
+    * differently-shaped projections of the same domain unite by COLUMN
+    * NAME, absent columns null-filled — the lake-evolution-safe union
+    * (positional `UNION ALL` would silently mis-bind). DuckDB's
+    * `UNION ALL BY NAME` is the same operation.
+    */
+  val q121UnionByName: QueryDef = QueryDef(
+    "q121_union_by_name",
+    (s, dir) => {
+      val a = Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val b = Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("prio"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("price").isNull, 1L).otherwise(0L)).as("n_no_price"),
+          round(sum(col("price")), 2).as("price_sum"))
+    },
+    Some("""SELECT prio, count(*) AS n,
+                   CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_no_price,
+                   round(sum(price), 2) AS price_sum
+            FROM (
+              SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+              WHERE o_orderkey % 2 = 0
+              UNION ALL BY NAME
+              SELECT o_orderkey AS k, o_orderpriority AS prio FROM orders
+              WHERE o_orderkey % 2 = 1)
+            GROUP BY prio""")
+  )
+
+  /** Argmin/argmax aggregates (`max_by`/`min_by`, DuckDB
+    * `arg_max`/`arg_min`): the value column is selected by an ordering
+    * column — deterministic here because the ordering key (order id) is
+    * unique within every group.
+    */
+  val q122MinbyMaxby: QueryDef = QueryDef(
+    "q122_minby_maxby",
+    (s, dir) => {
+      Tables
+        .orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("latest_price"),
+          round(min_by(col("o_totalprice"), col("o_orderkey")), 2).as("first_price"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   round(arg_max(o_totalprice, o_orderkey), 2) AS latest_price,
+                   round(arg_min(o_totalprice, o_orderkey), 2) AS first_price,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key
+            FROM orders GROUP BY o_orderpriority""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q87RangeFrame,
     q88NullsafeJoin,
@@ -1201,6 +1262,8 @@ object Round5 {
     q117StatsAggs,
     q118Regression,
     q119StreamMv,
-    q120WindowRanks
+    q120WindowRanks,
+    q121UnionByName,
+    q122MinbyMaxby
   )
 }
