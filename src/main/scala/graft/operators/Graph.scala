@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * power-of-two scaling is exact in IEEE doubles, so restarts and the
   * DuckDB oracle land on identical ranks (same trick as
   * [[Similarity.kmeansAssign]]'s centroids).
+  *
+  * RESIDUAL RISK (by design, not a bug): the grid is applied AFTER an
+  * order-dependent float reduction (`sum(r/deg)`), so the guarantee is
+  * "quantization absorbs reduction-order noise UNLESS the true value
+  * sits within an ulp of a grid boundary" — probabilistic (≈2⁻¹² per
+  * value for ~2⁻⁵² relative noise on a 2⁻⁴⁰ grid), not strict. Strict
+  * bit-stability would require fixed-point integer summands (exact
+  * associative addition); the double-grid form is kept because it
+  * composes with plain `sum`/`avg` and the oracle replays the identical
+  * reduction at the checked scale factors, where equality is a verified
+  * fact rather than an assumption.
   */
 object Graph {
 

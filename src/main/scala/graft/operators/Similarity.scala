@@ -329,12 +329,19 @@ object Similarity {
       pts.select(col("vec_id"), col("v"), best._1.as("cluster"), best._2.as("dist2"))
     }
 
-    var centroids: Array[Array[Double]] = pts
+    val seedRows = pts
       .filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
       .collect()
-      .map(_.getSeq[Double](1).toArray.map(quant))
-    require(centroids.length == k, s"need vec_id 0..${k - 1} present for deterministic init")
+    // ids must be EXACTLY 0..k-1: a duplicate id below k would pass a
+    // bare row count while leaving one seed missing (and two identical)
+    val seedIds = seedRows.map(_.getAs[Number]("vec_id").longValue).toSeq
+    require(
+      seedIds == (0L until k.toLong),
+      s"need vec_id 0..${k - 1} present exactly once for deterministic init, " +
+        s"got ids ${seedIds.mkString(",")}")
+    var centroids: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Double](1).toArray.map(quant))
     val dim = centroids(0).length
 
     for (_ <- 1 to iters) {

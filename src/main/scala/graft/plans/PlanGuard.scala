@@ -58,6 +58,9 @@ object PlanGuard {
     */
   final class Listener(maxRecorded: Int = 256) extends QueryExecutionListener {
     private val hits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]
+    // recorded slots are claimed atomically — ConcurrentLinkedQueue.size
+    // is an O(n) traversal and check-then-act on it can overshoot the cap
+    private val recordedCount = new java.util.concurrent.atomic.AtomicLong
     private val droppedCount = new java.util.concurrent.atomic.AtomicLong
     def offenders: Seq[(String, Seq[String])] = {
       val it = hits.iterator(); val b = Seq.newBuilder[(String, Seq[String])]
@@ -68,11 +71,11 @@ object PlanGuard {
       * bounded; the count says how much was elided).
       */
     def dropped: Long = droppedCount.get()
-    def clear(): Unit = { hits.clear(); droppedCount.set(0L) }
+    def clear(): Unit = { hits.clear(); recordedCount.set(0L); droppedCount.set(0L) }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       val bad = walk(qe.executedPlan).distinct
       if (bad.nonEmpty) {
-        if (hits.size < maxRecorded) hits.add((funcName, bad))
+        if (recordedCount.incrementAndGet() <= maxRecorded) hits.add((funcName, bad))
         else droppedCount.incrementAndGet()
       }
     }

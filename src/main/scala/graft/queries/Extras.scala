@@ -40,6 +40,11 @@ object Extras {
   /** Sketch aggregates: HLL distinct estimate next to the exact count
     * (exact column oracle-able; the sketch value is engine-specific, so
     * the spec checks its relative error instead — rows-only here).
+    *
+    * All output columns are SCALAR: `approx_top_k` returns
+    * array<struct>, which the driver's capture layer cannot sort, so it
+    * is serialized with `to_json` — the rows-only contract is "every
+    * column orderable" (see ExtrasSpec's scalar-schema audit).
     */
   val q42Sketch: QueryDef = QueryDef(
     "q42_sketch",
@@ -52,7 +57,7 @@ object Extras {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
           // heavy hitters: count-min-style top-k sketch (merge-able, like
           // the HLL next to it — the lake-scale frequent-items primitive)
-          expr("approx_top_k(l_returnflag, 3)").as("top_flags")
+          to_json(expr("approx_top_k(l_returnflag, 3)")).as("top_flags_json")
         )
     },
     None

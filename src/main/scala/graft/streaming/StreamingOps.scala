@@ -378,17 +378,30 @@ object StreamingOps {
     * ([[graft.sources.MaterializedAgg.aggOf]]) merges into a
     * [[graft.sources.LakeLog]]-versioned snapshot of the rollup —
     * incremental view maintenance driven by the stream itself. Each
-    * publish is an origin-idempotent overwrite keyed on the batch id, so
-    * an at-least-once redelivery of a batch is skipped instead of
-    * double-counted, and every intermediate MV state stays readable via
-    * time travel. Per batch the work is O(batch) + O(|MV|), never a
+    * publish is an origin-idempotent overwrite keyed on (appId, batch
+    * id), so an at-least-once redelivery of a batch is skipped instead
+    * of double-counted, and every intermediate MV state stays readable
+    * via time travel. Per batch the work is O(batch) + O(|MV|), never a
     * rescan of history.
+    *
+    * `appId` scopes the idempotence token to THIS producer run — the
+    * (txnAppId, txnVersion) convention of Delta's idempotent sink
+    * writes. A bare batch id would collide across producers: if the MV
+    * path outlives its checkpoint (checkpoint reset, or a second query
+    * feeding the same path), the new run's batch 0 would silently be
+    * skipped as "already applied" even though its content differs. The
+    * default is a fresh token per call, which preserves idempotence
+    * where it is sound (foreachBatch retries within one run share the
+    * closure) and never suppresses a different run's data; a producer
+    * that restarts from the SAME checkpoint should pass its stable
+    * query/app id to keep cross-restart dedup.
     */
   def streamMaterializedAgg(
       stream: DataFrame,
       mvPath: String,
       keyCols: Seq[String],
-      sumCols: Seq[String]
+      sumCols: Seq[String],
+      appId: String = java.util.UUID.randomUUID().toString
   )(start: org.apache.spark.sql.streaming.DataStreamWriter[
       org.apache.spark.sql.Row] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val writer = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -400,7 +413,7 @@ object StreamingOps {
             graft.sources.LakeLog.read(spark, mvPath, v), partial, keyCols)
         case None => partial
       }
-      graft.sources.LakeLog.overwriteIfAbsent(next, mvPath, s"batch-$batchId")
+      graft.sources.LakeLog.overwriteIfAbsent(next, mvPath, s"$appId-batch-$batchId")
       ()
     }
     val q = start(writer)

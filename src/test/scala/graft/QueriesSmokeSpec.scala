@@ -21,6 +21,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.count() > 0, s"query $name returned no rows")
+      // Rows-only queries go through the driver's pandas capture, which
+      // sorts every column — a non-atomic column (array/struct/map) is
+      // unhashable there and turns the row into a harness crash (the
+      // round-4 q42 regression). Oracle-checked queries hit the same
+      // sort path, so the contract is universal: scalar columns only.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nonScalar = df.schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(
+        nonScalar.isEmpty,
+        s"query $name emits non-scalar columns ${nonScalar.map(_.name).mkString(", ")} — " +
+          "unsortable by the driver's capture layer")
     }
   }
 

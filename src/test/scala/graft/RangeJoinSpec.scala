@@ -112,4 +112,25 @@ class RangeJoinSpec extends AnyFunSuite {
     val binned = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 16L)
     assert(!hasBnlj(binned), "binned range join must not fall back to a nested loop")
   }
+
+  test("intervalOverlap malformed-interval contract: set semantics, not raw θ-join") {
+    // [8,2] is empty AS A SET but satisfies the naive predicate against
+    // [0,10] — the documented contract drops it; equivalently, the output
+    // equals the θ-join over the WELL-FORMED subset of both inputs.
+    val l = Seq((1L, 0L, 10L), (2L, 8L, 2L), (3L, 20L, 25L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((10L, 5L, 6L), (11L, 9L, 3L), (12L, 24L, 30L)).toDF("r_id", "r_lo", "r_hi")
+    val wellFormed = (d: org.apache.spark.sql.DataFrame, lo: String, hi: String) =>
+      d.filter(col(lo) <= col(hi))
+    val expected = wellFormed(l, "l_lo", "l_hi")
+      .join(wellFormed(r, "r_lo", "r_hi"), $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi")
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    for (w <- Seq(2L, 7L, 64L)) {
+      val got = RangeJoin
+        .intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi", binSize = w)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq, s"binSize $w")
+      // and the divergence from the raw θ-join is exactly the malformed rows
+      assert(!got.contains((2L, 10L)) && !got.contains((1L, 11L)))
+    }
+  }
 }

@@ -245,7 +245,7 @@ class Round5OpsSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     graft.streaming.StreamingOps.streamMaterializedAgg(
-      stream, mvPath, Seq("k"), Seq("v")) { w =>
+      stream, mvPath, Seq("k"), Seq("v"), appId = "runA") { w =>
       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .start()
@@ -255,10 +255,25 @@ class Round5OpsSpec extends AnyFunSuite {
     val fin = LakeLog.read(spark, mvPath).select("k", "n", "v_sum")
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(fin == Map("k0" -> (1L, 20.0), "k1" -> (2L, 40.0)))
-    // redelivering an already-committed batch origin is skipped
+    // redelivering an already-committed batch origin of THIS run is skipped
     val dup = Seq(("k0", 99L, 999.0)).toDF("k", "n", "v_sum")
-    assert(LakeLog.overwriteIfAbsent(dup, mvPath, "batch-0").isEmpty)
+    assert(LakeLog.overwriteIfAbsent(dup, mvPath, "runA-batch-0").isEmpty)
     assert(LakeLog.versions(mvPath).size == 3)
+    // ...but a DIFFERENT producer run re-using the MV path (fresh
+    // checkpoint → batch ids restart at 0) is NOT suppressed: the origin
+    // is scoped to the run, so its batch 0 lands instead of being
+    // silently dropped as a replay of runA's batch 0.
+    val ckptB = base.resolve("ckptB").toString
+    graft.streaming.StreamingOps.streamMaterializedAgg(
+      spark.readStream.schema("id BIGINT, k STRING, v DOUBLE").parquet(srcDir),
+      mvPath, Seq("k"), Seq("v"), appId = "runB") { w =>
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckptB).start()
+    }
+    assert(LakeLog.versions(mvPath).size == 4)
+    val fin2 = LakeLog.read(spark, mvPath).select("k", "n", "v_sum")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fin2 == Map("k0" -> (2L, 40.0), "k1" -> (4L, 80.0)))
   }
 
   // ------------------------------------------------- semanticNearDupPairs

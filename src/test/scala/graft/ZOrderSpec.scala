@@ -69,4 +69,22 @@ class ZOrderSpec extends AnyFunSuite {
     // linear sort on x leaves y unconstrained — full-span boxes
     assert(linSpans.forall { case (_, sy) => sy == 63 })
   }
+
+  test("writeZOrdered survives empty input and all-NULL z columns (degenerate dimensions)") {
+    // empty input: min/max aggregate yields NULLs — must degrade to a
+    // no-op write, not an NPE on Row.getDouble
+    val emptyPath = Files.createTempDirectory("graft_zorder_empty").toString
+    LakeWriter.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("x", "y"), emptyPath, Seq("x", "y"), bits = 6)
+    assert(spark.read.parquet(emptyPath).count() == 0)
+
+    // one z column entirely NULL: that dimension degenerates to bucket 0,
+    // the other still clusters; all rows survive the write
+    val mixed = (0L until 256L).map(x => (x, Option.empty[Long])).toDF("x", "y")
+    val mixedPath = Files.createTempDirectory("graft_zorder_null").toString
+    LakeWriter.writeZOrdered(mixed, mixedPath, Seq("x", "y"), bits = 6, numFiles = 4)
+    val back = spark.read.parquet(mixedPath)
+    assert(back.count() == 256)
+    assert(back.filter($"y".isNull).count() == 256)
+  }
 }
