@@ -540,6 +540,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Oracle-replayable SimHash near-dup pairs: md5-derived token hashes
+    * (the engine-independent hash family of [[Winnow]]/[[Sampling]])
+    * and the signature carried as 4 × 16-bit BAND VALUES instead of one
+    * packed 64-bit word, so neither engine needs unsigned-64
+    * arithmetic. Semantics match [[simhashPairs]] — same ±1 bit votes,
+    * same 4-band pigeonhole (complete recall at maxHamming <= 3) — only
+    * the hash family differs; the compiled xxhash64 kernel
+    * ([[graft.functions.SimHash64]]) stays the throughput path
+    * (KernelParitySpec pins its bit parity).
+    *
+    * The signature is computed ROW-LOCALLY (nested HOF fold over the
+    * hashed-token array — 64·|tokens| adds per doc, no token shuffle);
+    * the only exchanges are the band-bucket self-join and the final
+    * candidate dedupe, as in every bucketed dedup here.
+    */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is exact only up to Hamming 3")
+    val sigs = docs
+      .withColumn(
+        "__hs",
+        expr("""transform(filter(split(text, ' '), t -> t <> ''),
+                          t -> named_struct(
+                            'hi', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
+                            'lo', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)))"""))
+      .filter(size(col("__hs")) > 0)
+      .select(
+        col("doc_id"),
+        expr("""transform(sequence(0, 3), b ->
+                  aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
+                    acc + if(
+                      aggregate(__hs, 0, (v, h) ->
+                        v + if((shiftright(if(b * 16 + j < 32, h.lo, h.hi),
+                                           (b * 16 + j) % 32) & 1) = 1, 1, -1)) >= 0,
+                      shiftleft(cast(1 as bigint), j),
+                      cast(0 as bigint))))""").as("__bands"))
+      .cache()
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(col("__bands")).as(Seq("band_id", "band_val")))
+    val cand = banded
+      .select(col("band_id"), col("band_val"), col("doc_id").as("doc_a"))
+      .join(
+        banded.select(
+          col("band_id").as("band_id_b"),
+          col("band_val").as("band_val_b"),
+          col("doc_id").as("doc_b")),
+        col("band_id") === col("band_id_b") && col("band_val") === col("band_val_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("__bands").as("__ba")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("__bands").as("__bb")), Seq("doc_b"))
+      .withColumn(
+        "hamming",
+        expr("cast(aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (s, x) -> s + x) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-dup pairs: multi-table SRP-LSH (one

@@ -67,10 +67,55 @@ object LlmQueries {
     Some(ngramJaccardOracle)
   )
 
+  /** SimHash near-dup pairs, ORACLE-CHECKED: md5-derived bit votes with
+    * the signature as 4 × 16-bit bands, so DuckDB replays the identical
+    * signatures (votes → bands → bucket join → banded Hamming). The
+    * xxhash64 compiled-kernel variant ([[Dedup.simhashPairs]]) is the
+    * throughput path, pinned separately by KernelParitySpec + golden.
+    */
   val q27SimhashPairs: QueryDef = QueryDef(
     "q27_simhash_pairs",
-    (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
-    None
+    (s, dir) => Dedup.simhashPairsMd5(Tables.documents(s, dir)),
+    Some("""WITH toks AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hi,
+                     CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS lo
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END)
+                                    >> CAST(i % 32 AS INT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h, range(0, 64) r(i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, CAST(i // 16 AS INT) AS band_id,
+                     CAST(sum(CASE WHEN v >= 0 THEN 1 << CAST(i % 16 AS INT)
+                              ELSE 0 END) AS BIGINT) AS band_val
+              FROM votes GROUP BY doc_id, i // 16
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            ),
+            ham AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS INT) AS hamming
+              FROM cand c
+              JOIN bands a ON a.doc_id = c.doc_a
+              JOIN bands b ON b.doc_id = c.doc_b AND b.band_id = a.band_id
+              GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""")
   )
 
   val q28NgramJaccard: QueryDef = QueryDef(

@@ -175,4 +175,51 @@ class KernelParitySpec extends AnyFunSuite {
       .toSet
     assert(fast == slow && fast.size == 3)
   }
+
+  test("simhashPairsMd5 equals an in-memory md5 vote reference on a planted corpus") {
+    // near-copies (1-2 word edits) + unrelated docs; the reference
+    // computes the identical md5-half votes, bands, bucket collisions
+    // and banded Hamming in plain Scala
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      0L -> base,
+      1L -> base.replace("gamma", "gamma2"),
+      2L -> base.replace("mu", "nu"),
+      3L -> "completely different words about ships and harbors tonight",
+      4L -> base
+    ).toDF("doc_id", "text")
+
+    def md5Halves(t: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.substring(0, 8), 16),
+        java.lang.Long.parseLong(d.substring(8, 16), 16))
+    }
+    def bandsOf(text: String): Seq[Long] = {
+      val hs = text.split(" ").filter(_.nonEmpty).map(md5Halves)
+      (0 until 4).map { b =>
+        (0 until 16).foldLeft(0L) { (acc, j) =>
+          val i = b * 16 + j
+          val votes = hs.map { case (hi, lo) =>
+            if ((((if (i < 32) lo else hi) >> (i % 32)) & 1L) == 1L) 1 else -1
+          }.sum
+          if (votes >= 0) acc | (1L << j) else acc
+        }
+      }
+    }
+    val sigs = Seq(0L, 1L, 2L, 3L, 4L).map(i =>
+      i -> bandsOf(Seq(base, base.replace("gamma", "gamma2"), base.replace("mu", "nu"),
+        "completely different words about ships and harbors tonight", base)(i.toInt)))
+    val expected = (for {
+      (a, ba) <- sigs; (b, bb) <- sigs if a < b
+      if ba.zip(bb).exists { case (x, y) => x == y } // some shared band bucket
+      ham = ba.zip(bb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (a, b, ham)).sorted
+    val got = Dedup.simhashPairsMd5(docs)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.contains((0L, 4L, 0))) // exact copies at Hamming 0
+  }
 }
