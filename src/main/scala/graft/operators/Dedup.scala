@@ -490,6 +490,68 @@ object Dedup {
     verifyJaccard(cands, sh.select("doc_id", "shingles"), threshold)
   }
 
+  // ------------------------------------------------ blocked fuzzy match
+
+  /** Entity-resolution CANDIDATE pairs: blocked on the caller's keys
+    * PLUS a name-length band. Edit distance is bounded below by the
+    * length difference, so any pair within `maxDist` has lengths within
+    * `maxDist` of each other; with bucket width `maxDist + 1` their
+    * buckets differ by at most 1. The probe side explodes to
+    * {b-1, b, b+1}, the build side keeps its single bucket — each
+    * qualifying pair meets exactly once (the build bucket is unique per
+    * row), so no distinct is needed and NO qualifying pair is lost.
+    *
+    * The length band is what keeps the blocking skew-resistant: natural
+    * blocking keys are often LOW-CARDINALITY (brand × type ≈ 3,750
+    * values in TPC-H part regardless of scale factor), so at 100× data
+    * each block holds 100× rows and the within-block pair count grows
+    * 10,000× on a key set that cannot grow. The band splits every such
+    * block by a property that spreads with the data, restoring
+    * near-linear candidate counts while preserving exact recall.
+    */
+  def fuzzyBlockCandidates(
+      df: DataFrame,
+      blockKeys: Seq[String],
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val w = maxDist + 1
+    def bucketOf(c: Column): Column = floor(length(c) / w)
+    val keyCols = blockKeys.map(col)
+    val a = df
+      .select(keyCols :+ col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
+      .withColumn(
+        "__lb",
+        explode(array(
+          bucketOf(col("name_a")) - 1,
+          bucketOf(col("name_a")),
+          bucketOf(col("name_a")) + 1)))
+    val b = df
+      .select(keyCols :+ col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
+      .withColumn("__lb", bucketOf(col("name_b")))
+    a.join(b, blockKeys :+ "__lb")
+      .filter(col("id_a") < col("id_b"))
+      .drop("__lb")
+  }
+
+  /** Blocked fuzzy match: [[fuzzyBlockCandidates]] scored with
+    * `levenshtein` (codegen'd) and thresholded — exact pair parity with
+    * the unbanded (blockKeys-only) θ-join, at a candidate count the
+    * length band keeps bounded (Round5OpsSpec plants the skew).
+    */
+  def fuzzyBlockedPairs(
+      df: DataFrame,
+      blockKeys: Seq[String],
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    fuzzyBlockCandidates(df, blockKeys, idCol, nameCol, maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document, row-locally via [[SimHash64]] —

@@ -732,31 +732,32 @@ object Round5 {
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
   )
 
-  /** Entity-resolution fuzzy match: candidate pairs only WITHIN a
-    * (brand, type) block — the classic blocking step that keeps edit
-    * distance off the O(n²) pair space — scored with `levenshtein`
-    * (codegen'd) and thresholded. Both engines share the standard edit
-    * distance.
+  /** Entity-resolution fuzzy match: candidate pairs only within a
+    * (brand, type, name-length-band) block
+    * ([[graft.operators.Dedup.fuzzyBlockedPairs]]) — blocking keeps edit
+    * distance off the O(n²) pair space, and the LENGTH BAND keeps the
+    * block sizes bounded as data grows: (brand, type) alone is a fixed
+    * ~3,750-value key set, so at 100× data its blocks grow quadratically;
+    * the band splits them by a property that spreads with the data while
+    * losing NO pair (edit distance >= length difference). Result is
+    * identical to the unbanded θ-join — the oracle runs that form.
     */
   val q106FuzzyMatch: QueryDef = QueryDef(
     "q106_fuzzy_match",
     (s, dir) => {
-      val p = Tables.part(s, dir)
-      val a = p.select(
-        col("p_brand"), col("p_type"),
-        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      val b = p.select(
-        col("p_brand"), col("p_type"),
-        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand", "p_type"))
-        .filter(col("key_a") < col("key_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 3)
+      graft.operators.Dedup
+        .fuzzyBlockedPairs(
+          Tables.part(s, dir).select(
+            col("p_brand"), col("p_type"), col("p_partkey"), col("p_name")),
+          blockKeys = Seq("p_brand", "p_type"),
+          idCol = "p_partkey",
+          nameCol = "p_name",
+          maxDist = 3)
         .groupBy(col("p_brand"), col("p_type"))
         .agg(
           count(lit(1)).as("n_pairs"),
           min(col("dist")).as("min_dist"),
-          sum(col("key_a") + col("key_b")).as("key_sum"))
+          sum(col("id_a") + col("id_b")).as("key_sum"))
     },
     Some("""SELECT a.p_brand, a.p_type, count(*) AS n_pairs,
                    CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist,

@@ -390,6 +390,46 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(s.values.forall(_ > 0) && s.values.sum <= 1.0 + 1e-9)
   }
 
+  // ------------------------------------------------- fuzzyBlockedPairs
+
+  test("fuzzyBlockedPairs: exact parity with the unbanded theta-join under planted skew") {
+    // ONE degenerate block key for every row — the skew hazard: an
+    // unbanded block would hold all n(n-1)/2 pairs. Name lengths spread
+    // 5..104, so the length band splits the block ~25 ways.
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 240L).map { i =>
+      val len = 5 + rnd.nextInt(100)
+      val name =
+        if (i % 3 == 0 && i > 0) {
+          // every third row: near-copy of the previous row's name
+          val prev = ("x" * (5 + ((i - 1) % 100).toInt))
+          prev.dropRight(1) + "yz" // small edit
+        } else ("ab".head.toString * len)
+      (i, "B1", name)
+    }
+    val df = rows.toDF("pid", "blk", "nm")
+
+    val naive = df.select(col("blk"), col("pid").as("id_a"), col("nm").as("name_a"))
+      .join(df.select(col("blk"), col("pid").as("id_b"), col("nm").as("name_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val banded = Dedup.fuzzyBlockedPairs(df, Seq("blk"), "pid", "nm", maxDist = 3)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(banded == naive, "length band must lose no qualifying pair")
+    assert(naive.nonEmpty, "planted near-copies must produce matches")
+
+    // the bound: banded candidate count is a small fraction of the
+    // unbanded block's n(n-1)/2 — the quadratic the band defuses
+    val nCand = Dedup.fuzzyBlockCandidates(df, Seq("blk"), "pid", "nm", 3).count()
+    val nNaive = 240L * 239L / 2L
+    assert(nCand < nNaive / 4,
+      s"banded candidates $nCand not meaningfully below unbanded $nNaive")
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long, String)]) {
     def toMap1: Map[Long, (Long, Long, String)] =
       rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
