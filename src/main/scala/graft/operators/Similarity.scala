@@ -231,6 +231,96 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the scale-safe composition of the two index structures —
+    * [[ivfTopK]]'s coarse quantizer prunes the CANDIDATE SET (each query
+    * scores only its `nprobe` cells' members) and [[pqTopK]]'s codes
+    * compress the SCORING (m ADC adds per candidate instead of a
+    * dim-float dot product). This replaces pqTopK's full-corpus ADC scan
+    * — O(corpus × queries) with no pruning, fine for a compressed-index
+    * demo but a per-query-batch full scan at 100 TB — with a cell-keyed
+    * EQUI-join: at scale the corpus is written partitioned by `cell`, so
+    * a probe reads only nprobe/numCells of the data (partition pruning)
+    * and scores it at PQ speed. Standard FAISS IVFPQ layout with
+    * by_residual=false (codes quantize raw vectors, not residuals),
+    * which keeps one codebook shared across cells.
+    *
+    * Stage 2 reranks the top `rerank` ADC candidates per query against
+    * their true embeddings, so emitted `cosine` values are exact and
+    * only candidate CHOICE is approximate — same contract as [[pqTopK]]
+    * and [[ivfTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerank: Int = 32,
+      lloydIters: Int = 2,
+      trainLimit: Int = 2000
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    VectorCosine.register(spark)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id"))
+      .limit(trainLimit)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = trainKMeans(sample, numCells, dim, lloydIters)
+    val codebooks = trainPqCodebooks(sample, m, ksub, dim, lloydIters)
+    val assignFn = s"ivf_cell_${numCells}_$dim"
+    val probeFn = s"ivf_probe_${numCells}_${nprobe}_$dim"
+    val pqFn = s"pq_${m}_${ksub}_$dim"
+    graft.functions.NearestCentroids.register(spark, assignFn, centroids, numCells, dim, 1)
+    graft.functions.NearestCentroids.register(spark, probeFn, centroids, numCells, dim, nprobe)
+    graft.functions.PqKernels.register(spark, pqFn, codebooks, m, ksub, dim)
+
+    // Persisted-index shape: (cell, codes) — the scan a deployment runs.
+    val coded = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      element_at(expr(s"$assignFn(embedding)"), 1).as("cell"),
+      expr(s"${pqFn}_encode(embedding)").as("codes"))
+    // One probe row per (query, probed cell): the LUT rides along so the
+    // ADC scan needs no second join.
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      expr(s"${pqFn}_lut(embedding)").as("lut"),
+      explode(expr(s"$probeFn(embedding)")).as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    // Cell-keyed equi-join — probed cells are disjoint per query (one
+    // cell per probe row), so a (query, neighbor) pair meets at most
+    // once and needs no dedupe before ranking.
+    val candidates = coded
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        expr(s"${pqFn}_adc(codes, lut)").as("adc"))
+      .withColumn("adc_rank", row_number().over(w))
+      .filter(col("adc_rank") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    val wx = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(candidates), "neighbor_id")
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
+        "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-subspace L2 Lloyd iterations on the bounded sample: deterministic
     * striped init (sample rows 0, stride, 2·stride, … per subspace), empty
     * cells keep their previous centroid. Returns [m][ksub][dsub] flattened.

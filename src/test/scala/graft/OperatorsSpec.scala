@@ -386,6 +386,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == bruteSet)
   }
 
+  test("IVF-PQ ANN: dup found, emitted scores exact, recall floor; lossless at full width") {
+    val rng = new scala.util.Random(9)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v, 0), (1L, v, 0)) ++
+      (2L to 200L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id" < 3)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, numCells = 8, nprobe = 3).collect()
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+    // the exact duplicate shares the query's first-probed cell AND has
+    // minimal ADC distance — always retrieved
+    assert(ivfpq.exists(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    // emitted cosines come from the exact rerank stage
+    val bruteAll = Similarity.bruteTopK(emb, queries, k = 200).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteAll(key) == r.getAs[Double]("cosine"), s"score mismatch at $key")
+    }
+    // cells prune more aggressively than either structure alone — still
+    // expect a usable fraction of the true top-5
+    val hits = ivfpq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(r =>
+      hits((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / brute.length
+    assert(recall >= 0.2, s"recall@5 collapsed: $recall")
+    // probing ALL cells with rerank >= corpus degrades exactly to brute
+    val full = Similarity
+      .ivfPqTopK(emb, queries, k = 5, numCells = 4, nprobe = 4, rerank = 300)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val bruteSet = brute
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(full == bruteSet)
+  }
+
   test("embedding near-dup catches duplicate vectors through SRP buckets") {
     val rng = new scala.util.Random(1)
     val v = Array.fill(64)(rng.nextGaussian().toFloat)

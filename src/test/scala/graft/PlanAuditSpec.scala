@@ -165,6 +165,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus shuffled before scoring")
   }
 
+  test("q123 IVF-PQ: candidate stage is a cell-keyed equi-join — no crossJoin anywhere") {
+    val plan = planOf(SparkEntry.queries("q123_ann_ivfpq")(spark, sfDir))
+    // the whole point vs pqTopK: the ADC scan is gated by probed cells,
+    // so the plan must contain NO unpruned join shape
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "IVF-PQ fell back to a full-corpus scan")
+    assert(!plan.contains("CartesianProduct"), "IVF-PQ planned a cartesian product")
+    assert(plan.contains("cell"), "cell key missing from the candidate join")
+  }
+
   test("q67 stratified sample is a pure scan-side filter: one exchange (the final agg)") {
     val plan = planOf(SparkEntry.queries("q67_stratified_sample")(spark, sfDir))
     // the per-stratum rate CASE + hash filter must not introduce a join
