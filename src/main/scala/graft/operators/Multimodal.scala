@@ -6,14 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extraction running batched per partition.
   *
-  * The Spark-side shape is real and tested — schema, partition-parallel
-  * batched decode, typed output — while the codec itself is a STUB
-  * (deterministic arithmetic on the payload bytes): this container has no
-  * image/audio libraries, per the build rules. Swapping [[StubCodec]] for a
-  * real decoder (JNI image lib, ffmpeg pipe) changes one function; the
-  * dataflow — `binary` column in, metadata struct out, no driver
-  * collection, no shuffle — is exactly what a production pipeline runs at
-  * 100 TB (each task decodes its own partition's blobs).
+  * The codec is a SEAM ([[MediaCodec]]) with two implementations:
+  *
+  *   - [[StubCodec]] — deterministic arithmetic on the payload bytes, so
+  *     the DuckDB oracle replays it byte-for-byte (q36/q47); synthetic
+  *     fixtures and the video-ish frame/sample shapes run on it.
+  *   - [[ImageIoCodec]] — REAL image decode through JDK `ImageIO`
+  *     (PNG/BMP/GIF/JPEG, no dependency beyond the JRE): width/height
+  *     from the decoded raster, mean over true luminance. The real-bytes
+  *     path for [[decodeMeta]], [[resizeImage]] and [[imageFeatures]];
+  *     BinaryIngestSpec round-trips genuine PNGs through it.
+  *
+  * Either way the dataflow — `binary` column in, typed struct out,
+  * partition-parallel batched decode, no driver collection, no shuffle —
+  * is exactly what a production pipeline runs at 100 TB (each task
+  * decodes its own partition's blobs; a heavier codec like an ffmpeg
+  * pipe slots into the same seam).
   */
 object Multimodal {
 
@@ -28,11 +36,15 @@ object Multimodal {
       mean_byte: Double
   )
 
+  /** The decode seam: one instance per task, records streamed through. */
+  trait MediaCodec extends Serializable {
+    def decode(r: MediaRecord): MediaMeta
+  }
+
   /** Deterministic fake decode: metadata derived arithmetically from the
     * payload so the DuckDB oracle can replicate it byte-for-byte.
-    * A real codec replaces exactly this function (`???`-equivalent seam).
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decode(r: MediaRecord): MediaMeta = {
       val n = r.payload.length.toLong
       val first = if (n > 0) r.payload(0) & 0xff else 0
@@ -50,6 +62,41 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via JDK `ImageIO`: dimensions from the decoded
+    * raster, `mean_byte` as the mean luminance ((r+g+b)/3) over actual
+    * pixels — not the compressed payload bytes. Single-image formats →
+    * n_frames = 1. Throws on an undecodable payload: silently emitting
+    * junk metadata for corrupt blobs is how a 100 TB media sweep poisons
+    * its downstream filters; callers wanting drop-semantics filter by
+    * magic bytes first (or wrap the codec).
+    */
+  object ImageIoCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaMeta = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(
+        doc_id = r.doc_id,
+        n_bytes = r.payload.length.toLong,
+        width = w,
+        height = h,
+        n_frames = 1,
+        mean_byte = if (w * h > 0) sum / (w.toLong * h) else 0.0
+      )
+    }
+  }
+
   implicit private val recEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
 
@@ -62,12 +109,13 @@ object Multimodal {
 
   /** Batched partition-parallel decode: one codec instance per task,
     * streaming the partition's records through it (the `mapInPandas` batch
-    * shape, Scala-typed).
+    * shape, Scala-typed). Default codec is the oracle-replayable stub;
+    * pass [[ImageIoCodec]] for real image bytes.
     */
-  def decodeMeta(media: DataFrame): DataFrame =
+  def decodeMeta(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame =
     media
       .as[MediaRecord]
-      .mapPartitions(batch => batch.map(StubCodec.decode))
+      .mapPartitions(batch => batch.map(codec.decode))
       .toDF()
 
   final case class Frame(doc_id: Long, frame_id: Int, frame_bytes: Long, frame_mean_byte: Double)
@@ -125,6 +173,75 @@ object Multimodal {
             i += 1
           }
           ResizedMedia(r.doc_id, outW, outH, out)
+        }
+      }
+      .toDF()
+
+  /** REAL-pixel resize: ImageIO decode → nearest-neighbor rescale
+    * (deterministic: no interpolation, no dithering) → lossless PNG
+    * re-encode. Same per-partition batch shape as the stub [[resize]];
+    * this is the variant that runs when payloads are genuine images.
+    */
+  def resizeImage(media: DataFrame, outW: Int = 32, outH: Int = 32): DataFrame = {
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    media
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // manual nearest-neighbor sampling: pixel (x,y) <- source
+          // (x*w/outW, y*h/outH) — bit-deterministic across JREs, unlike
+          // Graphics2D scaling hints
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              out.setRGB(x, y,
+                img.getRGB((x.toLong * img.getWidth / outW).toInt,
+                  (y.toLong * img.getHeight / outH).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedMedia(r.doc_id, outW, outH, bos.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL-pixel features: `dim`-bucket L1-normalized LUMINANCE histogram
+    * over the decoded raster — the ImageIO sibling of
+    * [[byteHistogramFeatures]], emitting the same `array<float>`
+    * embedding shape for [[Similarity]].
+    */
+  def imageFeatures(media: DataFrame, dim: Int = 64): DataFrame =
+    media
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+          val hist = new Array[Float](dim)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hist(lum * dim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          if (n > 0) { var j = 0; while (j < dim) { hist(j) /= n; j += 1 } }
+          MediaFeatures(r.doc_id, hist)
         }
       }
       .toDF()
