@@ -91,6 +91,34 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 1000, salt) < threshold)
   }
 
+  /** BALANCED downsampling: equalize strata to the smallest stratum's
+    * size — the data-driven sibling of [[stratifiedSample]], for when
+    * nobody knows the mixture up front (the usual case when flattening
+    * a source/language skew in a fresh 100 TB crawl). Per-stratum keep
+    * rate = `(1000 * min_n) div n_g` per-mille from one tiny aggregate
+    * (|strata| rows, broadcast back — never a driver collect), applied
+    * through the same row-local identity-hash filter as every sampler
+    * here. Integer arithmetic throughout, so the rate table is exact
+    * and engine-independent; the smallest stratum keeps rate 1000
+    * (fully kept), and expected post-balance sizes are equal across
+    * strata to within hash granularity.
+    */
+  def balancedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      salt: String = "v1"
+  ): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val rates = counts
+      .crossJoin(broadcast(minN))
+      .select(col(strataCol), expr("1000 * __mn div __n").as("__keep_pm"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashBucket(col(idCol), 1000, salt) < col("__keep_pm"))
+      .drop("__keep_pm")
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding for training order: every
     * row gets a hash-derived sort key, a shard id (`hash mod shards`),
     * and its position within the shard (ascending hash, id tie-break).

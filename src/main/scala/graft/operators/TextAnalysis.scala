@@ -208,6 +208,33 @@ object TextAnalysis {
       )
   }
 
+  /** Unigram language-model scoring — the distributed shape of
+    * perplexity filtering (CCNet-style): token probabilities come from
+    * the corpus itself (count/total), each document's quality signal is
+    * its mean token log-probability. Low scores flag gibberish and
+    * boilerplate soup; in production the frequency table would come
+    * from a reference corpus (or a KenLM), but the dataflow is the
+    * same: one token-keyed aggregate builds the LM, one token-keyed
+    * equi-join scores the corpus against it — both partition on the
+    * token, so the 100 TB version is two shuffles of token-sized rows
+    * and never materializes anything per-document except the final
+    * score. The total-count scalar broadcasts inside the plan.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val total = tok.agg(count(lit(1)).as("__total"))
+    val freq = tok.groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+    tok
+      .join(freq, "word")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__cnt").cast("double") / col("__total"))), 6).as("mean_ll"))
+  }
+
   def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs

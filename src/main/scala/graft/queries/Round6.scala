@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -95,5 +96,176 @@ object Round6 {
             SELECT doc_id, width, height, round(m, 6) AS mean_lum FROM px""")
   )
 
-  val all: Seq[QueryDef] = Seq(q123AnnIvfPq, q124ImageRoundtrip)
+  /** Data-driven mixture balancing
+    * ([[graft.operators.Sampling.balancedSample]]): language strata
+    * equalized to the smallest one, rates computed FROM the corpus
+    * (integer per-mille arithmetic — exact in both engines), applied as
+    * the usual row-local identity-hash filter. The oracle recomputes
+    * counts → rates → survivors relationally.
+    */
+  val q125BalancedSample: QueryDef = QueryDef(
+    "q125_balanced_sample",
+    (s, dir) => {
+      graft.operators.Sampling
+        .balancedSample(Tables.documents(s, dir), strataCol = "lang", idCol = "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT min(n) AS mn FROM c),
+            r AS (SELECT lang, (1000 * mn) // n AS keep_pm FROM c, m)
+            SELECT d.lang, count(*) AS n_kept,
+                   CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+            FROM documents d
+            JOIN r ON r.lang = d.lang
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'v1'), 1, 8))
+                       AS BIGINT) % 1000 < r.keep_pm
+            GROUP BY d.lang""")
+  )
+
+  /** Unigram LM quality scoring
+    * ([[graft.operators.TextAnalysis.unigramLogProb]]) — the perplexity-
+    * filter shape: corpus-derived token probabilities, per-doc mean log
+    * prob. Two token-keyed exchanges, nothing per-document until the
+    * final aggregate.
+    */
+  val q126UnigramLogprob: QueryDef = QueryDef(
+    "q126_unigram_logprob",
+    (s, dir) =>
+      graft.operators.TextAnalysis.unigramLogProb(Tables.documents(s, dir)),
+    Some("""WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            tot AS (SELECT count(*) AS total FROM tok),
+            freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS mean_ll
+            FROM tok JOIN freq USING (t), tot
+            GROUP BY doc_id""")
+  )
+
+  /** Dedup RETENTION POLICY — the step after pair detection that decides
+    * what survives: near-dup pairs (MinHash+LSH) → connected components
+    * → keep the highest-quality member per cluster (longest text,
+    * doc_id tie-break). Emits one row per non-trivial cluster:
+    * (cluster_rep, keep_id, cluster_size). The oracle replays the
+    * quadratic pair set, the recursive-CTE closure and the argmax.
+    */
+  val q127DedupRetention: QueryDef = QueryDef(
+    "q127_dedup_retention",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cc = graft.operators.Dedup
+        .connectedComponents(graft.operators.Dedup.minhashPairs(docs))
+      val labeled = docs
+        .join(cc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("rep"),
+          col("n_chars"))
+      val w = Window
+        .partitionBy(col("rep"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("rk", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("rep"))))
+        .filter(col("rk") === 1 && col("sz") > 1)
+        .select(
+          col("rep").as("cluster_rep"),
+          col("doc_id").as("keep_id"),
+          col("sz").as("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${LlmQueries.ngramJaccardOracle}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS doc, u AS label FROM edges
+              UNION
+              SELECT e.u AS doc, r.label
+              FROM edges e JOIN reach r ON r.doc = e.v),
+            labels AS (SELECT doc, min(label) AS rep FROM reach GROUP BY doc),
+            clusters AS (
+              SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep, d.n_chars
+              FROM documents d LEFT JOIN labels l ON l.doc = d.doc_id),
+            ranked AS (
+              SELECT rep, doc_id,
+                     row_number() OVER (PARTITION BY rep
+                                        ORDER BY n_chars DESC, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY rep) AS sz
+              FROM clusters)
+            SELECT CAST(rep AS BIGINT) AS cluster_rep,
+                   CAST(doc_id AS BIGINT) AS keep_id,
+                   CAST(sz AS BIGINT) AS cluster_size
+            FROM ranked WHERE rk = 1 AND sz > 1""")
+  )
+
+  /** Time-series RESAMPLE + forward fill: per-user minute grid
+    * (`sequence` explode between observed bounds), left join of the
+    * minute aggregates, `last(..., ignoreNulls)` running frame carries
+    * the last observation forward across gaps. The gaps-and-grid shape
+    * of feature-store backfills; the grid is span-bounded (not
+    * row-bounded), so data growth doesn't grow it.
+    */
+  val q128GapFill: QueryDef = QueryDef(
+    "q128_gap_fill",
+    (s, dir) => {
+      val ev = Tables
+        .events(s, dir)
+        .filter(col("user_id") < 6 && col("ts") < lit("2024-01-08").cast("timestamp"))
+        .withColumn("minute", date_trunc("minute", col("ts")))
+      val perMin = ev
+        .groupBy(col("user_id"), col("minute"))
+        .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n_obs"))
+      val grid = ev
+        .groupBy(col("user_id"))
+        .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+        .select(
+          col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MINUTE"))).as("minute"))
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("minute"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(perMin, Seq("user_id", "minute"), "left")
+        .select(
+          col("user_id"),
+          unix_micros(col("minute")).as("minute_us"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ff"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, date_trunc('minute', ts) AS minute, value
+              FROM events
+              WHERE user_id < 6 AND ts < TIMESTAMP '2024-01-08'),
+            pm AS (
+              SELECT user_id, minute, round(sum(value), 2) AS v,
+                     count(*) AS n_obs
+              FROM ev GROUP BY 1, 2),
+            b AS (SELECT user_id, min(minute) AS mn, max(minute) AS mx
+                  FROM ev GROUP BY 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+              FROM b),
+            j AS (
+              SELECT g.user_id, g.minute, pm.v, coalesce(pm.n_obs, 0) AS n_obs
+              FROM grid g LEFT JOIN pm ON pm.user_id = g.user_id
+                                      AND pm.minute = g.minute)
+            SELECT user_id, CAST(epoch_us(minute) AS BIGINT) AS minute_us,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY minute
+                     ROWS UNBOUNDED PRECEDING) AS v_ff,
+                   CAST(n_obs AS BIGINT) AS n_obs
+            FROM j""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
+    q127DedupRetention, q128GapFill)
 }

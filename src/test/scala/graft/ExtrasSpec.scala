@@ -37,8 +37,12 @@ class ExtrasSpec extends AnyFunSuite {
 
   test("approx_top_k heavy hitters are EXACT on a small domain (sketch capacity > cardinality)") {
     val row = SparkEntry.queries("q42_sketch")(spark, sfDir).collect()(0)
-    val got = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_flags")
-      .map(r => r.getString(0) -> r.getLong(1))
+    // the query serializes the sketch output with to_json (scalar-output
+    // contract for the driver's capture layer) — parse it back here
+    val got = """\{"item":"([^"]+)","count":(\d+)\}""".r
+      .findAllMatchIn(row.getAs[String]("top_flags_json"))
+      .map(m => m.group(1) -> m.group(2).toLong)
+      .toSeq
     val exact = graft.sources.Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1))

@@ -390,6 +390,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(s.values.forall(_ > 0) && s.values.sum <= 1.0 + 1e-9)
   }
 
+  // ----------------------------------------------------- balancedSample
+
+  test("balancedSample equalizes strata: smallest fully kept, others downsampled to match") {
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 600) "big" else if (i < 900) "mid" else "small"))
+    val df = rows.toDF("id", "src")
+    val kept = Sampling.balancedSample(df, "src", "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // smallest stratum (100 rows) keeps rate 1000 -> fully present
+    assert(kept("small") == 100L)
+    // the others land near 100 (hash granularity, not exactness)
+    assert(math.abs(kept("big") - 100L) <= 30, s"big kept ${kept("big")}")
+    assert(math.abs(kept("mid") - 100L) <= 30, s"mid kept ${kept("mid")}")
+    // determinism: identical result on rerun and under repartition
+    val again = Sampling.balancedSample(df.repartition(7), "src", "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    val first = Sampling.balancedSample(df, "src", "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == first)
+  }
+
   // ------------------------------------------------- fuzzyBlockedPairs
 
   test("fuzzyBlockedPairs: exact parity with the unbanded theta-join under planted skew") {
