@@ -44,6 +44,31 @@ object Checks {
       )
       .select(lit(ruleName).as("rule"), col("n_violations"))
 
+  /** Column PROFILING in one scan — the discovery half of data quality
+    * (the stats a platform surfaces before anyone writes rules): per
+    * column, null count, exact distinct count, min and max (as strings,
+    * so heterogeneous columns share one result schema). All columns'
+    * aggregates ride a single `agg` call, so profiling N columns costs
+    * one table pass (count_distinct adds the standard expand — still one
+    * scan), and the per-column rows come from exploding the aggregated
+    * struct array, never from per-column jobs.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val stats = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s")
+      )
+    }
+    df.agg(array(stats.head +: stats.tail: _*).as("s"))
+      .select(explode(col("s")).as("r"))
+      .select(col("r.column"), col("r.n_nulls"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
+  }
+
   /** Row rules + uniqueness rules, one result table. */
   def run(
       df: DataFrame,

@@ -235,6 +235,54 @@ object TextAnalysis {
         round(avg(log(col("__cnt").cast("double") / col("__total"))), 6).as("mean_ll"))
   }
 
+  /** BM25 retrieval scoring (Okapi, Lucene idf form) for a fixed query
+    * term set — the ranking sibling of [[tfidfTopTerms]] and the scoring
+    * core of corpus search / RAG retrieval over a lake:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * One token explode feeds BOTH the per-doc length aggregate and the
+    * (query-filtered, so tiny) per-term tf relation; df and the corpus
+    * constants broadcast. Documents matching no term are absent (score
+    * 0), which keeps the score relation |matches|-sized — at 100 TB the
+    * inverted postings for 3 terms, not the corpus, flow into the final
+    * aggregate.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val tok = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val docLen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val consts = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avgdl"))
+    val qTok = tok.filter(col("word").isin(queryTerms: _*))
+    val df_ = qTok.groupBy(col("word")).agg(count_distinct(col("doc_id")).as("df"))
+    val tf = qTok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(df_), "word")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(consts))
+      .withColumn(
+        "idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn(
+        "term_score",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        round(sum(col("term_score")), 6).as("bm25"))
+  }
+
   def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs

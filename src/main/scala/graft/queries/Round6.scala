@@ -265,7 +265,86 @@ object Round6 {
             FROM j""")
   )
 
+  /** BM25 retrieval scoring
+    * ([[graft.operators.TextAnalysis.bm25Scores]]): Okapi term scores
+    * with the Lucene idf form for a fixed 3-term query — the ranking
+    * core of corpus search / RAG retrieval. Only matching postings flow
+    * past the (tiny) term filter; both engines execute the identical
+    * arithmetic chain, rounded at 6.
+    */
+  val q129Bm25: QueryDef = QueryDef(
+    "q129_bm25",
+    (s, dir) =>
+      graft.operators.TextAnalysis
+        .bm25Scores(Tables.documents(s, dir), Seq("data", "query", "stream")),
+    Some("""WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+            q AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                  WHERE t IN ('data', 'query', 'stream') GROUP BY 1, 2),
+            idf AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok
+                    WHERE t IN ('data', 'query', 'stream') GROUP BY t),
+            scored AS (
+              SELECT q.doc_id,
+                     ln((c.n_docs - idf.dfc + 0.5) / (idf.dfc + 0.5) + 1.0)
+                       * q.tf * (1.2 + 1.0)
+                       / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avgdl)) AS ts
+              FROM q JOIN idf USING (t) JOIN dl USING (doc_id), c)
+            SELECT doc_id, count(*) AS n_terms_hit, round(sum(ts), 6) AS bm25
+            FROM scored GROUP BY doc_id""")
+  )
+
+  /** One-scan column profiling ([[graft.operators.Checks.profile]]):
+    * null/distinct/min/max per column from a single `agg`, exploded to
+    * per-column rows. Profiled over a projection with injected nulls so
+    * the null path is exercised; min/max stringified so heterogeneous
+    * columns share a schema.
+    */
+  val q130Profile: QueryDef = QueryDef(
+    "q130_profile",
+    (s, dir) => {
+      val src = Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit(null))
+            .otherwise(col("c_nationkey"))
+            .cast("long")
+            .as("nk"),
+          col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.operators.Checks
+        .profile(src, Seq("c_custkey", "nk", "c_acctbal", "c_mktsegment"))
+    },
+    Some("""WITH src AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 10 = 0 THEN NULL
+                          ELSE c_nationkey END AS nk,
+                     c_acctbal, c_mktsegment
+              FROM customer)
+            SELECT 'c_custkey' AS "column",
+                   CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+                   CAST(min(c_custkey) AS VARCHAR) AS min_s,
+                   CAST(max(c_custkey) AS VARCHAR) AS max_s FROM src
+            UNION ALL
+            SELECT 'nk', CAST(count(*) FILTER (nk IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT nk) AS BIGINT),
+                   CAST(min(nk) AS VARCHAR), CAST(max(nk) AS VARCHAR) FROM src
+            UNION ALL
+            SELECT 'c_acctbal', CAST(count(*) FILTER (c_acctbal IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT c_acctbal) AS BIGINT),
+                   CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM src
+            UNION ALL
+            SELECT 'c_mktsegment', CAST(count(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+                   CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
-    q127DedupRetention, q128GapFill)
+    q127DedupRetention, q128GapFill, q129Bm25, q130Profile)
 }
