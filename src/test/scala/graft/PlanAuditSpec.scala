@@ -174,6 +174,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("cell"), "cell key missing from the candidate join")
   }
 
+  test("q129 BM25: postings joins are hash joins; term filter gates the corpus relation") {
+    val plan = planOf(SparkEntry.queries("q129_bm25")(spark, sfDir))
+    // (the one-row corpus-constants broadcast legitimately plans as a
+    // nested-loop fan — same shape as every scalar broadcast here; the
+    // DATA joins must be keyed)
+    assert(plan.contains("BroadcastHashJoin"), "df/doc-length joins not hash joins")
+    assert(!plan.contains("CartesianProduct"))
+    // the postings relation is gated by the 3-term IN filter before any join
+    assert(plan.contains("data") && plan.contains("query") && plan.contains("stream"),
+      "query-term filter missing from the physical plan")
+  }
+
+  test("q130 profile: N columns profiled in ONE scan of the table") {
+    val plan = planOf(SparkEntry.queries("q130_profile")(spark, sfDir))
+    // a per-column-job implementation would show one parquet scan per
+    // column; the single-agg form scans customer exactly once
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 customer scan, saw $scans:\n$plan")
+  }
+
+  test("q106 fuzzy blocking joins on the banded key: hash join, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q106_fuzzy_match")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("__lb"), "length-band key missing from the join")
+  }
+
   test("q67 stratified sample is a pure scan-side filter: one exchange (the final agg)") {
     val plan = planOf(SparkEntry.queries("q67_stratified_sample")(spark, sfDir))
     // the per-stratum rate CASE + hash filter must not introduce a join
