@@ -344,7 +344,97 @@ object Round6 {
                    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src""")
   )
 
+  /** SCD Type-2 dimension build: a change log (orders as status changes
+    * per customer, ordered by date with key tie-break) becomes validity
+    * intervals — eff_from = change ts, eff_to = `lead` of the next
+    * change (NULL = current), is_current flag. One window per key; the
+    * standard way a warehouse derives history tables from CDC streams.
+    * Consecutive same-value changes are collapsed first (lag compare) so
+    * each interval is a real transition.
+    */
+  val q131Scd2: QueryDef = QueryDef(
+    "q131_scd2",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("ts"), col("o_orderkey"))
+      val changes = Tables
+        .orders(s, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          col("o_orderstatus").as("status"))
+        .withColumn("prev", lag(col("status"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("status"))
+      val w2 = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("ts"), col("o_orderkey"))
+      changes
+        .select(
+          col("o_custkey"),
+          col("status"),
+          unix_micros(col("ts")).as("eff_from_us"),
+          unix_micros(lead(col("ts"), 1).over(w2)).as("eff_to_us"),
+          (lead(col("ts"), 1).over(w2).isNull).as("is_current"))
+    },
+    Some("""WITH ordered AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(o_orderdate AS TIMESTAMP) AS ts,
+                     o_orderstatus AS status,
+                     lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders),
+            changes AS (
+              SELECT o_custkey, o_orderkey, ts, status FROM ordered
+              WHERE prev IS NULL OR prev <> status)
+            SELECT o_custkey, status,
+                   CAST(epoch_us(ts) AS BIGINT) AS eff_from_us,
+                   CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS eff_to_us,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)""")
+  )
+
+  /** Funnel analysis: per-user ordered progression through
+    * view → click → purchase (first-occurrence timestamps must chain).
+    * One scan computes each user's first ts per stage (conditional min);
+    * the funnel counts fall out of flag aggregation — no self-joins, no
+    * per-stage passes, which is what keeps this a single shuffle at any
+    * scale.
+    */
+  val q132Funnel: QueryDef = QueryDef(
+    "q132_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perUser = ev
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+              FROM events GROUP BY user_id)
+            SELECT count(*) AS n_users,
+                   CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+                   CAST(count(*) FILTER (t_view < t_click) AS BIGINT) AS n_clicked_after_view,
+                   CAST(count(*) FILTER (t_view < t_click AND t_click < t_buy) AS BIGINT)
+                     AS n_full_funnel
+            FROM pu""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
-    q127DedupRetention, q128GapFill, q129Bm25, q130Profile)
+    q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel)
 }
