@@ -321,6 +321,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric INT8 quantization of the embedding column — the storage
+    * path for a vector corpus at scale (4× smaller than float32, and
+    * the form int8-SIMD scorers consume): per-vector scale =
+    * max|x|/127, code = floor(x/scale + 0.5) — the explicit round-half-
+    * up form, identical on every engine, where a bare `round()` would
+    * hit tie-convention differences. Returns (vec_id, scale, codes,
+    * plus per-vector round-trip error stats); all arithmetic is
+    * row-local HOFs over the 64-dim array — quantizing 100 TB of
+    * embeddings is a pure scan.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    emb
+      .select(col("vec_id"), v.as("__v"))
+      .withColumn("__mx", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn(
+        "scale",
+        when(col("__mx") === 0.0, lit(1.0)).otherwise(col("__mx") / 127.0))
+      .withColumn(
+        "codes",
+        transform(col("__v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
+      .withColumn(
+        "__errs",
+        zip_with(col("__v"), col("codes"), (x, c) => abs(c * col("scale") - x)))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        col("codes"),
+        col("__errs"))
+  }
+
   /** Per-subspace L2 Lloyd iterations on the bounded sample: deterministic
     * striped init (sample rows 0, stride, 2·stride, … per subspace), empty
     * cells keep their previous centroid. Returns [m][ksub][dsub] flattened.

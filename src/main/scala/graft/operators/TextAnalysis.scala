@@ -283,6 +283,40 @@ object TextAnalysis {
         round(sum(col("term_score")), 6).as("bm25"))
   }
 
+  /** Sliding-window passage chunking — the RAG-ingestion sibling of
+    * [[Dedup.chunkDedup]]'s contiguous chunks: fixed `width`-token
+    * windows every `stride` tokens (overlap = width − stride keeps
+    * context across boundaries). Row-local: the chunk list is a
+    * `transform` over the token array, exploded positionally; chunking
+    * a 100 TB corpus is a scan plus the explode fan-out, no shuffle.
+    */
+  def slidingChunks(docs: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width (stride > width would drop tokens)")
+    val ts = filter(words(col("text")), t => length(t) > 0)
+    docs
+      .select(col("doc_id"), ts.as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            // window i starts at i*stride while that is a valid index
+            sequence(lit(0), floor((size(col("__ts")) - 1) / stride).cast("int")),
+            i => concat_ws(" ", slice(col("__ts"), i * stride + 1, lit(width)))
+          )).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tok", size(split(col("chunk_text"), " ")))
+  }
+
+  /** Text normalization for dedup/matching keys: lowercase, strip
+    * everything outside [a-z0-9 ], collapse runs of spaces, trim. The
+    * regex classes are portable across Java regex and RE2, so the
+    * normalized form is engine-independent — the precondition for using
+    * it as a cross-system join/dedup key.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs

@@ -434,7 +434,129 @@ object Round6 {
             FROM pu""")
   )
 
+  /** INT8 embedding quantization
+    * ([[graft.operators.Similarity.quantizeInt8]]): per-vector symmetric
+    * scale, explicit floor(x/s + 0.5) rounding (engine-independent where
+    * `round`'s tie convention is not), round-trip error stats. The
+    * integer code sum pins every code exactly; the error columns pin the
+    * reconstruction. All row-local — the 4× storage compression of a
+    * 100 TB vector corpus is a pure scan.
+    */
+  val q133EmbedQuant: QueryDef = QueryDef(
+    "q133_embed_quant",
+    (s, dir) => {
+      graft.operators.Similarity
+        .quantizeInt8(Tables.embeddings(s, dir))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+          round(array_max(col("__errs")), 6).as("max_err"),
+          round(
+            expr("aggregate(__errs, cast(0.0 as double), (a, e) -> a + e)")
+              / size(col("__errs")), 6).as("mean_err"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                     CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+              FROM q),
+            c AS (
+              SELECT vec_id, v, scale,
+                     list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes
+              FROM s),
+            e AS (
+              SELECT vec_id, scale, codes,
+                     [abs(codes[i] * scale - v[i]) FOR i IN range(1, len(v) + 1)] AS errs
+              FROM c)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   round(list_max(errs), 6) AS max_err,
+                   round(list_sum(errs) / len(errs), 6) AS mean_err
+            FROM e""")
+  )
+
+  /** RAG sliding-window chunking
+    * ([[graft.operators.TextAnalysis.slidingChunks]]): 32-token windows
+    * every 24 tokens (8-token overlap), chunk text pinned by md5 so the
+    * whole window arithmetic — starts, widths, tail clamping — is
+    * hash-checked without shipping the text twice.
+    */
+  val q134RagChunks: QueryDef = QueryDef(
+    "q134_rag_chunks",
+    (s, dir) => {
+      graft.operators.TextAnalysis
+        .slidingChunks(Tables.documents(s, dir), width = 32, stride = 24)
+        .select(
+          col("doc_id"),
+          col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"),
+          col("n_tok").cast("int").as("n_tok"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+            nz AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+            g AS (
+              SELECT doc_id, ts,
+                     unnest(range(0, (len(ts) - 1) // 24 + 1)) AS i
+              FROM nz),
+            ch AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                     array_to_string(ts[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+              FROM g)
+            SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5,
+                   CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tok
+            FROM ch""")
+  )
+
+  /** Text normalization for engine-independent dedup/join keys
+    * ([[graft.operators.TextAnalysis.normalizeText]]): planted mixed
+    * case, punctuation and non-ASCII, then lower → strip [^a-z0-9 ] →
+    * collapse spaces → trim; the normalized form is md5-pinned. The
+    * regex classes are portable between Java regex and RE2 (the
+    * precondition for cross-system keys).
+    */
+  val q135Normalize: QueryDef = QueryDef(
+    "q135_normalize",
+    (s, dir) => {
+      val messy = concat(
+        lit("  Hello, WORLD!! "),
+        col("text"),
+        lit(" #"),
+        col("doc_id").cast("string"),
+        lit("... café  "))
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          graft.operators.TextAnalysis.normalizeText(messy).as("norm"))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("int").as("n_norm_chars"))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id,
+                     '  Hello, WORLD!! ' || text || ' #' || CAST(doc_id AS VARCHAR)
+                       || '... café  ' AS messy
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(messy),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM m)
+            SELECT doc_id, md5(norm) AS norm_md5,
+                   CAST(length(norm) AS INT) AS n_norm_chars
+            FROM n""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
-    q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel)
+    q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
+    q133EmbedQuant, q134RagChunks, q135Normalize)
 }
