@@ -66,6 +66,47 @@ object SrpSignatures {
     Array.fill(tables * planesPerTable * dim)(rng.nextGaussian())
   }
 
+  /** ORACLE-REPLAYABLE hyperplanes: component (t, p, k) is derived from
+    * md5("srp|t|p|k") — first 12 hex digits as a 48-bit integer, shifted
+    * and scaled to [-1, 1). Every step is exact in doubles (48-bit
+    * integer → double, then a power-of-two division), so a SQL engine
+    * recomputes the IDENTICAL plane family from the same strings —
+    * unlike the JVM-Gaussian family above, which only the JVM can
+    * produce. Sign-random-projection needs only a symmetric component
+    * distribution, so uniform [-1, 1) preserves the LSH collision
+    * geometry (P[collide] = 1 − θ/π per plane, as with Gaussians).
+    */
+  def makePlanesMd5(dim: Int, tables: Int, planesPerTable: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val half = 140737488355328L // 2^47
+    val out = new Array[Double](tables * planesPerTable * dim)
+    var i = 0
+    for (t <- 0 until tables; p <- 0 until planesPerTable; k <- 0 until dim) {
+      md.reset()
+      val hex = md.digest(s"srp|$t|$p|$k".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      out(i) = (java.lang.Long.parseLong(hex, 16) - half).toDouble / half.toDouble
+      i += 1
+    }
+    out
+  }
+
+  /** Register `<name>(vec)` over the md5-derived plane family. */
+  def registerMd5(
+      spark: SparkSession,
+      name: String,
+      dim: Int,
+      tables: Int,
+      planesPerTable: Int
+  ): Unit = {
+    val planes = makePlanesMd5(dim, tables, planesPerTable)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => SrpSignatures(exprs.head, planes, tables, planesPerTable, dim),
+      "built-in"
+    )
+  }
+
   /** Register `<name>(vec)` for the given plane family; usable via
     * `expr("<name>(embedding)")`.
     */

@@ -712,4 +712,61 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** ORACLE-REPLAYABLE embedding near-dup: identical pipeline to
+    * [[embeddingNearDupPairs]] (same compiled [[SrpSignatures]] kernel,
+    * same bucket join, same exact-cosine verification) but over the
+    * md5-derived plane family
+    * ([[graft.functions.SrpSignatures.makePlanesMd5]]), which a SQL
+    * engine can reconstruct from the plane-name strings alone — so the
+    * CANDIDATE GENERATION itself, not just the final cosine, is
+    * oracle-checked. This is the q26/q27 move applied to the embedding
+    * family: the seeded-Gaussian variant stays the default for callers
+    * (a JVM-only RNG is fine in production); this one is the
+    * cross-engine-verifiable form.
+    */
+  def embeddingNearDupPairsMd5(
+      embeddings: DataFrame,
+      dim: Int = 64,
+      threshold: Double = 0.30,
+      tables: Int = 6,
+      planesPerTable: Int = 4
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val fn = s"srp_neardup_md5_${tables}_$planesPerTable"
+    graft.functions.SrpSignatures.registerMd5(spark, fn, dim, tables, planesPerTable)
+    VectorCosine.register(spark)
+    val signed = embeddings
+      .select(col("vec_id"), col("embedding"), expr(s"$fn(embedding)").as("sigs"))
+      .cache()
+    val banded = signed.select(
+      col("vec_id"),
+      posexplode(col("sigs")).as(Seq("table_id", "sig"))
+    )
+    val a = banded.select(col("table_id"), col("sig"), col("vec_id").as("id_a"))
+    val b = banded.select(
+      col("table_id").as("table_id_b"),
+      col("sig").as("sig_b"),
+      col("vec_id").as("id_b")
+    )
+    val candidates = a
+      .join(
+        b,
+        col("table_id") === col("table_id_b") && col("sig") === col("sig_b") &&
+          col("id_a") < col("id_b")
+      )
+      .select("id_a", "id_b")
+    val va = signed.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val vb = signed.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    candidates
+      .join(broadcast(va), "id_a")
+      .join(broadcast(vb), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(expr("vector_cosine(v_a, v_b)"), 6).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
 }

@@ -124,11 +124,48 @@ object LlmQueries {
     Some(ngramJaccardOracle)
   )
 
+  /** Embedding near-dup, ORACLE-CHECKED end to end: md5-derived SRP
+    * planes (exact 48-bit rational components — DuckDB reconstructs the
+    * identical family from the plane-name strings), so candidate
+    * generation AND exact-cosine verification replay in SQL. The
+    * seeded-Gaussian variant ([[Dedup.embeddingNearDupPairs]]) remains
+    * the production default, pinned by its own golden/parity specs.
+    */
   val q29EmbedNeardup: QueryDef = QueryDef(
     "q29_embed_neardup",
-    (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir)),
-    None // SRP hyperplane buckets are engine-specific; cosine kernel is
-    //      oracle-checked via q30_ann_brute
+    (s, dir) => Dedup.embeddingNearDupPairsMd5(Tables.embeddings(s, dir)),
+    Some(s"""WITH planes AS (
+              SELECT t.t AS t, p.p AS p, k.k AS k,
+                     (CAST(('0x' || substring(md5('srp|' || t.t || '|' || p.p || '|' || k.k),
+                                              1, 12)) AS BIGINT)
+                      - 140737488355328) / 140737488355328.0 AS w
+              FROM range(0, 6) t(t), range(0, 4) p(p), range(0, 64) k(k)),
+            dims AS (
+              SELECT vec_id, k.k AS k, CAST(embedding[k.k + 1] AS DOUBLE) AS x
+              FROM embeddings, range(0, 64) k(k)
+              WHERE k.k < len(embedding)),
+            dots AS (
+              SELECT d.vec_id, pl.t, pl.p, sum(d.x * pl.w) AS dot
+              FROM dims d JOIN planes pl ON pl.k = d.k
+              GROUP BY 1, 2, 3),
+            sigs AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(p AS INT)
+                              ELSE 0 END) AS INT) AS sig
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM (
+              SELECT c.id_a, c.id_b,
+                     round(${dotSql("a.embedding", "b.embedding")} /
+                           (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+                            sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cosine
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b)
+            WHERE cosine >= 0.30""")
   )
 
   val q30AnnBrute: QueryDef = QueryDef(

@@ -436,6 +436,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
   }
 
+  test("md5-derived SRP planes are exact 48-bit rationals in [-1, 1) and find dups") {
+    val planes = graft.functions.SrpSignatures.makePlanesMd5(8, 2, 3)
+    assert(planes.length == 2 * 3 * 8)
+    assert(planes.forall(w => w >= -1.0 && w < 1.0))
+    // Each component is k/2^47 for integer k — exactly representable, so a
+    // SQL engine dividing the same 48-bit integer by 2^47 gets the same bits.
+    assert(planes.forall(w => (w * 140737488355328.0) == math.rint(w * 140737488355328.0)))
+    // Deterministic: no RNG state, same strings -> same family.
+    assert(planes.sameElements(graft.functions.SrpSignatures.makePlanesMd5(8, 2, 3)))
+
+    val rng = new scala.util.Random(7)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v, 0), (1L, v, 0)) ++
+      (2L to 30L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairsMd5(emb, threshold = 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+  }
+
   test("multimodal frame-sample, resize, and feature shapes") {
     // 10-byte payload -> n_frames = 1 + 10%7 = 4; stride 2 samples j=0,2.
     val text = "abcdefghij"
