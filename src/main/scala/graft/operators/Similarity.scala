@@ -65,7 +65,38 @@ object Similarity {
     val spark = corpus.sparkSession
     val fn = s"srp_ann_${tables}_${planesPerTable}_$seed"
     graft.functions.SrpSignatures.register(spark, fn, dim, tables, planesPerTable, seed)
-    VectorCosine.register(spark)
+    lshTopKImpl(corpus, queries, k, fn)
+  }
+
+  /** ORACLE-REPLAYABLE LSH ANN: identical bucket join + exact-cosine
+    * rerank as [[lshTopK]], over the md5-derived hyperplane family
+    * ([[graft.functions.SrpSignatures.makePlanesMd5]]) — every plane
+    * component is an exact 48-bit rational a SQL engine recomputes from
+    * the plane-name strings, so the CANDIDATE SET (not just the final
+    * ranking function) replays cross-engine. Seeded-Gaussian [[lshTopK]]
+    * stays the production default.
+    */
+  def lshTopKMd5(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      dim: Int = 64,
+      tables: Int = 8,
+      planesPerTable: Int = 6
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val fn = s"srp_ann_md5_${tables}_$planesPerTable"
+    graft.functions.SrpSignatures.registerMd5(spark, fn, dim, tables, planesPerTable)
+    lshTopKImpl(corpus, queries, k, fn)
+  }
+
+  private def lshTopKImpl(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      fn: String
+  ): DataFrame = {
+    VectorCosine.register(corpus.sparkSession)
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(
           col("vec_id").as(idAs),

@@ -189,13 +189,57 @@ object LlmQueries {
             ) WHERE rank <= 5""")
   )
 
+  /** LSH ANN, ORACLE-CHECKED end to end: md5-derived SRP planes (the q29
+    * family at 8×6 geometry) make the bucket join itself SQL-replayable —
+    * DuckDB rebuilds the hyperplanes, hashes corpus + probes, joins
+    * same-signature buckets, and reranks by the exact cosine with the
+    * identical (cosine DESC, neighbor_id ASC) tie-break. The
+    * seeded-Gaussian [[Similarity.lshTopK]] stays the production default,
+    * pinned by recall/golden specs.
+    */
   val q31AnnLsh: QueryDef = QueryDef(
     "q31_ann_lsh",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    None
+    Some(s"""WITH planes AS (
+              SELECT t.t AS t, p.p AS p, k.k AS k,
+                     (CAST(('0x' || substring(md5('srp|' || t.t || '|' || p.p || '|' || k.k),
+                                              1, 12)) AS BIGINT)
+                      - 140737488355328) / 140737488355328.0 AS w
+              FROM range(0, 8) t(t), range(0, 6) p(p), range(0, 64) k(k)),
+            dims AS (
+              SELECT vec_id, k.k AS k, CAST(embedding[k.k + 1] AS DOUBLE) AS x
+              FROM embeddings, range(0, 64) k(k)
+              WHERE k.k < len(embedding)),
+            dots AS (
+              SELECT d.vec_id, pl.t, pl.p, sum(d.x * pl.w) AS dot
+              FROM dims d JOIN planes pl ON pl.k = d.k
+              GROUP BY 1, 2, 3),
+            sigs AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(p AS INT)
+                              ELSE 0 END) AS INT) AS sig
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM sigs q JOIN sigs c
+                ON q.t = c.t AND q.sig = c.sig AND c.vec_id != q.vec_id
+              WHERE q.vec_id < 10),
+            scored AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     round(${dotSql("q.embedding", "c.embedding")} /
+                           (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                            sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cosine
+              FROM cand cd
+              JOIN embeddings q ON q.vec_id = cd.query_id
+              JOIN embeddings c ON c.vec_id = cd.neighbor_id)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""")
   )
 
   /** IVF ANN — the third similarity-search path (exact brute, LSH, IVF):

@@ -309,6 +309,10 @@ class OperatorsSpec extends AnyFunSuite {
     val top = Similarity.lshTopK(emb, emb.filter($"vec_id" === 0), k = 2).collect()
     assert(top.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
       math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    // md5-plane variant: same contract (dup collides in every table).
+    val topMd5 = Similarity.lshTopKMd5(emb, emb.filter($"vec_id" === 0), k = 2).collect()
+    assert(topMd5.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
   }
 
   test("IVF ANN: exact dup found (same cell), scores match brute, recall reasonable") {
