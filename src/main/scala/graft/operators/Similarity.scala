@@ -581,8 +581,15 @@ object Similarity {
         counts(best) += 1
       }
       val next = centroids.clone()
+      // Mean components snap to the 2^-20 binary grid (the q99/kmeansAssign
+      // trick): the per-cell sum is the one reduction-order-dependent step
+      // in training, and the grid absorbs last-ulp differences so a
+      // relational replay (GROUP BY sum in any order) reconstructs the
+      // identical quantizer. Seeds are raw float->double casts (already
+      // exact cross-engine); dots/norms are positional folds (ditto).
       for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
-        next(c * dim + i) = sums(c * dim + i) / counts(c)
+        next(c * dim + i) =
+          math.floor(sums(c * dim + i) / counts(c) * 1048576.0) / 1048576.0
       centroids = next
     }
     centroids
