@@ -431,8 +431,12 @@ object Similarity {
         }
         counts(best) += 1
       }
+      // Same 2^-20 grid snap as trainKMeans: severs the reduction-order
+      // dependence of the per-cell sums so a relational replay (GROUP BY
+      // in any order) rebuilds bit-identical codebooks.
       for (c <- 0 until ksub if counts(c) > 0; i <- 0 until dsub)
-        books((s * ksub + c) * dsub + i) = sums(c * dsub + i) / counts(c)
+        books((s * ksub + c) * dsub + i) =
+          math.floor(sums(c * dsub + i) / counts(c) * 1048576.0) / 1048576.0
     }
     books
   }

@@ -242,39 +242,6 @@ object LlmQueries {
               FROM scored) WHERE rank <= 5""")
   )
 
-  /** The 64-element positional dot fold over already-double lists. */
-  private def dotD(a: String, b: String): String =
-    s"list_sum([$a[i] * $b[i] FOR i IN range(1, 65)])"
-
-  /** One Lloyd iteration of the IVF coarse quantizer, as DuckDB CTEs:
-    * L2-normalize the previous centroids (positional fold — bit-identical
-    * to the JVM loop), assign every point to its max-dot cell (strict-`>`
-    * argmax ≡ `ORDER BY dt DESC, cid`), take per-cell per-dimension means
-    * snapped to the 2^-20 grid (absorbs reduction-order ulps — the one
-    * order-dependent step), and keep the previous centroid for emptied
-    * cells (the `coalesce`, matching the JVM's `clone()`-then-update).
-    */
-  private def kmeansIterSql(cn: String, prev: String, an: String, mn: String, nn: String): String =
-    s"""$nn AS (SELECT cid, list_transform(c, x -> x / sqrt(${dotD("c", "c")})) AS nc
-               FROM $prev),
-       d_$an AS (SELECT p.vec_id, n.cid, ${dotD("p.v", "n.nc")} AS dt
-                 FROM pts p CROSS JOIN $nn n),
-       $an AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY dt DESC, cid) AS rn
-                 FROM d_$an) WHERE rn = 1),
-       $mn AS (SELECT $an.cid, pos,
-                      floor(sum(val) / count(*) * 1048576.0) / 1048576.0 AS m
-               FROM $an JOIN (SELECT vec_id, generate_subscripts(v, 1) AS pos,
-                                     unnest(v) AS val
-                              FROM pts) e USING (vec_id)
-               GROUP BY $an.cid, pos),
-       $cn AS (SELECT ce.cid, list(coalesce($mn.m, ce.val) ORDER BY ce.pos) AS c
-               FROM (SELECT cid, generate_subscripts(c, 1) AS pos, unnest(c) AS val
-                     FROM $prev) ce
-               LEFT JOIN $mn ON $mn.cid = ce.cid AND $mn.pos = ce.pos
-               GROUP BY ce.cid)"""
-
   /** IVF ANN, ORACLE-CHECKED end to end INCLUDING TRAINING: the coarse
     * quantizer is deterministic (seeds = 16 lowest-id vectors, max-dot
     * Lloyd with 2^-20 grid-quantized means), so DuckDB replays the whole
@@ -290,39 +257,12 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    Some(s"""WITH pts AS (
-              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < 16),
-            ${kmeansIterSql("c1", "c0", "a1", "m1", "n0")},
-            ${kmeansIterSql("c2", "c1", "a2", "m2", "n1")},
-            nf AS (SELECT cid, list_transform(c, x -> x / sqrt(${dotD("c", "c")})) AS nc
-                   FROM c2),
-            df AS (SELECT p.vec_id, n.cid, ${dotD("p.v", "n.nc")} AS dt
-                   FROM pts p CROSS JOIN nf n),
-            assign AS (SELECT vec_id, cid AS cell FROM (
-                         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY dt DESC, cid) AS rn
-                         FROM df) WHERE rn = 1),
-            probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-                         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY dt DESC, cid) AS rn
-                         FROM df WHERE vec_id < 10) WHERE rn <= 4),
+    Some(s"""WITH ${AnnReplaySql.preambleSql},
+            ${AnnReplaySql.ivfModelSql(2)},
             cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id
                      FROM probes pr
                      JOIN assign a ON a.cell = pr.cell AND a.vec_id != pr.query_id),
-            scored AS (
-              SELECT cd.query_id, cd.neighbor_id,
-                     round(${dotD("q.v", "c.v")} /
-                           (sqrt(${dotD("q.v", "q.v")}) * sqrt(${dotD("c.v", "c.v")})), 6) AS cosine
-              FROM cand cd
-              JOIN pts q ON q.vec_id = cd.query_id
-              JOIN pts c ON c.vec_id = cd.neighbor_id)
-            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
-              SELECT query_id, neighbor_id, cosine,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
-              FROM scored) WHERE rank <= 5""")
+            ${AnnReplaySql.rerankSql(5)}""")
   )
 
   val q32TextQuality: QueryDef = QueryDef(

@@ -232,13 +232,35 @@ object Round4 {
     * trained codebooks are engine-specific); the ADC/rerank arithmetic is
     * spec-checked against brute force.
     */
+  /** PQ ANN, ORACLE-CHECKED end to end INCLUDING CODEBOOK TRAINING: the
+    * per-subspace Lloyd training is deterministic (strided seeds, 2^-20
+    * grid-quantized means — [[graft.operators.Similarity]] trainPqCodebooks),
+    * so DuckDB rebuilds all m codebooks, encodes the corpus, builds each
+    * query's LUT, and replays the ADC scan AS ORDERED FOLDS over the
+    * subspace axis (`[lut[...] FOR s IN range(1, 9)]` — a GROUP-BY sum
+    * would reintroduce reduction-order ulps the JVM loop doesn't have),
+    * then the exact-cosine rerank of the top-32 ADC candidates with the
+    * identical tie-break. Replay preconditions (pinned by the multi-SF
+    * sweep): vec_ids dense 0..n-1 (strided seed lookup by id ≡ by
+    * position) and n ≤ trainLimit (the JVM sample is the whole table).
+    */
   val q80AnnPq: QueryDef = QueryDef(
     "q80_ann_pq",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    None
+    Some(s"""WITH ${AnnReplaySql.preambleSql},
+            ${AnnReplaySql.pqModelSql(3)},
+            adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                           ${AnnReplaySql.adcFold("c.codes")} AS a
+                    FROM codes c CROSS JOIN luts l CROSS JOIN nlist n
+                    WHERE c.vec_id != l.query_id),
+            cand AS (SELECT query_id, neighbor_id FROM (
+                       SELECT query_id, neighbor_id, row_number() OVER (
+                         PARTITION BY query_id ORDER BY a DESC, neighbor_id ASC) AS rn
+                       FROM adc) WHERE rn <= 32),
+            ${AnnReplaySql.rerankSql(5)}""")
   )
 
   /** TIME TRAVEL on the snapshot-versioned lake table

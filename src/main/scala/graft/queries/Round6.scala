@@ -18,9 +18,13 @@ object Round6 {
 
   /** IVF-PQ ANN ([[graft.operators.Similarity.ivfPqTopK]]): coarse cells
     * prune candidates, PQ codes compress scoring, exact rerank restores
-    * true cosines. Rows-only like the other approximate ANN paths
-    * (q31/q46/q80 — the trained model is engine-specific); exact-score
-    * parity, recall floor and the no-crossJoin plan shape are pinned in
+    * true cosines. ORACLE-CHECKED end to end including BOTH model builds
+    * ([[AnnReplaySql]]): DuckDB replays the coarse-quantizer training
+    * (q46's replay), the PQ codebook training (q80's replay, 2
+    * iterations here), then the composed retrieval — nprobe cell
+    * pruning, ADC scoring of only the probed cells' members as ordered
+    * subspace folds, top-32 exact-cosine rerank. Exact-score parity,
+    * recall floor and the no-crossJoin plan shape remain pinned in
     * OperatorsSpec/PlanAuditSpec.
     */
   val q123AnnIvfPq: QueryDef = QueryDef(
@@ -29,7 +33,21 @@ object Round6 {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    None
+    Some(s"""WITH ${AnnReplaySql.preambleSql},
+            ${AnnReplaySql.ivfModelSql(2)},
+            ${AnnReplaySql.pqModelSql(2)},
+            adc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                           ${AnnReplaySql.adcFold("cd.codes")} AS adc
+                    FROM probes pr
+                    JOIN assign a ON a.cell = pr.cell AND a.vec_id != pr.query_id
+                    JOIN codes cd ON cd.vec_id = a.vec_id
+                    JOIN luts l ON l.query_id = pr.query_id
+                    CROSS JOIN nlist n),
+            cand AS (SELECT query_id, neighbor_id FROM (
+                       SELECT query_id, neighbor_id, row_number() OVER (
+                         PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rn
+                       FROM adc) WHERE rn <= 32),
+            ${AnnReplaySql.rerankSql(5)}""")
   )
 
   /** REAL image decode in the correctness gate: each document becomes a
