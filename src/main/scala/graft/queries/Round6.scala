@@ -573,8 +573,72 @@ object Round6 {
             FROM n""")
   )
 
+  /** One BPE merge step as DuckDB CTEs: overlapping adjacent-pair counts
+    * weighted by word frequency, the (freq DESC, left, right) argmax, and
+    * the greedy left-to-right merge. Greedy overlap (only when
+    * left == right) is reproduced with a run-parity window: consecutive
+    * match positions form a run, and exactly the odd-ranked matches in
+    * each run merge — provably what the JVM fold does, since for
+    * left ≠ right two adjacent positions can never both match.
+    */
+  private def bpeStepSql(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS f
+               FROM (SELECT freq, unnest([{'a': toks[j], 'b': toks[j + 1]}
+                                          FOR j IN range(1, len(toks))]) AS pr
+                     FROM $prev)
+               GROUP BY 1, 2),
+       top$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a ASC, b ASC LIMIT 1),
+       e$i AS (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+               FROM $prev),
+       mm$i AS (SELECT e.word, e.freq, e.pos, e.tok, t.a, t.b,
+                       (e.tok = t.a AND
+                        lead(e.tok) OVER (PARTITION BY e.word ORDER BY e.pos) = t.b) AS mtch
+                FROM e$i e CROSS JOIN top$i t),
+       rr$i AS (SELECT *, CASE WHEN mtch THEN
+                  pos - row_number() OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp
+                FROM mm$i),
+       kk$i AS (SELECT *, coalesce(mtch AND
+                  row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1,
+                  false) AS keep
+                FROM rr$i),
+       t$i AS (SELECT word, any_value(freq) AS freq, list(newtok ORDER BY pos) AS toks
+               FROM (SELECT word, freq, pos,
+                            CASE WHEN keep THEN a || b ELSE tok END AS newtok
+                     FROM (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word
+                             ORDER BY pos), false) AS prev_keep
+                           FROM kk$i)
+                     WHERE NOT prev_keep)
+               GROUP BY word)"""
+  }
+
+  /** BPE tokenizer merge training ([[graft.operators.Bpe.trainMerges]],
+    * 8 steps): the corpus compresses to the distinct-word frequency
+    * table, then each step counts adjacent token pairs, picks the global
+    * argmax, and greedily merges it everywhere. The oracle replays all
+    * eight steps relationally — pair counts are exact integers and the
+    * merge is a run-parity window, so the learned rules must agree
+    * token for token.
+    */
+  val q136BpeTrain: QueryDef = QueryDef(
+    "q136_bpe_train",
+    (s, dir) => graft.operators.Bpe.trainMerges(Tables.documents(s, dir), steps = 8),
+    Some(s"""WITH t0 AS (
+              SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+                     string_split(w, '') AS toks
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE w != '' GROUP BY w),
+            ${(1 to 8).map(bpeStepSql).mkString(",\n")}
+            SELECT * FROM (
+              ${(1 to 8)
+                .map(i =>
+                  s"SELECT $i AS step, a AS left_tok, b AS right_tok, f AS freq FROM top$i")
+                .mkString(" UNION ALL ")}
+            ) ORDER BY step""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
-    q133EmbedQuant, q134RagChunks, q135Normalize)
+    q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain)
 }

@@ -17,6 +17,24 @@ class OperatorsSpec extends AnyFunSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
 
+  test("BPE merge training: greedy overlap, frequency weighting, tie-break") {
+    // "aaaa"×3 + "ab"×2: step 1 pair (a,a) freq 3·3=9 beats (a,b) freq 2.
+    // Greedy overlap: "aaaa" = [a,a,a,a] merges at positions 1 and 3 only
+    // → [aa,aa], so step 2's top pair is (aa,aa) freq 3.
+    val d = docs(1L -> "aaaa aaaa aaaa ab ab")
+    val m = Bpe.trainMerges(d, steps = 2).orderBy("step").collect()
+    assert(m(0).getString(1) == "a" && m(0).getString(2) == "a" &&
+      m(0).getLong(3) == 9L)
+    assert(m(1).getString(1) == "aa" && m(1).getString(2) == "aa" &&
+      m(1).getLong(3) == 3L)
+
+    // Exact-tie argmax: "ba"×2 + "bc"×2 ties (b,a) vs (b,c) at 2 —
+    // lexicographic right token breaks it toward (b,a).
+    val t = docs(1L -> "ba ba bc bc")
+    val mt = Bpe.trainMerges(t, steps = 1).collect()
+    assert(mt(0).getString(1) == "b" && mt(0).getString(2) == "a")
+  }
+
   test("exact dedup groups identical texts under min keeper id") {
     val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "something else")
     val groups = Dedup.exactGroups(d).collect()
