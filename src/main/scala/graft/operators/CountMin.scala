@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode/Muthukrishnan '05) heavy-hitter estimation —
+  * the mergeable frequent-items primitive of a lake-scale pipeline, built
+  * RELATIONALLY so the sketch itself is engine-independent:
+  *
+  *   - the d×w counter matrix is a `groupBy (row, bucket) count` over a
+  *     scan-side d-fold explode — partial aggregation collapses each
+  *     partition's contribution to ≤ d·w rows before the (tiny) shuffle,
+  *     and two shard sketches MERGE by adding counters (the reason CMS,
+  *     not an exact top-k, is what you run per-shard at 100 TB);
+  *   - hashes are md5-derived (`conv(substring(md5(row|key)))`), not an
+  *     engine-private function, so a SQL oracle reconstructs the
+  *     IDENTICAL counter matrix and estimates — deterministic-sketch
+  *     discipline, same move as the md5 SRP planes / SimHash votes.
+  *
+  * The classic ε-δ contract: estimate ≥ true count always (the spec pins
+  * it), and overshoot ≤ εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+  */
+object CountMin {
+
+  private def bucketCol(row: Column, key: Column, w: Int): Column =
+    pmod(
+      conv(substring(md5(concat_ws("|", row, key)), 1, 8), 16, 10).cast("long"),
+      lit(w.toLong))
+
+  /** True top-k keys by exact count next to their CMS estimates: the
+    * verification harness a deployment runs on a sample to size (d, w).
+    * Output: (key, true_cnt, cms_est) with cms_est ≥ true_cnt.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 256,
+      topK: Int = 10
+  ): DataFrame = {
+    val key = col(keyCol)
+    val rows = df.select(key.as("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+    val counters = rows
+      .groupBy(col("j"), bucketCol(col("j"), col("k"), w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = df
+      .groupBy(key.as("k"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("k").asc)
+      .limit(topK)
+    val probeHashes = probes
+      .select(col("k"), col("true_cnt"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", bucketCol(col("j"), col("k"), w))
+    probeHashes
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("k").as(keyCol))
+      .agg(
+        first(col("true_cnt")).as("true_cnt"),
+        min(col("cnt")).as("cms_est"))
+  }
+}

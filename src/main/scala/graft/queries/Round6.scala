@@ -637,8 +637,78 @@ object Round6 {
             ) ORDER BY step""")
   )
 
+  /** Count-min-sketch heavy hitters
+    * ([[graft.operators.CountMin.heavyHitters]], d=4, w=256): unlike
+    * q42's engine-private sketches, the md5-derived hash family makes
+    * the COUNTER MATRIX itself engine-independent — the oracle rebuilds
+    * the identical d×w sketch and the per-key min-over-rows estimates,
+    * so the whole approximate structure is value-checked, not just
+    * bounded. The ε-δ overshoot contract (est ≥ true) is pinned in
+    * OperatorsSpec.
+    */
+  val q137CmsHeavy: QueryDef = QueryDef(
+    "q137_cms_heavy",
+    (s, dir) =>
+      graft.operators.CountMin.heavyHitters(Tables.lineitem(s, dir), "l_partkey"),
+    Some("""WITH ev AS (SELECT l_partkey AS k FROM lineitem),
+            rws AS (SELECT k, j.j AS j FROM ev, range(0, 4) j(j)),
+            counters AS (
+              SELECT j,
+                     CAST(('0x' || substring(md5(j || '|' || k), 1, 8)) AS BIGINT)
+                       % 256 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM rws GROUP BY 1, 2),
+            probes AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM ev GROUP BY k ORDER BY true_cnt DESC, k ASC LIMIT 10),
+            ph AS (
+              SELECT k, true_cnt, j.j AS j,
+                     CAST(('0x' || substring(md5(j.j || '|' || k), 1, 8)) AS BIGINT)
+                       % 256 AS bucket
+              FROM probes, range(0, 4) j(j))
+            SELECT ph.k AS l_partkey, any_value(true_cnt) AS true_cnt,
+                   min(cnt) AS cms_est
+            FROM ph JOIN counters USING (j, bucket) GROUP BY ph.k""")
+  )
+
+  /** Windowed co-occurrence + PMI ([[graft.operators.Cooccur.pmiPairs]],
+    * window=2): scan-side pair generation (shifted-slice zips — no
+    * position self-join), one pair-count shuffle, PMI arithmetic kept
+    * textually parallel with the oracle so the doubles agree before
+    * rounding.
+    */
+  val q138Pmi: QueryDef = QueryDef(
+    "q138_pmi",
+    (s, dir) => graft.operators.Cooccur.pmiPairs(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                   FROM pr GROUP BY a, b),
+            tokf AS (SELECT w FROM (SELECT unnest(ts) AS w FROM t) WHERE w != ''),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tokf GROUP BY w),
+            tot AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM pc) AS t_pairs,
+                           (SELECT CAST(count(*) AS BIGINT) FROM tokf) AS n_toks)
+            SELECT a, b, c_ab,
+                   round(ln((CAST(c_ab AS DOUBLE) / t_pairs) /
+                            ((CAST(ua.c_w AS DOUBLE) / n_toks) *
+                             (CAST(ub.c_w AS DOUBLE) / n_toks))), 6) AS pmi
+            FROM pc
+            JOIN uni ua ON ua.w = a
+            JOIN uni ub ON ub.w = b
+            CROSS JOIN tot
+            ORDER BY c_ab DESC, a ASC, b ASC LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
-    q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain)
+    q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
+    q138Pmi)
 }

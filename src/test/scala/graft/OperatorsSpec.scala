@@ -17,6 +17,33 @@ class OperatorsSpec extends AnyFunSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
 
+  test("CMS heavy hitters: estimate >= true count, exact under no collision") {
+    val d = (1 to 100).map(i => (i.toLong, if (i <= 60) "hot" else s"cold$i"))
+      .toDF("id", "key")
+    val hh = CountMin.heavyHitters(d, "key", d = 4, w = 256, topK = 5).collect()
+    assert(hh.nonEmpty)
+    hh.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"),
+        s"CMS underestimated ${r.getAs[String]("key")}")
+    }
+    // 41 distinct keys in 4x256 buckets: the hot key's 4 counters are
+    // collision-free with overwhelming odds -> min is the exact count.
+    val hot = hh.find(_.getAs[String]("key") == "hot").get
+    assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
+  }
+
+  test("windowed co-occurrence PMI: pair domain and counts") {
+    val d = docs(1L -> "a b c a")
+    // window 2, unordered: (a,b),(b,c),(c,a) at offset 1; (a,c),(a,b) at
+    // offset 2 -> (a,b):2, (a,c):2, (b,c):1.
+    val rows = Cooccur.pmiPairs(d, window = 2, topK = 10).collect()
+    val counts = rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("c_ab")).toMap
+    assert(counts == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    // PMI of (b,c): ln((1/5) / ((1/4)*(1/4))) = ln(16/5)
+    val bc = rows.find(r => r.getString(0) == "b" && r.getString(1) == "c").get
+    assert(math.abs(bc.getAs[Double]("pmi") - math.log(16.0 / 5.0)) < 1e-5)
+  }
+
   test("BPE merge training: greedy overlap, frequency weighting, tie-break") {
     // "aaaa"×3 + "ab"×2: step 1 pair (a,a) freq 3·3=9 beats (a,b) freq 2.
     // Greedy overlap: "aaaa" = [a,a,a,a] merges at positions 1 and 3 only
