@@ -706,9 +706,47 @@ object Round6 {
             ORDER BY c_ab DESC, a ASC, b ASC LIMIT 20""")
   )
 
+  /** Relational Bloom filter ([[graft.operators.Bloom.membershipSummary]],
+    * m=4096, k=3): the BUILDING-segment customer keys become a distinct
+    * set-bit table; every distinct ordering customer probes it. The md5
+    * hash family makes the bit array engine-independent, so the oracle
+    * rebuilds the filter and every verdict — including which probes are
+    * FALSE POSITIVES, the part a bounds-only test can't check.
+    */
+  val q139Bloom: QueryDef = QueryDef(
+    "q139_bloom",
+    (s, dir) =>
+      graft.operators.Bloom.membershipSummary(
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        "c_custkey"),
+    Some("""WITH bset AS (SELECT DISTINCT c_custkey AS bk FROM customer
+                          WHERE c_mktsegment = 'BUILDING'),
+            bits AS (SELECT DISTINCT
+                       CAST(('0x' || substring(md5(j.j || '|' || bk), 1, 8)) AS BIGINT)
+                         % 4096 AS pos
+                     FROM bset, range(0, 3) j(j)),
+            pk AS (SELECT DISTINCT o_custkey AS pk FROM orders),
+            ph AS (SELECT pk, j.j AS j,
+                          CAST(('0x' || substring(md5(j.j || '|' || pk), 1, 8)) AS BIGINT)
+                            % 4096 AS pos
+                   FROM pk, range(0, 3) j(j)),
+            hits AS (SELECT pk, count(*) AS nhit FROM ph
+                     WHERE pos IN (SELECT pos FROM bits) GROUP BY pk),
+            verdicts AS (SELECT p.pk, coalesce(h.nhit, 0) = 3 AS maybe,
+                                (p.pk IN (SELECT bk FROM bset)) AS member
+                         FROM pk p LEFT JOIN hits h USING (pk))
+            SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                   CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+                   CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+                   CAST(sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_false_pos
+            FROM verdicts""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
-    q138Pmi)
+    q138Pmi, q139Bloom)
 }

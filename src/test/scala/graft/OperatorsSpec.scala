@@ -32,6 +32,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("Bloom membership: no false negatives, members always maybe") {
+    val build = (1L to 50L).map(i => Tuple1(i)).toDF("key")
+    val probes = (1L to 200L).map(i => Tuple1(i)).toDF("key")
+    val row = Bloom.membershipSummary(build, probes, "key").head()
+    assert(row.getAs[Long]("n_probes") == 200L)
+    assert(row.getAs[Long]("n_members") == 50L)
+    // every member must report maybe (no false negatives)
+    assert(row.getAs[Long]("n_maybe") >= 50L)
+    assert(row.getAs[Long]("n_maybe") - row.getAs[Long]("n_false_pos") == 50L)
+    // 50 keys x 3 bits in 4096: FP rate ~ (1-e^(-150/4096))^3 ~ 5e-5;
+    // 150 non-member probes should essentially never all-collide.
+    assert(row.getAs[Long]("n_false_pos") <= 2L)
+  }
+
   test("windowed co-occurrence PMI: pair domain and counts") {
     val d = docs(1L -> "a b c a")
     // window 2, unordered: (a,b),(b,c),(c,a) at offset 1; (a,c),(a,b) at
