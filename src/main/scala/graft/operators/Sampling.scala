@@ -119,6 +119,55 @@ object Sampling {
       .drop("__keep_pm")
   }
 
+  /** Temperature-weighted mixture sampling — the LLM data-mixture
+    * primitive (GPT-3/PaLM style): domain s is kept with probability
+    * proportional to n_s^α / n_s, so α=1 reproduces the natural mix and
+    * α→0 approaches uniform-over-domains; here α is fixed at 0.5
+    * (sqrt weighting). `frac` scales the total target size.
+    *
+    * rate_pm(s) = min(1000, ⌊1000 · frac · N · √n_s / (Σ√n · n_s)⌋),
+    * applied through the same row-local identity-hash filter as every
+    * sampler here. The one float chain (√, ×, ÷ before the per-mille
+    * floor) is kept textually parallel with the oracle; a floor flip
+    * needs the true rate within an ulp of an integer per-mille — the
+    * multi-SF sweep pins it (the q99 quantization-boundary posture).
+    *
+    * Returns the per-domain audit table (domain, n_docs, n_kept,
+    * rate_pm) — the thing a pipeline logs; the kept rows themselves are
+    * the same join+filter shape as [[balancedSample]].
+    */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      frac: Double = 0.5,
+      salt: String = "t1"
+  ): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(
+      sum(col("__n")).as("__tot"),
+      sum(sqrt(col("__n").cast("double"))).as("__sumw"))
+    val rates = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col(strataCol),
+        col("__n"),
+        least(
+          lit(1000L),
+          floor(
+            lit(1000.0) * lit(frac) * col("__tot").cast("double") *
+              sqrt(col("__n").cast("double")) /
+              (col("__sumw") * col("__n").cast("double"))).cast("long"))
+          .as("__keep_pm"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("__kept", hashBucket(col(idCol), 1000, salt) < col("__keep_pm"))
+      .groupBy(col(strataCol))
+      .agg(
+        first(col("__n")).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("__keep_pm")).as("rate_pm"))
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding for training order: every
     * row gets a hash-derived sort key, a shard id (`hash mod shards`),
     * and its position within the shard (ascending hash, id tie-break).

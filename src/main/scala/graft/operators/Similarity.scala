@@ -352,6 +352,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training — the training-pair
+    * construction stage of a retrieval/embedding pipeline: for each
+    * anchor, the top-1 exact-cosine neighbor is the positive and the
+    * next `negK` are the hard negatives (high-similarity non-positives,
+    * the pairs that actually move a contrastive loss). Built on
+    * [[bruteTopK]]'s ranking, so candidate choice, scores, and
+    * tie-breaks inherit its exactness; the emitted margin is
+    * pos − neg per pair.
+    *
+    * At 100 TB the anchor set is a batch (broadcastable) and the top-k
+    * source swaps to [[ivfPqTopK]] — the output contract is unchanged.
+    */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame, negK: Int = 3): DataFrame = {
+    val topk = bruteTopK(corpus, queries, k = negK + 1)
+    val pos = topk
+      .filter(col("rank") === 1)
+      .select(
+        col("query_id").as("anchor_id"),
+        col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val negs = topk
+      .filter(col("rank") > 1)
+      .select(
+        col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"),
+        col("cosine").as("neg_cos"))
+    pos
+      .join(negs, "anchor_id")
+      .select(
+        col("anchor_id"),
+        col("pos_id"),
+        col("neg_id"),
+        col("pos_cos"),
+        col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
   /** Symmetric INT8 quantization of the embedding column — the storage
     * path for a vector corpus at scale (4× smaller than float32, and
     * the form int8-SIMD scorers consume): per-vector scale =

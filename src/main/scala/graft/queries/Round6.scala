@@ -744,9 +744,76 @@ object Round6 {
             FROM verdicts""")
   )
 
+  /** Temperature-weighted mixture sampling
+    * ([[graft.operators.Sampling.temperatureSample]], α=0.5, frac=0.5
+    * over `lang` domains): the data-mixture reweighting every LLM corpus
+    * build runs — up-weight small domains, down-weight the head —
+    * audited per domain. Deterministic identity-hash keeps; the one
+    * float chain is textually parallel with the oracle.
+    */
+  val q140TempMixture: QueryDef = QueryDef(
+    "q140_temp_mixture",
+    (s, dir) =>
+      graft.operators.Sampling
+        .temperatureSample(Tables.documents(s, dir), "lang", "doc_id"),
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY lang),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                         sum(sqrt(CAST(n AS DOUBLE))) AS sumw FROM c),
+            r AS (SELECT lang, n,
+                         least(1000, CAST(floor(1000.0 * 0.5 * CAST(tot AS DOUBLE) *
+                           sqrt(CAST(n AS DOUBLE)) /
+                           (sumw * CAST(n AS DOUBLE))) AS BIGINT)) AS keep_pm
+                  FROM c, t),
+            k AS (SELECT d.lang, r.n, r.keep_pm,
+                         CASE WHEN CAST(('0x' || substring(md5(
+                                CAST(d.doc_id AS VARCHAR) || 't1'), 1, 8)) AS BIGINT)
+                              % 1000 < r.keep_pm THEN 1 ELSE 0 END AS kept
+                  FROM documents d JOIN r USING (lang))
+            SELECT lang, any_value(n) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+                   any_value(keep_pm) AS rate_pm
+            FROM k GROUP BY lang""")
+  )
+
+  /** Hard-negative mining
+    * ([[graft.operators.Similarity.contrastivePairs]]): anchors are the
+    * probe vectors; top-1 = positive, next 3 = hard negatives; margin =
+    * pos − neg. The oracle replays q30's exact ranking and the pair
+    * assembly.
+    */
+  val q141Contrastive: QueryDef = QueryDef(
+    "q141_contrastive",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.contrastivePairs(emb, emb.filter(col("vec_id") < 10))
+    },
+    Some(s"""WITH pts AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            ranked AS (
+              SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                     round(${AnnReplaySql.dot64("q.v", "c.v")} /
+                           (sqrt(${AnnReplaySql.dot64("q.v", "q.v")}) *
+                            sqrt(${AnnReplaySql.dot64("c.v", "c.v")})), 6) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(${AnnReplaySql.dot64("q.v", "c.v")} /
+                             (sqrt(${AnnReplaySql.dot64("q.v", "q.v")}) *
+                              sqrt(${AnnReplaySql.dot64("c.v", "c.v")})), 6) DESC,
+                       c.vec_id ASC) AS rank
+              FROM pts q JOIN pts c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 10),
+            pos AS (SELECT anchor_id, neighbor_id AS pos_id, cosine AS pos_cos
+                    FROM ranked WHERE rank = 1),
+            negs AS (SELECT anchor_id, neighbor_id AS neg_id, cosine AS neg_cos
+                     FROM ranked WHERE rank > 1 AND rank <= 4)
+            SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+                   round(p.pos_cos - n.neg_cos, 6) AS margin
+            FROM pos p JOIN negs n USING (anchor_id)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
-    q138Pmi, q139Bloom)
+    q138Pmi, q139Bloom, q140TempMixture, q141Contrastive)
 }

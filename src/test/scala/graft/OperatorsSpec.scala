@@ -32,6 +32,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("temperature mixture: small domains up-weighted, rates bounded") {
+    val d = ((1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val r = Sampling.temperatureSample(d, "lang", "doc_id")
+      .collect().map(x => x.getAs[String]("lang") -> x.getAs[Long]("rate_pm")).toMap
+    // sqrt weighting: rate(small)/rate(big) ~ sqrt(90/10) = 3
+    assert(r("small") > r("big"))
+    assert(r.values.forall(v => v >= 0 && v <= 1000))
+    // exact expected rates: w=(sqrt90, sqrt10); rate_s = floor(500*100*sqrt(n)/ (sumw*n))
+    val sumw = math.sqrt(90) + math.sqrt(10)
+    def exp(n: Int) = math.min(1000, math.floor(500.0 * 100 * math.sqrt(n) / (sumw * n)).toLong)
+    assert(r("big") == exp(90) && r("small") == exp(10))
+  }
+
+  test("contrastive pairs: planted duplicate is the positive, margins nonneg") {
+    val rng = new scala.util.Random(11)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v), (1L, v)) ++
+      (2L to 40L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.contrastivePairs(emb, emb.filter($"vec_id" === 0))
+      .collect()
+    assert(pairs.length == 3)
+    assert(pairs.forall(_.getAs[Long]("pos_id") == 1L))
+    assert(pairs.forall(r => r.getAs[Double]("margin") >= 0.0))
+  }
+
   test("Bloom membership: no false negatives, members always maybe") {
     val build = (1L to 50L).map(i => Tuple1(i)).toDF("key")
     val probes = (1L to 200L).map(i => Tuple1(i)).toDF("key")
