@@ -39,16 +39,24 @@ object CountMin {
       topK: Int = 10
   ): DataFrame = {
     val key = col(keyCol)
-    val rows = df.select(key.as("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
-    val counters = rows
-      .groupBy(col("j"), bucketCol(col("j"), col("k"), w).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val probes = df
+    // One corpus scan: per-key exact counts. Counters then hash DISTINCT
+    // keys (d hashes per key, not per event — at sf0.1 that is ~12×
+    // fewer md5 evaluations) and weight by the count; the resulting
+    // matrix is identical to per-event increments. The same aggregate
+    // feeds the probe side, so the raw table is scanned exactly once.
+    val keyCounts = df
       .groupBy(key.as("k"))
       .agg(count(lit(1)).as("true_cnt"))
+      .cache()
+    val hashed = keyCounts
+      .select(col("k"), col("true_cnt"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", bucketCol(col("j"), col("k"), w))
+    val counters = hashed
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_cnt")).as("cnt"))
+    val probeHashes = keyCounts
       .orderBy(col("true_cnt").desc, col("k").asc)
       .limit(topK)
-    val probeHashes = probes
       .select(col("k"), col("true_cnt"), explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket", bucketCol(col("j"), col("k"), w))
     probeHashes

@@ -268,4 +268,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), "UDF in hot path")
   }
+
+  test("q137 CMS: hashes the distinct-key aggregate, probe join broadcasts") {
+    val plan = planOf(
+      graft.operators.CountMin.heavyHitters(
+        graft.sources.Tables.lineitem(spark, sfDir), "l_partkey"))
+    // the d-fold explode must sit ABOVE an aggregate (distinct keys),
+    // not on the raw scan: Generate's child plan contains a HashAggregate
+    val genIdx = plan.indexOf("Generate explode")
+    assert(genIdx >= 0, "no explode in plan")
+    assert(plan.indexOf("HashAggregate", genIdx) > 0,
+      "explode not above the key aggregate — hashing raw events")
+    assert(plan.contains("BroadcastHashJoin"), "probe join not broadcast")
+  }
+
+  test("q138 PMI pairs are generated scan-side: no position self-join") {
+    val plan = planOf(
+      graft.operators.Cooccur.pmiPairs(graft.sources.Tables.documents(spark, sfDir)))
+    assert(!plan.contains("SortMergeJoin"), s"self-join in pair generation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian pair generation")
+    // (the single-row totals table broadcasts as a BNLJ cross — that is
+    // the scalar fan-out, not pair generation)
+    assert(plan.contains("Generate"), "no scan-side explode")
+  }
+
+  test("q139 Bloom probe is a broadcast semi-join on the set-bit table") {
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+    val plan = planOf(
+      graft.operators.Bloom.membershipSummary(
+        cust.filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING"),
+        graft.sources.Tables.orders(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("o_custkey").as("c_custkey")),
+        "c_custkey"))
+    assert(plan.contains("LeftSemi"), "probe not a semi-join")
+    assert(plan.contains("BroadcastHashJoin"), "bit table not broadcast")
+  }
+
+  test("q140 temperature sampling: rate table broadcasts back, corpus not re-shuffled for the join") {
+    val plan = planOf(
+      graft.operators.Sampling.temperatureSample(
+        graft.sources.Tables.documents(spark, sfDir), "lang", "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"), "rate join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus shuffled for the rate join")
+  }
 }
