@@ -32,6 +32,34 @@ object Graph {
   private def quant(c: org.apache.spark.sql.Column) =
     floor(c * GridScale) / GridScale
 
+  /** Exact triangle counting over an undirected edge list — the classic
+    * distributed formulation (Suri/Vassilvitskii "node-iterator" in join
+    * form): canonicalize every edge to (lo, hi), then count paths
+    * lo→mid→hi that close with a (lo, hi) edge. Orienting by node id
+    * means each triangle is counted EXACTLY once and the join fan-out is
+    * bounded by high-id-degree, the standard skew cap. Per-node counts
+    * follow by exploding each triangle's three corners.
+    *
+    * Output: (node, n_triangles) for nodes on ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val wedges = e
+      .select(col("lo").as("a"), col("hi").as("b"))
+      .join(e.select(col("lo").as("b"), col("hi").as("c")), "b")
+    val triangles = wedges
+      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank with damping `d` over `edges(src, dst)` (deduplicated
     * internally), nodes from `nodes(id)`. No dangling-mass
     * redistribution: a sink node's rank leaks, the standard simplified

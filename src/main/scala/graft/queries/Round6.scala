@@ -811,9 +811,89 @@ object Round6 {
             FROM pos p JOIN negs n USING (anchor_id)""")
   )
 
+  /** Exact triangle counting ([[graft.operators.Graph.triangleCounts]])
+    * over the word co-occurrence graph (the top-60 q138 pairs as edges):
+    * the id-oriented two-join formulation counts each triangle once and
+    * caps join fan-out by orientation — the standard skew control. The
+    * oracle replays edge derivation + both joins + the corner explode.
+    */
+  val q142Triangles: QueryDef = QueryDef(
+    "q142_triangles",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Graph.triangleCounts(edges)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e AS (SELECT a AS lo, b AS hi FROM (
+                    SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                    ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+                  WHERE a != b),
+            tri AS (
+              SELECT w.a, w.b, w.c
+              FROM (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                    FROM e e1 JOIN e e2 ON e2.lo = e1.hi) w
+              JOIN e e3 ON e3.lo = w.a AND e3.hi = w.c),
+            corners AS (
+              SELECT a AS node FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node""")
+  )
+
+  /** Grouped winsorization — robust-stats outlier capping: per event
+    * type, `value` clamps to the exact [p05, p95] quantiles
+    * (percentile ≡ quantile_cont linear interpolation, the q3 parity),
+    * reported as caps + pre/post means. One aggregate for the caps,
+    * broadcast back, row-local clamp — no second shuffle of the events.
+    */
+  val q143Winsorize: QueryDef = QueryDef(
+    "q143_winsorize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val caps = ev
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(caps), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("mean_raw"),
+          round(avg(least(greatest(col("value"), col("p05")), col("p95"))), 6)
+            .as("mean_wins"),
+          round(first(col("p05")), 6).as("p05"),
+          round(first(col("p95")), 6).as("p95"))
+    },
+    Some("""WITH caps AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS p05,
+                     quantile_cont(value, 0.95) AS p95
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS mean_raw,
+                   round(avg(least(greatest(value, c.p05), c.p95)), 6) AS mean_wins,
+                   round(any_value(c.p05), 6) AS p05,
+                   round(any_value(c.p95), 6) AS p95
+            FROM events e JOIN caps c USING (event_type)
+            GROUP BY e.event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
-    q138Pmi, q139Bloom, q140TempMixture, q141Contrastive)
+    q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
+    q143Winsorize)
 }

@@ -32,6 +32,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("triangle counting: K4 has 3 per node, direction/duplicate-proof") {
+    // K4 on 1..4 (each node in C(3,2)=3 triangles), plus a dangling edge
+    // 5-6; edges given in mixed orientation with duplicates.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (5L, 6L)
+    ).toDF("src", "dst")
+    val counts = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("temperature mixture: small domains up-weighted, rates bounded") {
     val d = ((1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small")))
       .toDF("doc_id", "lang")
