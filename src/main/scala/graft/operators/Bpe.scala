@@ -26,7 +26,24 @@ object Bpe {
   /** Learn `steps` merge rules; returns (step, left_tok, right_tok, freq)
     * with `freq` = the merged pair's corpus frequency when it was chosen.
     */
-  def trainMerges(docs: DataFrame, steps: Int = 8): DataFrame = {
+  def trainMerges(docs: DataFrame, steps: Int = 8): DataFrame =
+    trainState(docs, steps)._1
+
+  /** Apply the learned merges — the ENCODE side of the tokenizer: the
+    * per-word final token sequences (md5-pinned) with frequencies, i.e.
+    * the vocabulary a 100 TB encode job broadcasts; corpus token totals
+    * and the compression ratio follow by weighting with `freq`.
+    */
+  def encode(docs: DataFrame, steps: Int = 8): DataFrame = {
+    val (_, wf) = trainState(docs, steps)
+    wf.select(
+      col("word"),
+      col("freq"),
+      size(col("toks")).as("n_toks"),
+      md5(array_join(col("toks"), "|")).as("toks_md5"))
+  }
+
+  private def trainState(docs: DataFrame, steps: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The corpus pass: word frequencies, words split to character tokens.
@@ -75,6 +92,6 @@ object Bpe {
           ))
         .localCheckpoint()
     }
-    merges.result().toDF("step", "left_tok", "right_tok", "freq")
+    (merges.result().toDF("step", "left_tok", "right_tok", "freq"), wf)
   }
 }

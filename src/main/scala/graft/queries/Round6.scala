@@ -890,10 +890,30 @@ object Round6 {
             GROUP BY e.event_type""")
   )
 
+  /** BPE ENCODE ([[graft.operators.Bpe.encode]]): the learned merges
+    * applied — the per-word final token sequences (the broadcastable
+    * vocabulary of a 100 TB encode job), md5-pinned token for token.
+    * The oracle replays training AND encoding: its final token state t8
+    * must agree with the engine's, not just the rules.
+    */
+  val q144BpeEncode: QueryDef = QueryDef(
+    "q144_bpe_encode",
+    (s, dir) => graft.operators.Bpe.encode(Tables.documents(s, dir), steps = 8),
+    Some(s"""WITH t0 AS (
+              SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+                     string_split(w, '') AS toks
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE w != '' GROUP BY w),
+            ${(1 to 8).map(bpeStepSql).mkString(",\n")}
+            SELECT word, freq, CAST(len(toks) AS INT) AS n_toks,
+                   md5(array_to_string(toks, '|')) AS toks_md5
+            FROM t8""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
-    q143Winsorize)
+    q143Winsorize, q144BpeEncode)
 }
