@@ -769,4 +769,57 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Exact repeated-SPAN detection (the Lee et al. '22 ExactSubstr dedup
+    * shape at w-gram granularity): find, per document, the MAXIMAL spans
+    * whose every w-token shingle also occurs in some other document —
+    * the positional, span-level answer q94's fixed non-overlapping
+    * chunks and q76's sampled winnowing fingerprints approximate.
+    *
+    * Relational all the way down: shingles are a scan-side
+    * position-explode (md5 of the joined w-gram — oracle-replayable);
+    * cross-document repetition is one shingle-keyed aggregate; maximal
+    * spans are ISLANDS of consecutive repeated positions
+    * (`pos − row_number`, the gaps-and-islands idiom) — no per-document
+    * suffix structure, no quadratic pass. Span token-lengths are
+    * `run + w − 1`; adjacent islands closer than w tokens overlap in
+    * token space, so `repeated_tokens` is the span-length SUM (the
+    * dedup-cost upper bound), documented rather than distinct-counted.
+    *
+    * Output per affected doc: (doc_id, n_spans, repeated_tokens,
+    * max_span_tokens).
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "w must be >= 2")
+    val ts = split(col("text"), " ")
+    val sh = docs
+      .filter(size(ts) >= w)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(ts) - w),
+            i => md5(array_join(slice(ts, i + 1, lit(w)), " "))))
+          .as(Seq("pos", "sig")))
+    val repeated = sh
+      .groupBy(col("sig"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sig"))
+    val islands = sh
+      .join(repeated, Seq("sig"), "left_semi")
+      .withColumn(
+        "island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("run") + (w - 1)).as("repeated_tokens"),
+        (max(col("run")) + (w - 1)).as("max_span_tokens"))
+  }
 }

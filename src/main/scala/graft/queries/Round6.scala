@@ -910,10 +910,41 @@ object Round6 {
             FROM t8""")
   )
 
+  /** Exact repeated-span detection
+    * ([[graft.operators.Dedup.repeatedSpans]], w=8): positional
+    * span-level exact dedup — maximal runs of cross-document-repeated
+    * shingles via the gaps-and-islands window. The oracle replays
+    * shingling, the repetition aggregate, island grouping and the span
+    * arithmetic.
+    */
+  val q145RepeatedSpans: QueryDef = QueryDef(
+    "q145_repeated_spans",
+    (s, dir) => graft.operators.Dedup.repeatedSpans(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            sh AS (SELECT doc_id, pr.pos AS pos, pr.sig AS sig FROM (
+                     SELECT doc_id,
+                            unnest([{'pos': i, 'sig': md5(array_to_string(
+                                      ts[i + 1 : i + 8], ' '))}
+                                    FOR i IN range(0, len(ts) - 7)]) AS pr
+                     FROM t WHERE len(ts) >= 8)),
+            rep AS (SELECT sig FROM sh GROUP BY sig
+                    HAVING count(DISTINCT doc_id) >= 2),
+            isl AS (SELECT doc_id, pos,
+                           pos - row_number() OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS island
+                    FROM sh WHERE sig IN (SELECT sig FROM rep)),
+            runs AS (SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run
+                     FROM isl GROUP BY doc_id, island)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(run + 7) AS BIGINT) AS repeated_tokens,
+                   CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
+            FROM runs GROUP BY doc_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
-    q143Winsorize, q144BpeEncode)
+    q143Winsorize, q144BpeEncode, q145RepeatedSpans)
 }

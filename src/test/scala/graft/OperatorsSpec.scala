@@ -32,6 +32,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("repeated spans: maximal islands, span arithmetic, no false spans") {
+    // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
+    // are repeated shingles in each: ONE island, run 3, span 3+7=10.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> (shared + " x1 y1 z1 w1 v1 u1 t1 q1"),
+      2L -> (shared + " x2 y2 z2 w2 v2 u2 t2 q2"),
+      3L -> "totally different words here nothing shared at all ok"
+    )
+    val spans = Dedup.repeatedSpans(d, w = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("repeated_tokens"),
+          r.getAs[Long]("max_span_tokens"))).toMap
+    assert(spans == Map(1L -> ((1L, 10L, 10L)), 2L -> ((1L, 10L, 10L))))
+  }
+
   test("triangle counting: K4 has 3 per node, direction/duplicate-proof") {
     // K4 on 1..4 (each node in C(3,2)=3 triangles), plus a dangling edge
     // 5-6; edges given in mixed orientation with duplicates.
