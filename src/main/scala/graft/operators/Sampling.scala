@@ -168,6 +168,23 @@ object Sampling {
         first(col("__keep_pm")).as("rate_pm"))
   }
 
+  /** EXACT-SIZE deterministic sample via order statistics: the n rows
+    * with the smallest md5 priorities (id tie-break). Hash-threshold
+    * samplers ([[splitAssign]]/[[balancedSample]]) give binomial sizes;
+    * this gives exactly n — the "give me precisely 10k eval docs,
+    * reproducibly" contract. Plans as TakeOrderedAndProject: per-partition
+    * partial top-n, no global sort — the distributed reservoir.
+    */
+  def exactSample(df: DataFrame, idCol: String, n: Int, salt: String = "x1"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val pri = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("__pri", pri)
+      .orderBy(col("__pri").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding for training order: every
     * row gets a hash-derived sort key, a shard id (`hash mod shards`),
     * and its position within the shard (ascending hash, id tie-break).

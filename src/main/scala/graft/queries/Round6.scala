@@ -941,10 +941,30 @@ object Round6 {
             FROM runs GROUP BY doc_id""")
   )
 
+  /** Exact-size deterministic sample
+    * ([[graft.operators.Sampling.exactSample]], n=100): order-statistics
+    * on md5 priorities — exactly n rows, reproducible, engine-independent,
+    * planned as a partial top-n (no global sort; the plan audit pins
+    * TakeOrderedAndProject).
+    */
+  val q146ExactSample: QueryDef = QueryDef(
+    "q146_exact_sample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .exactSample(Tables.documents(s, dir), "doc_id", n = 100)
+        .select(col("doc_id"), col("lang"), col("source")),
+    Some("""SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'x1'),
+                                             1, 15)) AS BIGINT) AS pri
+              FROM documents
+              ORDER BY pri ASC, doc_id ASC LIMIT 100)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
-    q143Winsorize, q144BpeEncode, q145RepeatedSpans)
+    q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample)
 }

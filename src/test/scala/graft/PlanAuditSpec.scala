@@ -311,4 +311,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "rate join not broadcast")
     assert(!plan.contains("SortMergeJoin"), "corpus shuffled for the rate join")
   }
+
+  test("q142 triangles close with hash equi-joins — no nested loop anywhere") {
+    val edges = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id AS src", "doc_id + 1 AS dst")
+    val plan = planOf(graft.operators.Graph.triangleCounts(edges))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop triangle join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"), "no join in plan")
+  }
+
+  test("q145 repeated spans: scan-side shingle explode, semi-join gate") {
+    val plan = planOf(
+      graft.operators.Dedup.repeatedSpans(graft.sources.Tables.documents(spark, sfDir)))
+    assert(plan.contains("Generate"), "no scan-side shingle explode")
+    assert(plan.contains("LeftSemi"), "repetition gate not a semi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "nested loop in span detection")
+  }
+
+  test("q146 exact sample plans as TakeOrderedAndProject (partial top-n, no global sort)") {
+    val plan = planOf(
+      graft.operators.Sampling.exactSample(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", 100))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in sample:\n$plan")
+  }
 }
