@@ -778,7 +778,9 @@ object Dedup {
     *
     * Relational all the way down: shingles are a scan-side
     * position-explode (md5 of the joined w-gram — oracle-replayable);
-    * cross-document repetition is one shingle-keyed aggregate; maximal
+    * cross-document repetition is `min(doc_id) != max(doc_id)` over a
+    * sig-partitioned window — ONE pass over the shingles, one shuffle,
+    * where a groupBy+semi-join would evaluate the explode twice; maximal
     * spans are ISLANDS of consecutive repeated positions
     * (`pos − row_number`, the gaps-and-islands idiom) — no per-document
     * suffix structure, no quadratic pass. Span token-lengths are
@@ -793,22 +795,33 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, "w must be >= 2")
     val ts = split(col("text"), " ")
+    // Explode positions FIRST, hash after: `md5(array_join(slice(...)))`
+    // then runs as ordinary codegen'd expressions per exploded row, not
+    // inside an interpreted `transform` lambda (HOF lambdas fall out of
+    // whole-stage codegen and cost ~an order of magnitude on this
+    // tokens×w string loop).
     val sh = docs
       .filter(size(ts) >= w)
+      .select(col("doc_id"), ts.as("ts"))
       .select(
         col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), size(ts) - w),
-            i => md5(array_join(slice(ts, i + 1, lit(w)), " "))))
-          .as(Seq("pos", "sig")))
-    val repeated = sh
-      .groupBy(col("sig"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("sig"))
+        col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - w)).as("pos"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        md5(array_join(slice(col("ts"), col("pos") + 1, lit(w)), " "))
+          .as("sig"))
+    // A shingle is cross-document-repeated iff >=2 distinct doc_ids share
+    // its sig ⟺ min(doc_id) != max(doc_id) within the sig partition. The
+    // window form needs ONE pass over the shingles (one shuffle by sig)
+    // where a groupBy+semi-join would scan and shuffle the explode twice.
+    val bySig = Window.partitionBy(col("sig"))
     val islands = sh
-      .join(repeated, Seq("sig"), "left_semi")
+      .withColumn(
+        "rep",
+        min(col("doc_id")).over(bySig) =!= max(col("doc_id")).over(bySig))
+      .filter(col("rep"))
       .withColumn(
         "island",
         col("pos") - row_number().over(
