@@ -961,10 +961,44 @@ object Round6 {
               ORDER BY pri ASC, doc_id ASC LIMIT 100)""")
   )
 
+  /** Relational HyperLogLog ([[graft.operators.Hll.distinctSketch]],
+    * m=512): md5-derived register indices and exact integer ρ
+    * (`33 − length(bin(w))`), so the oracle reconstructs the IDENTICAL
+    * register array — including the linear-counting small-range branch,
+    * which fires at sf0.001 and hands over to the raw harmonic estimate
+    * at sf0.01 (both paths exercised across the verify SFs).
+    */
+  val q147Hll: QueryDef = QueryDef(
+    "q147_hll_distinct",
+    (s, dir) =>
+      graft.operators.Hll
+        .distinctSketch(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey"),
+    Some("""WITH dk AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k
+                        FROM lineitem),
+            h AS (SELECT flag,
+                    CAST(('0x'||substring(md5(CAST(k AS VARCHAR)),1,8)) AS BIGINT) % 512 AS bucket,
+                    CAST(('0x'||substring(md5(CAST(k AS VARCHAR)),9,8)) AS BIGINT) AS w
+                  FROM dk),
+            r AS (SELECT flag, bucket,
+                    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mj,
+                    count(*) AS nk
+                  FROM h GROUP BY flag, bucket),
+            s AS (SELECT flag, CAST(sum(nk) AS BIGINT) AS exact_distinct,
+                    count(*) AS np, sum(power(2.0, -mj)) AS sp
+                  FROM r GROUP BY flag)
+            SELECT flag AS l_returnflag, exact_distinct,
+              round(CASE WHEN (0.7213/(1+1.079/512))*512*512/(sp + (512-np)) <= 2.5*512
+                          AND np < 512
+                THEN 512 * ln(512.0/(512-np))
+                ELSE (0.7213/(1+1.079/512))*512*512/(sp + (512-np)) END, 6) AS hll_est,
+              CAST(512 - np AS INT) AS v_zero
+            FROM s""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
-    q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample)
+    q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll)
 }

@@ -32,6 +32,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("hll sketch: multiset-invariant, exact count right, estimate in 3-sigma") {
+    val base = (1 to 2000).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val dup = base.union(base).union(base)
+    val a = Hll.distinctSketch(base, "grp", "k").collect().head
+    val b = Hll.distinctSketch(dup, "grp", "k").collect().head
+    // The sketch sees DISTINCT keys: duplicating every row changes nothing.
+    assert(a == b)
+    assert(a.getAs[Long]("exact_distinct") == 2000L)
+    // m=512 -> relative error sigma = 1.04/sqrt(512) = 4.6%; 15% = 3 sigma
+    // (and the inputs are md5-fixed, so this is deterministic, not flaky).
+    assert(math.abs(a.getAs[Double]("hll_est") - 2000.0) / 2000.0 < 0.15)
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
