@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and robust-outlier monitoring — the checks a
+  * training pipeline runs per ingest shard before letting new data near
+  * the corpus mix. Both are exact and relational: ECDFs are window
+  * cumsums over value counts (never a per-row sort collect), robust
+  * centers are exact percentiles.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic of every group AGAINST THE
+    * REST of the corpus: D_g = max_v |F_g(v) − F_rest(v)| — "which shard
+    * drifted?", answered exactly.
+    *
+    * Shape: value counts per (group, v) — the partial-aggregated
+    * histogram, tiny after map-side combine — zero-filled onto the
+    * groups × distinct-values grid so every jump point of EITHER ECDF is
+    * evaluated, then one window cumsum per group. The grid is
+    * |groups| · |distinct v| rows: for a bounded numeric feature this is
+    * histogram-sized, not corpus-sized, at any scale (quantize v first
+    * if truly continuous).
+    *
+    * Output per group: (group, n, ks_vs_rest).
+    */
+  def ksVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val groups = counts
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_g"))
+    val values = counts
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("c_all"))
+    val grandTotal = values.agg(sum(col("c_all")).as("n_all"))
+    val grid = groups
+      .crossJoin(broadcast(grandTotal))
+      .crossJoin(broadcast(values))
+      .join(counts, Seq(groupCol, "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val byGroup = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g", sum(col("c")).over(byGroup))
+      .withColumn("cum_all", sum(col("c_all")).over(byGroup))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("n_g")).as("n"),
+        round(
+          max(abs(
+            col("cum_g") / col("n_g") -
+              (col("cum_all") - col("cum_g")) / (col("n_all") - col("n_g")))),
+          6).as("ks_vs_rest"))
+  }
+
+  /** Robust outlier detection per group: exact median and MAD (median
+    * absolute deviation), flagging rows beyond 3 robust sigmas
+    * (MAD · 1.4826 ≈ σ under normality). Two aggregate passes over the
+    * value column with the group medians broadcast back between them —
+    * the canonical shape; no global sort, no per-group collect.
+    *
+    * Output per group: (group, n, med, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withAdev = df
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("adev", abs(v - col("med")))
+    val stats = withAdev
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    // Conditional sum (not filter-then-count) so clean groups report 0.
+    // Threshold compares against the UNROUNDED mad; rounding is
+    // output-only.
+    withAdev
+      .select(col(groupCol), col("adev"))
+      .join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}

@@ -185,6 +185,37 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirtakis '06
+    * A-ES), deterministic: each row draws u ∈ (0,1) from its md5
+    * (48 hash bits + ½, over 2⁴⁸ — an exact dyadic, never 0 or 1) and
+    * the n rows with the smallest key `−ln(u)/w` win — exactly the
+    * inclusion law of sequential weighted draws, but expressible as a
+    * top-n, so it plans as TakeOrderedAndProject (per-partition partial
+    * top-n, no global sort) and scales like [[exactSample]].
+    *
+    * Rows with non-positive weight are excluded (the A-ES key is
+    * undefined there); ties break on id for engine-independence.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String = "w1"
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("double")
+    // 2^48; (h + 0.5) / 2^48 ∈ (0,1) exclusive, exactly representable
+    val u = (h + 0.5) / lit(281474976710656.0)
+    val key = -log(u) / col(weightCol)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__k", key)
+      .orderBy(col("__k").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__k")
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding for training order: every
     * row gets a hash-derived sort key, a shard id (`hash mod shards`),
     * and its position within the shard (ascending hash, id tie-break).

@@ -995,10 +995,85 @@ object Round6 {
             FROM s""")
   )
 
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirtakis
+    * A-ES): md5-derived uniforms, key `−ln(u)/w`, top-200 by key — an
+    * exact-size weighted draw that plans as a partial top-n. The oracle
+    * replays the key arithmetic bit-for-bit (dyadic u, same association
+    * order).
+    */
+  val q148WeightedSample: QueryDef = QueryDef(
+    "q148_weighted_sample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .weightedSample(Tables.orders(s, dir), "o_orderkey", "o_totalprice", n = 200)
+        .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                -ln((CAST(('0x'||substring(md5(CAST(o_orderkey AS VARCHAR) || 'w1'),1,12)) AS BIGINT) + 0.5)
+                    / 281474976710656.0) / o_totalprice AS k
+              FROM orders WHERE o_totalprice > 0
+              ORDER BY k ASC, o_orderkey ASC LIMIT 200)""")
+  )
+
+  /** Distribution drift ([[graft.operators.Drift.ksVsRest]]): exact
+    * two-sample Kolmogorov–Smirnov statistic of every source's n_chars
+    * distribution against the rest of the corpus — ECDFs as window
+    * cumsums over the zero-filled (source × value) histogram grid, no
+    * sort-collect anywhere.
+    */
+  val q149KsDrift: QueryDef = QueryDef(
+    "q149_ks_drift",
+    (s, dir) =>
+      graft.operators.Drift.ksVsRest(Tables.documents(s, dir), "source", "n_chars"),
+    Some("""WITH counts AS (SELECT source, n_chars AS v, count(*) AS c
+                            FROM documents GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM counts GROUP BY 1),
+            vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM counts GROUP BY 1),
+            tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM vals),
+            grid AS (SELECT g.source, g.n_g, t.n_all, vals.v, vals.c_all,
+                            coalesce(c.c, 0) AS c
+                     FROM g CROSS JOIN tot t CROSS JOIN vals
+                     LEFT JOIN counts c ON c.source = g.source AND c.v = vals.v),
+            cum AS (SELECT source, n_g, n_all, c_all,
+                      sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_g,
+                      sum(c_all) OVER (PARTITION BY source ORDER BY v) AS cum_all
+                    FROM grid)
+            SELECT source, n_g AS n,
+                   round(max(abs(cum_g / n_g - (cum_all - cum_g) / (n_all - n_g))), 6)
+                     AS ks_vs_rest
+            FROM cum GROUP BY source, n_g""")
+  )
+
+  /** Robust outliers ([[graft.operators.Drift.madOutliers]]): per
+    * event_type exact median + MAD over `value`, rows beyond 3 robust
+    * sigmas counted (conditional sum, so clean groups report 0 — the
+    * events table has a genuine tail, so counts are nonzero at every SF).
+    */
+  val q150MadOutliers: QueryDef = QueryDef(
+    "q150_mad_outliers",
+    (s, dir) =>
+      graft.operators.Drift.madOutliers(Tables.events(s, dir), "event_type", "value"),
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+            a AS (SELECT d.event_type, abs(CAST(d.value AS DOUBLE) - m.med) AS adev,
+                         m.med AS med
+                  FROM events d JOIN med m USING (event_type)),
+            st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(med) AS med,
+                          quantile_cont(adev, 0.5) AS mad
+                   FROM a GROUP BY 1)
+            SELECT a.event_type, min(st.n) AS n, round(min(st.med), 6) AS med,
+                   round(min(st.mad), 6) AS mad,
+                   CAST(sum(CASE WHEN a.adev > 3.0 * 1.4826 * st.mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM a JOIN st USING (event_type) GROUP BY a.event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
-    q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll)
+    q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
+    q148WeightedSample, q149KsDrift, q150MadOutliers)
 }

@@ -45,6 +45,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a.getAs[Double]("hll_est") - 2000.0) / 2000.0 < 0.15)
   }
 
+  test("weighted sample: exact n, heavy weight always drawn, nonpositive excluded") {
+    val d = ((1 to 400).map(i => (i.toLong, 1.0)) :+ (1000L, 1e9) :+ (1001L, 0.0) :+ (1002L, -5.0))
+      .toDF("id", "w")
+    val s = Sampling.weightedSample(d, "id", "w", n = 50).collect()
+    assert(s.length == 50)
+    val ids = s.map(_.getAs[Long]("id")).toSet
+    // key = -ln(u)/1e9 is ~1e9 times smaller than any unit-weight key
+    assert(ids.contains(1000L), "heavy-weight row not drawn")
+    assert(!ids.contains(1001L) && !ids.contains(1002L), "nonpositive weight drawn")
+    // Deterministic: same call, same sample
+    assert(Sampling.weightedSample(d, "id", "w", n = 50).collect().map(_.getAs[Long]("id")).toSet == ids)
+  }
+
+  test("ks drift: disjoint supports give D=1, identical distributions give D=0") {
+    val a = (1 to 50).map(i => ("a", i.toLong))
+    val b = (101 to 150).map(i => ("b", i.toLong))
+    val disjoint = (a ++ b).toDF("g", "v")
+    val ks1 = Drift.ksVsRest(disjoint, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("ks_vs_rest")).toMap
+    assert(ks1 == Map("a" -> 1.0, "b" -> 1.0))
+    val same = ((1 to 50).map(i => ("a", i.toLong)) ++ (1 to 50).map(i => ("b", i.toLong)))
+      .toDF("g", "v")
+    val ks0 = Drift.ksVsRest(same, "g", "v").collect()
+      .map(r => r.getAs[Double]("ks_vs_rest"))
+    assert(ks0.forall(_ == 0.0))
+  }
+
+  test("mad outliers: planted spike counted, clean group zero, closed-form med/mad") {
+    // Group "t": values 1..9 plus a spike 1000. med of 10 values = 5.5,
+    // adev = {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> mad = 2.5;
+    // threshold 3*1.4826*2.5 = 11.1195 -> only the spike exceeds it.
+    val t = ((1 to 9).map(i => ("t", i.toDouble)) :+ ("t", 1000.0))
+    val c = (1 to 10).map(i => ("c", i.toDouble))
+    val r = Drift.madOutliers((t ++ c).toDF("g", "v"), "g", "v").collect()
+      .map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("med"), x.getAs[Double]("mad"),
+          x.getAs[Long]("n_outliers"))).toMap
+    assert(r("t") == ((10L, 5.5, 2.5, 1L)))
+    assert(r("c") == ((10L, 5.5, 2.5, 0L)))
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.

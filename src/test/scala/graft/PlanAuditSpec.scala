@@ -335,6 +335,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "nested loop in span detection")
   }
 
+  test("q148 weighted sample plans as TakeOrderedAndProject (partial top-n, no global sort)") {
+    val plan = planOf(
+      graft.operators.Sampling.weightedSample(
+        graft.sources.Tables.orders(spark, sfDir), "o_orderkey", "o_totalprice", 200))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in weighted sample:\n$plan")
+  }
+
+  test("q150 mad outliers: every join broadcast (group-stat sized), no shuffle join") {
+    val plan = planOf(
+      graft.operators.Drift.madOutliers(
+        graft.sources.Tables.events(spark, sfDir), "event_type", "value"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join on group stats:\n$plan")
+  }
+
   test("q146 exact sample plans as TakeOrderedAndProject (partial top-n, no global sort)") {
     val plan = planOf(
       graft.operators.Sampling.exactSample(
