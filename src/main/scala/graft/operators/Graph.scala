@@ -103,4 +103,82 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * '07), made DETERMINISTIC: every node starts labeled with itself;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by smallest label — an argmax the engine
+    * expresses as `row_number` over (count DESC, label ASC), so replays
+    * are exact and the oracle can unroll the rounds. Per round: one join
+    * keyed on the neighbor and one grouped argmax — 2 exchanges per
+    * iteration regardless of graph size, same scale shape as
+    * [[pageRank]].
+    *
+    * Output: (label, size, min_node) per surviving community.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val adj = edges
+      .select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
+    val argmax = Window
+      .partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
+  }
+
+  /** Neighborhood Jaccard similarity — the classic link-prediction /
+    * entity-consolidation signal: for node pairs sharing ≥1 neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)|. Common neighbors come from the wedge
+    * self-join (pairs oriented a<b so each pair scores once); union size
+    * is deg(a)+deg(b)−common — never materialized. At 100 TB the wedge
+    * join's fan-out is the square of the max degree: cap or sample
+    * super-node adjacency first (same posture as [[triangleCounts]]'s
+    * orientation bound).
+    *
+    * Output: top-k (node_a, node_b, common, jaccard) by jaccard desc.
+    */
+  def nodeJaccard(edges: DataFrame, topK: Int = 20): DataFrame = {
+    val adj = edges
+      .select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint()
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val common = adj
+      .select(col("node").as("node_a"), col("nbr"))
+      .join(adj.select(col("node").as("node_b"), col("nbr")), "nbr")
+      .filter(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")), "node_b")
+      .select(
+        col("node_a"),
+        col("node_b"),
+        col("common"),
+        round(col("common") / (col("deg_a") + col("deg_b") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a").asc, col("node_b").asc)
+      .limit(topK)
+  }
 }

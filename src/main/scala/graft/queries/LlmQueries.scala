@@ -21,7 +21,7 @@ import graft.sources.Tables
 object LlmQueries {
 
   /** The 64-element double dot/norm fold, as DuckDB SQL. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)])"
 
   val q25DedupExact: QueryDef = QueryDef(

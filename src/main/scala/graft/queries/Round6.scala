@@ -1069,11 +1069,147 @@ object Round6 {
             FROM a JOIN st USING (event_type) GROUP BY a.event_type""")
   )
 
+  private val cooccurEdgeSql =
+    """t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e AS (SELECT a AS lo, b AS hi FROM (
+                    SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                    ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+                  WHERE a != b),
+            adj AS (SELECT lo AS node, hi AS nbr FROM e
+                    UNION SELECT hi AS node, lo AS nbr FROM e)"""
+
+  private def lpaRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT node, label FROM (
+            SELECT a.node, l.label, count(*) AS c, row_number() OVER (
+              PARTITION BY a.node ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM adj a JOIN $prev l ON l.node = a.nbr
+            GROUP BY a.node, l.label) WHERE rn = 1)"""
+
+  /** Label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]], 3 rounds) over the
+    * word co-occurrence graph (q142's edge set): deterministic LPA —
+    * most-frequent neighbor label, smallest-label tie-break — so the
+    * oracle unrolls the identical three argmax rounds.
+    */
+  val q151LabelProp: QueryDef = QueryDef(
+    "q151_label_prop",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, iters = 3)
+    },
+    Some(s"""WITH $cooccurEdgeSql,
+            l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+            ${lpaRoundSql("l0", "l1")},
+            ${lpaRoundSql("l1", "l2")},
+            ${lpaRoundSql("l2", "l3")}
+            SELECT label, CAST(count(*) AS BIGINT) AS size, min(node) AS min_node
+            FROM l3 GROUP BY label""")
+  )
+
+  /** Neighborhood Jaccard link prediction
+    * ([[graft.operators.Graph.nodeJaccard]], top-20) over the same
+    * graph: wedge self-join for common neighbors, union by
+    * deg(a)+deg(b)−common — the relational common-neighbors score.
+    */
+  val q152NodeJaccard: QueryDef = QueryDef(
+    "q152_node_jaccard",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Graph.nodeJaccard(edges, topK = 20)
+    },
+    Some(s"""WITH $cooccurEdgeSql,
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+            cmn AS (SELECT x.node AS node_a, y.node AS node_b, count(*) AS common
+                    FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+                    GROUP BY 1, 2)
+            SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+                   round(common / (da.deg + db.deg - common), 6) AS jaccard
+            FROM cmn
+            JOIN deg da ON da.node = cmn.node_a
+            JOIN deg db ON db.node = cmn.node_b
+            ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT 20""")
+  )
+
+  /** Hybrid-retrieval fusion ([[graft.operators.Retrieval.rrfFuse]]):
+    * reciprocal-rank fusion of the BM25 lexical top-100 (q129's scoring)
+    * with the dense cosine top-100 for query vector 0 (q30's ranking) —
+    * the sparse+dense hybrid every RAG stack ships. Both input rankings
+    * order by the ROUNDED score with id tie-break (the q30 discipline),
+    * so ranks — and therefore the fused scores — are engine-exact.
+    */
+  val q153RrfFusion: QueryDef = QueryDef(
+    "q153_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = graft.operators.TextAnalysis
+        .bm25Scores(Tables.documents(s, dir), Seq("data", "query", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(100)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = graft.operators.Similarity
+        .bruteTopK(emb, emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id")
+    },
+    Some(s"""WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+            q AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                  WHERE t IN ('data', 'query', 'stream') GROUP BY 1, 2),
+            idf AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok
+                    WHERE t IN ('data', 'query', 'stream') GROUP BY t),
+            scored AS (
+              SELECT q.doc_id,
+                     ln((c.n_docs - idf.dfc + 0.5) / (idf.dfc + 0.5) + 1.0)
+                       * q.tf * (1.2 + 1.0)
+                       / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avgdl)) AS ts
+              FROM q JOIN idf USING (t) JOIN dl USING (doc_id), c),
+            sp AS (SELECT doc_id, rank FROM (
+                     SELECT doc_id, row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+                     FROM (SELECT doc_id, round(sum(ts), 6) AS bm25
+                           FROM scored GROUP BY doc_id))
+                   WHERE rank <= 100),
+            dn AS (SELECT doc_id, rank FROM (
+                     SELECT cv.vec_id AS doc_id, row_number() OVER (
+                       ORDER BY round(${LlmQueries.dotSql("qv.embedding", "cv.embedding")} /
+                                      (sqrt(${LlmQueries.dotSql("qv.embedding", "qv.embedding")}) *
+                                       sqrt(${LlmQueries.dotSql("cv.embedding", "cv.embedding")})), 6)
+                         DESC, cv.vec_id ASC) AS rank
+                     FROM embeddings qv JOIN embeddings cv ON cv.vec_id != qv.vec_id
+                     WHERE qv.vec_id = 0)
+                   WHERE rank <= 100),
+            u AS (SELECT doc_id, rank FROM sp UNION ALL SELECT doc_id, rank FROM dn)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+                   round(sum(1.0 / (60 + rank)), 6) AS rrf
+            FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
     q133EmbedQuant, q134RagChunks, q135Normalize, q136BpeTrain, q137CmsHeavy,
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
-    q148WeightedSample, q149KsDrift, q150MadOutliers)
+    q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
+    q152NodeJaccard, q153RrfFusion)
 }

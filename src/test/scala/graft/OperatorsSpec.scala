@@ -86,6 +86,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r("c") == ((10L, 5.5, 2.5, 0L)))
   }
 
+  test("label propagation: cliques converge to min label in 3 rounds") {
+    val edges = Seq(
+      // K4 on 1..4 and a triangle on 10..12, disjoint
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)
+    ).toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(x => x.getAs[Long]("label") ->
+        (x.getAs[Long]("size"), x.getAs[Long]("min_node"))).toMap
+    assert(r == Map(1L -> ((4L, 1L)), 10L -> ((3L, 10L))))
+  }
+
+  test("node jaccard: square opposite corners share both neighbors, path endpoints one") {
+    // Square 1-2-3-4-1: pairs (1,3) and (2,4) have common=2, union=2 -> 1.0
+    // Path 20-21-22: (20,22) common=1 over union=1 -> 1.0; adjacent pairs
+    // share nothing.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (20L, 21L), (21L, 22L)
+    ).toDF("src", "dst")
+    val r = Graph.nodeJaccard(edges, topK = 20).collect()
+      .map(x => (x.getAs[Long]("node_a"), x.getAs[Long]("node_b"),
+        x.getAs[Long]("common"), x.getAs[Double]("jaccard"))).toSet
+    assert(r == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0), (20L, 22L, 1L, 1.0)))
+  }
+
+  test("rrf fusion: overlap doc wins, reciprocal sums exact") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq(l1, l2), "doc_id", k0 = 60, topK = 10).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L, 3L))
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      (x.getAs[Long]("n_lists"), x.getAs[Double]("rrf"))).toMap
+    assert(byDoc(2L)._1 == 2L)
+    assert(math.abs(byDoc(2L)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+    assert(math.abs(byDoc(1L)._2 - 1.0 / 61) < 1e-6)
+    assert(math.abs(byDoc(3L)._2 - 1.0 / 62) < 1e-6)
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
