@@ -1204,6 +1204,42 @@ object Round6 {
             FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 20""")
   )
 
+  /** DDSketch quantiles ([[graft.operators.DdSketch.quantiles]], α=2%):
+    * the relative-error quantile sketch as a bin-count aggregate —
+    * mergeable by adding bin counts, O(#bins) space at any scale. The
+    * oracle rebuilds the identical bin array, cumsum and rank selection;
+    * exact percentiles ride along as comparison columns.
+    */
+  val q154DdSketch: QueryDef = QueryDef(
+    "q154_ddsketch",
+    (s, dir) =>
+      graft.operators.DdSketch.quantiles(Tables.events(s, dir), "event_type", "value"),
+    Some("""WITH v AS (SELECT event_type, value FROM events WHERE value > 0),
+            b AS (SELECT event_type,
+                         CAST(ceil(ln(value) / ln(1.02 / 0.98)) AS BIGINT) AS i
+                  FROM v),
+            c AS (SELECT event_type, i, count(*) AS cnt FROM b GROUP BY 1, 2),
+            cum AS (SELECT event_type, i,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY i) AS cum,
+                      sum(cnt) OVER (PARTITION BY event_type) AS n
+                    FROM c),
+            sel AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+                      min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN i END) AS i50,
+                      min(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN i END) AS i95,
+                      min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN i END) AS i99
+                    FROM cum GROUP BY event_type),
+            ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                          round(quantile_cont(value, 0.95), 6) AS p95_exact,
+                          round(quantile_cont(value, 0.99), 6) AS p99_exact
+                   FROM v GROUP BY 1)
+            SELECT s.event_type, s.n,
+              round(2 * power(1.02 / 0.98, i50) / (1.02 / 0.98 + 1), 6) AS p50_est,
+              round(2 * power(1.02 / 0.98, i95) / (1.02 / 0.98 + 1), 6) AS p95_est,
+              round(2 * power(1.02 / 0.98, i99) / (1.02 / 0.98 + 1), 6) AS p99_est,
+              ex.p50_exact, ex.p95_exact, ex.p99_exact
+            FROM sel s JOIN ex USING (event_type)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1211,5 +1247,5 @@ object Round6 {
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
-    q152NodeJaccard, q153RrfFusion)
+    q152NodeJaccard, q153RrfFusion, q154DdSketch)
 }

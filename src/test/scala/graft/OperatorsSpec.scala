@@ -125,6 +125,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byDoc(3L)._2 - 1.0 / 62) < 1e-6)
   }
 
+  test("ddsketch: every estimate within alpha of the rank-r order statistic") {
+    // Log-spaced values spanning 4 decades exercise many bins.
+    val vals = (1 to 500).map(i => math.exp(i / 50.0))
+    val d = vals.map(("g", _)).toDF("g", "v")
+    val r = DdSketch.quantiles(d, "g", "v").collect().head
+    val sorted = vals.sorted
+    def rankStat(q: Double): Double = sorted((q * (sorted.length - 1)).floor.toInt + 1 - 1)
+    for ((qn, q) <- Seq(("p50_est", 0.5), ("p95_est", 0.95), ("p99_est", 0.99))) {
+      val est = r.getAs[Double](qn)
+      val truth = rankStat(q)
+      assert(math.abs(est / truth - 1.0) <= 0.02001,
+        s"$qn: $est vs rank stat $truth exceeds alpha")
+    }
+    assert(r.getAs[Long]("n") == 500L)
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
