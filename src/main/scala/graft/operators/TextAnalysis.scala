@@ -235,6 +235,78 @@ object TextAnalysis {
         round(avg(log(col("__cnt").cast("double") / col("__total"))), 6).as("mean_ll"))
   }
 
+  /** Interpolated bigram LM scoring — the stronger perplexity filter one
+    * step up from [[unigramLogProb]]: per-doc mean of
+    * `ln(λ·P(w₂|w₁) + (1−λ)·P(w₂))` over corpus-estimated MLE
+    * probabilities (Jelinek–Mercer smoothing; the unigram term keeps the
+    * score finite on unseen transitions when scoring held-out text).
+    * Bigrams are a scan-side shifted-slice zip (no position self-join);
+    * the conditional denominator is the bigram-LEFT count, derived from
+    * the same filtered bigram relation so the two stay consistent.
+    * Interpolation is written `λ·(c_b/c_l) + (1−λ)·(c_u/total)` — the
+    * association order the oracle mirrors textually.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val ts = words(col("text"))
+    val bg = docs
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+            slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+            (x, y) => struct(x.as("w1"), y.as("w2"))))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_b"))
+    val cl = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_l"))
+    val tok = docs
+      .select(explode(ts).as("w2"))
+      .filter(length(col("w2")) > 0)
+    val total = tok.agg(count(lit(1)).as("total"))
+    val cu = tok.groupBy(col("w2")).agg(count(lit(1)).as("c_u"))
+    bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cl, Seq("w1"))
+      .join(cu, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          avg(log(
+            lit(lambda) * (col("c_b") / col("c_l")) +
+              lit(1.0 - lambda) * (col("c_u") / col("total")))),
+          6).as("mean_ll"))
+  }
+
+  /** Per-document character entropy — the Gopher-style "is this natural
+    * text or key-mash/boilerplate" quality signal: H = −Σ p·ln p over
+    * the doc's character distribution. One char explode + two
+    * aggregates; distinct-char fan-in is alphabet-sized, so the explode
+    * collapses immediately under partial aggregation.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn(
+        "len",
+        sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("len")).as("n_chars_counted"),
+        round(-sum((col("c") / col("len")) * log(col("c") / col("len"))), 6)
+          .as("entropy"))
+  }
+
   /** BM25 retrieval scoring (Okapi, Lucene idf form) for a fixed query
     * term set — the ranking sibling of [[tfidfTopTerms]] and the scoring
     * core of corpus search / RAG retrieval over a lake:

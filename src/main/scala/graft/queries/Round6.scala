@@ -1240,6 +1240,56 @@ object Round6 {
             FROM sel s JOIN ex USING (event_type)""")
   )
 
+  /** Interpolated bigram LM scoring
+    * ([[graft.operators.TextAnalysis.bigramLogProb]], λ=0.7): per-doc
+    * mean ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) with corpus MLE probabilities —
+    * the q126 perplexity filter upgraded to conditional structure.
+    */
+  val q155BigramLm: QueryDef = QueryDef(
+    "q155_bigram_lm",
+    (s, dir) =>
+      graft.operators.TextAnalysis.bigramLogProb(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            bg0 AS (SELECT doc_id,
+                           unnest([{'a': ts[i], 'b': ts[i + 1]}
+                                   FOR i IN range(1, len(ts))]) AS p
+                    FROM t),
+            bg AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM bg0
+                   WHERE p.a != '' AND p.b != ''),
+            cb AS (SELECT w1, w2, count(*) AS c_b FROM bg GROUP BY 1, 2),
+            cl AS (SELECT w1, count(*) AS c_l FROM bg GROUP BY 1),
+            tok AS (SELECT t FROM (
+                      SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                    WHERE t <> ''),
+            tot AS (SELECT count(*) AS total FROM tok),
+            cu AS (SELECT t AS w2, count(*) AS c_u FROM tok GROUP BY 1)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(0.7 * (c_b / c_l) + 0.3 * (c_u / total))), 6) AS mean_ll
+            FROM bg JOIN cb USING (w1, w2) JOIN cl USING (w1) JOIN cu USING (w2), tot
+            GROUP BY doc_id""")
+  )
+
+  /** Character entropy ([[graft.operators.TextAnalysis.charEntropy]]):
+    * −Σ p·ln p per document over its character distribution — the
+    * natural-text quality gate (low = key-mash/repetition, high =
+    * random bytes).
+    */
+  val q156CharEntropy: QueryDef = QueryDef(
+    "q156_char_entropy",
+    (s, dir) =>
+      graft.operators.TextAnalysis.charEntropy(Tables.documents(s, dir)),
+    Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                        FROM documents),
+            c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+                  WHERE ch <> '' GROUP BY 1, 2),
+            w AS (SELECT doc_id, c,
+                    sum(c) OVER (PARTITION BY doc_id) AS len
+                  FROM c)
+            SELECT doc_id, CAST(min(len) AS BIGINT) AS n_chars_counted,
+                   round(-sum((c / len) * ln(c / len)), 6) AS entropy
+            FROM w GROUP BY doc_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1247,5 +1297,5 @@ object Round6 {
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
-    q152NodeJaccard, q153RrfFusion, q154DdSketch)
+    q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy)
 }

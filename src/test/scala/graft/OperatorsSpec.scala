@@ -141,6 +141,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") == 500L)
   }
 
+  test("bigram LM: deterministic corpus gives closed-form interpolated score") {
+    // Corpus = one doc "a b a b a": bigrams ab, ba, ab, so
+    // c(a,b)=2, c(b,a)=1, c(a·)=2, c(b·)=1 wait: lefts are a,b,a,b -> c_l(a)=2, c_l(b)=2.
+    // unigrams: a:3, b:2, total 5.
+    // P(b|a)=2/2=1... recompute: bigrams of [a,b,a,b,a] = (a,b),(b,a),(a,b),(b,a):
+    // c_b(a,b)=2, c_b(b,a)=2, c_l(a)=2, c_l(b)=2.
+    // score(a,b) = ln(0.7*(2/2) + 0.3*(2/5)) = ln(0.82)
+    // score(b,a) = ln(0.7*(2/2) + 0.3*(3/5)) = ln(0.88)
+    val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(d).collect().head
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    val expected = (2 * math.log(0.7 + 0.3 * 2.0 / 5) + 2 * math.log(0.7 + 0.3 * 3.0 / 5)) / 4
+    assert(math.abs(r.getAs[Double]("mean_ll") - expected) < 1e-6)
+  }
+
+  test("char entropy: uniform chars maximal, single char zero") {
+    val d = Seq((1L, "aaaa"), (2L, "abcd")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chars_counted"), x.getAs[Double]("entropy"))).toMap
+    assert(r(1L) == ((4L, 0.0)))
+    assert(math.abs(r(2L)._2 - math.log(4.0)) < 1e-6)
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
