@@ -90,6 +90,56 @@ object Similarity {
     lshTopKImpl(corpus, queries, k, fn)
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * shingle-based `Dedup.decontaminate`: corpus vectors whose cosine to
+    * ANY eval-set vector reaches `threshold` are contamination hits.
+    * Candidate generation is the md5-SRP bucket join (cross-set, eval
+    * side broadcast — it is benchmark-sized by definition), exact cosine
+    * only on candidates; per corpus doc the WORST hit survives (max
+    * cosine, eval_id tie-break). At 100 TB: corpus-side work is one
+    * signature scan + a bucket-keyed lookup, never a cross join.
+    *
+    * Output: (doc_id, eval_id, cosine) — one row per contaminated doc.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.30,
+      dim: Int = 64,
+      tables: Int = 6,
+      planesPerTable: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val fn = s"srp_decontam_md5_${tables}_$planesPerTable"
+    graft.functions.SrpSignatures.registerMd5(spark, fn, dim, tables, planesPerTable)
+    VectorCosine.register(spark)
+    val c = corpus.select(
+      col("vec_id").as("doc_id"),
+      col("embedding").as("c_vec"),
+      posexplode(expr(s"$fn(embedding)")).as(Seq("table_id", "sig")))
+    val e = evalSet.select(
+      col("vec_id").as("eval_id"),
+      col("embedding").as("e_vec"),
+      posexplode(expr(s"$fn(embedding)")).as(Seq("e_table_id", "e_sig")))
+    val scored = c
+      .join(
+        broadcast(e),
+        col("table_id") === col("e_table_id") && col("sig") === col("e_sig"))
+      .dropDuplicates("doc_id", "eval_id")
+      .select(
+        col("doc_id"),
+        col("eval_id"),
+        round(cosCol("c_vec", "e_vec"), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val worst = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("eval_id").asc)
+    scored
+      .withColumn("rn", row_number().over(worst))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   private def lshTopKImpl(
       corpus: DataFrame,
       queries: DataFrame,

@@ -1290,6 +1290,85 @@ object Round6 {
             FROM w GROUP BY doc_id""")
   )
 
+  /** Semantic decontamination
+    * ([[graft.operators.Similarity.semanticContamination]]): corpus
+    * vectors (vec_id ≥ 20) too close to any eval vector (vec_id < 20) in
+    * embedding space — md5-SRP bucket candidates, exact cosine, worst
+    * hit per doc. The oracle replays plane generation, signatures, the
+    * cross-set bucket join and the argmax.
+    */
+  val q157SemanticDecontam: QueryDef = QueryDef(
+    "q157_semantic_decontam",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 20),
+        emb.filter(col("vec_id") < 20))
+    },
+    Some(s"""WITH planes AS (
+              SELECT t.t AS t, p.p AS p, k.k AS k,
+                     (CAST(('0x' || substring(md5('srp|' || t.t || '|' || p.p || '|' || k.k),
+                                              1, 12)) AS BIGINT)
+                      - 140737488355328) / 140737488355328.0 AS w
+              FROM range(0, 6) t(t), range(0, 4) p(p), range(0, 64) k(k)),
+            dims AS (
+              SELECT vec_id, k.k AS k, CAST(embedding[k.k + 1] AS DOUBLE) AS x
+              FROM embeddings, range(0, 64) k(k)
+              WHERE k.k < len(embedding)),
+            dots AS (
+              SELECT d.vec_id, pl.t, pl.p, sum(d.x * pl.w) AS dot
+              FROM dims d JOIN planes pl ON pl.k = d.k
+              GROUP BY 1, 2, 3),
+            sigs AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(p AS INT)
+                              ELSE 0 END) AS INT) AS sig
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT c.vec_id AS doc_id, e.vec_id AS eval_id
+              FROM sigs c JOIN sigs e ON c.t = e.t AND c.sig = e.sig
+              WHERE c.vec_id >= 20 AND e.vec_id < 20),
+            scored AS (
+              SELECT cand.doc_id, cand.eval_id,
+                     round(${LlmQueries.dotSql("a.embedding", "b.embedding")} /
+                           (sqrt(${LlmQueries.dotSql("a.embedding", "a.embedding")}) *
+                            sqrt(${LlmQueries.dotSql("b.embedding", "b.embedding")})), 6) AS cosine
+              FROM cand
+              JOIN embeddings a ON a.vec_id = cand.doc_id
+              JOIN embeddings b ON b.vec_id = cand.eval_id
+              WHERE a.vec_id >= 20 AND b.vec_id < 20)
+            SELECT doc_id, eval_id, cosine FROM (
+              SELECT doc_id, eval_id, cosine, row_number() OVER (
+                PARTITION BY doc_id ORDER BY cosine DESC, eval_id ASC) AS rn
+              FROM scored WHERE cosine >= 0.30) WHERE rn = 1""")
+  )
+
+  /** Trigram-index substring search
+    * ([[graft.operators.TrigramIndex.substringSearch]]): the inverted
+    * trigram index that turns `LIKE '%batch stream%'` into an index
+    * lookup — candidates via the all-trigrams counting gate, exact
+    * contains on candidates only; false positives emitted as evidence of
+    * index selectivity.
+    */
+  val q158TrigramSearch: QueryDef = QueryDef(
+    "q158_trigram_search",
+    (s, dir) =>
+      graft.operators.TrigramIndex
+        .substringSearch(Tables.documents(s, dir), "batch stream"),
+    Some("""WITH pats AS (SELECT DISTINCT substring('batch stream', CAST(i AS INT) + 1, 3) AS tg
+                          FROM range(0, 10) r(i)),
+            np AS (SELECT count(*) AS np FROM pats),
+            dt AS (SELECT DISTINCT doc_id,
+                          unnest([substring(text, i + 1, 3)
+                                  FOR i IN range(0, len(text) - 2)]) AS tg
+                   FROM documents WHERE len(text) >= 3),
+            cand AS (SELECT doc_id, count(*) AS nh
+                     FROM dt JOIN pats USING (tg) GROUP BY 1)
+            SELECT c.doc_id, contains(d.text, 'batch stream') AS confirmed
+            FROM cand c, np JOIN documents d ON d.doc_id = c.doc_id
+            WHERE c.nh = np.np""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1297,5 +1376,6 @@ object Round6 {
     q138Pmi, q139Bloom, q140TempMixture, q141Contrastive, q142Triangles,
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
-    q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy)
+    q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
+    q157SemanticDecontam, q158TrigramSearch)
 }

@@ -165,6 +165,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r(2L)._2 - math.log(4.0)) < 1e-6)
   }
 
+  test("semantic decontam: planted near-copy flagged with worst hit, far vectors clean") {
+    val rng = new scala.util.Random(11)
+    val ev = Array.fill(64)(rng.nextGaussian().toFloat)
+    val corpus = Seq(
+      (100L, ev.clone()), // exact copy of eval vec 0 -> cosine 1.0
+      (101L, Array.fill(64)(rng.nextGaussian().toFloat)),
+      (102L, Array.fill(64)(rng.nextGaussian().toFloat))
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq((0L, ev)).toDF("vec_id", "embedding")
+    val r = Similarity.semanticContamination(corpus, evalSet, threshold = 0.9)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("eval_id"), x.getAs[Double]("cosine")))
+    assert(r.toSeq == Seq((100L, 0L, 1.0)),
+      s"expected only the planted copy, got ${r.toSeq}")
+  }
+
+  test("trigram search: candidates superset, confirmed exactly the contains set") {
+    val d = Seq(
+      (1L, "xx batch stream yy"), // true match
+      (2L, "stream batch xx"), // has all trigrams of 'batch str'? no 'h s'
+      (3L, "batch stxreamch h s"), // engineered false positive candidate
+      (4L, "nothing here")
+    ).toDF("doc_id", "text")
+    val r = TrigramIndex.substringSearch(d, "batch stream").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("confirmed")).toMap
+    assert(r(1L), "true match not confirmed")
+    assert(!r.contains(4L), "non-candidate leaked")
+    // Every confirmed==true row really contains the pattern; candidates
+    // that do not are reported false.
+    r.foreach { case (id, conf) =>
+      val text = d.collect().find(_.getLong(0) == id).get.getString(1)
+      assert(conf == text.contains("batch stream"))
+    }
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
