@@ -1369,6 +1369,57 @@ object Round6 {
             WHERE c.nh = np.np""")
   )
 
+  /** Equi-depth binning ([[graft.operators.Binning.equiDepth]], 10
+    * bins): exact decile boundaries from one aggregate, broadcast,
+    * row-local strict-> assignment — discretization with no global sort.
+    */
+  val q159EquiDepth: QueryDef = QueryDef(
+    "q159_equidepth_bins",
+    (s, dir) =>
+      graft.operators.Binning.equiDepth(Tables.orders(s, dir), "o_totalprice"),
+    Some(s"""WITH b AS (SELECT [${(1 until 10)
+               .map(i => s"quantile_cont(o_totalprice, 0.$i)")
+               .mkString(", ")}] AS bs FROM orders),
+            a AS (SELECT o_totalprice AS v,
+                         len(list_filter(b.bs, x -> o_totalprice > x)) AS bin
+                  FROM orders, b)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   round(min(v), 6) AS lo, round(max(v), 6) AS hi
+            FROM a GROUP BY bin""")
+  )
+
+  /** Batch sessionization + first-touch attribution
+    * ([[graft.operators.Sessionize.firstTouchAttribution]], 30-min gap):
+    * gaps-and-islands sessions, session attributed to its first event
+    * type, conversion = contains a purchase. One user-keyed shuffle.
+    */
+  val q160Attribution: QueryDef = QueryDef(
+    "q160_attribution",
+    (s, dir) =>
+      graft.operators.Sessionize.firstTouchAttribution(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            g AS (SELECT *, CASE WHEN lag(us) OVER (
+                              PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                            OR us - lag(us) OVER (
+                              PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id) AS sess FROM g),
+            s2 AS (SELECT *, first_value(event_type) OVER (
+                     PARTITION BY user_id, sess ORDER BY us, event_id) AS first_type
+                   FROM s),
+            fs AS (SELECT user_id, sess, min(first_type) AS first_type,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchased
+                   FROM s2 GROUP BY 1, 2)
+            SELECT first_type, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(purchased) AS BIGINT) AS n_converted,
+                   round(sum(purchased) / count(*), 6) AS cvr
+            FROM fs GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1377,5 +1428,5 @@ object Round6 {
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
-    q157SemanticDecontam, q158TrigramSearch)
+    q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution)
 }

@@ -200,6 +200,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth bins: uniform data splits evenly, bins cover ordered ranges") {
+    val d = (1 to 1000).map(_.toDouble).toDF("v")
+    val r = Binning.equiDepth(d, "v", bins = 10).collect()
+      .map(x => x.getAs[Long]("bin") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("lo"), x.getAs[Double]("hi")))
+      .sortBy(_._1)
+    assert(r.map(_._1).toSeq == (0L to 9L))
+    // 1..1000 deciles at 100.9, 200.8, ... -> bins of exactly 100, except
+    // boundary interpolation puts the .9 values down: bin 0 = 1..100, etc.
+    assert(r.map(_._2._1).sum == 1000L)
+    assert(r.forall { case (_, (n, lo, hi)) => n >= 99 && n <= 101 && lo <= hi })
+    // Ranges are disjoint and ordered
+    r.sliding(2).foreach {
+      case Array((_, (_, _, hi1)), (_, (_, lo2, _))) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("first-touch attribution: sessions split at the gap, purchase converts") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val d = Seq(
+      // user 1: session A (click at 0, purchase at 10) -> click converts;
+      // session B after 40-min gap (view at 50) -> view, no conversion
+      (1L, 1L, "click", ts(0)), (1L, 2L, "purchase", ts(10)), (1L, 3L, "view", ts(50)),
+      // user 2: one session (signup at 0, click at 20) -> signup, none
+      (2L, 4L, "signup", ts(0)), (2L, 5L, "click", ts(20))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val r = Sessionize.firstTouchAttribution(d, gapSec = 1800).collect()
+      .map(x => x.getAs[String]("first_type") ->
+        (x.getAs[Long]("n_sessions"), x.getAs[Long]("n_converted"))).toMap
+    assert(r == Map("click" -> ((1L, 1L)), "view" -> ((1L, 0L)), "signup" -> ((1L, 0L))))
+  }
+
   test("repeated spans: maximal islands, span arithmetic, no false spans") {
     // doc1 and doc2 share a 10-word prefix -> with w=8, positions 0..2
     // are repeated shingles in each: ONE island, run 3, span 3+7=10.
