@@ -27,9 +27,13 @@ object Drift {
     * Output per group: (group, n, ks_vs_rest).
     */
   def ksVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // Materialized once (histogram-sized): three consumers below (group
+    // totals, value totals, the grid join) would otherwise each re-scan
+    // the corpus — exchange reuse does not collapse them.
     val counts = df
       .groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val groups = counts
       .groupBy(col(groupCol))
       .agg(sum(col("c")).as("n_g"))
