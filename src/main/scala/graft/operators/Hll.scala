@@ -29,6 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object Hll {
 
+  /** md5-derived register index for a (stringified) key. */
+  def bucketCol(keyStr: Column, m: Int): Column =
+    pmod(conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long"), lit(m.toLong))
+
+  /** Exact integer ρ (leading-zero rank) for a (stringified) key. */
+  def rhoCol(keyStr: Column): Column = {
+    val w32 = conv(substring(md5(keyStr), 9, 8), 16, 10).cast("long")
+    when(w32 === 0, lit(33)).otherwise(lit(33) - length(bin(w32)))
+  }
+
+  /** The read-time half of the sketch: harmonic estimate from a register
+    * relation (group, bucket, mj) — what a serving layer runs over
+    * registers maintained elsewhere (shard merges, streaming state, a
+    * lake table of per-partition sketches). Duplicate keys never need
+    * de-duplication upstream: `max(ρ)` is multiset-invariant, which is
+    * what lets a STREAM maintain the registers with one stateful agg and
+    * no distinct. Output: (group, hll_est, v_zero).
+    */
+  def estimateFromRegisters(regs: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val sp = col("sp")
+    val np = col("np")
+    val rawEst = alpha * m * m / (sp + (lit(m) - np))
+    regs
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("np"),
+        sum(pow(lit(2.0), -col("mj"))).as("sp"))
+      .select(
+        col(groupCol),
+        round(
+          when(rawEst <= 2.5 * m && np < m, lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - np)))
+            .otherwise(rawEst),
+          6).as("hll_est"),
+        (lit(m) - np).cast("int").as("v_zero"))
+  }
+
   /** Per-group distinct-count estimate next to the exact count (the
     * verification pairing a deployment runs at sample scale to validate
     * the sketch before trusting it corpus-wide). Output per group:
@@ -42,10 +79,8 @@ object Hll {
   ): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     val keyStr = col(keyCol).cast("string")
-    val bucket =
-      pmod(conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long"), lit(m.toLong))
-    val w32 = conv(substring(md5(keyStr), 9, 8), 16, 10).cast("long")
-    val rho = when(w32 === 0, lit(33)).otherwise(lit(33) - length(bin(w32)))
+    val bucket = bucketCol(keyStr, m)
+    val rho = rhoCol(keyStr)
     // One scan: distinct (group, key) → per-key (bucket, ρ) → registers.
     // Exact counts ride along as count-per-bucket so no second pass over
     // the base table is needed.

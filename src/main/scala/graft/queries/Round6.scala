@@ -1420,6 +1420,34 @@ object Round6 {
             FROM fs GROUP BY 1""")
   )
 
+  /** Streaming HyperLogLog
+    * ([[graft.streaming.StreamingOps.runStreamingHll]]): distinct-user
+    * registers per event type as ONE stateful streaming aggregation
+    * (max(ρ) is multiset-invariant — no distinct, m rows of state per
+    * group forever), estimate at read time. End state ≡ batch, so the
+    * batch register replay is the oracle.
+    */
+  val q161StreamHll: QueryDef = QueryDef(
+    "q161_stream_hll",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingHll(s, dir),
+    Some("""WITH h AS (SELECT event_type,
+                    CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) % 512 AS bucket,
+                    CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)),9,8)) AS BIGINT) AS w
+                  FROM events),
+            r AS (SELECT event_type, bucket,
+                    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mj
+                  FROM h GROUP BY 1, 2),
+            s AS (SELECT event_type, count(*) AS np, sum(power(2.0, -mj)) AS sp
+                  FROM r GROUP BY 1)
+            SELECT event_type,
+              round(CASE WHEN (0.7213/(1+1.079/512))*512*512/(sp + (512-np)) <= 2.5*512
+                          AND np < 512
+                THEN 512 * ln(512.0/(512-np))
+                ELSE (0.7213/(1+1.079/512))*512*512/(sp + (512-np)) END, 6) AS hll_est,
+              CAST(512 - np AS INT) AS v_zero
+            FROM s""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1428,5 +1456,6 @@ object Round6 {
     q143Winsorize, q144BpeEncode, q145RepeatedSpans, q146ExactSample, q147Hll,
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
-    q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution)
+    q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
+    q161StreamHll)
 }

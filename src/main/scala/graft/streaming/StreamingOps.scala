@@ -104,6 +104,32 @@ object StreamingOps {
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame =
     drainComplete(spark, "stream_dedup", streamingDedupGroups(documentsStream(spark, sfDir)))
 
+  /** STREAMING HyperLogLog: per-event-type distinct-user registers
+    * maintained as ONE stateful aggregation over the event stream —
+    * `max(ρ)` is multiset-invariant, so duplicate arrivals need no
+    * distinct and the state is exactly m rows per group forever (the
+    * streaming-cardinality trick: bounded state for an unbounded
+    * distinct problem). The estimate is computed at read time over the
+    * drained registers ([[graft.operators.Hll.estimateFromRegisters]]),
+    * mirroring a serving layer reading live sketch state. End state ≡
+    * the batch sketch, so the batch SQL oracle checks the full pipeline.
+    */
+  def runStreamingHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Hll
+    val keyStr = col("user_id").cast("string")
+    val regs = eventsStream(spark, sfDir)
+      .select(
+        col("event_type"),
+        Hll.bucketCol(keyStr, 512).as("bucket"),
+        Hll.rhoCol(keyStr).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    Hll.estimateFromRegisters(
+      drainComplete(spark, "stream_hll", regs),
+      "event_type",
+      512)
+  }
+
   /** Drain a complete-mode streaming aggregation over a bounded source
     * into a memory sink and hand back the final table.
     */

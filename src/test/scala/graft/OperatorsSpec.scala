@@ -45,6 +45,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a.getAs[Double]("hll_est") - 2000.0) / 2000.0 < 0.15)
   }
 
+  test("hll registers: shard merge by max(rho) == whole-data sketch estimate") {
+    val df = (1 to 3000).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val keyStr = col("k").cast("string")
+    def regs(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("grp"), Hll.bucketCol(keyStr, 512).as("bucket"),
+        Hll.rhoCol(keyStr).as("mj"))
+      .groupBy("grp", "bucket").agg(max("mj").as("mj"))
+    // Two shards sketched independently, merged register-wise by max.
+    val merged = regs(df.filter(col("k") <= 1500)).unionAll(regs(df.filter(col("k") > 1500)))
+      .groupBy("grp", "bucket").agg(max("mj").as("mj"))
+    val whole = Hll.estimateFromRegisters(regs(df), "grp", 512).collect().head
+    val shard = Hll.estimateFromRegisters(merged, "grp", 512).collect().head
+    assert(whole == shard)
+    // and the register-path estimate agrees with the one-call facade
+    val facade = Hll.distinctSketch(df, "grp", "k").collect().head
+    assert(whole.getAs[Double]("hll_est") == facade.getAs[Double]("hll_est"))
+    assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
+  }
+
   test("weighted sample: exact n, heavy weight always drawn, nonpositive excluded") {
     val d = ((1 to 400).map(i => (i.toLong, 1.0)) :+ (1000L, 1e9) :+ (1001L, 0.0) :+ (1002L, -5.0))
       .toDF("id", "w")
