@@ -229,6 +229,56 @@ object Sampling {
     * each task stream its shard file in hash order — no global sort
     * either way.
     */
+  /** SQRT-SMOOTHED per-source capping — the head-domain suppression a
+    * web-corpus pipeline runs so a handful of giant sources cannot
+    * dominate the training mixture (the CCNet/RefinedWeb move: cap per
+    * domain sublinearly in its size, here `max(minKeep, ⌈c·√n_s⌉)`).
+    * Within each source, rows are kept quality-first (`n_chars` desc,
+    * id tie-break) up to the cap.
+    *
+    * ONE shuffle total: `row_number` and `count(*)` share the same
+    * source-keyed window partitioning, so the cap is derived inside the
+    * window pass — no separate counts aggregate, no join back. The
+    * retention summary then reuses the already source-partitioned rows
+    * (map-side agg, no second exchange of the corpus). At 100 TB the
+    * one caveat is a mega-source whose rows exceed an executor's window
+    * partition: pre-aggregate that source's ids by a salted sub-key and
+    * rank in two levels (same spill posture as any sessionize window).
+    *
+    * Output per source: (source, n_docs, cap, n_kept, chars_total,
+    * chars_kept, kept_frac).
+    */
+  def sqrtSourceCap(
+      docs: DataFrame,
+      c: Double = 4.0,
+      minKeep: Long = 10L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c > 0 && minKeep >= 0, "need c > 0, minKeep >= 0")
+    val bySource = Window.partitionBy(col("source"))
+    val rank = Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("n_docs", count(lit(1)).over(bySource))
+      .withColumn(
+        "cap",
+        greatest(lit(minKeep), ceil(lit(c) * sqrt(col("n_docs").cast("double")))))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("cap")).as("cap"),
+        sum(when(col("rn") <= col("cap"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("rn") <= col("cap"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .select(
+        col("source"), col("n_docs"), col("cap"), col("n_kept"),
+        col("chars_total"), col("chars_kept"),
+        round(col("chars_kept") / col("chars_total"), 6).as("kept_frac"))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, shards: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")

@@ -1448,6 +1448,28 @@ object Round6 {
             FROM s""")
   )
 
+  /** Sqrt-smoothed source capping
+    * ([[graft.operators.Sampling.sqrtSourceCap]]): head-domain
+    * suppression — per-source keep cap `max(10, ⌈4·√n_s⌉)`, quality-first
+    * retention (n_chars desc), one source-keyed shuffle (cap derived
+    * inside the window pass, summary map-side).
+    */
+  val q162SourceCap: QueryDef = QueryDef(
+    "q162_source_cap",
+    (s, dir) => graft.operators.Sampling.sqrtSourceCap(Tables.documents(s, dir)),
+    Some("""WITH r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n_docs
+               FROM documents),
+            r2 AS (SELECT *, greatest(10, CAST(ceil(4.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) AS cap FROM r)
+            SELECT source, CAST(min(n_docs) AS BIGINT) AS n_docs, CAST(min(cap) AS BIGINT) AS cap,
+               CAST(sum(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(sum(CASE WHEN rn <= cap THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+               round(sum(CASE WHEN rn <= cap THEN n_chars ELSE 0 END) / sum(n_chars), 6) AS kept_frac
+            FROM r2 GROUP BY source""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1457,5 +1479,5 @@ object Round6 {
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
-    q161StreamHll)
+    q161StreamHll, q162SourceCap)
 }

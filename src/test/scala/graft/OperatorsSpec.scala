@@ -64,6 +64,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("sqrtSourceCap: sublinear cap, minKeep floor, quality-first retention") {
+    val docs = ((1 to 5).map(i => (i.toLong, "a", i.toLong * 100)) ++
+      Seq((10L, "b", 700L), (11L, "b", 800L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.sqrtSourceCap(docs, c = 1.0, minKeep = 0L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // source a: cap = ceil(sqrt(5)) = 3, keeps the 3 LONGEST (500+400+300)
+    assert(got("a").getAs[Long]("cap") == 3L)
+    assert(got("a").getAs[Long]("n_kept") == 3L)
+    assert(got("a").getAs[Long]("chars_kept") == 1200L)
+    assert(got("a").getAs[Double]("kept_frac") == 0.8)
+    // source b: cap = ceil(sqrt(2)) = 2 >= size, everything survives
+    assert(got("b").getAs[Long]("n_kept") == 2L && got("b").getAs[Double]("kept_frac") == 1.0)
+    // minKeep floors the cap for every source
+    val floored = Sampling.sqrtSourceCap(docs, c = 1.0, minKeep = 4L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("cap")).toMap
+    assert(floored == Map("a" -> 4L, "b" -> 4L))
+  }
+
   test("weighted sample: exact n, heavy weight always drawn, nonpositive excluded") {
     val d = ((1 to 400).map(i => (i.toLong, 1.0)) :+ (1000L, 1e9) :+ (1001L, 0.0) :+ (1002L, -5.0))
       .toDF("id", "w")
