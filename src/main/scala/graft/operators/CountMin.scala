@@ -22,10 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private def bucketCol(row: Column, key: Column, w: Int): Column =
+  /** md5-derived counter column for hash row `row` and key `key`. */
+  def bucketCol(row: Column, key: Column, w: Int): Column =
     pmod(
       conv(substring(md5(concat_ws("|", row, key)), 1, 8), 16, 10).cast("long"),
       lit(w.toLong))
+
+  /** The read-time half of the sketch: min-over-rows estimates for a
+    * probe key set against a counter relation (j, bucket, cnt) maintained
+    * elsewhere (shard merges — counters ADD — or streaming state).
+    * `probes` carries (keyCol, true_cnt); output (keyCol, true_cnt,
+    * cms_est) with the usual est ≥ true one-sided error.
+    */
+  def probeCounters(
+      counters: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      d: Int,
+      w: Int
+  ): DataFrame =
+    probes
+      .select(col(keyCol), col("true_cnt"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", bucketCol(col("j"), col(keyCol), w))
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("true_cnt")).as("true_cnt"),
+        min(col("cnt")).as("cms_est"))
 
   /** True top-k keys by exact count next to their CMS estimates: the
     * verification harness a deployment runs on a sample to size (d, w).

@@ -1470,6 +1470,38 @@ object Round6 {
             FROM r2 GROUP BY source""")
   )
 
+  /** Streaming count-min
+    * ([[graft.streaming.StreamingOps.runStreamingCms]]): the d×w counter
+    * matrix as ONE stateful streaming aggregation (counters are sums —
+    * per-event increments ≡ the batch matrix, d·w rows of state
+    * forever), probed at read time for user_id < 10 with exact counts
+    * alongside. End state ≡ batch, so the batch counter replay is the
+    * oracle.
+    */
+  val q163StreamCms: QueryDef = QueryDef(
+    "q163_stream_cms",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingCms(s, dir),
+    Some("""WITH ev AS (SELECT user_id AS k FROM events),
+            rws AS (SELECT k, j.j AS j FROM ev, range(0, 4) j(j)),
+            counters AS (
+              SELECT j,
+                     CAST(('0x' || substring(md5(j || '|' || k), 1, 8)) AS BIGINT)
+                       % 256 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM rws GROUP BY 1, 2),
+            probes AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM ev WHERE k < 10 GROUP BY k),
+            ph AS (
+              SELECT k, true_cnt, j.j AS j,
+                     CAST(('0x' || substring(md5(j.j || '|' || k), 1, 8)) AS BIGINT)
+                       % 256 AS bucket
+              FROM probes, range(0, 4) j(j))
+            SELECT ph.k AS user_id, any_value(true_cnt) AS true_cnt,
+                   min(cnt) AS cms_est
+            FROM ph JOIN counters USING (j, bucket) GROUP BY ph.k""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1479,5 +1511,5 @@ object Round6 {
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
-    q161StreamHll, q162SourceCap)
+    q161StreamHll, q162SourceCap, q163StreamCms)
 }

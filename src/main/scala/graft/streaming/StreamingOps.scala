@@ -130,6 +130,34 @@ object StreamingOps {
       512)
   }
 
+  /** STREAMING count-min: the d×w counter matrix maintained as ONE
+    * stateful aggregation over the event stream — counters are sums, so
+    * per-event increments across micro-batches land on exactly the
+    * batch-built matrix, and the state is d·w rows forever (bounded
+    * state for an unbounded frequency problem; the companion move to
+    * [[runStreamingHll]]'s max(ρ) registers). Probing happens at read
+    * time ([[graft.operators.CountMin.probeCounters]]) with exact counts
+    * for a fixed key set riding along — the sample-scale verification a
+    * deployment runs before trusting the sketch. End state ≡ batch, so
+    * the batch counter replay is the oracle.
+    */
+  def runStreamingCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CountMin
+    val d = 4
+    val w = 256
+    val counters = eventsStream(spark, sfDir)
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), CountMin.bucketCol(col("j"), col("user_id"), w).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("true_cnt"))
+    CountMin.probeCounters(
+      drainComplete(spark, "stream_cms", counters), probes, "user_id", d, w)
+  }
+
   /** Drain a complete-mode streaming aggregation over a bounded source
     * into a memory sink and hand back the final table.
     */

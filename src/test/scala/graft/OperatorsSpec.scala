@@ -32,6 +32,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.getAs[Long]("true_cnt") == 60L && hot.getAs[Long]("cms_est") == 60L)
   }
 
+  test("cms counters: shard merge by summing == whole-data probe estimates") {
+    val ev = (1 to 300).map(i => (i % 7).toLong).toDF("k")
+    def counters(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("k"), explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("j"), CountMin.bucketCol(col("j"), col("k"), 256).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val merged = counters(ev.filter(col("k") <= 3))
+      .unionAll(counters(ev.filter(col("k") > 3)))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+    val probes = ev.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+    val whole = CountMin.probeCounters(counters(ev), probes, "k", 4, 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val shard = CountMin.probeCounters(merged, probes, "k", 4, 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(whole == shard && whole.size == 7)
+    // 7 keys in 4x256 buckets: collision-free, so est is exactly true
+    whole.values.foreach { case (t, est) => assert(est == t) }
+  }
+
   test("hll sketch: multiset-invariant, exact count right, estimate in 3-sigma") {
     val base = (1 to 2000).map(i => ("g", i.toLong)).toDF("grp", "k")
     val dup = base.union(base).union(base)
