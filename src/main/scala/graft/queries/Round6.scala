@@ -1502,6 +1502,55 @@ object Round6 {
             FROM ph JOIN counters USING (j, bucket) GROUP BY ph.k""")
   )
 
+  /** KMV set-intersection sketch
+    * ([[graft.operators.Kmv.pairIntersections]], k=64): the
+    * set-OPERATIONS cardinality sketch — per priority-pair customer-set
+    * size, union, Jaccard and intersection estimates from k-min md5
+    * hash values, with the exact intersection riding along as the
+    * sample-scale verification. The oracle rebuilds the identical
+    * sketches, merged k-mins, memberships and estimator arithmetic.
+    */
+  val q164KmvIntersect: QueryDef = QueryDef(
+    "q164_kmv_intersect",
+    (s, dir) =>
+      graft.operators.Kmv.pairIntersections(
+        Tables.orders(s, dir), "o_orderpriority", "o_custkey"),
+    Some("""WITH dh AS (SELECT DISTINCT o_orderpriority AS s,
+              CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM orders),
+            sk AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM dh
+                   QUALIFY rn <= 64),
+            est AS (SELECT s, CAST(count(*) AS BIGINT) AS n_sk,
+                       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                            ELSE 63 / (max(h) / 1152921504606846976.0) END AS est_s
+                    FROM sk GROUP BY s),
+            pairs AS (SELECT a.s AS sa, b.s AS sb FROM est a, est b WHERE a.s < b.s),
+            mg0 AS (SELECT DISTINCT p.sa, p.sb, k.h FROM pairs p
+                    JOIN sk k ON k.s = p.sa OR k.s = p.sb),
+            mg AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+                   FROM mg0 QUALIFY rn <= 64),
+            un AS (SELECT mg.sa, mg.sb, CAST(count(*) AS BIGINT) AS k_used, max(mg.h) AS h_k,
+                      CAST(sum(CASE WHEN x.h IS NOT NULL AND y.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                   FROM mg
+                   LEFT JOIN sk x ON x.s = mg.sa AND x.h = mg.h
+                   LEFT JOIN sk y ON y.s = mg.sb AND y.h = mg.h
+                   GROUP BY mg.sa, mg.sb),
+            ex AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS exact_inter
+                   FROM dh a JOIN dh b ON a.h = b.h AND a.s < b.s GROUP BY 1, 2)
+            SELECT un.sa AS set_a, un.sb AS set_b,
+               round(ea.est_s, 6) AS est_a, round(eb.est_s, 6) AS est_b,
+               round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                          ELSE 63 / (h_k / 1152921504606846976.0) END, 6) AS est_union,
+               n_both,
+               round(CAST(n_both AS DOUBLE) / k_used, 6) AS jaccard_est,
+               round((CAST(n_both AS DOUBLE) / k_used) *
+                     (CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                           ELSE 63 / (h_k / 1152921504606846976.0) END), 6) AS est_inter,
+               coalesce(ex.exact_inter, 0) AS exact_inter
+            FROM un JOIN est ea ON ea.s = un.sa JOIN est eb ON eb.s = un.sb
+            LEFT JOIN ex ON ex.sa = un.sa AND ex.sb = un.sb""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1511,5 +1560,5 @@ object Round6 {
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
-    q161StreamHll, q162SourceCap, q163StreamCms)
+    q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect)
 }

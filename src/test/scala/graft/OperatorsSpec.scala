@@ -83,6 +83,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("kmv: exact below k, closed-form jaccard, identical sets fuse to J=1") {
+    val rows = (1 to 20).map(i => ("A", i.toLong)) ++
+      (11 to 30).map(i => ("B", i.toLong)) ++
+      (100 to 105).map(i => ("C", i.toLong))
+    val got = Kmv.pairIntersections(rows.toDF("s", "k"), "s", "k", k = 64)
+      .collect()
+      .map(r => (r.getAs[String]("set_a"), r.getAs[String]("set_b")) -> r).toMap
+    // every set is smaller than k: the sketch IS the set, all estimates exact
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Double]("est_a") == 20.0 && ab.getAs[Double]("est_b") == 20.0)
+    assert(ab.getAs[Double]("est_union") == 30.0)
+    assert(ab.getAs[Long]("n_both") == 10L && ab.getAs[Long]("exact_inter") == 10L)
+    assert(ab.getAs[Double]("est_inter") == 10.0)
+    assert(math.abs(ab.getAs[Double]("jaccard_est") - 10.0 / 30.0) < 1e-6)
+    val ac = got(("A", "C"))
+    assert(ac.getAs[Long]("n_both") == 0L && ac.getAs[Double]("est_inter") == 0.0)
+    // identical sets, k smaller than the sets: every union survivor is in
+    // both sketches -> J estimated exactly 1, est_inter == est_union
+    val big = (1 to 200).flatMap(i => Seq(("D", i.toLong), ("E", i.toLong)))
+    val de = Kmv.pairIntersections(big.toDF("s", "k"), "s", "k", k = 16)
+      .collect().head
+    assert(de.getAs[Double]("jaccard_est") == 1.0)
+    assert(de.getAs[Double]("est_inter") == de.getAs[Double]("est_union"))
+    assert(de.getAs[Long]("exact_inter") == 200L)
+  }
+
   test("sqrtSourceCap: sublinear cap, minKeep floor, quality-first retention") {
     val docs = ((1 to 5).map(i => (i.toLong, "a", i.toLong * 100)) ++
       Seq((10L, "b", 700L), (11L, "b", 800L)))
