@@ -1551,6 +1551,42 @@ object Round6 {
             LEFT JOIN ex ON ex.sa = un.sa AND ex.sb = un.sb""")
   )
 
+  /** Merge-on-read deletion vectors
+    * ([[graft.sources.LakeDeletes]]): two predicate deletes write
+    * position sidecars (no data-file rewrite), the read anti-joins them
+    * out; per-flag totals/live/deleted prove the DV accumulation. The
+    * oracle is the plain relational filter — the physical delete
+    * mechanism must be invisible in the result.
+    */
+  val q165DeletionVectors: QueryDef = QueryDef(
+    "q165_deletion_vectors",
+    (s, dir) => {
+      import graft.sources.{LakeDeletes, LakeLog}
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_discount"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q165").resolve("lineitem_mor").toString
+      LakeLog.overwrite(li.repartition(4), path)
+      LakeDeletes.deleteWhere(s, path, col("l_quantity") > 45)
+      LakeDeletes.deleteWhere(s, path, col("l_discount") > 0.08)
+      val totals = LakeLog.read(s, path)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+      val live = LakeDeletes.readLive(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_live"), round(sum(col("l_quantity")), 2).as("qty_live"))
+      totals.join(live, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n_total"), col("n_live"),
+          (col("n_total") - col("n_live")).as("n_deleted"), col("qty_live"))
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN NOT (l_quantity > 45 OR l_discount > 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN l_quantity > 45 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               round(sum(CASE WHEN NOT (l_quantity > 45 OR l_discount > 0.08) THEN l_quantity ELSE 0 END), 2) AS qty_live
+            FROM lineitem GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1560,5 +1596,6 @@ object Round6 {
     q148WeightedSample, q149KsDrift, q150MadOutliers, q151LabelProp,
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
-    q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect)
+    q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
+    q165DeletionVectors)
 }
