@@ -155,6 +155,43 @@ object Graph {
     *
     * Output: top-k (node_a, node_b, common, jaccard) by jaccard desc.
     */
+  /** k-CORE decomposition by synchronous peeling: each round drops
+    * every node of degree < k and the edges touching it, `rounds`
+    * times. A graph whose k-core peeling converges within `rounds`
+    * (every spec/oracle graph here) ends at the true k-core: the
+    * maximal subgraph where every node keeps ≥ k neighbors — the
+    * standard "dense kernel" extraction for community seeds and
+    * spam/bot rings. A production run replaces the fixed count with a
+    * convergence check (`while (dropped > 0)`); the count is fixed
+    * here so the SQL oracle can unroll the identical rounds.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins, all
+    * keyed on node — 2 exchanges, same as [[pageRank]]; per-round
+    * localCheckpoint truncates the compounding plan.
+    *
+    * Output: (node, core_deg) for nodes surviving all rounds, with
+    * their degree in the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1, rounds >= 1")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("lo").as("n")).unionAll(ed.select(col("hi").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("d") >= k).select(col("n"))
+      e = e
+        .join(keep.select(col("n").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("n").as("hi")), Seq("hi"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(e).select(col("n").as("node"), col("d").as("core_deg"))
+  }
+
   def nodeJaccard(edges: DataFrame, topK: Int = 20): DataFrame = {
     val adj = edges
       .select(col("src").as("node"), col("dst").as("nbr"))

@@ -1587,6 +1587,53 @@ object Round6 {
             FROM lineitem GROUP BY 1""")
   )
 
+  /** One k-core peel round in oracle SQL. MATERIALIZED is load-bearing:
+    * each e_i is referenced three times by round i+1, and DuckDB
+    * re-evaluates inlined CTEs per reference — the corpus scan under e0
+    * would re-run exponentially (the q98 UnionLoop lesson).
+    */
+  private def kcorePeelSql(i: Int, k: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""k$i AS MATERIALIZED (SELECT n FROM (
+          SELECT n, count(*) AS d FROM (
+            SELECT lo AS n FROM $prev UNION ALL SELECT hi FROM $prev) GROUP BY n)
+          WHERE d >= $k),
+        e$i AS MATERIALIZED (SELECT lo, hi FROM $prev
+          WHERE lo IN (SELECT n FROM k$i) AND hi IN (SELECT n FROM k$i))"""
+  }
+
+  /** k-core of the word co-occurrence graph
+    * ([[graft.operators.Graph.kCore]], k=3, 4 peel rounds — converged:
+    * round 5 is a fixpoint on this corpus): the dense kernel of the
+    * q142 PMI top-60 graph. The oracle unrolls the identical peeling.
+    */
+  val q166KCore: QueryDef = QueryDef(
+    "q166_kcore",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 3, rounds = 4)
+    },
+    Some(s"""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e0 AS MATERIALIZED (SELECT a AS lo, b AS hi FROM (
+                SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+              WHERE a != b),
+            ${(1 to 4).map(kcorePeelSql(_, 3)).mkString(",\n")}
+            SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg
+            FROM (SELECT lo AS n FROM e4 UNION ALL SELECT hi FROM e4)
+            GROUP BY n""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1597,5 +1644,5 @@ object Round6 {
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
-    q165DeletionVectors)
+    q165DeletionVectors, q166KCore)
 }

@@ -83,6 +83,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("kCore: K4 survives a 3-core peel, tails drop; cycle is its own 2-core") {
+    // K4 on 1..4 plus a tail 4-5-6 (degrees 2 and 1)
+    val k4 = for { a <- 1 to 4; b <- a + 1 to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 5-cycle has uniform degree 2: fully its own 2-core, untouched
+    val cyc = (1 to 5).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("src", "dst")
+    val c2 = Graph.kCore(cyc, k = 2, rounds = 3).collect()
+    assert(c2.length == 5 && c2.forall(_.getLong(1) == 2L))
+    // ...and a 3-core peel erases it entirely
+    assert(Graph.kCore(cyc, k = 3, rounds = 3).count() == 0L)
+  }
+
   test("kmv: exact below k, closed-form jaccard, identical sets fuse to J=1") {
     val rows = (1 to 20).map(i => ("A", i.toLong)) ++
       (11 to 30).map(i => ("B", i.toLong)) ++
