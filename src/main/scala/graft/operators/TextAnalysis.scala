@@ -282,6 +282,57 @@ object TextAnalysis {
           6).as("mean_ll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the modern-n-gram-LM
+    * counterpart of [[bigramLogProb]]'s Jelinek–Mercer: absolute
+    * discounting with a CONTINUATION-count back-off,
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *              + (D·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··))
+    *
+    * where N₁₊(w₁·)/N₁₊(·w₂) are distinct right/left-neighbor counts
+    * and N₁₊(··) is the number of distinct bigram types — the "how many
+    * contexts does this word complete" estimate that makes KN the
+    * strongest fixed-order smoother (Chen & Goodman '99). Everything is
+    * counts over one scan-side bigram relation: three keyed aggregates,
+    * all joined back broadcast-or-keyed; the arithmetic chain is
+    * association-ordered identically to the oracle.
+    */
+  def kneserNeyLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val ts = words(col("text"))
+    val bg = docs
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+            slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+            (x, y) => struct(x.as("w1"), y.as("w2"))))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_b"))
+    val cl = cb.groupBy(col("w1"))
+      .agg(sum(col("c_b")).as("c_l"), count(lit(1)).as("n1_right"))
+    val nctx = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1_left"))
+    val ntypes = cb.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cl, Seq("w1"))
+      .join(nctx, Seq("w2"))
+      .crossJoin(broadcast(ntypes))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          avg(log(
+            greatest(col("c_b") - d, lit(0.0)) / col("c_l") +
+              (d * col("n1_right") / col("c_l")) *
+              (col("n1_left") / col("n_types")))),
+          6).as("mean_kn_ll"))
+  }
+
   /** Per-document character entropy — the Gopher-style "is this natural
     * text or key-mash/boilerplate" quality signal: H = −Σ p·ln p over
     * the doc's character distribution. One char explode + two

@@ -1634,6 +1634,36 @@ object Round6 {
             GROUP BY n""")
   )
 
+  /** Kneser–Ney bigram scoring
+    * ([[graft.operators.TextAnalysis.kneserNeyLogProb]], D=0.75):
+    * absolute discounting + continuation-count back-off — the stronger
+    * smoother next to q155's Jelinek–Mercer. All terms are counts over
+    * the one bigram relation; the oracle replays counts and the ln
+    * chain with identical association order.
+    */
+  val q167KneserNey: QueryDef = QueryDef(
+    "q167_kneser_ney",
+    (s, dir) =>
+      graft.operators.TextAnalysis.kneserNeyLogProb(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            bg0 AS (SELECT doc_id,
+                           unnest([{'a': ts[i], 'b': ts[i + 1]}
+                                   FOR i IN range(1, len(ts))]) AS p
+                    FROM t),
+            bg AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM bg0
+                   WHERE p.a != '' AND p.b != ''),
+            cb AS (SELECT w1, w2, count(*) AS c_b FROM bg GROUP BY 1, 2),
+            cl AS (SELECT w1, sum(c_b) AS c_l, count(*) AS n1_right FROM cb GROUP BY 1),
+            nctx AS (SELECT w2, count(*) AS n1_left FROM cb GROUP BY 1),
+            nt AS (SELECT count(*) AS n_types FROM cb)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(greatest(c_b - 0.75, 0.0) / c_l +
+                                (0.75 * n1_right / c_l) * (n1_left / n_types))), 6)
+                     AS mean_kn_ll
+            FROM bg JOIN cb USING (w1, w2) JOIN cl USING (w1) JOIN nctx USING (w2), nt
+            GROUP BY doc_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1644,5 +1674,5 @@ object Round6 {
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
-    q165DeletionVectors, q166KCore)
+    q165DeletionVectors, q166KCore, q167KneserNey)
 }

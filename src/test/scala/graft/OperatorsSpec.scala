@@ -83,6 +83,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("kneserNeyLogProb: closed-form discount + continuation back-off") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1; c_l(a)=3 N1+(a.)=2; c_l(b)=1 N1+(b.)=1
+    // N1+(.b)=1 N1+(.a)=1 N1+(.c)=1; types=3; D=0.75
+    val pba = (2 - 0.75) / 3.0 + (0.75 * 2 / 3.0) * (1.0 / 3)
+    val pab = (1 - 0.75) / 1.0 + (0.75 * 1 / 1.0) * (1.0 / 3)
+    val pca = (1 - 0.75) / 3.0 + (0.75 * 2 / 3.0) * (1.0 / 3)
+    val d1 = BigDecimal((math.log(pba) * 2 + math.log(pab)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(math.log(pca))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 2e-6)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - d2) < 2e-6)
+  }
+
   test("kCore: K4 survives a 3-core peel, tails drop; cycle is its own 2-core") {
     // K4 on 1..4 plus a tail 4-5-6 (degrees 2 and 1)
     val k4 = for { a <- 1 to 4; b <- a + 1 to 4 } yield (a.toLong, b.toLong)
