@@ -99,4 +99,52 @@ object Drift {
         sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** SEASONAL anomaly detection on an event stream: hourly counts per
+    * (type, day, hour) scored against the same-hour-of-day baseline
+    * across days — the "is 3am Tuesday unusually hot for 3am" check a
+    * monitoring pipeline runs, where a global mean would drown the
+    * diurnal cycle. Flags |z| > `zThresh` given ≥ `minDays` of history
+    * and nonzero spread.
+    *
+    * σ comes from EXACT integer sums (n, Σc, Σc²) rather than a
+    * stddev aggregate: the inputs are integers, so μ and σ are single
+    * fixed-association double expressions — bit-identical across
+    * engines and partitionings, where engine-internal variance
+    * accumulators are not. Two keyed aggregates, baseline broadcast
+    * back; the corpus is touched once.
+    */
+  def seasonalAnomalies(
+      events: DataFrame,
+      zThresh: Double = 2.0,
+      minDays: Int = 3
+  ): DataFrame = {
+    val hourly = events
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = hourly
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(
+        col("event_type"), col("hr"), col("n_days"),
+        (col("s1").cast("double") / col("n_days")).as("mu"),
+        sqrt(
+          (col("s2") - col("s1").cast("double") / col("n_days") * col("s1")) /
+            (col("n_days") - 1)).as("sigma"))
+    val z = (col("cnt") - col("mu")) / col("sigma")
+    hourly
+      .join(broadcast(base), Seq("event_type", "hr"))
+      .filter(col("n_days") >= minDays && col("sigma") > 0 && abs(z) > zThresh)
+      .select(
+        col("event_type"), col("day"), col("hr").cast("int").as("hr"), col("cnt"),
+        round(col("mu"), 6).as("mu"),
+        round(col("sigma"), 6).as("sigma"),
+        round(z, 6).as("z"))
+  }
 }

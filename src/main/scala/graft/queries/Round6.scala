@@ -1664,6 +1664,32 @@ object Round6 {
             GROUP BY doc_id""")
   )
 
+  /** Seasonal anomaly detection
+    * ([[graft.operators.Drift.seasonalAnomalies]]): hourly counts
+    * scored against the same-hour-of-day baseline across days; σ from
+    * exact integer sums so both engines evaluate one identical double
+    * chain (no engine-internal variance accumulator).
+    */
+  val q168SeasonalAnomaly: QueryDef = QueryDef(
+    "q168_seasonal_anomaly",
+    (s, dir) => graft.operators.Drift.seasonalAnomalies(Tables.events(s, dir)),
+    Some("""WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1, 2, 3),
+            b AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                  FROM h GROUP BY 1, 2),
+            b2 AS (SELECT event_type, hr, n_days,
+                   CAST(s1 AS DOUBLE) / n_days AS mu,
+                   sqrt((s2 - CAST(s1 AS DOUBLE) / n_days * s1) / (n_days - 1)) AS sigma
+                  FROM b)
+            SELECT h.event_type, h.day, h.hr, h.cnt,
+                   round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+                   round((h.cnt - mu) / sigma, 6) AS z
+            FROM h JOIN b2 USING (event_type, hr)
+            WHERE n_days >= 3 AND sigma > 0 AND abs((h.cnt - mu) / sigma) > 2""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1674,5 +1700,5 @@ object Round6 {
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
-    q165DeletionVectors, q166KCore, q167KneserNey)
+    q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly)
 }

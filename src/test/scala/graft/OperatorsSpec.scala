@@ -83,6 +83,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("seasonalAnomalies: planted spike flagged, flat and short-history hours not") {
+    def ev(day: Int, hr: Int, minute: Int) =
+      (f"2024-01-$day%02d $hr%02d:$minute%02d:00", "t")
+    // hour 3: ten days of one event, day 11 spikes to ten events
+    val spike = (1 to 11).map(d => ev(d, 3, 0)) ++ (1 to 9).map(m => ev(11, 3, m))
+    // hour 5: constant across four days -> sigma = 0, never flagged
+    val flat = (1 to 4).map(d => ev(d, 5, 0))
+    // hour 7: wild but only two days of history -> below minDays
+    val short = Seq(ev(1, 7, 0)) ++ (0 to 8).map(m => ev(2, 7, m))
+    val events = (spike ++ flat ++ short).toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    val got = Drift.seasonalAnomalies(events).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Int]("hr") == 3 && r.getAs[Long]("cnt") == 10L)
+    // counts [1x10, 10]: mu = 20/11, sigma = sqrt((110 - 20/11*20)/10)
+    val mu = 20.0 / 11
+    val sigma = math.sqrt((110 - 20.0 / 11 * 20) / 10)
+    assert(math.abs(r.getAs[Double]("z") - (10 - mu) / sigma) < 1e-5)
+  }
+
   test("kneserNeyLogProb: closed-form discount + continuation back-off") {
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.kneserNeyLogProb(docs)
