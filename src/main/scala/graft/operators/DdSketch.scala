@@ -40,6 +40,54 @@ object DdSketch {
     * Output: (group, n, p50_est, p95_est, p99_est, p50_exact,
     * p95_exact, p99_exact).
     */
+  /** The log-γ bin index for a (positive) value. */
+  def binCol(value: Column, gammaNum: Double = 1.02, gammaDen: Double = 0.98): Column =
+    ceil(log(value) / log(lit(gammaNum) / lit(gammaDen))).cast("long")
+
+  /** The read-time half of the sketch: p50/p95/p99 estimates from a bin
+    * relation (group, i, cnt) maintained elsewhere (shard merges — bin
+    * counts ADD — or streaming state). Output: (group, n, p50_est,
+    * p95_est, p99_est).
+    */
+  def estimateFromBins(
+      bins: DataFrame,
+      groupCol: String,
+      gammaNum: Double = 1.02,
+      gammaDen: Double = 0.98
+  ): DataFrame = {
+    val gamma: Column = lit(gammaNum) / lit(gammaDen)
+    def estOf(iCol: Column): Column =
+      round(lit(2) * pow(gamma, iCol) / (gamma + 1), 6)
+    selectRanks(bins, groupCol)
+      .select(
+        col(groupCol),
+        col("n"),
+        estOf(col("i50")).as("p50_est"),
+        estOf(col("i95")).as("p95_est"),
+        estOf(col("i99")).as("p99_est"))
+  }
+
+  /** Rank selection over a bin relation: cumulative counts, then the
+    * first bin whose cumsum reaches rank ⌊q(n−1)⌋+1 per target q.
+    */
+  private def selectRanks(bins: DataFrame, groupCol: String): DataFrame = {
+    val byI = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(groupCol))
+    def rankOf(q: Double): Column = floor(lit(q) * (col("n") - 1)) + 1
+    bins
+      .withColumn("cum", sum(col("cnt")).over(byI))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .groupBy(col(groupCol))
+      .agg(
+        min(col("n")).as("n"),
+        min(when(col("cum") >= rankOf(0.5), col("i"))).as("i50"),
+        min(when(col("cum") >= rankOf(0.95), col("i"))).as("i95"),
+        min(when(col("cum") >= rankOf(0.99), col("i"))).as("i99"))
+  }
+
   def quantiles(
       df: DataFrame,
       groupCol: String,
@@ -50,28 +98,12 @@ object DdSketch {
     val gamma: Column = lit(gammaNum) / lit(gammaDen)
     val v = df.filter(col(valueCol) > 0)
     val bins = v
-      .select(
-        col(groupCol),
-        ceil(log(col(valueCol)) / log(gamma)).cast("long").as("i"))
+      .select(col(groupCol), binCol(col(valueCol), gammaNum, gammaDen).as("i"))
       .groupBy(col(groupCol), col("i"))
       .agg(count(lit(1)).as("cnt"))
-    val byI = Window
-      .partitionBy(col(groupCol))
-      .orderBy(col("i"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(col(groupCol))
-    def rankOf(q: Double): Column = floor(lit(q) * (col("n") - 1)) + 1
     def estOf(iCol: Column): Column =
       round(lit(2) * pow(gamma, iCol) / (gamma + 1), 6)
-    val sel = bins
-      .withColumn("cum", sum(col("cnt")).over(byI))
-      .withColumn("n", sum(col("cnt")).over(whole))
-      .groupBy(col(groupCol))
-      .agg(
-        min(col("n")).as("n"),
-        min(when(col("cum") >= rankOf(0.5), col("i"))).as("i50"),
-        min(when(col("cum") >= rankOf(0.95), col("i"))).as("i95"),
-        min(when(col("cum") >= rankOf(0.99), col("i"))).as("i99"))
+    val sel = selectRanks(bins, groupCol)
     val exact = v
       .groupBy(col(groupCol))
       .agg(

@@ -1690,6 +1690,37 @@ object Round6 {
             WHERE n_days >= 3 AND sigma > 0 AND abs((h.cnt - mu) / sigma) > 2""")
   )
 
+  /** Streaming DDSketch
+    * ([[graft.streaming.StreamingOps.runStreamingDdSketch]]): log-γ bin
+    * counts as ONE stateful streaming aggregation (bin counts are sums
+    * — end state ≡ batch; state bounded by the bin span, not the
+    * stream), quantiles extracted at read time. Oracle = q154's batch
+    * bin replay minus the exact-percentile riders.
+    */
+  val q169StreamDdSketch: QueryDef = QueryDef(
+    "q169_stream_ddsketch",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingDdSketch(s, dir),
+    Some("""WITH v AS (SELECT event_type, value FROM events WHERE value > 0),
+            b AS (SELECT event_type,
+                         CAST(ceil(ln(value) / ln(1.02 / 0.98)) AS BIGINT) AS i
+                  FROM v),
+            c AS (SELECT event_type, i, count(*) AS cnt FROM b GROUP BY 1, 2),
+            cum AS (SELECT event_type, i,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY i) AS cum,
+                      sum(cnt) OVER (PARTITION BY event_type) AS n
+                    FROM c),
+            sel AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+                      min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN i END) AS i50,
+                      min(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN i END) AS i95,
+                      min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN i END) AS i99
+                    FROM cum GROUP BY event_type)
+            SELECT event_type, n,
+              round(2 * power(1.02 / 0.98, i50) / (1.02 / 0.98 + 1), 6) AS p50_est,
+              round(2 * power(1.02 / 0.98, i95) / (1.02 / 0.98 + 1), 6) AS p95_est,
+              round(2 * power(1.02 / 0.98, i99) / (1.02 / 0.98 + 1), 6) AS p99_est
+            FROM sel""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1700,5 +1731,6 @@ object Round6 {
     q152NodeJaccard, q153RrfFusion, q154DdSketch, q155BigramLm, q156CharEntropy,
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
-    q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly)
+    q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
+    q169StreamDdSketch)
 }

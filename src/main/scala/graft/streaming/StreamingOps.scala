@@ -158,6 +158,27 @@ object StreamingOps {
       drainComplete(spark, "stream_cms", counters), probes, "user_id", d, w)
   }
 
+  /** STREAMING DDSketch: per-type log-γ bin counts maintained as ONE
+    * stateful streaming aggregation — bin counts are sums, so the end
+    * state ≡ the batch sketch and the state is bounded by the value
+    * range's bin span (a few hundred rows per group at any corpus
+    * size), not by the stream. Quantiles are extracted at read time
+    * ([[graft.operators.DdSketch.estimateFromBins]]) — live relative-
+    * error percentiles from sketch state, the third of the bounded-
+    * state sketch trilogy next to [[runStreamingHll]] (max-register)
+    * and [[runStreamingCms]] (sum-counter).
+    */
+  def runStreamingDdSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DdSketch
+    val bins = eventsStream(spark, sfDir)
+      .filter(col("value") > 0)
+      .select(col("event_type"), DdSketch.binCol(col("value")).as("i"))
+      .groupBy(col("event_type"), col("i"))
+      .agg(count(lit(1)).as("cnt"))
+    DdSketch.estimateFromBins(
+      drainComplete(spark, "stream_ddsketch", bins), "event_type")
+  }
+
   /** Drain a complete-mode streaming aggregation over a bounded source
     * into a memory sink and hand back the final table.
     */
