@@ -61,4 +61,50 @@ object Cooccur {
       .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
       .limit(topK)
   }
+
+  /** Association-rule mining over (basket, item) transactions — the
+    * market-basket support/confidence/lift triple for item pairs with
+    * support ≥ `minSupport` (Apriori's pair stage, which at pair arity
+    * needs no candidate generation: a basket-keyed self-join whose
+    * fan-out is basket-size², bounded by the largest basket, not the
+    * corpus — the standard co-occurrence shape, same as [[pmiPairs]]).
+    * Counts are exact integers; confidence and lift are single
+    * divisions, association-ordered with the oracle.
+    *
+    * Output: (item_a, item_b, supp, conf_ab, conf_ba, lift) where
+    * conf_ab = P(b|a), lift = P(ab)/(P(a)P(b)).
+    */
+  def associationRules(
+      tx: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Int = 3
+  ): DataFrame = {
+    // distinct membership feeds the pair join (twice), item supports and
+    // the basket total — checkpoint so consumers share one scan
+    val items = tx
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+      .localCheckpoint()
+    val pairs = items
+      .select(col("bk"), col("it").as("item_a"))
+      .join(items.select(col("bk"), col("it").as("item_b")), Seq("bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+    val supports = items.groupBy(col("it")).agg(count(lit(1)).as("s"))
+    val nb = items.agg(countDistinct(col("bk")).as("n_baskets"))
+    pairs
+      .join(supports.select(col("it").as("item_a"), col("s").as("supp_a")), Seq("item_a"))
+      .join(supports.select(col("it").as("item_b"), col("s").as("supp_b")), Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(
+        col("item_a"), col("item_b"), col("supp"),
+        round(col("supp").cast("double") / col("supp_a"), 6).as("conf_ab"),
+        round(col("supp").cast("double") / col("supp_b"), 6).as("conf_ba"),
+        round(
+          col("supp").cast("double") * col("n_baskets") / (col("supp_a") * col("supp_b")),
+          6).as("lift"))
+  }
 }

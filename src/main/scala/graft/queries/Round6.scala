@@ -1721,6 +1721,32 @@ object Round6 {
             FROM sel""")
   )
 
+  /** Association rules ([[graft.operators.Cooccur.associationRules]],
+    * minSupport=3): market-basket support/confidence/lift over order
+    * baskets of parts — exact integer counts, single-division metrics.
+    */
+  val q170AssocRules: QueryDef = QueryDef(
+    "q170_assoc_rules",
+    (s, dir) =>
+      graft.operators.Cooccur.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey"),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+            pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+                             CAST(count(*) AS BIGINT) AS supp
+                      FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+                      GROUP BY 1, 2 HAVING count(*) >= 3),
+            sup AS (SELECT it, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+            nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM items)
+            SELECT item_a, item_b, supp,
+                   round(CAST(supp AS DOUBLE) / sa.s, 6) AS conf_ab,
+                   round(CAST(supp AS DOUBLE) / sb.s, 6) AS conf_ba,
+                   round(CAST(supp AS DOUBLE) * n_baskets / (sa.s * sb.s), 6) AS lift
+            FROM pairs
+            JOIN sup sa ON sa.it = item_a
+            JOIN sup sb ON sb.it = item_b
+            CROSS JOIN nb""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1732,5 +1758,5 @@ object Round6 {
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
-    q169StreamDdSketch)
+    q169StreamDdSketch, q170AssocRules)
 }

@@ -83,6 +83,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("associationRules: support prune, duplicate items collapse, closed-form lift") {
+    val tx = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"), // duplicate x collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "z"),
+      (4L, "z")
+    ).toDF("bk", "it")
+    val got = Cooccur.associationRules(tx, "bk", "it", minSupport = 2).collect()
+    assert(got.length == 1) // (x,z) and (y,z) have support 1 -> pruned
+    val r = got.head
+    assert(r.getAs[String]("item_a") == "x" && r.getAs[String]("item_b") == "y")
+    assert(r.getAs[Long]("supp") == 3L)
+    assert(r.getAs[Double]("conf_ab") == 1.0 && r.getAs[Double]("conf_ba") == 1.0)
+    // lift = supp * n_baskets / (supp_a * supp_b) = 3*4/9
+    assert(math.abs(r.getAs[Double]("lift") - 1.333333) < 1e-6)
+  }
+
   test("seasonalAnomalies: planted spike flagged, flat and short-history hours not") {
     def ev(day: Int, hr: Int, minute: Int) =
       (f"2024-01-$day%02d $hr%02d:$minute%02d:00", "t")
