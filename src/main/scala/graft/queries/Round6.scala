@@ -1747,6 +1747,28 @@ object Round6 {
             CROSS JOIN nb""")
   )
 
+  /** Skyline / Pareto front ([[graft.operators.Skyline.pareto2d]]):
+    * parts minimizing retail price while maximizing size, by the
+    * sort-based level formulation (keyed agg + level-relation running
+    * max — no quadratic dominance join). The oracle replays the same
+    * levels; OperatorsSpec pins equivalence to the brute-force
+    * dominance definition.
+    */
+  val q171Skyline: QueryDef = QueryDef(
+    "q171_skyline",
+    (s, dir) =>
+      graft.operators.Skyline.pareto2d(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size"),
+    Some("""WITH lvl AS (SELECT p_retailprice AS c, max(p_size) AS m FROM part GROUP BY 1),
+            r AS (SELECT c, m, max(m) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                  FROM lvl),
+            keep AS (SELECT c, m FROM r WHERE pm IS NULL OR m > pm)
+            SELECT p_partkey, p_retailprice, p_size
+            FROM part JOIN keep ON p_retailprice = c AND p_size = m""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1758,5 +1780,5 @@ object Round6 {
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
-    q169StreamDdSketch, q170AssocRules)
+    q169StreamDdSketch, q170AssocRules, q171Skyline)
 }

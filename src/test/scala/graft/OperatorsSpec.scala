@@ -83,6 +83,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("pareto2d: closed-form front, duplicates survive, equals brute-force dominance") {
+    val pts = Seq((1L, 1.0, 1), (2L, 1.0, 2), (3L, 2.0, 3), (4L, 3.0, 3),
+      (5L, 2.0, 2), (6L, 1.0, 2)).toDF("id", "cost", "ben")
+    val got = Skyline.pareto2d(pts, "cost", "ben")
+      .select("id").as[Long].collect().toSet
+    // (1,2) twice (ids 2 and 6: both stay -- ties dominate nothing), (2,3)
+    assert(got == Set(2L, 3L, 6L))
+    // pseudo-random cloud: must equal the quadratic dominance definition
+    val cloud = (1 to 200).map { i =>
+      val h = (i * 2654435761L) & 0xffffL
+      (i.toLong, (h % 50).toDouble, ((h / 64) % 37).toInt)
+    }.toDF("id", "cost", "ben")
+    val fast = Skyline.pareto2d(cloud, "cost", "ben")
+      .select("id").as[Long].collect().toSet
+    val a = cloud.select(col("id"), col("cost"), col("ben"))
+    val b = cloud.select(col("id").as("id2"), col("cost").as("cost2"), col("ben").as("ben2"))
+    val dominated = a.join(b,
+      col("cost2") <= col("cost") && col("ben2") >= col("ben") &&
+        (col("cost2") < col("cost") || col("ben2") > col("ben")))
+      .select("id").as[Long].collect().toSet
+    val brute = cloud.select("id").as[Long].collect().toSet -- dominated
+    assert(fast == brute)
+  }
+
   test("associationRules: support prune, duplicate items collapse, closed-form lift") {
     val tx = Seq(
       (1L, "x"), (1L, "x"), (1L, "y"), // duplicate x collapses
