@@ -155,6 +155,50 @@ object Graph {
     *
     * Output: top-k (node_a, node_b, common, jaccard) by jaccard desc.
     */
+  /** HITS hubs & authorities (Kleinberg '99) over a directed edge list —
+    * the mutually-recursive counterpart to [[pageRank]]: an authority is
+    * good because good hubs point at it, a hub is good because it points
+    * at good authorities. Each iteration is two join+agg passes
+    * (a ← Σ h over in-edges, h ← Σ a over out-edges); scores are
+    * MAX-normalized — max is order-insensitive and exact where a
+    * sum-normalizer would re-introduce reduction-order noise — and
+    * grid-quantized per aggregate like pageRank (same residual-risk
+    * posture). Fixed iteration count for oracle parity.
+    *
+    * Output: top-`topK` (role='auth'|'hub', id, score) per role.
+    */
+  def hits(edges: DataFrame, iters: Int = 2, topK: Int = 20): DataFrame = {
+    require(iters >= 1 && topK >= 1, "need iters >= 1, topK >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var hub = e.select(col("src").as("id")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = e
+        .join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(quant(sum(col("h"))).as("a0"))
+      val am = a0.agg(max(col("a0")).as("am"))
+      auth = a0.crossJoin(broadcast(am))
+        .select(col("dst").as("id"), quant(col("a0") / col("am")).as("a"))
+        .localCheckpoint()
+      val h0 = e
+        .join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(quant(sum(col("a"))).as("h0"))
+      val hm = h0.agg(max(col("h0")).as("hm"))
+      hub = h0.crossJoin(broadcast(hm))
+        .select(col("src").as("id"), quant(col("h0") / col("hm")).as("h"))
+        .localCheckpoint()
+    }
+    val topA = auth
+      .orderBy(col("a").desc, col("id").asc).limit(topK)
+      .select(lit("auth").as("role"), col("id"), round(col("a"), 6).as("score"))
+    val topH = hub
+      .orderBy(col("h").desc, col("id").asc).limit(topK)
+      .select(lit("hub").as("role"), col("id"), round(col("h"), 6).as("score"))
+    topA.unionAll(topH)
+  }
+
   /** k-CORE decomposition by synchronous peeling: each round drops
     * every node of degree < k and the edges touching it, `rounds`
     * times. A graph whose k-core peeling converges within `rounds`

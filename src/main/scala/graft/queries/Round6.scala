@@ -1769,6 +1769,53 @@ object Round6 {
             FROM part JOIN keep ON p_retailprice = c AND p_size = m""")
   )
 
+  /** One HITS half-step in oracle SQL: quantized aggregate, max
+    * normalizer, quantized ratio. MATERIALIZED for the same
+    * re-evaluation reason as [[kcorePeelSql]].
+    */
+  private def hitsQ(x: String): String =
+    s"floor(($x) * 1099511627776.0) / 1099511627776.0"
+
+  private def hitsStepSql(i: Int): String = {
+    val prevH = if (i == 1) "h0" else s"h${i - 1}"
+    s"""a${i}r AS MATERIALIZED (SELECT e.dst, ${hitsQ(s"sum($prevH.h)")} AS a0
+          FROM e JOIN $prevH ON $prevH.src = e.src GROUP BY e.dst),
+        a$i AS MATERIALIZED (SELECT dst, ${hitsQ("a0 / am")} AS a
+          FROM a${i}r, (SELECT max(a0) AS am FROM a${i}r)),
+        h${i}r AS MATERIALIZED (SELECT e.src, ${hitsQ(s"sum(a$i.a)")} AS hv
+          FROM e JOIN a$i ON a$i.dst = e.dst GROUP BY e.src),
+        h$i AS MATERIALIZED (SELECT src, ${hitsQ("hv / hm")} AS h
+          FROM h${i}r, (SELECT max(hv) AS hm FROM h${i}r))"""
+  }
+
+  /** HITS hubs & authorities ([[graft.operators.Graph.hits]], 2
+    * iterations) over the customer→part purchase bipartite graph:
+    * authorities = parts bought by broad buyers, hubs = customers
+    * buying popular parts. Max-normalized (exact normalizer),
+    * grid-quantized aggregates; the oracle unrolls both iterations.
+    */
+  val q172Hits: QueryDef = QueryDef(
+    "q172_hits",
+    (s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.hits(edges)
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            h0 AS (SELECT src, 1.0 AS h FROM (SELECT DISTINCT src FROM e)),
+            ${(1 to 2).map(hitsStepSql).mkString(",\n")}
+            SELECT * FROM (
+              SELECT 'auth' AS role, dst AS id, round(a, 6) AS score
+              FROM a2 ORDER BY a DESC, dst ASC LIMIT 20)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'hub' AS role, src AS id, round(h, 6) AS score
+              FROM h2 ORDER BY h DESC, src ASC LIMIT 20)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1780,5 +1827,5 @@ object Round6 {
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
-    q169StreamDdSketch, q170AssocRules, q171Skyline)
+    q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits)
 }

@@ -83,6 +83,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("hits: closed-form hub/authority scores on a tiny bipartite graph") {
+    // u1 -> {p1, p2}, u2 -> {p1}
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2, topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // iter1: a=(2,1)->norm (1,0.5); h=(1.5,1)->norm (1,2/3)
+    // iter2: a=(5/3,1)->norm (1,0.6); h=(1.6,1)->norm (1,0.625)
+    assert(got(("auth", 101L)) == 1.0 && math.abs(got(("auth", 102L)) - 0.6) < 1e-6)
+    assert(got(("hub", 1L)) == 1.0 && math.abs(got(("hub", 2L)) - 0.625) < 1e-6)
+  }
+
   test("pareto2d: closed-form front, duplicates survive, equals brute-force dominance") {
     val pts = Seq((1L, 1.0, 1), (2L, 1.0, 2), (3L, 2.0, 3), (4L, 3.0, 3),
       (5L, 2.0, 2), (6L, 1.0, 2)).toDF("id", "cost", "ben")
