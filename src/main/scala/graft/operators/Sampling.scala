@@ -279,6 +279,45 @@ object Sampling {
         round(col("chars_kept") / col("chars_total"), 6).as("kept_frac"))
   }
 
+  /** LARGEST-REMAINDER (Hamilton) apportionment of an exact row budget
+    * across strata: quotas `budget·n_s/total`, floors, then the
+    * remaining seats to the largest fractional parts (stratum-name
+    * tie-break). Where [[temperatureSample]] computes sampling RATES,
+    * this computes integer COUNTS that sum to exactly `budget` — the
+    * "allocate 10B tokens across domains" planning step of a mixture
+    * build, whose output feeds a per-stratum exact sampler like
+    * [[exactSample]]. One corpus-scan count; everything after is
+    * strata-sized.
+    *
+    * Output: (groupCol, n_s, alloc) with Σ alloc = min(budget, total
+    * when every stratum caps out — quotas never exceed n_s only if
+    * budget ≤ total, the intended regime).
+    */
+  def largestRemainderAlloc(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be nonnegative")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("total"))
+    val q = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", lit(budget) * col("n_s") / col("total"))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - col("base"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).as("deficit"))
+    q.crossJoin(broadcast(deficit))
+      .withColumn(
+        "rn",
+        row_number().over(Window.orderBy(col("frac").desc, col(groupCol).asc)))
+      .select(
+        col(groupCol),
+        col("n_s"),
+        (col("base") + when(col("rn") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, shards: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")

@@ -1816,6 +1816,77 @@ object Round6 {
               FROM h2 ORDER BY h DESC, src ASC LIMIT 20)""")
   )
 
+  /** CDC changelog compaction
+    * ([[graft.operators.Changelog.compactLog]]): lineitem rows recast
+    * as a per-order change log ('R' lines = delete tombstones); the
+    * snapshot keeps each order's head change unless it is a tombstone.
+    * The synthetic `l_linenumber` repeats within an order, so the
+    * unique per-key sequence the CDC contract requires is derived as a
+    * `row_number` over the total order (linenumber, partkey, suppkey,
+    * qty, price) — full rows are distinct, so the ordering (and hence
+    * the snapshot) is deterministic. Rank-1 selection plans as
+    * WindowGroupLimit.
+    */
+  val q173CdcCompact: QueryDef = QueryDef(
+    "q173_cdc_compact",
+    (s, dir) => {
+      val wSeq = Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val changes = Tables.lineitem(s, dir)
+        .withColumn("seq", row_number().over(wSeq))
+        .select(
+          col("l_orderkey"),
+          col("seq"),
+          when(col("l_returnflag") === "R", "D")
+            .when(col("seq") === 1, "I")
+            .otherwise("U").as("op"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
+      graft.operators.Changelog.compactLog(changes, Seq("l_orderkey"), "seq", "op")
+    },
+    Some("""WITH ch AS (SELECT l_orderkey,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_quantity, l_extendedprice) AS INT) AS seq,
+                   l_returnflag, l_quantity AS qty, l_extendedprice AS price
+                 FROM lineitem),
+            ch2 AS (SELECT l_orderkey, seq,
+                   CASE WHEN l_returnflag = 'R' THEN 'D'
+                        WHEN seq = 1 THEN 'I' ELSE 'U' END AS op,
+                   qty, price FROM ch),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY l_orderkey ORDER BY seq DESC) AS rn FROM ch2)
+            SELECT l_orderkey, seq, op, qty, price
+            FROM r WHERE rn = 1 AND op != 'D'""")
+  )
+
+  /** Largest-remainder budget apportionment
+    * ([[graft.operators.Sampling.largestRemainderAlloc]], budget=123):
+    * exact integer allocation across sources — quotas, floors,
+    * remainders by largest fraction with name tie-break; Σ alloc =
+    * budget exactly.
+    */
+  val q174BudgetAlloc: QueryDef = QueryDef(
+    "q174_budget_alloc",
+    (s, dir) =>
+      graft.operators.Sampling.largestRemainderAlloc(
+        Tables.documents(s, dir), "source", 123L),
+    Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_s) AS BIGINT) AS total FROM c),
+            q AS (SELECT source, n_s, 123 * n_s / total AS quota,
+                         CAST(floor(123 * n_s / total) AS BIGINT) AS base
+                  FROM c, t),
+            d AS (SELECT 123 - CAST(sum(base) AS BIGINT) AS deficit FROM q),
+            r AS (SELECT *, row_number() OVER (
+                    ORDER BY quota - base DESC, source ASC) AS rn FROM q, d)
+            SELECT source, n_s,
+                   base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS alloc
+            FROM r""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1827,5 +1898,6 @@ object Round6 {
     q157SemanticDecontam, q158TrigramSearch, q159EquiDepth, q160Attribution,
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
-    q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits)
+    q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
+    q173CdcCompact, q174BudgetAlloc)
 }

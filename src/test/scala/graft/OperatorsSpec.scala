@@ -83,6 +83,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.getAs[Int]("v_zero") == facade.getAs[Int]("v_zero"))
   }
 
+  test("compactLog: head change wins, tombstone erases, reinsert resurrects") {
+    val log = Seq(
+      (1L, 1, "I", "a"), (1L, 2, "U", "b"),             // live: b
+      (2L, 1, "I", "x"), (2L, 2, "D", ""),              // erased
+      (3L, 1, "I", "p"), (3L, 2, "D", ""), (3L, 3, "I", "q") // resurrected: q
+    ).toDF("k", "seq", "op", "v")
+    val got = Changelog.compactLog(log, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    assert(got == Map(1L -> (2, "b"), 3L -> (3, "q")))
+  }
+
+  test("largestRemainderAlloc: exact budget, floors + largest fractions") {
+    // counts 7, 2, 1 of total 10; budget 7 -> quotas 4.9, 1.4, 0.7
+    val df = (Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq.fill(1)("c")).toDF("g")
+    val got = Sampling.largestRemainderAlloc(df, "g", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // bases 4,1,0 (sum 5), two remainders to the largest fracs: a (.9), c (.7)
+    assert(got == Map("a" -> 5L, "b" -> 1L, "c" -> 1L))
+    assert(got.values.sum == 7L)
+    // uniform counts: fractions tie, name tie-break decides deterministically
+    val u = (Seq.fill(3)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("z")).toDF("g")
+    val gu = Sampling.largestRemainderAlloc(u, "g", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gu == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+  }
+
   test("hits: closed-form hub/authority scores on a tiny bipartite graph") {
     // u1 -> {p1, p2}, u2 -> {p1}
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
