@@ -1887,6 +1887,84 @@ object Round6 {
             FROM r""")
   )
 
+  /** PIVOT (long → wide) — the transpose twin of q51's unpivot:
+    * per-ship-year quantity totals spread across explicit return-flag
+    * columns. The value list is explicit (A/N/R), so the output schema
+    * is static — the form that survives at scale; an inferred-values
+    * pivot needs a distinct-scan first. Quantities cast to BIGINT
+    * before summing (exact, order-independent).
+    */
+  val q175Pivot: QueryDef = QueryDef(
+    "q175_pivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .groupBy(col("ship_year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("qty")))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r")),
+    Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+              CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_a,
+              CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_n,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
+            FROM lineitem GROUP BY 1""")
+  )
+
+  /** Window DISTRIBUTION functions — ntile / percent_rank / cume_dist
+    * complete the ranking-family surface (q9 covers rank/dense_rank/
+    * row_number). Ordering is made total with the key tie-break so
+    * every rank — and therefore every exact rational the three
+    * functions emit — is deterministic.
+    */
+  val q176WindowDist: QueryDef = QueryDef(
+    "q176_window_dist",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+            FROM orders WHERE o_orderkey % 10 = 0
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)""")
+  )
+
+  /** EWMA smoothing ([[graft.operators.Timeseries.ewma]], α=0.25,
+    * L=16): per-event-type exponentially weighted value series — the
+    * bounded-kernel form whose per-row work is a fixed fold over the
+    * window slice. The oracle replays the identical ascending-time
+    * weighted fold as a DuckDB list comprehension.
+    */
+  val q177Ewma: QueryDef = QueryDef(
+    "q177_ewma",
+    (s, dir) =>
+      graft.operators.Timeseries.ewma(
+        Tables.events(s, dir).select(
+          col("event_id"), col("event_type"), col("ts"), col("value")),
+        Seq("event_type"), Seq("ts", "event_id"), "value",
+        alpha = 0.25, window = 16)
+        .select(col("event_id"), col("event_type"), col("ewma")),
+    Some("""WITH w AS (SELECT event_id, event_type,
+                 list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+               FROM events)
+            SELECT event_id, event_type,
+              round(list_sum([arr[j+1] * pow(0.75, len(arr)-1-j) FOR j IN range(len(arr))])
+                    / list_sum([pow(0.75, len(arr)-1-j) FOR j IN range(len(arr))]), 6) AS ewma
+            FROM w""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1899,5 +1977,5 @@ object Round6 {
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
     q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
-    q173CdcCompact, q174BudgetAlloc)
+    q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma)
 }

@@ -109,6 +109,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gu == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
   }
 
+  test("ewma: closed-form truncated normalized weights, window cut, key isolation") {
+    val ts = Seq(
+      ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+      ("b", 1, 10.0)
+    ).toDF("k", "t", "v")
+    val got = Timeseries.ewma(ts, Seq("k"), Seq("t"), "v", alpha = 0.5, window = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // a@1: [1] -> 1; a@2: (0.5*1+2)/1.5; a@3 window drops v=1: (0.5*2+3)/1.5
+    assert(got(("a", 1)) == 1.0)
+    assert(got(("a", 2)) == 1.666667)
+    assert(got(("a", 3)) == 2.666667)
+    assert(got(("b", 1)) == 10.0) // other keys never leak into the slice
+  }
+
   test("hits: closed-form hub/authority scores on a tiny bipartite graph") {
     // u1 -> {p1, p2}, u2 -> {p1}
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
