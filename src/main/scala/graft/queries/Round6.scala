@@ -1965,6 +1965,61 @@ object Round6 {
             FROM w""")
   )
 
+  /** One PCA power-iteration step in oracle SQL: exact 64-term
+    * dot-products (2^-40 dyadic summands — order-free), max
+    * normalizer, re-snapped ratio. MATERIALIZED like [[hitsStepSql]].
+    */
+  private def pcaQ(x: String): String =
+    s"floor(($x) * 1048576.0) / 1048576.0"
+
+  private def pcaStepSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""u$i AS MATERIALIZED (SELECT c.i, sum(c.c * $prev.v) AS u
+          FROM c JOIN $prev ON $prev.i = c.j GROUP BY 1),
+        v$i AS MATERIALIZED (SELECT i,
+          ${pcaQ(s"u / (SELECT max(abs(u)) FROM u$i)")} AS v FROM u$i)"""
+  }
+
+  /** PCA top principal component ([[graft.operators.Pca.topComponent]],
+    * 4 power iterations): component loadings plus the strongest centered
+    * projections. The oracle replays mean/second-moment snapping, the
+    * covariance grid, and every iteration — iteration sums are EXACT
+    * dyadic folds, so only the two corpus-scale reductions carry the
+    * documented snap-boundary ulp posture.
+    */
+  val q178Pca: QueryDef = QueryDef(
+    "q178_pca",
+    (s, dir) => graft.operators.Pca.topComponent(Tables.embeddings(s, dir)),
+    Some(s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            e AS MATERIALIZED (
+              SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+              FROM embeddings, range(0, 64) i(i)),
+            mu AS MATERIALIZED (
+              SELECT i, ${pcaQ("avg(x)")} AS mu FROM e GROUP BY 1),
+            s AS MATERIALIZED (
+              SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+              FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+            c AS MATERIALIZED (
+              SELECT s.i, s.j,
+                ${pcaQ(s"${pcaQ("s.s / (SELECT n FROM nn)")} - mi.mu * mj.mu")} AS c
+              FROM s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j),
+            v0 AS (SELECT i.i AS i, 1.0 AS v FROM range(0, 64) i(i)),
+            ${(1 to 4).map(pcaStepSql).mkString(",\n")},
+            sgn AS (SELECT CASE WHEN (
+                SELECT v FROM v4 ORDER BY abs(v) DESC, i ASC LIMIT 1
+              ) < 0 THEN -1.0 ELSE 1.0 END AS sg),
+            vf AS (SELECT i, v * (SELECT sg FROM sgn) AS v FROM v4),
+            proj AS (
+              SELECT 'proj' AS role, e.vec_id AS id,
+                     round(sum((e.x - mu.mu) * vf.v), 6) AS score
+              FROM e JOIN mu ON mu.i = e.i JOIN vf ON vf.i = e.i
+              GROUP BY e.vec_id
+              ORDER BY score DESC, e.vec_id ASC LIMIT 10)
+            SELECT 'load' AS role, CAST(i AS BIGINT) AS id, round(v, 6) AS score FROM vf
+            UNION ALL
+            SELECT * FROM proj""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -1977,5 +2032,6 @@ object Round6 {
     q161StreamHll, q162SourceCap, q163StreamCms, q164KmvIntersect,
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
     q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
-    q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma)
+    q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
+    q178Pca)
 }

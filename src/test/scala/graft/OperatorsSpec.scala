@@ -123,6 +123,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("b", 1)) == 10.0) // other keys never leak into the slice
   }
 
+  test("pca: exact closed-form component and projections on a collinear cloud") {
+    // points on the (2,1) line: covariance is rank-1, power iteration is
+    // exact on the 2^-20 grid, so every value below is closed-form.
+    val pts = Seq(
+      (0L, Array(2.0f, 1.0f)), (1L, Array(4.0f, 2.0f)),
+      (2L, Array(6.0f, 3.0f)), (3L, Array(-2.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Pca.topComponent(pts, iters = 4, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("load", 0L)) == 1.0)   // max-norm: dominant dim pinned to 1
+    assert(got(("load", 1L)) == 0.5)   // direction (2,1) -> (1, 0.5)
+    assert(got(("proj", 2L)) == 4.375) // centered (3.5,1.75)·(1,0.5)
+    assert(got(("proj", 1L)) == 1.875)
+    assert(!got.contains(("proj", 0L))) // topK=2 cut
+  }
+
   test("hits: closed-form hub/authority scores on a tiny bipartite graph") {
     // u1 -> {p1, p2}, u2 -> {p1}
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
