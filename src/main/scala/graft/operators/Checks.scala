@@ -69,6 +69,40 @@ object Checks {
       .select(col("r.column"), col("r.n_nulls"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
   }
 
+  /** BENFORD first-digit audit of a positive money/measure column — the
+    * classic synthetic-data / fraud smell test. Digits are extracted by
+    * integer-cents string arithmetic (`round(x·100) → BIGINT → first
+    * char`), never float log10, so the digit of every value is exact on
+    * both engines; expected mass log10(1+1/d) is derived in-engine from
+    * exact literals (one ln ratio — the γ-constant idiom). χ² accrues
+    * per digit: one scan, 9-row output.
+    *
+    * Output: (digit, obs, expected_p, chi2_term) — Σ chi2_term is the
+    * statistic; emitting the addends keeps every column scalar and lets
+    * the caller pick any significance threshold.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      round(col(valueCol) * 100, 0).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val obs = df
+      .filter(col(valueCol) > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = obs.agg(sum(col("obs")).as("n"))
+    obs
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_p",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .select(
+        col("digit"), col("obs"),
+        round(col("expected_p"), 6).as("expected_p"),
+        round(
+          pow(col("obs").cast("double") / col("n") - col("expected_p"), 2)
+            / col("expected_p") * col("n"),
+          6).as("chi2_term"))
+  }
+
   /** Row rules + uniqueness rules, one result table. */
   def run(
       df: DataFrame,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier/feature EVALUATION metrics — the measurement half of the
+  * quality-filtering loop ([[TextAnalysis.classifierScore]] produces
+  * scores; these grade them). Both are exact-count formulations: integer
+  * rank sums and contingency cells, with one float division (or ln
+  * chain) at the very end — deterministic across engines without any
+  * sampling or approximation.
+  */
+object Eval {
+
+  /** Per-group ROC-AUC of `scoreCol` against binary `labelCol` via the
+    * Mann–Whitney rank-sum identity
+    *
+    *   AUC = (Σ_{pos} midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    *
+    * with midranks for score ties (2·midrank = 2·rank_min + ties − 1,
+    * kept in INTEGERS until the single final division). One window pass
+    * over each group's ordered scores + one keyed aggregate — no
+    * pos×neg pair join, which is what makes AUC computable at corpus
+    * scale. Groups missing a class are dropped (AUC undefined).
+    *
+    * Output: (groupCol, n_pos, n_neg, auc).
+    */
+  def rocAuc(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wTie = Window.partitionBy(col(groupCol), col(scoreCol))
+    val ranked = df
+      .select(
+        col(groupCol),
+        col(scoreCol),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__mr2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+    ranked
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__y") === 1L, col("__mr2")).otherwise(0L)).as("__s2r"),
+        sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(
+        col(groupCol), col("n_pos"), col("n_neg"),
+        round(
+          (col("__s2r") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")),
+          6).as("auc"))
+  }
+
+  /** Mutual information I(feature; label) for each feature column,
+    * treating every column's values categorically:
+    *
+    *   I = Σ_cells (c/N) · ln(c·N / (c_f·c_y))
+    *
+    * All cell/marginal counts are exact integers from three keyed
+    * aggregates over the melted (feature, value, label) relation; the
+    * ln chain runs once per cell (cells = |feature values| × |labels|,
+    * model-sized, round-6 on the per-feature sum). The standard filter
+    * ranking step between quality scoring and mixture sampling.
+    *
+    * Output: (feature, n, mi).
+    */
+  def mutualInformation(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String
+  ): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val melted = featureCols
+      .map(f =>
+        df.select(
+          lit(f).as("feature"),
+          col(f).cast("string").as("fval"),
+          col(labelCol).cast("string").as("y")))
+      .reduce(_ unionAll _)
+    val cells = melted.groupBy(col("feature"), col("fval"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val margF = melted.groupBy(col("feature"), col("fval"))
+      .agg(count(lit(1)).as("cf"))
+    val margY = melted.groupBy(col("feature"), col("y"))
+      .agg(count(lit(1)).as("cy"))
+    val n = melted.groupBy(col("feature")).agg(count(lit(1)).as("n"))
+    cells
+      .join(margF, Seq("feature", "fval"))
+      .join(margY, Seq("feature", "y"))
+      .join(n, Seq("feature"))
+      .withColumn("term",
+        (col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") * col("n") /
+            (col("cf").cast("double") * col("cy"))))
+      .groupBy(col("feature"))
+      .agg(max(col("n")).as("n"), round(sum(col("term")), 6).as("mi"))
+  }
+}

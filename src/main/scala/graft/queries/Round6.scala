@@ -2020,6 +2020,99 @@ object Round6 {
             SELECT * FROM proj""")
   )
 
+  /** ROC-AUC ([[graft.operators.Eval.rocAuc]]): per-source AUC of
+    * document length as a predictor of English — the Mann–Whitney
+    * rank-sum identity with integer midranks; no pos×neg pair join.
+    */
+  val q179RocAuc: QueryDef = QueryDef(
+    "q179_roc_auc",
+    (s, dir) =>
+      graft.operators.Eval.rocAuc(
+        Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+        "source", "n_chars", "y"),
+    Some("""WITH d AS (SELECT source, n_chars,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+            r AS (SELECT source, y,
+                   2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+                     + count(*) OVER (PARTITION BY source, n_chars) - 1 AS mr2
+                  FROM d),
+            a AS (SELECT source,
+                   CAST(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS s2r,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+                  FROM r GROUP BY 1)
+            SELECT source, n_pos, n_neg,
+                   round(CAST(s2r - n_pos * (n_pos + 1) AS DOUBLE)
+                         / (2.0 * n_pos * n_neg), 6) AS auc
+            FROM a WHERE n_pos > 0 AND n_neg > 0""")
+  )
+
+  /** Mutual-information feature ranking
+    * ([[graft.operators.Eval.mutualInformation]]): three candidate
+    * document features scored against the is-English label from exact
+    * contingency counts — the filter-selection step between quality
+    * scoring and mixture sampling.
+    */
+  val q180FeatureMi: QueryDef = QueryDef(
+    "q180_feature_mi",
+    (s, dir) =>
+      graft.operators.Eval.mutualInformation(
+        Tables.documents(s, dir).select(
+          (col("n_chars") > 300).as("len_gt300"),
+          (col("n_chars") % 2 === 0).as("len_even"),
+          col("text").rlike("^[A-Z]").as("starts_upper"),
+          (col("lang") === "en").as("y")),
+        Seq("len_gt300", "len_even", "starts_upper"), "y"),
+    Some("""WITH m AS (
+              SELECT f.feature,
+                CASE f.feature
+                  WHEN 'len_gt300' THEN CAST(n_chars > 300 AS VARCHAR)
+                  WHEN 'len_even' THEN CAST(n_chars % 2 = 0 AS VARCHAR)
+                  ELSE CAST(regexp_matches(text, '^[A-Z]') AS VARCHAR)
+                END AS fval,
+                CAST(lang = 'en' AS VARCHAR) AS y
+              FROM documents,
+                   (SELECT unnest(['len_gt300', 'len_even', 'starts_upper']) AS feature) f),
+            cells AS (SELECT feature, fval, y, count(*) AS c FROM m GROUP BY 1, 2, 3),
+            mf AS (SELECT feature, fval, count(*) AS cf FROM m GROUP BY 1, 2),
+            my AS (SELECT feature, y, count(*) AS cy FROM m GROUP BY 1, 2),
+            nn AS (SELECT feature, count(*) AS n FROM m GROUP BY 1)
+            SELECT c.feature, CAST(max(nn.n) AS BIGINT) AS n,
+                   round(sum((CAST(c.c AS DOUBLE) / nn.n)
+                         * ln(CAST(c.c AS DOUBLE) * nn.n
+                              / (CAST(mf.cf AS DOUBLE) * my.cy))), 6) AS mi
+            FROM cells c
+            JOIN mf ON mf.feature = c.feature AND mf.fval = c.fval
+            JOIN my ON my.feature = c.feature AND my.y = c.y
+            JOIN nn ON nn.feature = c.feature
+            GROUP BY 1""")
+  )
+
+  /** Benford first-digit audit ([[graft.operators.Checks.benfordDigits]])
+    * of order totals: per-digit observed counts, expected log-law mass,
+    * and χ² addends — digits via exact integer-cents string arithmetic,
+    * never float log10.
+    */
+  val q181Benford: QueryDef = QueryDef(
+    "q181_benford",
+    (s, dir) =>
+      graft.operators.Checks.benfordDigits(Tables.orders(s, dir), "o_totalprice"),
+    Some("""WITH obs AS (
+              SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS INT) AS digit,
+                     CAST(count(*) AS BIGINT) AS obs
+              FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+            t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs)
+            SELECT digit, obs,
+                   round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_p,
+                   round(pow(CAST(obs AS DOUBLE) / n
+                             - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                         / (ln(1.0 + 1.0 / digit) / ln(10.0)) * n, 6) AS chi2_term
+            FROM obs, t""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -2033,5 +2126,5 @@ object Round6 {
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
     q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
     q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
-    q178Pca)
+    q178Pca, q179RocAuc, q180FeatureMi, q181Benford)
 }

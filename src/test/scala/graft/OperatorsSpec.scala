@@ -123,6 +123,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("b", 1)) == 10.0) // other keys never leak into the slice
   }
 
+  test("rocAuc: separation, ties, and missing-class groups") {
+    val df = Seq(
+      // g1: perfect separation -> 1.0
+      ("g1", 3, 1L), ("g1", 4, 1L), ("g1", 1, 0L), ("g1", 2, 0L),
+      // g2: scores identical across classes -> midranks give 0.5
+      ("g2", 1, 1L), ("g2", 2, 1L), ("g2", 1, 0L), ("g2", 2, 0L),
+      // g3: one class only -> dropped
+      ("g3", 5, 1L)
+    ).toDF("g", "score", "y")
+    val got = Eval.rocAuc(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == Map("g1" -> 1.0, "g2" -> 0.5))
+  }
+
+  test("mutualInformation: ln(2) for a perfect predictor, 0 for independence") {
+    val df = Seq(
+      (true, false, true), (true, false, true),
+      (false, true, false), (false, true, false)
+    ).toDF("same", "anti", "y") // "anti" is also perfectly informative
+    val ind = Seq(
+      (true, true), (true, false), (false, true), (false, false)
+    ).toDF("f", "y")
+    val got = Eval.mutualInformation(df, Seq("same", "anti"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("same") == 0.693147 && got("anti") == 0.693147)
+    val gotInd = Eval.mutualInformation(ind, Seq("f"), "y").collect()
+    assert(gotInd.head.getDouble(2) == 0.0)
+  }
+
+  test("benfordDigits: exact digit extraction and chi2 addends") {
+    val df = Seq(123.45, 19.99, 1.01, 950.0, 0.0, -5.0).toDF("v")
+    val got = Checks.benfordDigits(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 0 and negatives excluded; first digits of cents-exact values
+    assert(got == Map(1 -> 3L, 9 -> 1L))
+    val row1 = Checks.benfordDigits(df, "v").filter($"digit" === 1).head()
+    assert(row1.getDouble(2) == 0.30103) // log10(2) rounded
+  }
+
   test("pca: exact closed-form component and projections on a collinear cloud") {
     // points on the (2,1) line: covariance is rank-1, power iteration is
     // exact on the 2^-20 grid, so every value below is closed-form.
