@@ -98,6 +98,11 @@ object GraftFunctions {
         } yield MinHashSignature(h, np.toInt, sd))
       case args => arity("minhash_signature", args, "3")
     },
+    make("jaro_winkler",
+      "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1]; empty input scores 0.") {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case args => arity("jaro_winkler", args, "2")
+    },
     make("vector_cosine",
       "_FUNC_(a, b) - cosine similarity of two numeric arrays (NaN when a norm is 0).") {
       case Seq(a, b) => VectorCosine(a, b)

@@ -56,6 +56,37 @@ object Eval {
           6).as("auc"))
   }
 
+  /** RELIABILITY DIAGRAM bins (the per-bin view whose weighted gap sum
+    * is ECE): probabilities land in `nBins` equal-width bins; each bin
+    * reports exact membership, mean confidence, exact positive rate,
+    * and the |confidence − accuracy| gap. One keyed aggregate — the
+    * probability column is expected to already be rounded (ulp-stable
+    * binning is the caller's probability pipeline's concern; a rounded
+    * probability makes `floor(p·nBins)` deterministic cross-engine).
+    *
+    * Output: (bin, n, avg_conf, frac_pos, gap).
+    */
+  def calibrationBins(
+      df: DataFrame,
+      probCol: String,
+      labelCol: String,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    df.select(
+        floor(col(probCol) * nBins).cast("int").as("bin"),
+        col(probCol).as("p"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("avg_conf"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"),
+        round(
+          abs(avg(col("p")) - sum(col("y")).cast("double") / count(lit(1))),
+          6).as("gap"))
+  }
+
   /** Mutual information I(feature; label) for each feature column,
     * treating every column's values categorically:
     *

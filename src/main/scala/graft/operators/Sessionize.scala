@@ -10,6 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** WEEKLY RETENTION COHORT MATRIX — the product-analytics staple:
+    * users grouped by first-seen week, each later week's activity
+    * reported as (cohort_week, week offset) cells with exact distinct
+    * users and the retention ratio. Two user-keyed aggregates (first
+    * touch, then distinct user-week activity) and one broadcast-sized
+    * join against cohort sizes — at 100 TB the only corpus-scale work
+    * is the two keyed passes; the matrix itself is weeks² rows. Week
+    * arithmetic stays on Monday-truncated dates (datediff/7 is exact on
+    * truncated pairs — no float date math).
+    *
+    * Output: (cohort_week, week_offset, active_users, cohort_size,
+    * retention).
+    */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstWeek = events
+      .groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cw"))
+    val sizes = firstWeek.groupBy(col("cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("aw"))
+      .join(firstWeek, userCol)
+      .select(
+        col(userCol), col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .distinct()
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    active
+      .join(broadcast(sizes), "cw")
+      .select(
+        col("cw").as("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
   /** First-touch attribution with conversion rates: events split into
     * sessions at inactivity gaps > `gapSec`; each session is attributed
     * to its FIRST event's type (µs timestamp order, event_id tie-break);

@@ -2113,6 +2113,90 @@ object Round6 {
             FROM obs, t""")
   )
 
+  /** Weekly retention cohorts
+    * ([[graft.operators.Sessionize.retentionMatrix]]): users bucketed
+    * by first-seen week, every (cohort, week-offset) cell with exact
+    * distinct actives and the retention ratio.
+    */
+  val q182Retention: QueryDef = QueryDef(
+    "q182_retention",
+    (s, dir) =>
+      graft.operators.Sessionize.retentionMatrix(
+        Tables.events(s, dir), "user_id", "ts"),
+    Some("""WITH fw AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+                 FROM events GROUP BY 1),
+            act AS (SELECT DISTINCT e.user_id, fw.cw,
+                      CAST(datediff('week', fw.cw, date_trunc('week', e.ts)) AS INT) AS week_offset
+                    FROM events e JOIN fw ON fw.user_id = e.user_id),
+            cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM fw GROUP BY 1)
+            SELECT act.cw AS cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS active_users, cohort_size,
+                   round(CAST(count(*) AS DOUBLE) / cohort_size, 6) AS retention
+            FROM act JOIN cs ON cs.cw = act.cw GROUP BY 1, 2, 4""")
+  )
+
+  /** Calibration reliability bins
+    * ([[graft.operators.Eval.calibrationBins]]): a length-logistic
+    * pseudo-probability of English against the true label, 10 bins —
+    * per-bin confidence vs accuracy gaps (whose weighted sum is ECE).
+    * The probability is rounded BEFORE binning so the bin of every row
+    * is ulp-stable cross-engine.
+    */
+  val q183Calibration: QueryDef = QueryDef(
+    "q183_calibration",
+    (s, dir) =>
+      graft.operators.Eval.calibrationBins(
+        Tables.documents(s, dir).select(
+          round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 306) / lit(100.0))), 6)
+            .as("p"),
+          (col("lang") === "en").cast("long").as("y")),
+        "p", "y"),
+    Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   round(1.0 / (1.0 + exp(-(n_chars - 306) / 100.0)), 6) AS p
+                 FROM documents)
+            SELECT CAST(floor(p * 10) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(p), 6) AS avg_conf,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+                   round(abs(avg(p) - CAST(sum(y) AS DOUBLE) / count(*)), 6) AS gap
+            FROM s GROUP BY 1""")
+  )
+
+  /** Jaro–Winkler scoring ([[graft.functions.JaroWinkler]], via its SQL
+    * registration): similarity of successive part names — the custom
+    * codegen expression scored against DuckDB's native
+    * jaro_winkler_similarity, pinning the full windowed
+    * match/transposition/prefix-boost algorithm cross-engine.
+    */
+  val q184JaroWinkler: QueryDef = QueryDef(
+    "q184_jaro_winkler",
+    (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+      p.as("a")
+        .join(p.as("b"), col("a.p_partkey") + 1 === col("b.p_partkey"))
+        .select(
+          col("a.p_partkey").as("p_partkey"),
+          round(expr("jaro_winkler(a.p_name, b.p_name)"), 6).as("jw"))
+    },
+    Some("""SELECT a.p_partkey AS p_partkey,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey""")
+  )
+
+  /** Watermark-bounded streaming key dedup
+    * ([[graft.streaming.StreamingOps.runStreamingDedupWm]]):
+    * `dropDuplicatesWithinWatermark` with state reclaimed past the
+    * delay horizon; per-type kept-key counts ≡ batch DISTINCT on the
+    * bounded replay.
+    */
+  val q185StreamDedupWm: QueryDef = QueryDef(
+    "q185_stream_dedup_wm",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingDedupWm(s, dir),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -2126,5 +2210,6 @@ object Round6 {
     q165DeletionVectors, q166KCore, q167KneserNey, q168SeasonalAnomaly,
     q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
     q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
-    q178Pca, q179RocAuc, q180FeatureMi, q181Benford)
+    q178Pca, q179RocAuc, q180FeatureMi, q181Benford, q182Retention,
+    q183Calibration, q184JaroWinkler, q185StreamDedupWm)
 }

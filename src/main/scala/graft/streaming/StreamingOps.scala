@@ -179,6 +179,40 @@ object StreamingOps {
       drainComplete(spark, "stream_ddsketch", bins), "event_type")
   }
 
+  /** STREAMING KEY DEDUP WITH WATERMARK-BOUNDED STATE
+    * (`dropDuplicatesWithinWatermark`): first arrival per
+    * (user_id, event_type) is emitted, later arrivals are dropped, and —
+    * unlike plain streaming `dropDuplicates`, whose key state grows
+    * forever — state for a key is RECLAIMED once the watermark passes
+    * its event time + delay. That is the production contract for
+    * at-least-once ingest dedup: upstream retries land within the delay,
+    * so a bounded-state operator suffices where exact global dedup would
+    * need unbounded memory. The delay here exceeds the bounded corpus
+    * span, so the drained append output covers each key exactly once and
+    * the batch DISTINCT oracle checks the whole pipeline; the final
+    * count is key-choice-invariant (file-stream arrival order within a
+    * key is not a contract).
+    */
+  def runStreamingDedupWm(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventsStream(spark, sfDir)
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val name = s"stream_dedup_wm_${System.nanoTime()}"
+    withStatePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Drain a complete-mode streaming aggregation over a bounded source
     * into a memory sink and hand back the final table.
     */

@@ -28,6 +28,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     (4L, "")
   ).toDF("id", "text")
 
+  test("jaro_winkler: textbook values, empty contract, codegen path") {
+    import graft.functions.JaroWinkler
+    // classic published examples (prefix boost active on all three)
+    assert(math.abs(JaroWinkler.similarity("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(JaroWinkler.similarity("dwayne", "duane") - 0.84) < 1e-12)
+    assert(math.abs(JaroWinkler.similarity("dixon", "dicksonx") - 0.8133333333333332) < 1e-9)
+    // C-library edge contract: ANY empty input is 0, even "" vs ""
+    assert(JaroWinkler.similarity("", "") == 0.0)
+    assert(JaroWinkler.similarity("a", "") == 0.0)
+    assert(JaroWinkler.similarity("abc", "abc") == 1.0)
+    assert(JaroWinkler.similarity("abc", "xyz") == 0.0) // no matches
+    // SQL registration runs through the generated-code path
+    val got = spark
+      .sql("SELECT jaro_winkler('martha', 'marhta') AS jw, jaro_winkler('', '') AS z")
+      .head()
+    assert(math.abs(got.getDouble(0) - 0.9611111111111111) < 1e-12 && got.getDouble(1) == 0.0)
+  }
+
   test("rolling_hash64 in SQL: default base, explicit base, parity with expression form") {
     docs.createOrReplaceTempView("gf_docs")
     val viaSql = spark

@@ -162,6 +162,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row1.getDouble(2) == 0.30103) // log10(2) rounded
   }
 
+  test("retentionMatrix: closed-form cohorts, offsets, and ratios") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-08 10:00:00"), // w0, w1
+      (2L, "2024-01-02 10:00:00"),                              // w0 only
+      (3L, "2024-01-10 10:00:00"), (3L, "2024-01-10 11:00:00")  // w1 cohort, dup-day
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Sessionize.retentionMatrix(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),  // both w0 users active in w0
+      ("2024-01-01", 1) -> ((1L, 2L, 0.5)),  // only user 1 returns
+      ("2024-01-08", 0) -> ((1L, 1L, 1.0))))
+  }
+
+  test("calibrationBins: exact bin stats and gaps") {
+    val df = Seq((0.05, 0L), (0.05, 1L), (0.95, 1L), (0.95, 1L), (0.95, 0L))
+      .toDF("p", "y")
+    val got = Eval.calibrationBins(df, "p", "y")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0) == ((2L, 0.05, 0.5)))
+    assert(got(9) == ((3L, 0.95, 0.666667)))
+  }
+
   test("pca: exact closed-form component and projections on a collinear cloud") {
     // points on the (2,1) line: covariance is rank-1, power iteration is
     // exact on the 2^-20 grid, so every value below is closed-form.
