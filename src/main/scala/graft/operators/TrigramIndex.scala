@@ -34,6 +34,10 @@ object TrigramIndex {
       .selectExpr(s"substring('$litPat', id + 1, 3) AS tg")
       .distinct()
     val nPat = pats.agg(count(lit(1)).as("np"))
+    // The broadcast pattern-trigram semi-join runs BEFORE the dedup:
+    // the distinct (the only corpus-wide shuffle here) then carries just
+    // the hit pairs instead of every (doc, trigram) — on a persisted
+    // index this pruning is the trigram-bucket lookup itself.
     val docTg = docs
       .filter(length(col("text")) >= 3)
       .select(
@@ -41,9 +45,9 @@ object TrigramIndex {
         explode(sequence(lit(0), length(col("text")) - 3)).as("pos"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, pos + 1, 3)").as("tg"))
+      .join(broadcast(pats), "tg")
       .distinct()
     val candidates = docTg
-      .join(broadcast(pats), "tg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nh"))
       .crossJoin(broadcast(nPat))
