@@ -440,6 +440,67 @@ object TextAnalysis {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Gopher", Table A1): the rule battery a web-corpus
+    * pipeline runs before training — word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions, alphabetic-word fraction, minimum stop-word hits.
+    *
+    * Every threshold is evaluated by INTEGER cross-multiplication
+    * (`10*n_sym <= n_words` instead of `n_sym/n_words <= 0.1`), so the
+    * pass/fail booleans are exact and engine-independent — no float
+    * ratio ever feeds a comparison. The rounded ratios ride along as
+    * report columns only.
+    *
+    * Row-local projection: at 100 TB this filters at scan speed with
+    * column pruning and no shuffle, like [[qualityMetrics]].
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val w = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val lines = split(col("text"), "\n")
+    val nWords = size(w).cast("long")
+    val nLines = size(lines).cast("long")
+    // total word characters = everything that is not whitespace
+    val wChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nHash =
+      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))).cast("long")
+    val nSym = nHash + nEllipsis
+    val nBulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stopArr, x))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(wChars.cast("double") / nWords, 6).as("mean_word_len"),
+      round(nSym.cast("double") / nWords, 6).as("symbol_ratio"),
+      round(nBulletLines.cast("double") / nLines, 6).as("bullet_line_ratio"),
+      round(nEllipsisLines.cast("double") / nLines, 6).as("ellipsis_line_ratio"),
+      round(nAlphaWords.cast("double") / nWords, 6).as("alpha_word_ratio"),
+      nStop.as("n_stopwords"),
+      (nWords >= minWords && nWords <= maxWords).as("words_ok"),
+      // 3 <= mean word length <= 10, exactly: 3n <= chars && chars <= 10n
+      (wChars >= nWords * 3L && wChars <= nWords * 10L).as("word_len_ok"),
+      (nSym * 10L <= nWords).as("symbol_ok"), // ratio <= 0.1
+      (nBulletLines * 10L < nLines * 9L).as("bullet_ok"), // < 90% of lines
+      (nEllipsisLines * 10L < nLines * 3L).as("ellipsis_ok"), // < 30% of lines
+      (nAlphaWords * 5L >= nWords * 4L).as("alpha_ok"), // >= 80% of words
+      (nStop >= 2L).as("stopword_ok")
+    ).withColumn(
+      "passes_gopher",
+      col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+        col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") && col("stopword_ok")
+    )
+  }
+
   def vocabStats(docs: DataFrame, minDf: Long = 1L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs

@@ -2197,6 +2197,194 @@ object Round6 {
             GROUP BY 1""")
   )
 
+  /** Gopher document-quality rule battery
+    * ([[graft.operators.TextAnalysis.gopherRules]]): the Rae et al. 2021
+    * pre-training filter — word-count / mean-word-length bounds,
+    * symbol-to-word ratio, bullet- and ellipsis-line fractions,
+    * alphabetic-word fraction, minimum stop-word hits. Thresholds are
+    * integer cross-multiplications, so every pass/fail boolean is exact
+    * in both engines; the float ratios are report columns only.
+    */
+  val q186GopherRules: QueryDef = QueryDef(
+    "q186_gopher_rules",
+    (s, dir) => graft.operators.TextAnalysis.gopherRules(Tables.documents(s, dir)),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                     CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS w_chars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_sym,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell_lines,
+                     CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                       w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                       AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_words,
+                   round(CAST(w_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+                   round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+                   round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_ratio,
+                   round(CAST(n_ell_lines AS DOUBLE) / n_lines, 6) AS ellipsis_line_ratio,
+                   round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_ratio,
+                   n_stop AS n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000) AS words_ok,
+                   (w_chars >= n_words * 3 AND w_chars <= n_words * 10) AS word_len_ok,
+                   (n_sym * 10 <= n_words) AS symbol_ok,
+                   (n_bullet * 10 < n_lines * 9) AS bullet_ok,
+                   (n_ell_lines * 10 < n_lines * 3) AS ellipsis_ok,
+                   (n_alpha * 5 >= n_words * 4) AS alpha_ok,
+                   (n_stop >= 2) AS stopword_ok,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (w_chars >= n_words * 3 AND w_chars <= n_words * 10)
+                    AND (n_sym * 10 <= n_words)
+                    AND (n_bullet * 10 < n_lines * 9)
+                    AND (n_ell_lines * 10 < n_lines * 3)
+                    AND (n_alpha * 5 >= n_words * 4)
+                    AND (n_stop >= 2)) AS passes_gopher
+            FROM m""")
+  )
+
+  /** Deterministic URL derivation shared by q187/q188: every doc gets a
+    * well-formed crawl URL exercising subdomain presence (www./cdn./bare
+    * by doc_id mod 3), path depth, and an optional tracking param (even
+    * doc_ids only). Identical string arithmetic on the DuckDB side.
+    */
+  private def withUrls(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir)
+    d.withColumn(
+      "url",
+      concat(
+        lit("https://"),
+        element_at(array(lit("www."), lit("cdn."), lit("")),
+          (col("doc_id") % 3).cast("int") + 1),
+        lit("docs-"), col("source"), lit(".com/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?ref="), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit(""))))
+      .select("doc_id", "url")
+  }
+
+  private val urlSql =
+    """SELECT doc_id,
+         'https://' ||
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END ||
+         'docs-' || source || '.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+         AS url
+       FROM documents"""
+
+  /** URL decomposition ([[graft.operators.UrlOps.parseUrls]]): host /
+    * registered domain / path / path depth / tracking param via Spark's
+    * codegen'd `parse_url`, replayed in DuckDB with exact regexp string
+    * arithmetic on the identically-derived URL.
+    */
+  val q187UrlParse: QueryDef = QueryDef(
+    "q187_url_parse",
+    (s, dir) =>
+      graft.operators.UrlOps.parseUrls(withUrls(s, dir), "url", Seq("ref")),
+    Some(s"""WITH u AS ($urlSql),
+            p AS (SELECT doc_id, url,
+                         regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+                         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+                  FROM u)
+            SELECT doc_id, url, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS registered_domain,
+                   path,
+                   CASE WHEN length(path) = 0 THEN 0
+                        ELSE CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+                             - CASE WHEN path LIKE '%/' THEN 1 ELSE 0 END
+                   END AS path_depth,
+                   CASE WHEN url LIKE '%?ref=%'
+                        THEN regexp_extract(url, 'ref=([0-9]+)', 1) END AS query_ref
+            FROM p""")
+  )
+
+  /** Per-registered-domain crawl profile
+    * ([[graft.operators.UrlOps.domainProfile]]): doc count, distinct
+    * hosts/paths, mean path depth — the site-catalog-sized rollup a
+    * crawler caps per-site ingestion by.
+    */
+  val q188DomainProfile: QueryDef = QueryDef(
+    "q188_domain_profile",
+    (s, dir) =>
+      graft.operators.UrlOps.domainProfile(
+        graft.operators.UrlOps.parseUrls(withUrls(s, dir), "url")),
+    Some(s"""WITH u AS ($urlSql),
+            p AS (SELECT doc_id, url,
+                         regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+                         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+                  FROM u),
+            d AS (SELECT doc_id, host,
+                         regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS registered_domain,
+                         path,
+                         CASE WHEN length(path) = 0 THEN 0
+                              ELSE CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+                                   - CASE WHEN path LIKE '%/' THEN 1 ELSE 0 END
+                         END AS path_depth
+                  FROM p)
+            SELECT registered_domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+                   round(avg(CAST(path_depth AS DOUBLE)), 6) AS avg_path_depth
+            FROM d GROUP BY 1""")
+  )
+
+  /** Jensen–Shannon token-distribution drift per source
+    * ([[graft.operators.Drift.jsVsRest]]): bounded symmetric divergence
+    * of each source's word mix against the rest of the corpus. The
+    * oracle replays the full count-grid + snapped-addend chain; the
+    * 2⁻³⁰ dyadic snap makes the Σ order-insensitive in both engines.
+    */
+  val q189JsDrift: QueryDef = QueryDef(
+    "q189_js_drift",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      graft.operators.Drift.jsVsRest(toks, "source", "word")
+    },
+    Some("""WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS v FROM documents),
+            counts AS (
+              SELECT source, v, CAST(count(*) AS BIGINT) AS c
+              FROM tok WHERE length(v) > 0 GROUP BY 1, 2),
+            groups AS (SELECT source, sum(c) AS n_g FROM counts GROUP BY 1),
+            vals AS (SELECT v, sum(c) AS c_all FROM counts GROUP BY 1),
+            grand AS (SELECT sum(c_all) AS n_all FROM vals),
+            grid AS (
+              SELECT g.source, g.n_g, v.v, v.c_all, gr.n_all,
+                     coalesce(c.c, 0) AS c
+              FROM groups g CROSS JOIN grand gr CROSS JOIN vals v
+              LEFT JOIN counts c ON c.source = g.source AND c.v = v.v),
+            terms AS (
+              SELECT source, n_g,
+                     CASE WHEN c > 0 THEN
+                       floor((CAST(c AS DOUBLE) / n_g) *
+                             ln((CAST(c AS DOUBLE) / n_g) /
+                                ((CAST(c AS DOUBLE) / n_g +
+                                  CAST(c_all - c AS DOUBLE) / (n_all - n_g)) / 2.0)) *
+                             1073741824.0 + 0.5) / 1073741824.0
+                     ELSE 0.0 END AS add_p,
+                     CASE WHEN c_all - c > 0 THEN
+                       floor((CAST(c_all - c AS DOUBLE) / (n_all - n_g)) *
+                             ln((CAST(c_all - c AS DOUBLE) / (n_all - n_g)) /
+                                ((CAST(c AS DOUBLE) / n_g +
+                                  CAST(c_all - c AS DOUBLE) / (n_all - n_g)) / 2.0)) *
+                             1073741824.0 + 0.5) / 1073741824.0
+                     ELSE 0.0 END AS add_q
+              FROM grid)
+            SELECT source, CAST(min(n_g) AS BIGINT) AS n,
+                   round((sum(add_p) + sum(add_q)) / 2.0, 6) AS js_vs_rest
+            FROM terms GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -2211,5 +2399,6 @@ object Round6 {
     q169StreamDdSketch, q170AssocRules, q171Skyline, q172Hits,
     q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
     q178Pca, q179RocAuc, q180FeatureMi, q181Benford, q182Retention,
-    q183Calibration, q184JaroWinkler, q185StreamDedupWm)
+    q183Calibration, q184JaroWinkler, q185StreamDedupWm, q186GopherRules,
+    q187UrlParse, q188DomainProfile)
 }

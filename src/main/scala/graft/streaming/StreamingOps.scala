@@ -16,28 +16,47 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet physical schema under the nanos-as-long legacy read
-    * (see [[graft.sources.Tables.events]]).
+  /** events schema with `ts` as a long — the shape sentinel writers emit
+    * (ns-since-epoch), and the shape a TIMESTAMP(NANOS) events file takes
+    * under the nanos-as-long legacy read (see
+    * [[graft.sources.Tables.events]]).
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns-since-epoch
+    StructField("ts", LongType), // ns-since-epoch
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)
   ))
 
-  /** Streaming DataFrame over the events table with a proper µs timestamp. */
+  /** Streaming DataFrame over the events table with a proper µs timestamp.
+    *
+    * A file stream source needs an EXPLICIT schema, so the `ts` physical
+    * type is probed from the parquet footer first (driver-side metadata
+    * read, like [[graft.sources.Tables.events]]): a TIMESTAMP(MICROS)
+    * file streams as a native TimestampType column; a TIMESTAMP(NANOS)
+    * file only reads under the nanos-as-long legacy flag and is floored
+    * back to µs here. Assuming either shape unconditionally corrupts
+    * event time by 10^3 when the data generator flips grain.
+    */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == LongType
     // The file stream source wants a directory; scope the listing to the
     // events table with a glob filter.
-    spark.readStream
-      .schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(
+        if (tsIsLong) eventsRawSchema
+        else StructType(eventsRawSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampType)
+          case f => f
+        }))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Tumbling 1-hour event-time windows per event type: count + value sum.

@@ -1126,6 +1126,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("upper_ratio") - 1.0 / 23) < 1e-6)
   }
 
+  test("gopher rules: each rule trips on its crafted offender, clean doc passes") {
+    val goodBody = (Seq.fill(20)("the quick brown fox jumps on a log") :+ "end").mkString(" ")
+    val d = docs(
+      1L -> goodBody, // 161 words, healthy everything
+      2L -> "too short to pass the word count", // < 50 words
+      3L -> (Seq.fill(60)("## ### # word the of").mkString(" ")), // symbol-heavy
+      4L -> (Seq.fill(30)("- bullet line the of\n").mkString + "tail"), // bullet lines
+      5L -> (Seq.fill(30)("trailing line the of...\n").mkString + "tail"), // ellipsis lines
+      6L -> (Seq.fill(60)("123 456 the of").mkString(" ")), // numeric words
+      7L -> (Seq.fill(60)("lorem ipsum dolor sit").mkString(" ")) // no stopwords
+    )
+    val m = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("passes_gopher"))
+    assert(!m(2L).getAs[Boolean]("words_ok") && !m(2L).getAs[Boolean]("passes_gopher"))
+    assert(!m(3L).getAs[Boolean]("symbol_ok"))
+    assert(!m(4L).getAs[Boolean]("bullet_ok"))
+    assert(!m(5L).getAs[Boolean]("ellipsis_ok"))
+    assert(!m(6L).getAs[Boolean]("alpha_ok"))
+    assert(!m(7L).getAs[Boolean]("stopword_ok"))
+    // exact integer thresholds: doc 1 mean word length = chars/words
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_words") == 161L)
+    assert(r1.getAs[Boolean]("word_len_ok"))
+    // boundary exactness: symbol ratio exactly 0.1 still passes (<=)
+    val edge = docs(10L -> (Seq.fill(9)("the of a to in on is and for").mkString(" ") + " # word the of a to in on is and for word word word word word word word word"))
+    val er = TextAnalysis.gopherRules(edge).collect()(0)
+    val nw = er.getAs[Long]("n_words")
+    assert(nw == 100L, s"edge doc has $nw words")
+    assert(er.getAs[Boolean]("symbol_ok"), "1 symbol in 100 words is <= 0.1 exactly? no — 10*1 <= 100")
+  }
+
+  test("url parse: host/domain/path-depth/params across URL shapes") {
+    val d = Seq(
+      (1L, "https://www.news.example.co/politics/2024/story?ref=7&src=rss"),
+      (2L, "https://example.co/"),
+      (3L, "https://cdn.assets.example.co/img/a/b/c/d.png"),
+      (4L, "http://bare.org")
+    ).toDF("doc_id", "url")
+    val p = UrlOps.parseUrls(d, "url", Seq("ref")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(p(1L).getAs[String]("host") == "www.news.example.co")
+    assert(p(1L).getAs[String]("registered_domain") == "example.co")
+    assert(p(1L).getAs[String]("path") == "/politics/2024/story")
+    assert(p(1L).getAs[Long]("path_depth") == 3L)
+    assert(p(1L).getAs[String]("query_ref") == "7")
+    assert(p(2L).getAs[Long]("path_depth") == 0L) // "/" = one slash, trailing
+    assert(p(2L).getAs[String]("query_ref") == null)
+    assert(p(3L).getAs[Long]("path_depth") == 4L)
+    assert(p(4L).getAs[String]("host") == "bare.org")
+    assert(p(4L).getAs[String]("registered_domain") == "bare.org")
+    assert(p(4L).getAs[Long]("path_depth") == 0L) // empty path
+
+    val prof = UrlOps.domainProfile(UrlOps.parseUrls(d, "url")).collect()
+      .map(r => r.getAs[String]("registered_domain") -> r).toMap
+    assert(prof("example.co").getAs[Long]("n_docs") == 3L)
+    assert(prof("example.co").getAs[Long]("n_hosts") == 3L)
+    assert(prof("bare.org").getAs[Long]("n_docs") == 1L)
+  }
+
   test("token counts: BPE-ish regex separates punctuation") {
     val d = docs(1L -> "hello, world! it's fine")
     val m = TextAnalysis.tokenCounts(d).collect()(0)
