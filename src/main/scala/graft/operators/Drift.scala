@@ -147,4 +147,51 @@ object Drift {
         round(col("sigma"), 6).as("sigma"),
         round(z, 6).as("z"))
   }
+
+  /** Jensen–Shannon divergence of every group's value distribution
+    * AGAINST THE REST of the corpus — the bounded, symmetric drift score
+    * (0 ≤ JS ≤ ln 2) a mixture pipeline tracks per source: unlike KL it
+    * never blows up on vocabulary the other side lacks, so it is the
+    * standard "did this source's token mix move?" metric.
+    *
+    * Same relational shape as [[ksVsRest]]: per-(group, v) counts —
+    * partial-aggregated, histogram-sized — joined onto the groups ×
+    * distinct-v grid with zero fill; JS = 0.5·Σ p·ln(p/m) + 0.5·Σ
+    * q·ln(q/m) with m=(p+q)/2, zero-count terms contributing 0. Every
+    * per-cell addend is snapped to a 2⁻³⁰ dyadic grid BEFORE the sum, so
+    * the aggregate is an exact integer-like fold — order-insensitive
+    * across partitionings and engines; only a last-ulp `ln` difference
+    * AT a grid boundary could flip a cell (the [[graft.operators.Graph]]
+    * quantization posture).
+    */
+  def jsVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val grid30 = 1073741824.0 // 2^30
+    def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val groups = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n_g"))
+    val values = counts.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+    val grandTotal = values.agg(sum(col("c_all")).as("n_all"))
+    val grid = groups
+      .crossJoin(broadcast(grandTotal))
+      .crossJoin(broadcast(values))
+      .join(counts, Seq(groupCol, "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("rest_c", col("c_all") - col("c"))
+      .withColumn("rest_n", col("n_all") - col("n_g"))
+    val p = col("c").cast("double") / col("n_g")
+    val q = col("rest_c").cast("double") / col("rest_n")
+    val m = (p + q) / lit(2.0)
+    grid
+      .withColumn("add_p",
+        when(col("c") > 0, snap(p * log(p / m))).otherwise(lit(0.0)))
+      .withColumn("add_q",
+        when(col("rest_c") > 0, snap(q * log(q / m))).otherwise(lit(0.0)))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("n_g")).as("n"),
+        round((sum(col("add_p")) + sum(col("add_q"))) / 2.0, 6).as("js_vs_rest"))
+  }
 }

@@ -2400,5 +2400,5 @@ object Round6 {
     q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
     q178Pca, q179RocAuc, q180FeatureMi, q181Benford, q182Retention,
     q183Calibration, q184JaroWinkler, q185StreamDedupWm, q186GopherRules,
-    q187UrlParse, q188DomainProfile)
+    q187UrlParse, q188DomainProfile, q189JsDrift)
 }

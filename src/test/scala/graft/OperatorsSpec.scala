@@ -1174,7 +1174,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p(1L).getAs[String]("query_ref") == "7")
     assert(p(2L).getAs[Long]("path_depth") == 0L) // "/" = one slash, trailing
     assert(p(2L).getAs[String]("query_ref") == null)
-    assert(p(3L).getAs[Long]("path_depth") == 4L)
+    assert(p(3L).getAs[Long]("path_depth") == 5L) // img,a,b,c,d.png
     assert(p(4L).getAs[String]("host") == "bare.org")
     assert(p(4L).getAs[String]("registered_domain") == "bare.org")
     assert(p(4L).getAs[Long]("path_depth") == 0L) // empty path
@@ -1184,6 +1184,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(prof("example.co").getAs[Long]("n_docs") == 3L)
     assert(prof("example.co").getAs[Long]("n_hosts") == 3L)
     assert(prof("bare.org").getAs[Long]("n_docs") == 1L)
+  }
+
+  test("js divergence: 0 for identical mixes, ln 2 for disjoint vocab") {
+    // groups a and b: identical word distributions -> JS(a vs rest=b) = 0
+    val same = Seq("a" -> "x", "a" -> "y", "b" -> "x", "b" -> "y")
+      .toDF("src", "w")
+    val r0 = Drift.jsVsRest(same, "src", "w").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Double]("js_vs_rest")).toMap
+    assert(r0("a") == 0.0 && r0("b") == 0.0)
+
+    // disjoint vocabularies -> maximal JS = ln 2 (round 6)
+    val disj = Seq("a" -> "x", "a" -> "x", "b" -> "y", "b" -> "z")
+      .toDF("src", "w")
+    val r1 = Drift.jsVsRest(disj, "src", "w").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Double]("js_vs_rest")).toMap
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(math.abs(r1("a") - ln2) < 2e-6, s"got ${r1("a")}")
+    assert(math.abs(r1("b") - ln2) < 2e-6)
+
+    // result is invariant under repartition (the dyadic-snap guarantee)
+    val rep = Drift.jsVsRest(disj.repartition(7), "src", "w").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Double]("js_vs_rest")).toMap
+    assert(rep == r1)
   }
 
   test("token counts: BPE-ish regex separates punctuation") {
