@@ -835,4 +835,74 @@ object Dedup {
         sum(col("run") + (w - 1)).as("repeated_tokens"),
         (max(col("run")) + (w - 1)).as("max_span_tokens"))
   }
+
+  /** Content-defined chunking (the rsync/LBFS/restic idea at word
+    * granularity): a chunk boundary falls AFTER token i whenever the
+    * rolling w-gram ending at i hashes to 0 mod `divisor`, so boundaries
+    * are determined by CONTENT, not position — an insertion near the
+    * start of a document shifts every fixed-width chunk (q94's scheme
+    * finds nothing) but CDC boundaries resynchronize at the next content
+    * match and every later chunk dedups again. Expected chunk length =
+    * `divisor` tokens.
+    *
+    * Same scale shape as [[repeatedSpans]]: position explode with
+    * codegen'd md5 per row, ONE doc-keyed shuffle for the boundary
+    * cumsum + chunk assembly, one chunk-hash-keyed window for cross-doc
+    * sharing. The hash is the engine-independent first-8-hex-digits md5
+    * ([[graft.operators.Winnow]]), so a SQL oracle replays boundaries
+    * and chunk identity exactly.
+    *
+    * Output per doc: (doc_id, n_chunks, n_shared_chunks,
+    * max_chunk_tokens) — `n_shared_chunks` counts this doc's chunks
+    * whose content appears in at least one OTHER document.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 4, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "w must be >= 2")
+    require(divisor >= 2, "divisor must be >= 2")
+    val ts = split(col("text"), " ")
+    val toks = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        posexplode(col("ts")).as(Seq("pos", "tok")))
+    // boundary after position i: md5 of the w-gram ending at i ≡ 0 (mod d)
+    val gram = array_join(slice(col("ts"), col("pos") - (w - 2), lit(w)), " ")
+    val flagged = toks.withColumn(
+      "b",
+      when(
+        col("pos") >= w - 1,
+        pmod(
+          conv(substring(md5(gram), 1, 8), 16, 10).cast("long"),
+          lit(divisor.toLong)) === 0L)
+        .otherwise(lit(false)))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = flagged
+      .withColumn(
+        "chunk_id",
+        coalesce(
+          sum(when(col("b"), 1L).otherwise(0L))
+            .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              s => s.getField("tok")),
+            " ")).as("chunk_md5"))
+    val byChunk = Window.partitionBy(col("chunk_md5"))
+    chunks
+      .withColumn(
+        "shared",
+        min(col("doc_id")).over(byChunk) =!= max(col("doc_id")).over(byChunk))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared_chunks"),
+        max(col("n_tok")).as("max_chunk_tokens"))
+  }
 }

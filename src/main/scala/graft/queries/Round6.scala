@@ -2385,6 +2385,46 @@ object Round6 {
             FROM terms GROUP BY 1""")
   )
 
+  /** Content-defined chunk dedup ([[graft.operators.Dedup.cdcChunks]]):
+    * rolling-hash boundaries (md5 of the 4-gram ending at each token,
+    * ≡ 0 mod 16) make chunk identity insertion-resilient — the
+    * rsync/LBFS trick q94's fixed windows lack. The oracle replays
+    * boundary flags, the chunk-id cumsum, ordered chunk assembly, and
+    * cross-doc sharing verbatim.
+    */
+  val q190CdcChunks: QueryDef = QueryDef(
+    "q190_cdc_chunks",
+    (s, dir) => graft.operators.Dedup.cdcChunks(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            tok AS (SELECT doc_id, pr.pos AS pos, pr.tok AS tok, pr.b AS b FROM (
+                      SELECT doc_id,
+                             unnest([{'pos': i, 'tok': ts[i + 1],
+                                      'b': CASE WHEN i >= 3 THEN
+                                             CAST(('0x' || substring(md5(array_to_string(
+                                               ts[i - 2 : i + 1], ' ')), 1, 8)) AS BIGINT)
+                                             % 16 = 0
+                                           ELSE false END}
+                                     FOR i IN range(0, len(ts))]) AS pr
+                      FROM t)),
+            cid AS (SELECT doc_id, pos, tok,
+                           coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                             AS chunk_id
+                    FROM tok),
+            chunks AS (SELECT doc_id, chunk_id,
+                              CAST(count(*) AS BIGINT) AS n_tok,
+                              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+                       FROM cid GROUP BY 1, 2),
+            shared AS (SELECT chunk_md5 FROM chunks GROUP BY 1
+                       HAVING count(DISTINCT doc_id) >= 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN chunk_md5 IN (SELECT chunk_md5 FROM shared)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+                   max(n_tok) AS max_chunk_tokens
+            FROM chunks GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q123AnnIvfPq, q124ImageRoundtrip, q125BalancedSample, q126UnigramLogprob,
     q127DedupRetention, q128GapFill, q129Bm25, q130Profile, q131Scd2, q132Funnel,
@@ -2400,5 +2440,5 @@ object Round6 {
     q173CdcCompact, q174BudgetAlloc, q175Pivot, q176WindowDist, q177Ewma,
     q178Pca, q179RocAuc, q180FeatureMi, q181Benford, q182Retention,
     q183Calibration, q184JaroWinkler, q185StreamDedupWm, q186GopherRules,
-    q187UrlParse, q188DomainProfile, q189JsDrift)
+    q187UrlParse, q188DomainProfile, q189JsDrift, q190CdcChunks)
 }

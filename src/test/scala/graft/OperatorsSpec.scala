@@ -1209,6 +1209,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep == r1)
   }
 
+  test("cdc chunks: boundaries resynchronize after an insertion (fixed windows don't)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val body = (1 to 400).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val d = docs(1L -> body, 2L -> s"inserted $body")
+    val r = Dedup.cdcChunks(d, w = 4, divisor = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val n1 = r(1L).getAs[Long]("n_chunks")
+    val s1 = r(1L).getAs[Long]("n_shared_chunks")
+    // after the first content-defined boundary the streams realign, so all
+    // but the head chunk (and hash accidents near it) dedup across docs
+    assert(n1 > 10, s"expected many chunks, got $n1")
+    assert(s1 >= n1 - 2, s"CDC must resynchronize: $s1 of $n1 shared")
+    // the fixed-width scheme on the same pair shares (essentially) nothing
+    val fixedShared = Dedup.chunkDedup(d, chunkWords = 16)
+      .agg(sum(col("n_chunks") - col("n_kept"))).collect()(0).getLong(0)
+    assert(fixedShared <= 1, s"fixed windows shifted by 1 token shared $fixedShared")
+    // determinism under repartition
+    val again = Dedup.cdcChunks(d.repartition(5), w = 4, divisor = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_shared_chunks")).toMap
+    assert(again(1L) == s1)
+  }
+
   test("token counts: BPE-ish regex separates punctuation") {
     val d = docs(1L -> "hello, world! it's fine")
     val m = TextAnalysis.tokenCounts(d).collect()(0)
