@@ -262,4 +262,49 @@ object Graph {
       .orderBy(col("jaccard").desc, col("node_a").asc, col("node_b").asc)
       .limit(topK)
   }
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over the undirected edge list — "do hubs attach to
+    * hubs?" in one number. Each undirected edge contributes both
+    * orientations (the standard symmetrization), so with n = 2m stubs:
+    *
+    *   r = (n·Σd_a·d_b − Σd_a·Σd_b) / √((n·Σd_a² − (Σd_a)²)·(n·Σd_b² − (Σd_b)²))
+    *
+    * Degrees are exact longs and every Σ is an integer sum, so the three
+    * difference terms are exact; one √ and one divide in double, rounded
+    * to 6 — order-insensitive at any partitioning (the [[Timeseries.linregHourlyTrend]]
+    * posture). Shape: degree agg + two broadcast-sized joins back onto
+    * the edge list; no windows, no driver loops.
+    *
+    * Output: one row (n_edges, assortativity); NULL for a
+    * degree-regular graph (zero variance).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val stubs = edges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint()
+    val deg = stubs.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    stubs
+      .join(deg.select(col("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("da")).as("sa"),
+        sum(col("db")).as("sb"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"),
+        sum(col("da") * col("db")).as("sab"))
+      .select(
+        (col("n") / 2).cast("long").as("n_edges"),
+        when(
+          (col("n") * col("saa") - col("sa") * col("sa")) =!= 0 &&
+            (col("n") * col("sbb") - col("sb") * col("sb")) =!= 0,
+          round(
+            (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt(
+                (col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+                  (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
+            6)).as("assortativity"))
+  }
 }

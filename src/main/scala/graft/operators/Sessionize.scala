@@ -89,4 +89,54 @@ object Sessionize {
         sum(col("purchased")).as("n_converted"),
         round(sum(col("purchased")) / count(lit(1)), 6).as("cvr"))
   }
+
+  /** First-order Markov transition matrix of the per-user event stream:
+    * each user's events ordered by (ts, event_id) yield (cur → next)
+    * transition counts, row-normalized into transition probabilities,
+    * plus the per-state transition entropy H(cur) = −Σ p·ln p — the
+    * "how predictable is the next action" statistic sequence models are
+    * trained against.
+    *
+    * One user-keyed shuffle for the lead window, then the whole matrix
+    * is |states|² rows. Probabilities are exact count ratios; entropy
+    * addends snap to the 2⁻³⁰ dyadic grid before summing (the
+    * [[Drift.jsVsRest]] posture) so the sum is order-insensitive.
+    *
+    * Output per (cur, nxt): (cur, nxt, n_transitions, p, cur_entropy).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val grid30 = 1073741824.0
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type").as("cur"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("cur"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_transitions"))
+      // |states|² rows; consumed by the row totals and the final join
+      .localCheckpoint()
+    val totals = trans.groupBy(col("cur")).agg(sum(col("n_transitions")).as("n_cur"))
+    val withP = trans
+      .join(totals, Seq("cur"))
+      .withColumn("p", col("n_transitions").cast("double") / col("n_cur").cast("double"))
+    val entropy = withP
+      .groupBy(col("cur"))
+      .agg(
+        round(-sum(floor(col("p") * log(col("p")) * grid30 + 0.5) / grid30), 6)
+          .as("cur_entropy"))
+    withP
+      .join(entropy, Seq("cur"))
+      .select(
+        col("cur"),
+        col("nxt"),
+        col("n_transitions"),
+        round(col("p"), 6).as("p"),
+        col("cur_entropy"))
+  }
 }

@@ -56,4 +56,179 @@ object Timeseries {
       .withColumn("ewma", round(expr(weighted) / expr(weights), 6))
       .drop("__arr")
   }
+
+  private val HourUs = 3600000000L
+
+  /** Hourly count series with zero-filled gaps, indexed 0..n−1 from the
+    * corpus' first hour. Exact µs integer arithmetic throughout; the
+    * series length is bounded by the corpus TIME SPAN, not its row
+    * count, so everything downstream of this agg is histogram-sized.
+    */
+  private def hourlySeries(events: DataFrame): DataFrame = {
+    val cnt = events
+      .select(expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("x"))
+      // histogram-sized; two consumers (bounds + grid join) would each
+      // re-scan the events otherwise (the Drift.ksVsRest posture)
+      .localCheckpoint()
+    val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    bounds
+      .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(cnt, Seq("h"), "left")
+      .select((col("h") - col("mn")).as("idx"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Exact sample autocorrelation of the hourly event-count series at
+    * lags 1..`maxLag`:
+    *
+    *   r_k = Σ_{t<n−k} (x_t−m)(x_{t+k}−m) / Σ_t (x_t−m)²,  m = Σx/n
+    *
+    * evaluated ENTIRELY in integer arithmetic — multiply through by n²:
+    *
+    *   r_k = (n²·Σx_t·x_{t+k} − n·S·(ΣheadX + ΣtailX) + (n−k)·S²)
+    *         / (n·(n·Σx² − S²))
+    *
+    * so the result is a ratio of two exact longs (order-insensitive, no
+    * float-sum drift; magnitudes stay under 2⁶³ for any month-scale
+    * hourly series) cast once and rounded. The lag pairing is an
+    * EQUI-join: each series row explodes into its `maxLag` forward
+    * probes (idx+k) instead of a `BETWEEN` θ-join, so the plan is a hash
+    * join on a histogram-sized relation at any corpus scale.
+    *
+    * Output: (lag, n_pairs, acf).
+    */
+  def acfHourly(events: DataFrame, maxLag: Int = 12): DataFrame = {
+    require(maxLag > 0, "maxLag must be positive")
+    val series = hourlySeries(events)
+    val totals = series.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("sxx"))
+    val probes = series
+      .select(col("idx"), col("x").as("xa"))
+      .withColumn("k", explode(expr(s"sequence(1, $maxLag)")))
+      .withColumn("idx2", col("idx") + col("k"))
+    probes
+      .join(series.select(col("idx").as("idx2"), col("x").as("xb")), Seq("idx2"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("k").cast("long").as("lag_h"),
+        col("n_pairs"),
+        round(
+          (col("n") * col("n") * col("sxy") - col("n") * col("s") * (col("sa") + col("sb")) +
+            (col("n") - col("k")) * col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") * col("sxx") - col("s") * col("s"))).cast("double"),
+          6).as("acf"))
+  }
+
+  /** Single change-point detection on the hourly event-count series via
+    * the maximum-CUSUM statistic: the split s (last index of the left
+    * segment) maximizing |n·P_s − (s+1)·S| where P_s is the prefix sum —
+    * the scaled distance between the observed prefix and the
+    * homogeneous-rate expectation. Pure integer arithmetic, so the
+    * argmax is exact and the smallest-s tie-break is total.
+    *
+    * The prefix window runs on the zero-filled hourly histogram
+    * (span-bounded, see [[acfHourly]]) — never on raw events.
+    *
+    * Output: one row (split_idx, split_hour_ts, stat, left_mean,
+    * right_mean) — means are exact integer ratios rounded to 6.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val cnt = events
+      .select(expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("x"))
+      // histogram-sized; two consumers (bounds + grid join) would each
+      // re-scan the events otherwise (the Drift.ksVsRest posture)
+      .localCheckpoint()
+    val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val series = bounds
+      .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(cnt, Seq("h"), "left")
+      .select(col("mn"), (col("h") - col("mn")).as("idx"), coalesce(col("x"), lit(0L)).as("x"))
+    val totals = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val wIncl = Window.orderBy(col("idx")).rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.orderBy(col("stat").desc, col("idx").asc)
+    series
+      .withColumn("p", sum(col("x")).over(wIncl))
+      .crossJoin(broadcast(totals))
+      .filter(col("idx") < col("n") - 1) // both segments non-empty
+      .withColumn("stat", abs(col("n") * col("p") - (col("idx") + 1) * col("s")))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(
+        col("idx").as("split_idx"),
+        timestamp_micros((col("mn") + col("idx")) * HourUs).as("split_hour_ts"),
+        col("stat"),
+        round(col("p").cast("double") / (col("idx") + 1).cast("double"), 6).as("left_mean"),
+        round(
+          (col("s") - col("p")).cast("double") / (col("n") - col("idx") - 1).cast("double"),
+          6).as("right_mean"))
+  }
+
+  /** Per-group OLS trend of the hourly count series: for each group the
+    * slope/intercept/R² of count-vs-hour-index on the SHARED zero-filled
+    * hour grid (so every group sees the same x axis and quiet hours
+    * count as zeros, not missing). Closed forms over exact integer sums:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   R²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * The three difference terms are exact longs (< 2⁵³, so their one
+    * double cast is value-preserving); R² squares the CAST differences —
+    * a single IEEE multiply, deterministic — because squaring first
+    * would overflow 64-bit at month-scale grids.
+    *
+    * Output per group: (group, n_hours, slope, intercept, r2); r2 NULL
+    * for a constant series (zero variance on either axis).
+    */
+  def linregHourlyTrend(events: DataFrame, groupCol: String): DataFrame = {
+    val cnt = events
+      .select(col(groupCol), expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .groupBy(col(groupCol), col("h"))
+      .agg(count(lit(1)).as("y"))
+      // three consumers: bounds, the distinct group list, the grid join
+      .localCheckpoint()
+    val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val hourGrid = bounds.select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    val groups = cnt.select(col(groupCol)).distinct()
+    val grid = groups
+      .crossJoin(broadcast(hourGrid))
+      .join(cnt, Seq(groupCol, "h"), "left")
+      .select(
+        col(groupCol),
+        (col("h") - col("mn")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    grid
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("dxy", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("dxx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("dyy", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .select(
+        col(groupCol),
+        col("n").as("n_hours"),
+        when(col("dxx") =!= 0.0, round(col("dxy") / col("dxx"), 6)).as("slope"),
+        when(col("dxx") =!= 0.0,
+          round(
+            (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / col("dxx"),
+            6)).as("intercept"),
+        when(col("dxx") =!= 0.0 && col("dyy") =!= 0.0,
+          round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)).as("r2"))
+  }
 }

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, QuantileNorm, Retrieval, Sessionize, Survival, Timeseries}
+import graft.sources.Tables
+
+/** Round-7 additions (q191+): survival analysis, exact time-series
+  * statistics (ACF, change-point, per-group trend), distribution
+  * alignment (quantile normalization), positional-index phrase search,
+  * graph assortativity, and Markov transition matrices — the
+  * measurement-and-diagnostics layer a corpus pipeline runs on top of
+  * the ingest/dedup/similarity families.
+  */
+object Round7 {
+
+  /** Kaplan–Meier survival ([[graft.operators.Survival.kaplanMeier]]):
+    * right-censored per-user lifetime curve — users active inside the
+    * final day are censored, not churned. The oracle replays lifetimes,
+    * the at-risk cumsum, and the snapped ln-chain product verbatim.
+    */
+  val q191KaplanMeier: QueryDef = QueryDef(
+    "q191_kaplan_meier",
+    (s, dir) => Survival.kaplanMeier(Tables.events(s, dir)),
+    Some("""WITH u AS (SELECT user_id, min(epoch_us(ts)) f, max(epoch_us(ts)) l
+                       FROM events GROUP BY 1),
+            m AS (SELECT max(epoch_us(ts)) mx FROM events),
+            lt AS (SELECT (l - f) // 3600000000 AS t_hours,
+                          l > mx - 86400000000 AS censored
+                   FROM u CROSS JOIN m),
+            byt AS (SELECT t_hours, CAST(count(*) AS BIGINT) n_at_t,
+                           CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) n_events
+                    FROM lt GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n_total FROM lt),
+            r AS (SELECT t_hours, n_events,
+                         n_total - coalesce(CAST(sum(n_at_t) OVER (ORDER BY t_hours
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                           AS n_risk
+                  FROM byt CROSS JOIN tot),
+            s AS (SELECT t_hours, n_events, n_risk,
+                         CASE WHEN n_events < n_risk THEN
+                           floor(ln(1 - CAST(n_events AS DOUBLE) / n_risk) *
+                                 1073741824.0 + 0.5) / 1073741824.0
+                         END AS addend,
+                         CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+                  FROM r),
+            c AS (SELECT t_hours, n_events, n_risk,
+                         sum(addend) OVER (ORDER BY t_hours) AS cum,
+                         max(dead) OVER (ORDER BY t_hours) AS anydead
+                  FROM s)
+            SELECT t_hours, n_risk, n_events,
+                   round(CASE WHEN anydead = 1 THEN 0.0 ELSE exp(cum) END, 6) AS survival
+            FROM c WHERE n_events > 0""")
+  )
+
+  /** Exact hourly autocorrelation ([[graft.operators.Timeseries.acfHourly]]):
+    * lags 1..12 of the zero-filled hourly count series, every term an
+    * integer so the ratio is order-insensitive. The 24 h seasonal cycle
+    * of the synthetic stream shows up as the lag-12 trough / lag-24
+    * crest family. Oracle replays grid, totals, and the n²-scaled
+    * formula.
+    */
+  val q192Acf: QueryDef = QueryDef(
+    "q192_acf",
+    (s, dir) => Timeseries.acfHourly(Tables.events(s, dir), maxLag = 12),
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            s AS (SELECT g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                  FROM grid g LEFT JOIN cnt c USING (hh)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sm,
+                           CAST(sum(x * x) AS BIGINT) sxx FROM s),
+            pr AS (SELECT k.k, a.x xa, b2.x xb
+                   FROM range(1, 13) k(k)
+                   CROSS JOIN s a
+                   JOIN s b2 ON b2.idx = a.idx + k.k),
+            per AS (SELECT k, CAST(count(*) AS BIGINT) n_pairs,
+                           CAST(sum(xa * xb) AS BIGINT) sxy,
+                           CAST(sum(xa) AS BIGINT) sa, CAST(sum(xb) AS BIGINT) sb
+                    FROM pr GROUP BY 1)
+            SELECT k AS lag_h, n_pairs,
+                   round(CAST(n * n * sxy - n * sm * (sa + sb) + (n - k) * sm * sm AS DOUBLE) /
+                         CAST(n * (n * sxx - sm * sm) AS DOUBLE), 6) AS acf
+            FROM per CROSS JOIN tot""")
+  )
+
+  /** Max-CUSUM change-point ([[graft.operators.Timeseries.cusumChangepoint]]):
+    * the split of the hourly count series maximizing |n·P_s − (s+1)·S| —
+    * pure integer arithmetic, exact argmax, smallest-s tie-break. Oracle
+    * replays prefix sums and the pick.
+    */
+  val q193Changepoint: QueryDef = QueryDef(
+    "q193_changepoint",
+    (s, dir) => Timeseries.cusumChangepoint(Tables.events(s, dir)),
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            s AS (SELECT g.mn, g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                  FROM grid g LEFT JOIN cnt c USING (hh)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sm FROM s),
+            p AS (SELECT mn, idx, CAST(sum(x) OVER (ORDER BY idx) AS BIGINT) AS pf FROM s),
+            st AS (SELECT mn, idx, pf, n, sm, abs(n * pf - (idx + 1) * sm) AS stat
+                   FROM p CROSS JOIN tot WHERE idx < n - 1),
+            pick AS (SELECT * FROM st ORDER BY stat DESC, idx ASC LIMIT 1)
+            SELECT idx AS split_idx,
+                   make_timestamp((mn + idx) * 3600000000) AS split_hour_ts,
+                   CAST(stat AS BIGINT) AS stat,
+                   round(CAST(pf AS DOUBLE) / (idx + 1), 6) AS left_mean,
+                   round(CAST(sm - pf AS DOUBLE) / (n - idx - 1), 6) AS right_mean
+            FROM pick""")
+  )
+
+  /** Quantile normalization ([[graft.operators.QuantileNorm.normalize]]):
+    * per-event-type value distributions mapped onto the pooled
+    * reference via exact rank positions and histogram-interval lookups
+    * — no global sort. Oracle replays ranks, the position split in
+    * HUGEINT, both interval lookups, and the snapped interpolation.
+    */
+  val q194QuantileNorm: QueryDef = QueryDef(
+    "q194_quantile_norm",
+    (s, dir) => QuantileNorm.normalize(Tables.events(s, dir), "event_type", "event_id", "value"),
+    Some("""WITH base AS (SELECT event_type grp, event_id rid, value v FROM events),
+            ranked AS (SELECT grp, rid, v,
+                              CAST(row_number() OVER (PARTITION BY grp ORDER BY v, rid) AS BIGINT) rk,
+                              CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) n_g
+                       FROM base),
+            hist AS (SELECT v hv, CAST(count(*) AS BIGINT) cnt FROM base GROUP BY 1),
+            iv AS (SELECT hv, lo_pos, lo_pos + cnt - 1 AS hi_pos FROM (
+                     SELECT hv, cnt,
+                            coalesce(CAST(sum(cnt) OVER (ORDER BY hv
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                              AS lo_pos
+                     FROM hist)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n_all FROM base),
+            pts AS (SELECT grp, rid, v,
+                           CASE WHEN n_g > 1 THEN
+                             CAST((CAST(rk - 1 AS HUGEINT) * (n_all - 1)) // (n_g - 1) AS BIGINT)
+                           ELSE 0 END fl,
+                           CASE WHEN n_g > 1 THEN
+                             CAST((CAST(rk - 1 AS HUGEINT) * (n_all - 1)) % (n_g - 1) AS BIGINT)
+                           ELSE 0 END fnum,
+                           CASE WHEN n_g > 1 THEN n_g - 1 ELSE 1 END fden
+                    FROM ranked CROSS JOIN tot),
+            lo AS (SELECT p.grp, p.rid, p.v, p.fnum, p.fden, i.hv v_lo
+                   FROM pts p JOIN iv i ON p.fl BETWEEN i.lo_pos AND i.hi_pos),
+            hi AS (SELECT p.rid hid, i.hv v_hi
+                   FROM pts p JOIN iv i ON p.fl + 1 BETWEEN i.lo_pos AND i.hi_pos
+                   WHERE p.fnum > 0),
+            mp AS (SELECT grp, v,
+                          floor((v_lo + (CAST(fnum AS DOUBLE) / fden) *
+                                 (coalesce(v_hi, v_lo) - v_lo)) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS mapped
+                   FROM lo LEFT JOIN hi ON lo.rid = hi.hid)
+            SELECT grp AS event_type, CAST(count(*) AS BIGINT) n,
+                   round(avg(v), 6) AS mean_before,
+                   round(avg(mapped), 6) AS mean_after,
+                   round(min(mapped), 6) AS min_after,
+                   round(max(mapped), 6) AS max_after
+            FROM mp GROUP BY 1""")
+  )
+
+  /** Positional-index phrase search
+    * ([[graft.operators.Retrieval.phraseSearch]]): postings pruned to
+    * the phrase terms, aligned by (doc_id, pos − offset) equi-joins —
+    * the IR-textbook intersection, not a per-document regex re-scan.
+    * Oracle replays postings and both alignment joins.
+    */
+  val q195PhraseSearch: QueryDef = QueryDef(
+    "q195_phrase_search",
+    (s, dir) =>
+      Retrieval.phraseSearch(Tables.documents(s, dir), Seq("stream", "table", "hash")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+            tok AS (SELECT doc_id, pr.pos pos, pr.tok tok FROM (
+                      SELECT doc_id,
+                             unnest([{'pos': i, 'tok': ts[i + 1]}
+                                     FOR i IN range(0, len(ts))]) pr
+                      FROM t)),
+            a AS (SELECT doc_id, pos FROM tok WHERE tok = 'stream'),
+            b AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE tok = 'table'),
+            c AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE tok = 'hash')
+            SELECT doc_id, CAST(count(*) AS BIGINT) n_matches
+            FROM a JOIN b USING (doc_id, pos) JOIN c USING (doc_id, pos)
+            GROUP BY 1""")
+  )
+
+  /** Degree assortativity ([[graft.operators.Graph.assortativity]]) of
+    * the q142 word co-occurrence graph: Pearson correlation of endpoint
+    * degrees over the symmetrized edge list, exact integer sums, one √.
+    * Oracle replays the edge derivation, degrees, and the closed form.
+    */
+  val q196Assortativity: QueryDef = QueryDef(
+    "q196_assortativity",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.assortativity(edges)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e AS (SELECT a AS lo, b AS hi FROM (
+                    SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                    ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+                  WHERE a != b),
+            stubs AS (SELECT lo a, hi b FROM e UNION ALL SELECT hi, lo FROM e),
+            deg AS (SELECT a, CAST(count(*) AS BIGINT) dg FROM stubs GROUP BY 1),
+            j AS (SELECT d1.dg da, d2.dg db
+                  FROM stubs s JOIN deg d1 ON d1.a = s.a JOIN deg d2 ON d2.a = s.b),
+            agg AS (SELECT CAST(count(*) AS BIGINT) n,
+                           CAST(sum(da) AS BIGINT) sa, CAST(sum(db) AS BIGINT) sb,
+                           CAST(sum(da * da) AS BIGINT) saa,
+                           CAST(sum(db * db) AS BIGINT) sbb,
+                           CAST(sum(da * db) AS BIGINT) sab
+                    FROM j)
+            SELECT n // 2 AS n_edges,
+                   CASE WHEN n * saa - sa * sa != 0 AND n * sbb - sb * sb != 0 THEN
+                     round(CAST(n * sab - sa * sb AS DOUBLE) /
+                           sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
+                                CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                   END AS assortativity
+            FROM agg""")
+  )
+
+  /** Per-group OLS trend ([[graft.operators.Timeseries.linregHourlyTrend]]):
+    * slope/intercept/R² of hourly counts per event type on the shared
+    * zero-filled hour grid — closed forms over exact integer sums.
+    * Oracle replays grid, sums, and all three ratios.
+    */
+  val q197LinregTrend: QueryDef = QueryDef(
+    "q197_linreg_trend",
+    (s, dir) => Timeseries.linregHourlyTrend(Tables.events(s, dir), "event_type"),
+    Some("""WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hh,
+                                CAST(count(*) AS BIGINT) y
+                         FROM events GROUP BY 1, 2),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            g AS (SELECT DISTINCT event_type FROM cnt),
+            s AS (SELECT g.event_type, gr.hh - gr.mn AS x, coalesce(c.y, 0) AS y
+                  FROM g CROSS JOIN grid gr
+                  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.hh = gr.hh),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(x * y) AS BIGINT) sxy,
+                         CAST(sum(y * y) AS BIGINT) syy
+                  FROM s GROUP BY 1)
+            SELECT event_type, n AS n_hours,
+                   CASE WHEN n * sxx - sx * sx != 0 THEN
+                     round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                           CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+                   CASE WHEN n * sxx - sx * sx != 0 THEN
+                     round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                           CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept,
+                   CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0 THEN
+                     round((CAST(n * sxy - sx * sy AS DOUBLE) *
+                            CAST(n * sxy - sx * sy AS DOUBLE)) /
+                           (CAST(n * sxx - sx * sx AS DOUBLE) *
+                            CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+            FROM a""")
+  )
+
+  /** Markov transition matrix ([[graft.operators.Sessionize.transitionMatrix]]):
+    * per-user next-event transitions, row-normalized, with per-state
+    * transition entropy (snapped addends). Oracle replays the lead
+    * window, counts, ratios, and the entropy chain.
+    */
+  val q198Transitions: QueryDef = QueryDef(
+    "q198_transitions",
+    (s, dir) => Sessionize.transitionMatrix(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type cur, epoch_us(ts) us FROM events),
+            t AS (SELECT cur, lead(cur) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id) nxt FROM e),
+            c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) n_transitions
+                  FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT cur, CAST(sum(n_transitions) AS BIGINT) n_cur FROM c GROUP BY 1),
+            wp AS (SELECT c.cur, c.nxt, c.n_transitions,
+                          CAST(c.n_transitions AS DOUBLE) / tt.n_cur p
+                   FROM c JOIN tt USING (cur)),
+            ent AS (SELECT cur,
+                           round(-sum(floor(p * ln(p) * 1073741824.0 + 0.5) /
+                                      1073741824.0), 6) cur_entropy
+                    FROM wp GROUP BY 1)
+            SELECT wp.cur, wp.nxt, wp.n_transitions, round(wp.p, 6) AS p, ent.cur_entropy
+            FROM wp JOIN ent USING (cur)""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
+    q196Assortativity, q197LinregTrend, q198Transitions)
+}

@@ -1,0 +1,217 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Closed-form goldens for the round-7 measurement operators. */
+class Round7OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- Kaplan–Meier ---------------------------------------------------
+
+  test("kaplan-meier: censored users stay at risk but never count as churn") {
+    // corpus clock ends 2024-01-10 00:00; censor window = final 24 h
+    // u1: lifetime 2 h, ended long ago -> churn at t=2
+    // u2: lifetime 2 h, ended long ago -> churn at t=2
+    // u3: lifetime 5 h, last event inside the final day -> censored at t=5
+    val events = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L),
+      (2L, ts("2024-01-02 02:00:00"), 1L),
+      (3L, ts("2024-01-03 00:00:00"), 2L),
+      (4L, ts("2024-01-03 02:00:00"), 2L),
+      (5L, ts("2024-01-09 13:00:00"), 3L),
+      (6L, ts("2024-01-09 18:00:00"), 3L),
+      (7L, ts("2024-01-10 00:00:00"), 4L) // clock anchor, lifetime 0, censored? no: single event, lifetime 0, inside final day -> censored
+    ).toDF("event_id", "ts", "user_id")
+    val out = Survival.kaplanMeier(events).orderBy("t_hours").collect()
+    // at-risk at t=2: u1,u2,u3 (u4 lifetime 0 censored, left risk set at 0)
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("t_hours") === 2L)
+    assert(r.getAs[Long]("n_risk") === 3L)
+    assert(r.getAs[Long]("n_events") === 2L)
+    // S(2) = 1 - 2/3
+    assert(math.abs(r.getAs[Double]("survival") - 0.333333) < 1e-6)
+  }
+
+  test("kaplan-meier: at-risk set draining to zero pins survival at exactly 0") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 01:00:00"), 1L),
+      (3L, ts("2024-01-01 00:00:00"), 2L),
+      (4L, ts("2024-01-01 03:00:00"), 2L),
+      (5L, ts("2024-01-10 00:00:00"), 9L) // clock anchor far ahead; censored at 0
+    ).toDF("event_id", "ts", "user_id")
+    val out = Survival.kaplanMeier(events).orderBy("t_hours").collect()
+    // t=1: risk {u1,u2}, d=1 -> S=0.5 ; t=3: risk {u2}, d=1=n -> S=0
+    assert(out.map(_.getAs[Long]("t_hours")).toSeq === Seq(1L, 3L))
+    assert(math.abs(out(0).getAs[Double]("survival") - 0.5) < 1e-6)
+    assert(out(1).getAs[Double]("survival") === 0.0)
+  }
+
+  // ---- ACF ------------------------------------------------------------
+
+  test("acf: period-2 series gives the closed-form lag signs") {
+    // hourly counts 1,2,1,2 -> r1 = -0.75, r2 = 0.5 (hand-computed exact)
+    val rows = Seq.tabulate(4) { h =>
+      (1 to (if (h % 2 == 0) 1 else 2)).map(i => (h.toLong * 10 + i, ts(f"2024-01-01 0$h%d:00:00")))
+    }.flatten
+    val events = rows.toDF("event_id", "ts")
+    val out = Timeseries.acfHourly(events, maxLag = 2).orderBy("lag_h").collect()
+    assert(out.map(_.getAs[Long]("lag_h")).toSeq === Seq(1L, 2L))
+    assert(math.abs(out(0).getAs[Double]("acf") - (-0.75)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("acf") - 0.5) < 1e-9)
+    assert(out(0).getAs[Long]("n_pairs") === 3L)
+  }
+
+  test("acf: silent hours are zeros on the grid, not missing points") {
+    // events only in hours 0 and 2: series 1,0,1 -> lag-2 pair is (1,1)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "ts")
+    val out = Timeseries.acfHourly(events, maxLag = 2).orderBy("lag_h").collect()
+    // n=3, pairs at lag 1 = 2 (grid includes the empty hour)
+    assert(out(0).getAs[Long]("n_pairs") === 2L)
+    assert(out(1).getAs[Long]("n_pairs") === 1L)
+  }
+
+  // ---- CUSUM change-point --------------------------------------------
+
+  test("cusum change-point: level shift found at the exact boundary") {
+    // counts 1,1,1,5,5,5 -> split after idx 2, means 1.0 / 5.0
+    val rows = for {
+      h <- 0 until 6
+      i <- 1 to (if (h < 3) 1 else 5)
+    } yield (h.toLong * 100 + i, ts(f"2024-01-01 0$h%d:00:00"))
+    val out = Timeseries.cusumChangepoint(rows.toDF("event_id", "ts")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("split_idx") === 2L)
+    assert(r.getAs[Long]("stat") === 36L)
+    assert(r.getAs[Double]("left_mean") === 1.0)
+    assert(r.getAs[Double]("right_mean") === 5.0)
+    assert(r.getAs[Timestamp]("split_hour_ts") === ts("2024-01-01 02:00:00"))
+  }
+
+  // ---- Quantile normalization ----------------------------------------
+
+  test("quantile normalization maps every group onto the pooled distribution") {
+    // g1=[1,2,3], g2=[10,20,30]; pooled=[1,2,3,10,20,30]
+    // both groups map to [1, 6.5, 30] -> identical after-stats
+    val df = Seq(
+      ("g1", 1L, 1.0), ("g1", 2L, 2.0), ("g1", 3L, 3.0),
+      ("g2", 4L, 10.0), ("g2", 5L, 20.0), ("g2", 6L, 30.0)
+    ).toDF("grp_in", "id", "v")
+    val out = QuantileNorm
+      .normalize(df, "grp_in", "id", "v")
+      .orderBy("grp_in")
+      .collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(math.abs(r.getAs[Double]("mean_after") - 12.5) < 1e-6)
+      assert(r.getAs[Double]("min_after") === 1.0)
+      assert(r.getAs[Double]("max_after") === 30.0)
+    }
+    assert(math.abs(out(0).getAs[Double]("mean_before") - 2.0) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("mean_before") - 20.0) < 1e-6)
+  }
+
+  test("quantile normalization: singleton group maps to the pooled minimum") {
+    val df = Seq(("a", 1L, 5.0), ("b", 2L, 1.0), ("b", 3L, 9.0))
+      .toDF("g", "id", "v")
+    val out = QuantileNorm.normalize(df, "g", "id", "v").orderBy("g").collect()
+    // group a has n_g=1 -> p=0 -> pooled[0] = 1.0
+    assert(out(0).getAs[Double]("mean_after") === 1.0)
+  }
+
+  // ---- Phrase search --------------------------------------------------
+
+  test("phrase search: overlapping matches counted, absent phrase empty") {
+    val docs = Seq(
+      (1L, "a a a b"),    // "a a" occurs twice (overlap)
+      (2L, "a b a"),      // no adjacent "a a"
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = Retrieval
+      .phraseSearch(docs, Seq("a", "a"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    val tri = Retrieval.phraseSearch(docs, Seq("a", "b", "a")).collect()
+    assert(tri.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 1L)))
+  }
+
+  // ---- Assortativity --------------------------------------------------
+
+  test("assortativity: star graph is perfectly disassortative (r = -1)") {
+    val edges = Seq(("c", "x"), ("c", "y"), ("c", "z")).toDF("src", "dst")
+    val r = Graph.assortativity(edges).collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
+  }
+
+  test("assortativity: degree-regular graph has zero variance -> NULL") {
+    // 4-cycle: every degree 2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val r = Graph.assortativity(edges).collect().head
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
+  // ---- Per-group OLS trend -------------------------------------------
+
+  test("linreg trend: exact line recovered; constant series gets NULL r2") {
+    val rows =
+      (for (h <- 0 until 3; i <- 1 to (h + 1)) yield (s"g$h$i", ts(f"2024-01-01 0$h%d:00:00"), "up")) ++
+        (for (h <- 0 until 3; i <- 1 to 2) yield (s"c$h$i", ts(f"2024-01-01 0$h%d:00:00"), "flat"))
+    val events = rows.map { case (id, t, g) => (id, t, g) }.toDF("event_id", "ts", "grp")
+    val out = Timeseries.linregHourlyTrend(events, "grp").orderBy("grp").collect()
+    val flat = out(0)
+    assert(flat.getAs[String]("grp") === "flat")
+    assert(flat.getAs[Double]("slope") === 0.0)
+    assert(flat.getAs[Double]("intercept") === 2.0)
+    assert(flat.isNullAt(flat.fieldIndex("r2")))
+    val up = out(1)
+    // counts 1,2,3 over x=0,1,2 -> slope 1, intercept 1, r2 1
+    assert(up.getAs[Double]("slope") === 1.0)
+    assert(up.getAs[Double]("intercept") === 1.0)
+    assert(up.getAs[Double]("r2") === 1.0)
+  }
+
+  // ---- Markov transitions --------------------------------------------
+
+  test("transition matrix: row-normalized probabilities and snapped entropy") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "view"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "click"),
+      (5L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 00:01:00"), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessionize
+      .transitionMatrix(events)
+      .orderBy("cur", "nxt")
+      .collect()
+    val rows = out.map(r =>
+      (r.getAs[String]("cur"), r.getAs[String]("nxt"), r.getAs[Long]("n_transitions"),
+        r.getAs[Double]("p"))).toSeq
+    assert(rows === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 2L, 0.666667),
+      ("view", "purchase", 1L, 0.333333)))
+    val viewEntropy = out.find(_.getAs[String]("cur") == "view").get.getAs[Double]("cur_entropy")
+    val expected = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(viewEntropy - expected) < 1e-5)
+    val clickEntropy = out.find(_.getAs[String]("cur") == "click").get.getAs[Double]("cur_entropy")
+    assert(clickEntropy === 0.0)
+  }
+}
