@@ -194,4 +194,50 @@ object Drift {
         first(col("n_g")).as("n"),
         round((sum(col("add_p")) + sum(col("add_q"))) / 2.0, 6).as("js_vs_rest"))
   }
+
+  /** Per-group Gini coefficient — the concentration/inequality measure
+    * ("is this shard's value mass owned by a few rows?"): with the
+    * group's values as integer `scale`-ths c_(1) ≤ … ≤ c_(n),
+    *
+    *   G = (2·Σ i·c_(i) − (n+1)·Σc) / (n·Σc)
+    *
+    * — EVERYTHING integer (values are fixed-point by contract, ranks
+    * are a total order with `idCol` tie-break), so the single division
+    * is exact-over-exact at any partitioning. One group-keyed window +
+    * one agg; no pairwise |x_i−x_j| join (the naive O(n²) definition).
+    *
+    * Values must be non-negative fixed-point with ≤ log10(scale)
+    * decimals (exact under `round(v·scale)`); G is NULL for a group
+    * with zero total.
+    *
+    * Output per group: (group, n, gini).
+    */
+  def giniByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      scale: Int = 100
+  ): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("c"), col(idCol))
+    df.select(
+        col(groupCol),
+        col(idCol),
+        expr(s"CAST(round($valueCol * $scale) AS BIGINT)").as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sc"),
+        sum(col("i") * col("c")).as("sic"))
+      .select(
+        col(groupCol),
+        col("n"),
+        when(col("sc") =!= 0L,
+          round(
+            (lit(2L) * col("sic") - (col("n") + 1) * col("sc")).cast("double") /
+              (col("n") * col("sc")).cast("double"),
+            6)).as("gini"))
+  }
 }

@@ -90,6 +90,47 @@ object Sessionize {
         round(sum(col("purchased")) / count(lit(1)), 6).as("cvr"))
   }
 
+  /** Rolling DAU / WAU / stickiness: for every day in the corpus span,
+    * the distinct users active THAT day, the distinct users active in
+    * the trailing `windowDays` window, and their ratio (the DAU/WAU
+    * stickiness product metric).
+    *
+    * Rolling DISTINCT does not decompose over a window agg, so the
+    * standard relational trick: dedup to (user, day) pairs — one keyed
+    * agg, corpus→user·day sized — then each pair contributes membership
+    * to the `windowDays` forward window days via a fixed explode, and a
+    * second distinct count per (window day). Work is windowDays ×
+    * user-days, never windowDays × events; all date math is exact
+    * integer epoch-days.
+    *
+    * Output per day: (day_date, dau, wau, stickiness).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val userDays = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      // user·day-sized; consumed by bounds, DAU, and the window explode
+      .localCheckpoint()
+    val bounds = userDays.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .withColumn("wday", explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .select(col("user_id"), col("wday").as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, Seq("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("mx"))
+      .select(
+        to_date(timestamp_micros(col("day") * 86400000000L)).as("day_date"),
+        col("dau"),
+        col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
   /** First-order Markov transition matrix of the per-user event stream:
     * each user's events ordered by (ts, event_id) yield (cur → next)
     * transition counts, row-normalized into transition probabilities,

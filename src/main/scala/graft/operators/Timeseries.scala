@@ -128,6 +128,107 @@ object Timeseries {
           6).as("acf"))
   }
 
+  /** Cross-correlation between TWO event types' hourly count series at
+    * lags −`maxLag`..+`maxLag` — the lead/lag screen ("do clicks lead
+    * purchases, and by how many hours?"). Same all-integer posture as
+    * [[acfHourly]]: on the shared zero-filled grid, with Sx/Sy/Sxx/Syy
+    * full-series sums and per-lag pair sums,
+    *
+    *   r_k = (n²·Σx_t·y_{t+k} − n·Sy·Σx_head − n·Sx·Σy_tail + cnt_k·Sx·Sy)
+    *         / (n·√((n·Sxx−Sx²)·(n·Syy−Sy²)))
+    *
+    * numerator exact in longs; the denominator multiplies two exact
+    * (<2⁵³) casts once in double — deterministic. Lag pairing is the
+    * explode-probe equi-join, never a BETWEEN θ-join.
+    *
+    * Output: (lag_h, n_pairs, ccf) — positive lag means `typeA` at t
+    * pairs with `typeB` at t+lag (A leads B).
+    */
+  def ccfHourly(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      maxLag: Int = 12
+  ): DataFrame = {
+    require(maxLag > 0, "maxLag must be positive")
+    val cnt = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      // histogram-sized; consumed by bounds + two grid joins
+      .localCheckpoint()
+    val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val grid = bounds
+      .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(cnt.filter(col("event_type") === typeA).select(col("h"), col("c").as("xa")), Seq("h"), "left")
+      .join(cnt.filter(col("event_type") === typeB).select(col("h"), col("c").as("yb")), Seq("h"), "left")
+      .select(
+        (col("h") - col("mn")).as("idx"),
+        coalesce(col("xa"), lit(0L)).as("x"),
+        coalesce(col("yb"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val totals = grid.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val probes = grid
+      .select(col("idx"), col("x"))
+      .withColumn("k", explode(expr(s"sequence(${-maxLag}, $maxLag)")))
+      .withColumn("idx2", col("idx") + col("k"))
+    probes
+      .join(grid.select(col("idx").as("idx2"), col("y")), Seq("idx2"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sxh"),
+        sum(col("y")).as("syt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("dxx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("k").cast("long").as("lag_h"),
+        col("n_pairs"),
+        // NULL for a zero-variance series (constant counts) — the
+        // correlation is undefined there, and ANSI division would throw
+        when(col("dxx") =!= 0L && col("dyy") =!= 0L,
+          round(
+            (col("n") * col("n") * col("sxy") - col("n") * col("sy") * col("sxh") -
+              col("n") * col("sx") * col("syt") + col("n_pairs") * col("sx") * col("sy"))
+              .cast("double") /
+              (col("n").cast("double") *
+                sqrt(col("dxx").cast("double") * col("dyy").cast("double"))),
+            6)).as("ccf"))
+  }
+
+  /** Theil–Sen robust slope of the hourly count series: the exact
+    * median of all pairwise slopes (x_j−x_i)/(j−i), i<j — the
+    * breakdown-point-0.29 trend estimate OLS can't give. The pair set is
+    * SERIES², which is span-bounded (the hourly grid), so full
+    * enumeration is a fixed explode fan-out at any corpus scale — never
+    * corpus². Median uses the exact interpolating percentile (the q3
+    * np.percentile parity).
+    *
+    * Output: one row (n_pairs, slope_median).
+    */
+  def theilSenSlope(events: DataFrame): DataFrame = {
+    val series = hourlySeries(events).localCheckpoint()
+    val n = series.agg(max(col("idx")).as("mxi"))
+    val pairs = series
+      .crossJoin(broadcast(n))
+      .filter(col("idx") < col("mxi"))
+      .withColumn("j", explode(sequence(col("idx") + 1, col("mxi"))))
+      .select(col("idx"), col("x"), col("j"))
+      .join(series.select(col("idx").as("j"), col("x").as("xj")), Seq("j"))
+      .select(((col("xj") - col("x")).cast("double") / (col("j") - col("idx")).cast("double")).as("slope"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      round(expr("percentile(slope, 0.5)"), 6).as("slope_median"))
+  }
+
   /** Single change-point detection on the hourly event-count series via
     * the maximum-CUSUM statistic: the split s (last index of the left
     * segment) maximizing |n·P_s − (s+1)·S| where P_s is the prefix sum —

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, QuantileNorm, Retrieval, Sessionize, Survival, Timeseries}
+import graft.operators.{Drift, Graph, QuantileNorm, Retrieval, Sessionize, Survival, Timeseries}
 import graft.sources.Tables
 
 /** Round-7 additions (q191+): survival analysis, exact time-series
@@ -292,7 +292,114 @@ object Round7 {
             FROM wp JOIN ent USING (cur)""")
   )
 
+  /** Cross-correlation ([[graft.operators.Timeseries.ccfHourly]]):
+    * click-vs-purchase hourly lead/lag at lags −12..+12, all-integer
+    * numerator on the shared zero-filled grid. Oracle replays both
+    * series, totals, and the scaled closed form.
+    */
+  val q199Ccf: QueryDef = QueryDef(
+    "q199_ccf",
+    (s, dir) => Timeseries.ccfHourly(Tables.events(s, dir), "click", "purchase", maxLag = 12),
+    Some("""WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hh,
+                                CAST(count(*) AS BIGINT) c
+                         FROM events WHERE event_type IN ('click', 'purchase')
+                         GROUP BY 1, 2),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            s AS (SELECT g.hh - g.mn AS idx, coalesce(a.c, 0) AS x, coalesce(p.c, 0) AS y
+                  FROM grid g
+                  LEFT JOIN cnt a ON a.hh = g.hh AND a.event_type = 'click'
+                  LEFT JOIN cnt p ON p.hh = g.hh AND p.event_type = 'purchase'),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+                           CAST(sum(y) AS BIGINT) sy, CAST(sum(x * x) AS BIGINT) sxx,
+                           CAST(sum(y * y) AS BIGINT) syy FROM s),
+            pr AS (SELECT k.k, a.x, b2.y
+                   FROM range(-12, 13) k(k)
+                   CROSS JOIN s a
+                   JOIN s b2 ON b2.idx = a.idx + k.k),
+            per AS (SELECT k, CAST(count(*) AS BIGINT) n_pairs,
+                           CAST(sum(x * y) AS BIGINT) sxy,
+                           CAST(sum(x) AS BIGINT) sxh, CAST(sum(y) AS BIGINT) syt
+                    FROM pr GROUP BY 1)
+            SELECT k AS lag_h, n_pairs,
+                   round(CAST(n * n * sxy - n * sy * sxh - n * sx * syt +
+                              n_pairs * sx * sy AS DOUBLE) /
+                         (CAST(n AS DOUBLE) *
+                          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                               CAST(n * syy - sy * sy AS DOUBLE))), 6) AS ccf
+            FROM per CROSS JOIN tot""")
+  )
+
+  /** Theil–Sen robust slope ([[graft.operators.Timeseries.theilSenSlope]]):
+    * exact median of all pairwise hourly-count slopes — the pair set is
+    * span-bounded (series², not corpus²). Oracle replays pairs and the
+    * interpolating median.
+    */
+  val q200TheilSen: QueryDef = QueryDef(
+    "q200_theil_sen",
+    (s, dir) => Timeseries.theilSenSlope(Tables.events(s, dir)),
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            s AS (SELECT g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                  FROM grid g LEFT JOIN cnt c USING (hh)),
+            p AS (SELECT (b2.x - a.x) / CAST(b2.idx - a.idx AS DOUBLE) AS slope
+                  FROM s a JOIN s b2 ON b2.idx > a.idx)
+            SELECT CAST(count(*) AS BIGINT) n_pairs,
+                   round(quantile_cont(slope, 0.5), 6) AS slope_median
+            FROM p""")
+  )
+
+  /** Rolling DAU/WAU/stickiness
+    * ([[graft.operators.Sessionize.rollingActiveUsers]]): rolling
+    * distinct via the (user, day) dedup + fixed window-day explode —
+    * work is 7 × user·days, never 7 × events. Oracle replays the
+    * membership explode and both distinct counts.
+    */
+  val q201RollingWau: QueryDef = QueryDef(
+    "q201_rolling_wau",
+    (s, dir) => Sessionize.rollingActiveUsers(Tables.events(s, dir), windowDays = 7),
+    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            b AS (SELECT min(day) mn, max(day) mx FROM ud),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) dau FROM ud GROUP BY 1),
+            w AS (SELECT DISTINCT user_id, day + k.k AS day
+                  FROM ud CROSS JOIN range(0, 7) k(k)),
+            wau AS (SELECT day, CAST(count(*) AS BIGINT) wau FROM w GROUP BY 1)
+            SELECT CAST(make_timestamp(d.day * 86400000000) AS DATE) AS day_date,
+                   d.dau, w2.wau,
+                   round(CAST(d.dau AS DOUBLE) / w2.wau, 6) AS stickiness
+            FROM dau d JOIN wau w2 USING (day) CROSS JOIN b
+            WHERE d.day <= b.mx""")
+  )
+
+  /** Per-group Gini ([[graft.operators.Drift.giniByGroup]]): value-mass
+    * concentration per event type from the rank identity — everything
+    * integer, one window + one agg, no O(n²) |xᵢ−xⱼ| join. Oracle
+    * replays ranks and the identity.
+    */
+  val q202Gini: QueryDef = QueryDef(
+    "q202_gini",
+    (s, dir) => Drift.giniByGroup(Tables.events(s, dir), "event_type", "event_id", "value"),
+    Some("""WITH cc AS (SELECT event_type, event_id,
+                               CAST(round(value * 100) AS BIGINT) c FROM events),
+            r AS (SELECT event_type, c,
+                         CAST(row_number() OVER (
+                           PARTITION BY event_type ORDER BY c, event_id) AS BIGINT) i
+                  FROM cc),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(c) AS BIGINT) sc, CAST(sum(i * c) AS BIGINT) sic
+                  FROM r GROUP BY 1)
+            SELECT event_type, n,
+                   CASE WHEN sc != 0 THEN
+                     round(CAST(2 * sic - (n + 1) * sc AS DOUBLE) /
+                           CAST(n * sc AS DOUBLE), 6) END AS gini
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
-    q196Assortativity, q197LinregTrend, q198Transitions)
+    q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
+    q201RollingWau, q202Gini)
 }

@@ -186,6 +186,79 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(up.getAs[Double]("r2") === 1.0)
   }
 
+  // ---- Cross-correlation ---------------------------------------------
+
+  test("ccf: identical series correlate exactly 1 at lag 0, antiphase -1") {
+    // click counts 1,2,1,2 ; purchase counts mirror (3-x): 2,1,2,1
+    val rows =
+      (for (h <- 0 until 4; i <- 1 to (if (h % 2 == 0) 1 else 2))
+        yield (h.toLong * 10 + i, ts(f"2024-01-01 0$h%d:00:00"), "click")) ++
+        (for (h <- 0 until 4; i <- 1 to (if (h % 2 == 0) 2 else 1))
+          yield (100 + h.toLong * 10 + i, ts(f"2024-01-01 0$h%d:00:00"), "purchase"))
+    val events = rows.toDF("event_id", "ts", "event_type")
+    val anti = Timeseries
+      .ccfHourly(events, "click", "purchase", maxLag = 1)
+      .orderBy("lag_h").collect()
+    assert(anti.map(_.getAs[Long]("lag_h")).toSeq === Seq(-1L, 0L, 1L))
+    assert(math.abs(anti(1).getAs[Double]("ccf") - (-1.0)) < 1e-9)
+    val self = Timeseries
+      .ccfHourly(events.filter(col("event_type") === "click"), "click", "click", maxLag = 1)
+    // same-type call: x == y series, lag 0 must be exactly 1
+    val r0 = self.filter(col("lag_h") === 0).collect().head
+    assert(r0.getAs[Double]("ccf") === 1.0)
+    // constant series (click+purchase relabeled = 3 every hour): undefined -> NULL
+    val const = Timeseries
+      .ccfHourly(events.withColumn("event_type", lit("click")), "click", "click", maxLag = 1)
+      .filter(col("lag_h") === 0).collect().head
+    assert(const.isNullAt(const.fieldIndex("ccf")))
+  }
+
+  // ---- Theil–Sen ------------------------------------------------------
+
+  test("theil-sen: exact line has every pairwise slope equal") {
+    val rows = for (h <- 0 until 3; i <- 1 to (h + 1))
+      yield (h.toLong * 10 + i, ts(f"2024-01-01 0$h%d:00:00"))
+    val out = Timeseries.theilSenSlope(rows.toDF("event_id", "ts")).collect().head
+    assert(out.getAs[Long]("n_pairs") === 3L)
+    assert(out.getAs[Double]("slope_median") === 1.0)
+  }
+
+  // ---- Rolling DAU/WAU -----------------------------------------------
+
+  test("rolling active users: trailing-window distinct, stickiness ratio") {
+    // u1 active day0+day1, u2 active day0 only; windowDays=2
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-02 10:00:00"), 1L),
+      (3L, ts("2024-01-01 23:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Sessionize
+      .rollingActiveUsers(events, windowDays = 2)
+      .orderBy("day_date").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("dau") === 2L)
+    assert(out(0).getAs[Long]("wau") === 2L)
+    assert(out(0).getAs[Double]("stickiness") === 1.0)
+    // day1: DAU {u1}; WAU over {day0, day1} = {u1, u2}
+    assert(out(1).getAs[Long]("dau") === 1L)
+    assert(out(1).getAs[Long]("wau") === 2L)
+    assert(out(1).getAs[Double]("stickiness") === 0.5)
+  }
+
+  // ---- Gini -----------------------------------------------------------
+
+  test("gini: equal values 0, single owner (n-1)/n, zero total NULL") {
+    val df = Seq(
+      ("eq", 1L, 5.0), ("eq", 2L, 5.0),
+      ("one", 3L, 0.0), ("one", 4L, 0.0), ("one", 5L, 0.0), ("one", 6L, 1.0),
+      ("zero", 7L, 0.0)
+    ).toDF("g", "id", "v")
+    val out = Drift.giniByGroup(df, "g", "id", "v").orderBy("g").collect()
+    assert(out(0).getAs[Double]("gini") === 0.0)
+    assert(out(1).getAs[Double]("gini") === 0.75)
+    assert(out(2).isNullAt(out(2).fieldIndex("gini")))
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
