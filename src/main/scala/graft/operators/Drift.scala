@@ -195,6 +195,68 @@ object Drift {
         round((sum(col("add_p")) + sum(col("add_q"))) / 2.0, 6).as("js_vs_rest"))
   }
 
+  /** Benjamini–Hochberg FDR control over the per-group KS drift tests:
+    * "which shards drifted, with the false-discovery rate held at α?" —
+    * the multiple-testing discipline a per-ingest drift monitor needs
+    * once it watches hundreds of shards (α per test would alarm
+    * constantly; Bonferroni would never fire).
+    *
+    * p-values from the asymptotic KS null Q(λ) = 2Σ(−1)^{j−1}e^{−2j²λ²}
+    * truncated at j=3 (error < e⁻³²λ⁶-ish, far under the 6-decimal
+    * output grid for any λ the test can reject at), with
+    * λ = D·√(n_g·n_rest/N); each exponential term snaps to the 2⁻³⁰
+    * dyadic grid so p is engine-exact. BH step-up: rank p ascending
+    * (group tie-break), k* = max{i : p_i ≤ i·α/m}, reject ranks ≤ k*.
+    *
+    * Everything after [[ksVsRest]] is group-count-sized — the ordered
+    * rank window runs on m rows, never the corpus.
+    *
+    * Output per group: (group, n, ks_vs_rest, p_value, p_rank, rejected).
+    */
+  def bhFdrKs(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double = 0.05
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val grid30 = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+    val ks = ksVsRest(df, groupCol, valueCol).localCheckpoint()
+    val tot = ks.agg(sum(col("n")).as("n_all"), count(lit(1)).as("m"))
+    val lam2 = col("lam") * col("lam")
+    val withP = ks
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "lam",
+        col("ks_vs_rest") *
+          sqrt(col("n").cast("double") * (col("n_all") - col("n")).cast("double") /
+            col("n_all").cast("double")))
+      .withColumn(
+        "p_value",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(2.0) * (snap(exp(lit(-2.0) * lam2)) - snap(exp(lit(-8.0) * lam2)) +
+            snap(exp(lit(-18.0) * lam2))))))
+    val wRank = Window.orderBy(col("p_value"), col(groupCol))
+    val ranked = withP
+      .withColumn("p_rank", row_number().over(wRank).cast("long"))
+      .withColumn(
+        "pass",
+        when(col("p_value") <= col("p_rank").cast("double") * alpha / col("m").cast("double"),
+          col("p_rank")).otherwise(0L))
+      .localCheckpoint() // m rows; consumed by the k* agg and the output
+    val kStar = ranked.agg(max(col("pass")).as("k_star"))
+    ranked
+      .crossJoin(broadcast(kStar))
+      .select(
+        col(groupCol),
+        col("n"),
+        col("ks_vs_rest"),
+        round(col("p_value"), 6).as("p_value"),
+        col("p_rank"),
+        (col("p_rank") <= col("k_star")).as("rejected"))
+  }
+
   /** Per-group Gini coefficient — the concentration/inequality measure
     * ("is this shard's value mass owned by a few rows?"): with the
     * group's values as integer `scale`-ths c_(1) ≤ … ≤ c_(n),

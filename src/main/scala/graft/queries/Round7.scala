@@ -398,8 +398,206 @@ object Round7 {
             FROM a""")
   )
 
+  /** Benjamini–Hochberg FDR over per-source KS drift
+    * ([[graft.operators.Drift.bhFdrKs]]): the multiple-testing layer on
+    * top of q149 — asymptotic KS p-values (3-term snapped series), BH
+    * step-up at α=0.05. Oracle replays the whole chain: ECDF grid,
+    * λ, p-series, ranks, k*, and the step-up rejection set.
+    */
+  val q203BhFdr: QueryDef = QueryDef(
+    "q203_bh_fdr",
+    (s, dir) => Drift.bhFdrKs(Tables.documents(s, dir), "source", "n_chars", alpha = 0.05),
+    Some("""WITH counts AS (SELECT source, n_chars AS v, count(*) AS c
+                            FROM documents GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM counts GROUP BY 1),
+            vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM counts GROUP BY 1),
+            tot0 AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM vals),
+            grid AS (SELECT g.source, g.n_g, t.n_all, vals.v, vals.c_all,
+                            coalesce(c.c, 0) AS c
+                     FROM g CROSS JOIN tot0 t CROSS JOIN vals
+                     LEFT JOIN counts c ON c.source = g.source AND c.v = vals.v),
+            cum AS (SELECT source, n_g, n_all, c_all,
+                      sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_g,
+                      sum(c_all) OVER (PARTITION BY source ORDER BY v) AS cum_all
+                    FROM grid),
+            ks AS (SELECT source, n_g AS n, min(n_all) AS n_all,
+                          round(max(abs(cum_g / n_g - (cum_all - cum_g) / (n_all - n_g))), 6)
+                            AS ks_vs_rest
+                   FROM cum GROUP BY source, n_g),
+            mm AS (SELECT CAST(count(*) AS BIGINT) m FROM ks),
+            lamt AS (SELECT source, n, ks_vs_rest, m,
+                            ks_vs_rest * sqrt(CAST(n AS DOUBLE) * (n_all - n) / n_all) lam
+                     FROM ks CROSS JOIN mm),
+            pp AS (SELECT source, n, ks_vs_rest, m,
+                          least(1.0, greatest(0.0, 2 * (
+                            floor(exp(-2 * lam * lam) * 1073741824.0 + 0.5) / 1073741824.0 -
+                            floor(exp(-8 * lam * lam) * 1073741824.0 + 0.5) / 1073741824.0 +
+                            floor(exp(-18 * lam * lam) * 1073741824.0 + 0.5) / 1073741824.0)))
+                            AS p_value
+                   FROM lamt),
+            r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value, source) AS BIGINT)
+                              AS p_rank
+                  FROM pp),
+            kstar AS (SELECT max(CASE WHEN p_value <= p_rank * 0.05 / m
+                                 THEN p_rank ELSE 0 END) k_star FROM r)
+            SELECT source, n, ks_vs_rest, round(p_value, 6) AS p_value, p_rank,
+                   p_rank <= k_star AS rejected
+            FROM r CROSS JOIN kstar""")
+  )
+
+  /** Day-over-day trending items: per-day counts of the `props.k` item
+    * dimension, Laplace-smoothed ratio against yesterday, top 3 movers
+    * per day with min support — the burst screen a feed pipeline runs.
+    * Exact integers + one division; per-day rank plans as
+    * WindowGroupLimit. Oracle replays counts, the prev-day join, and
+    * the rank.
+    */
+  val q204Trending: QueryDef = QueryDef(
+    "q204_trending",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables
+        .events(s, dir)
+        .select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val cnt = items
+        .groupBy(col("day"), col("k"))
+        .agg(count(lit(1)).as("c"))
+        // day×item-sized; consumed by bounds, today, and yesterday joins
+        .localCheckpoint()
+      val bounds = cnt.agg(min(col("day")).as("mn"))
+      val scored = cnt
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") > col("mn") && col("c") >= 2)
+        .join(
+          cnt.select((col("day") + 1).as("day"), col("k"), col("c").as("c_prev")),
+          Seq("day", "k"),
+          "left")
+        .na.fill(0L, Seq("c_prev"))
+        .withColumn(
+          "score",
+          round((col("c") + 1).cast("double") / (col("c_prev") + 1).cast("double"), 6))
+      val w = Window.partitionBy(col("day")).orderBy(col("score").desc, col("k").asc)
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(
+          to_date(timestamp_micros(col("day") * 86400000000L)).as("day_date"),
+          col("k"), col("c"), col("c_prev"), col("score"), col("rnk"))
+    },
+    Some("""WITH items AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+                           FROM events),
+            cnt AS (SELECT day, k, CAST(count(*) AS BIGINT) c FROM items GROUP BY 1, 2),
+            b AS (SELECT min(day) mn FROM cnt),
+            scored AS (SELECT t.day, t.k, t.c, coalesce(p.c, 0) AS c_prev,
+                              round(CAST(t.c + 1 AS DOUBLE) / (coalesce(p.c, 0) + 1), 6)
+                                AS score
+                       FROM cnt t CROSS JOIN b
+                       LEFT JOIN cnt p ON p.day = t.day - 1 AND p.k = t.k
+                       WHERE t.day > b.mn AND t.c >= 2),
+            r AS (SELECT *, CAST(row_number() OVER (
+                    PARTITION BY day ORDER BY score DESC, k ASC) AS BIGINT) rnk
+                  FROM scored)
+            SELECT CAST(make_timestamp(day * 86400000000) AS DATE) AS day_date,
+                   k, c, c_prev, score, rnk
+            FROM r WHERE rnk <= 3""")
+  )
+
+  /** Additive schema evolution on the versioned lake
+    * ([[graft.sources.LakeLog.readEvolved]]): commit 1 writes the
+    * legacy shape, commit 2 appends rows WITH A NEW COLUMN; the evolved
+    * read resolves the union schema and NULL-fills legacy rows — no
+    * rewrite of old files. The oracle states the result relationally
+    * from the source table, so the whole commit/merge mechanism must be
+    * invisible.
+    */
+  val q205SchemaEvolution: QueryDef = QueryDef(
+    "q205_schema_evolution",
+    (s, dir) => {
+      import graft.sources.LakeLog
+      val ev = Tables.events(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q205").resolve("evolving").toString
+      LakeLog.append(
+        ev.filter(col("event_type") === "click").select(col("event_id"), col("user_id")),
+        path)
+      LakeLog.append(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value")),
+        path)
+      LakeLog
+        .readEvolved(s, path)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_value_cents"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_legacy,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_evolved,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                     AS sum_value_cents
+            FROM events WHERE event_type IN ('click', 'purchase')""")
+  )
+
+  /** Survivorship / golden record over the q58 duplicate clusters: per
+    * connected component of the MinHash-LSH near-dup graph, elect the
+    * most complete member (max n_chars, doc_id tie-break) — the MDM
+    * "keep-best" decision after entity resolution, one conditional-agg
+    * pass over the labeled members. Oracle replays the recursive-CTE
+    * closure plus the election.
+    */
+  val q206GoldenRecord: QueryDef = QueryDef(
+    "q206_golden_record",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val cc = graft.operators.Dedup
+        .connectedComponents(graft.operators.Dedup.minhashPairs(docs))
+      val w = Window
+        .partitionBy(col("cluster_rep"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_rep"))
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          sum(col("n_chars")).as("total_chars"),
+          min(when(col("rn") === 1, col("doc_id"))).as("golden_doc"),
+          min(when(col("rn") === 1, col("n_chars"))).as("golden_chars"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${LlmQueries.ngramJaccardOracle}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS doc, u AS label FROM edges
+              UNION
+              SELECT e.u AS doc, r.label
+              FROM edges e JOIN reach r ON r.doc = e.v),
+            lab AS (SELECT doc, CAST(min(label) AS BIGINT) AS cluster_rep
+                    FROM reach GROUP BY doc),
+            mem AS (SELECT l.cluster_rep, l.doc, d.n_chars,
+                           row_number() OVER (PARTITION BY l.cluster_rep
+                             ORDER BY d.n_chars DESC, l.doc ASC) AS rn
+                    FROM lab l JOIN documents d ON d.doc_id = l.doc)
+            SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(CASE WHEN rn = 1 THEN doc END) AS BIGINT) AS golden_doc,
+                   CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS golden_chars
+            FROM mem GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
-    q201RollingWau, q202Gini)
+    q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
+    q206GoldenRecord)
 }

@@ -108,6 +108,25 @@ object LakeLog {
     }
   }
 
+  /** Schema-evolution read: like [[read]], but resolves the UNION of the
+    * snapshot's file schemas (parquet `mergeSchema`) — columns added by
+    * later commits surface as NULL on rows from files that predate them.
+    * This is the additive-evolution contract (add-column only): renames
+    * and type changes are rewrites, not merges, and fail here the same
+    * way they would on any footer-merging reader.
+    */
+  def readEvolved(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version
+    else latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $path"))
+    val files = listing(path, v)
+    if (files.isEmpty) read(spark, path, version)
+    else
+      spark.read
+        .option("mergeSchema", "true")
+        .parquet(files.map(f => dataDir(path).resolve(f).toString): _*)
+  }
+
   /** Files added between `fromV` (exclusive; 0 = before the first commit)
     * and `toV` — the manifest-level delta an incremental consumer reads.
     */

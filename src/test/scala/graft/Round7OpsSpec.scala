@@ -259,6 +259,48 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("gini")))
   }
 
+  // ---- BH-FDR over KS drift ------------------------------------------
+
+  test("bh-fdr: the shifted shard is rejected, identical shards are not") {
+    // A sits on a disjoint value range (KS vs rest = 1); B..F share one
+    // distribution — their KS vs rest is only the dilution A causes
+    // (D = |A|/|rest| = 0.2), which the BH threshold must NOT reject.
+    val rows =
+      (1 to 40).map(i => ("A", 1000.0 + i)) ++
+        (for (g <- Seq("B", "C", "D", "E", "F"); i <- 1 to 40)
+          yield (g, (i % 10).toDouble))
+    val df = rows.toDF("src", "v")
+    val out = Drift.bhFdrKs(df, "src", "v", alpha = 0.05).orderBy("p_rank").collect()
+    assert(out.length === 6)
+    assert(out(0).getAs[String]("src") === "A")
+    assert(out(0).getAs[Boolean]("rejected"))
+    assert(out(0).getAs[Double]("ks_vs_rest") === 1.0)
+    assert(out(0).getAs[Double]("p_value") < 0.001)
+    for (i <- 1 until 6) assert(!out(i).getAs[Boolean]("rejected"))
+    // p-values are ordered with the ranks
+    assert(out(0).getAs[Double]("p_value") <= out(1).getAs[Double]("p_value"))
+  }
+
+  // ---- Schema-evolution lake read ------------------------------------
+
+  test("readEvolved: added column NULL-fills legacy rows; time travel keeps the old shape") {
+    import graft.sources.LakeLog
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_evolve_spec").resolve("t").toString
+    val v1 = LakeLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path)
+    LakeLog.append(Seq((3L, "c", 9.5)).toDF("id", "name", "score"), path)
+    val evolved = LakeLog.readEvolved(spark, path)
+    assert(evolved.columns.toSet === Set("id", "name", "score"))
+    val byId = evolved.orderBy("id").collect()
+    assert(byId.length === 3)
+    assert(byId(0).isNullAt(byId(0).fieldIndex("score"))) // legacy row
+    assert(byId(2).getAs[Double]("score") === 9.5)
+    // time travel to v1: still the 2-column shape, old files untouched
+    val old = LakeLog.read(spark, path, v1)
+    assert(old.columns.toSet === Set("id", "name"))
+    assert(old.count() === 2)
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
