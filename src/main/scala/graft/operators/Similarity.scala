@@ -685,4 +685,76 @@ object Similarity {
     }
     centroids
   }
+
+  /** Weiszfeld geometric median of the embedding cloud — the ROBUST
+    * centroid (minimizer of Σ‖x−y‖, not Σ‖x−y‖²): a handful of
+    * corrupted/outlier embeddings drag the mean arbitrarily far but move
+    * the geometric median almost not at all, which is why robust
+    * aggregation (e.g. against poisoned or degenerate shards) medians
+    * instead of averages.
+    *
+    * Iteration y ← Σ(xᵢ/dᵢ)/Σ(1/dᵢ), dᵢ = ‖xᵢ−y‖, from the
+    * coordinate-wise mean; rows within `eps` of the current iterate drop
+    * out of both sums (the standard singularity guard). Scale shape:
+    * corpus-side work per iteration is one scan (distance fold +
+    * per-dim weighted sums, map-side combined into 64+1 cells); the
+    * iterate itself is bounded model state on the driver — the
+    * k-means/PQ posture. Every reduction-order-dependent aggregate
+    * (mean, weighted sums, weight total) snaps to the 2⁻²⁰ binary grid,
+    * and distance folds are ordered positional folds, so a relational
+    * replay reconstructs the identical iterates ([[kmeansAssign]]'s
+    * contract; same documented residual ulp-at-grid-boundary risk).
+    *
+    * Output: one row per dimension (pos, mean_coord, gmedian_coord) —
+    * the non-robust mean rides along as the comparison column.
+    */
+  def geometricMedian(emb: DataFrame, iters: Int = 2, eps: Double = 1e-9): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val pts = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      // consumed once per iteration plus the mean pass
+      .localCheckpoint()
+    def quant(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    val meanRows = pts
+      .select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+    val dim = meanRows.length
+    val mean = new Array[Double](dim)
+    meanRows.foreach(r => mean(r.getInt(0)) = quant(r.getDouble(1)))
+    var y = mean.clone()
+    for (_ <- 1 to iters) {
+      val yarr = array(y.map(lit): _*)
+      val dist = sqrt(
+        aggregate(
+          zip_with(col("v"), yarr, (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, x) => acc + x))
+      val weighted = pts
+        .withColumn("dist", dist)
+        .filter(col("dist") > eps)
+        .withColumn("w", lit(1.0) / col("dist"))
+        .localCheckpoint() // two consumers: weight total + per-dim sums
+      val denom = quant(weighted.agg(sum(col("w"))).head().getDouble(0))
+      val next = y.clone()
+      weighted
+        .select(col("w"), posexplode(col("v")))
+        .groupBy(col("pos"))
+        .agg(sum(col("col") * col("w")).as("s"))
+        .collect()
+        .foreach(r => next(r.getInt(0)) = quant(quant(r.getDouble(1)) / denom))
+      y = next
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // HALF_UP (away from zero) ≡ Spark/DuckDB round(); rint's half-even
+    // would diverge on grid values that land exactly on a half-microunit
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    y.zip(mean).zipWithIndex
+      .map { case ((g, m), i) => (i, r6(m), r6(g)) }
+      .toSeq
+      .toDF("pos", "mean_coord", "gmedian_coord")
+  }
 }

@@ -595,9 +595,52 @@ object Round7 {
             FROM mem GROUP BY 1""")
   )
 
+  /** One Weiszfeld iteration in replay SQL ([[AnnReplaySql]] parity
+    * rules: ordered positional distance folds, 2⁻²⁰ grid snap on every
+    * reduction-order-dependent aggregate, eps singularity guard).
+    */
+  private def weiszfeldIterSql(i: Int): String = {
+    val prev = if (i == 1) "y0" else s"y${i - 1}"
+    s"""d$i AS (SELECT p.vec_id, p.v,
+                 sqrt(list_sum([(p.v[j] - y.y[j]) * (p.v[j] - y.y[j])
+                                FOR j IN range(1, 65)])) AS dist
+          FROM pts p CROSS JOIN $prev y),
+        w$i AS (SELECT vec_id, v, 1.0 / dist AS w FROM d$i WHERE dist > 1e-9),
+        den$i AS (SELECT floor(sum(w) * 1048576.0) / 1048576.0 AS den FROM w$i),
+        n$i AS (SELECT pos, floor(sum(val * w) * 1048576.0) / 1048576.0 AS num
+                FROM (SELECT w, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                      FROM w$i)
+                GROUP BY pos),
+        yv$i AS (SELECT pos, floor(num / den * 1048576.0) / 1048576.0 AS m
+                 FROM n$i CROSS JOIN den$i),
+        y$i AS (SELECT list(m ORDER BY pos) AS y FROM yv$i)"""
+  }
+
+  /** Weiszfeld geometric median
+    * ([[graft.operators.Similarity.geometricMedian]]): the robust
+    * centroid of the embedding cloud, 2 iterations from the mean, every
+    * iterate grid-snapped. ORACLE-CHECKED end to end: DuckDB replays the
+    * mean, both distance-weighted iterations, and the final rounding.
+    */
+  val q207GeoMedian: QueryDef = QueryDef(
+    "q207_geomedian",
+    (s, dir) => graft.operators.Similarity.geometricMedian(Tables.embeddings(s, dir), iters = 2),
+    Some(s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+            e AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM pts),
+            m0 AS (SELECT pos, floor(avg(val) * 1048576.0) / 1048576.0 AS m
+                   FROM e GROUP BY pos),
+            y0 AS (SELECT list(m ORDER BY pos) AS y FROM m0),
+            ${weiszfeldIterSql(1)},
+            ${weiszfeldIterSql(2)}
+            SELECT CAST(m0.pos - 1 AS INT) AS pos, round(m0.m, 6) AS mean_coord,
+                   round(yv2.m, 6) AS gmedian_coord
+            FROM m0 JOIN yv2 USING (pos)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
     q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
-    q206GoldenRecord)
+    q206GoldenRecord, q207GeoMedian)
 }

@@ -301,6 +301,33 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(old.count() === 2)
   }
 
+  // ---- Geometric median ----------------------------------------------
+
+  test("geometric median: an outlier drags the mean but not the median") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(-0.1f, 0.0f)), (4L, Array(0.0f, -0.1f)),
+      (5L, Array(1000.0f, 0.0f)) // corrupted row
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.geometricMedian(emb, iters = 2)
+      .orderBy("pos").collect()
+    val meanX = out(0).getAs[Double]("mean_coord")
+    val gmX = out(0).getAs[Double]("gmedian_coord")
+    assert(meanX > 150.0) // mean dragged to ~166.7
+    assert(math.abs(gmX) < meanX / 10.0) // median stays near the mass
+  }
+
+  test("geometric median: symmetric cloud keeps its center exactly") {
+    val emb = Seq(
+      (0L, Array(0.0f, 1.0f)), (1L, Array(2.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.geometricMedian(emb, iters = 2)
+      .orderBy("pos").collect()
+    assert(out.map(_.getAs[Double]("gmedian_coord")).toSeq === Seq(1.0, 1.0))
+    assert(out.map(_.getAs[Double]("mean_coord")).toSeq === Seq(1.0, 1.0))
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
