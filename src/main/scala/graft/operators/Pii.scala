@@ -44,4 +44,48 @@ object Pii {
           "<SSN>")
       )
   }
+
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * "can rows be re-identified by joining on what's left after
+    * redaction?": rows whose QI equivalence class has fewer than k
+    * members are re-identification risks; classes whose SENSITIVE
+    * attribute takes < l distinct values leak it even at k (the homogeneity
+    * attack l-diversity closes).
+    *
+    * Pure relational: one QI-keyed agg (count + distinct-sensitive), one
+    * rollup to the reporting dimension. Exact integers; the pct is one
+    * division.
+    *
+    * Output per `reportCol` value: (report, n_rows, n_classes,
+    * n_small_classes, n_risky_rows, risky_row_pct, min_l).
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[Column],
+      sensitiveCol: Column,
+      reportCol: String,
+      k: Int = 5,
+      l: Int = 2
+  ): DataFrame = {
+    require(k >= 2 && l >= 1, "need k >= 2, l >= 1")
+    val classes = df
+      .groupBy(col(reportCol) +: quasiCols: _*)
+      .agg(
+        count(lit(1)).as("class_n"),
+        countDistinct(sensitiveCol).as("class_l"))
+    classes
+      .groupBy(col(reportCol))
+      .agg(
+        sum(col("class_n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_n") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("class_n") < k, col("class_n")).otherwise(0L)).as("n_risky_rows"),
+        min(col("class_l")).as("min_l"))
+      .withColumn(
+        "risky_row_pct",
+        round(col("n_risky_rows").cast("double") / col("n_rows").cast("double") * 100.0, 6))
+      .select(
+        col(reportCol), col("n_rows"), col("n_classes"), col("n_small_classes"),
+        col("n_risky_rows"), col("risky_row_pct"), col("min_l"))
+  }
 }

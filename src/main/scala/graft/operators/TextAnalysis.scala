@@ -517,4 +517,78 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf")
       )
   }
+
+  /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β fitted over `buckets`
+    * cumulative checkpoints of the corpus in doc_id order — the
+    * projection ("how much NEW vocabulary will the next 10× of data
+    * bring?") a tokenizer/corpus plan needs before committing a vocab
+    * budget.
+    *
+    * Scale shape: a word's contribution to every checkpoint is decided
+    * by ONE value — its first containing doc — so the whole curve needs
+    * one distinct-word agg (min doc_id), a ROW-LOCAL integer bucket
+    * assignment (no interval join, no per-checkpoint rescan), and a
+    * buckets-sized cumsum; token counts bucket the same way. The ln-ln
+    * OLS runs on `buckets` points with 2⁻³⁰-snapped logs.
+    *
+    * Output: one row (n_checkpoints, total_tokens, total_vocab, beta,
+    * ln_k, r2).
+    */
+  def heapsLaw(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need >= 2 checkpoints")
+    val grid30 = 1073741824.0
+    def snap(c: Column) = floor(c * grid30 + 0.5) / grid30
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    def bucketOf(idCol: String) =
+      expr(s"(($idCol - mn) * $buckets) div (mx - mn + 1)").cast("long") + 1
+    val firstDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .select(bucketOf("first_doc").as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("new_words"))
+    val tokensPerBucket = docs
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .crossJoin(broadcast(bounds))
+      .select(bucketOf("doc_id").as("b"), col("n_tok"))
+      .groupBy(col("b"))
+      .agg(sum(col("n_tok")).as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val curve = tokensPerBucket
+      .join(firstDoc, Seq("b"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .withColumn("n_cum", sum(col("toks")).over(w))
+      .withColumn("v_cum", sum(col("new_words")).over(w))
+      .filter(col("n_cum") > 0 && col("v_cum") > 0)
+      .select(snap(log(col("n_cum"))).as("lx"), snap(log(col("v_cum"))).as("ly"),
+        col("n_cum"), col("v_cum"))
+    curve
+      .agg(
+        count(lit(1)).as("m"),
+        max(col("n_cum")).as("total_tokens"),
+        max(col("v_cum")).as("total_vocab"),
+        sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("ly") * col("ly")).as("syy"))
+      .withColumn("dxy", col("m") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("m") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("m") * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("m").as("n_checkpoints"),
+        col("total_tokens"),
+        col("total_vocab"),
+        when(col("dxx") =!= 0.0, round(col("dxy") / col("dxx"), 6)).as("beta"),
+        when(col("dxx") =!= 0.0,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) / col("dxx"), 6))
+          .as("ln_k"),
+        when(col("dxx") =!= 0.0 && col("dyy") =!= 0.0,
+          round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)).as("r2"))
+  }
 }

@@ -638,9 +638,125 @@ object Round7 {
             FROM m0 JOIN yv2 USING (pos)""")
   )
 
+  /** CUPED variance reduction ([[graft.operators.Eval.cupedAdjust]]):
+    * pre-period covariate adjustment of a hash-split A/B readout —
+    * θ and ρ² as exact-long-difference ratios, arm means adjusted from
+    * arm totals alone. Oracle replays cent sums, moments, θ, and both
+    * means.
+    */
+  val q208Cuped: QueryDef = QueryDef(
+    "q208_cuped",
+    (s, dir) => graft.operators.Eval.cupedAdjust(Tables.events(s, dir), splitDays = 15),
+    Some("""WITH t0 AS (SELECT min(epoch_us(ts)) t0 FROM events),
+            pu AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) arm,
+                          CAST(sum(CASE WHEN epoch_us(ts) < t0 + 1296000000000
+                               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) x,
+                          CAST(sum(CASE WHEN epoch_us(ts) >= t0 + 1296000000000
+                               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) y
+                   FROM events CROSS JOIN t0 GROUP BY 1, 2),
+            g AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy, CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(x * y) AS BIGINT) sxy, CAST(sum(y * y) AS BIGINT) syy
+                  FROM pu),
+            a AS (SELECT arm, CAST(count(*) AS BIGINT) n_users,
+                         CAST(sum(x) AS BIGINT) sxa, CAST(sum(y) AS BIGINT) sya
+                  FROM pu GROUP BY 1),
+            d AS (SELECT a.arm, a.n_users, a.sxa, a.sya, g.n, g.sx,
+                         CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE) dxy,
+                         CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) dxx,
+                         CAST(g.n * g.syy - g.sy * g.sy AS DOUBLE) dyy
+                  FROM a CROSS JOIN g),
+            t AS (SELECT *, CASE WHEN dxx != 0 THEN dxy / dxx ELSE 0.0 END theta FROM d)
+            SELECT arm, n_users,
+                   round(CAST(sya AS DOUBLE) / 100.0 / n_users, 6) AS mean_post,
+                   round((CAST(sya AS DOUBLE) / n_users -
+                          theta * (CAST(sxa AS DOUBLE) / n_users -
+                                   CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS mean_post_adj,
+                   round(theta, 6) AS theta,
+                   CASE WHEN dyy != 0 AND dxx != 0
+                        THEN round(dxy * dxy / (dxx * dyy), 6) END AS rho2
+            FROM t""")
+  )
+
+  /** Heaps'-law vocabulary growth
+    * ([[graft.operators.TextAnalysis.heapsLaw]]): V ≈ K·N^β fitted over
+    * 10 cumulative checkpoints — first-containing-doc decides each
+    * word's checkpoint, so the whole curve is one distinct-word agg +
+    * row-local bucket arithmetic. Oracle replays buckets, cumsums, and
+    * the ln-ln OLS.
+    */
+  val q209HeapsLaw: QueryDef = QueryDef(
+    "q209_heaps_law",
+    (s, dir) => graft.operators.TextAnalysis.heapsLaw(Tables.documents(s, dir), buckets = 10),
+    Some("""WITH b AS (SELECT min(doc_id) mn, max(doc_id) mx FROM documents),
+            fd AS (SELECT ((min_doc - mn) * 10) // (mx - mn + 1) + 1 AS bk FROM (
+                     SELECT w.word, min(w.doc_id) min_doc FROM (
+                       SELECT doc_id, unnest(string_split(text, ' ')) word
+                       FROM documents) w
+                     WHERE length(w.word) > 0 GROUP BY 1) CROSS JOIN b),
+            nw AS (SELECT bk, CAST(count(*) AS BIGINT) new_words FROM fd GROUP BY 1),
+            tk AS (SELECT ((doc_id - mn) * 10) // (mx - mn + 1) + 1 AS bk,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) toks
+                   FROM documents CROSS JOIN b GROUP BY 1),
+            curve AS (SELECT tk.bk,
+                             CAST(sum(tk.toks) OVER (ORDER BY tk.bk) AS BIGINT) n_cum,
+                             CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY tk.bk)
+                                  AS BIGINT) v_cum
+                      FROM tk LEFT JOIN nw USING (bk)),
+            pts AS (SELECT n_cum, v_cum,
+                           floor(ln(n_cum) * 1073741824.0 + 0.5) / 1073741824.0 lx,
+                           floor(ln(v_cum) * 1073741824.0 + 0.5) / 1073741824.0 ly
+                    FROM curve WHERE n_cum > 0 AND v_cum > 0),
+            ag AS (SELECT CAST(count(*) AS BIGINT) m, max(n_cum) total_tokens,
+                          max(v_cum) total_vocab, sum(lx) sx, sum(ly) sy,
+                          sum(lx * lx) sxx, sum(lx * ly) sxy, sum(ly * ly) syy
+                   FROM pts),
+            d AS (SELECT *, m * sxy - sx * sy dxy, m * sxx - sx * sx dxx,
+                         m * syy - sy * sy dyy FROM ag)
+            SELECT m AS n_checkpoints, total_tokens, total_vocab,
+                   CASE WHEN dxx != 0 THEN round(dxy / dxx, 6) END AS beta,
+                   CASE WHEN dxx != 0 THEN round((sy * sxx - sx * sxy) / dxx, 6) END AS ln_k,
+                   CASE WHEN dxx != 0 AND dyy != 0
+                        THEN round(dxy * dxy / (dxx * dyy), 6) END AS r2
+            FROM d""")
+  )
+
+  /** k-anonymity / l-diversity audit
+    * ([[graft.operators.Pii.kAnonymityAudit]]): re-identification risk
+    * of the (lang, length-bucket) quasi-identifier with `source` as the
+    * sensitive attribute — small equivalence classes and homogeneous
+    * classes surfaced per language. Oracle replays classes and the
+    * rollup.
+    */
+  val q210KAnonymity: QueryDef = QueryDef(
+    "q210_k_anonymity",
+    (s, dir) =>
+      graft.operators.Pii.kAnonymityAudit(
+        Tables.documents(s, dir),
+        quasiCols = Seq(expr("n_chars div 50")),
+        sensitiveCol = col("source"),
+        reportCol = "lang",
+        k = 5,
+        l = 2),
+    Some("""WITH cls AS (SELECT lang, n_chars // 50 AS qb,
+                                CAST(count(*) AS BIGINT) class_n,
+                                CAST(count(DISTINCT source) AS BIGINT) class_l
+                         FROM documents GROUP BY 1, 2)
+            SELECT lang, CAST(sum(class_n) AS BIGINT) n_rows,
+                   CAST(count(*) AS BIGINT) n_classes,
+                   CAST(sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_small_classes,
+                   CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END) AS BIGINT)
+                     AS n_risky_rows,
+                   round(CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END) AS DOUBLE) /
+                         sum(class_n) * 100.0, 6) AS risky_row_pct,
+                   CAST(min(class_l) AS BIGINT) AS min_l
+            FROM cls GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
     q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
-    q206GoldenRecord, q207GeoMedian)
+    q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity)
 }

@@ -328,6 +328,66 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("mean_coord")).toSeq === Seq(1.0, 1.0))
   }
 
+  // ---- CUPED ----------------------------------------------------------
+
+  test("cuped: perfectly predictive covariate collapses both arms to the global mean") {
+    // each user repeats the same value pre and post -> Y = X, theta = 1,
+    // rho2 = 1, and both adjusted means equal the global post mean
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L, 0.10), (2L, ts("2024-01-25 00:00:00"), 0L, 0.10),
+      (3L, ts("2024-01-01 00:00:00"), 1L, 0.20), (4L, ts("2024-01-25 00:00:00"), 1L, 0.20),
+      (5L, ts("2024-01-01 00:00:00"), 2L, 0.30), (6L, ts("2024-01-25 00:00:00"), 2L, 0.30),
+      (7L, ts("2024-01-01 00:00:00"), 3L, 0.40), (8L, ts("2024-01-25 00:00:00"), 3L, 0.40)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = graft.operators.Eval.cupedAdjust(events, splitDays = 15)
+      .orderBy("arm").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("theta") === 1.0)
+    assert(out(0).getAs[Double]("rho2") === 1.0)
+    // raw means differ by arm; adjusted means both land on 0.25
+    assert(out(0).getAs[Double]("mean_post") === 0.2)
+    assert(out(1).getAs[Double]("mean_post") === 0.3)
+    assert(out(0).getAs[Double]("mean_post_adj") === 0.25)
+    assert(out(1).getAs[Double]("mean_post_adj") === 0.25)
+  }
+
+  // ---- Heaps' law -----------------------------------------------------
+
+  test("heaps law: all-new vocabulary per doc fits beta = 1 exactly") {
+    val docs = (0 until 10)
+      .map(i => (i.toLong, (0 until 4).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.heapsLaw(docs, buckets = 10).collect().head
+    assert(r.getAs[Long]("n_checkpoints") === 10L)
+    assert(r.getAs[Long]("total_tokens") === 40L)
+    assert(r.getAs[Long]("total_vocab") === 40L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ln_k")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  // ---- k-anonymity ----------------------------------------------------
+
+  test("k-anonymity: small classes flagged, homogeneous class floors min_l") {
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "en", s"src$i", 10L)) ++ // class of 6, l=6
+        Seq((7L, "fr", "srcA", 10L), (8L, "fr", "srcA", 10L)) // class of 2, l=1
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = graft.operators.Pii
+      .kAnonymityAudit(docs, Seq(expr("n_chars div 50")), col("source"), "lang", k = 5, l = 2)
+      .orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getAs[Long]("n_rows") === 6L)
+    assert(en.getAs[Long]("n_small_classes") === 0L)
+    assert(en.getAs[Double]("risky_row_pct") === 0.0)
+    assert(en.getAs[Long]("min_l") === 6L)
+    val fr = out(1)
+    assert(fr.getAs[Long]("n_small_classes") === 1L)
+    assert(fr.getAs[Long]("n_risky_rows") === 2L)
+    assert(fr.getAs[Double]("risky_row_pct") === 100.0)
+    assert(fr.getAs[Long]("min_l") === 1L)
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
