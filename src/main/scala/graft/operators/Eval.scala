@@ -201,4 +201,126 @@ object Eval {
         when(col("dyy") =!= 0.0 && col("dxx") =!= 0.0,
           round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)).as("rho2"))
   }
+
+  /** Poisson bootstrap confidence interval for the mean — the
+    * DISTRIBUTED bootstrap: classical resampling needs a global draw of
+    * n rows per replicate, the Poisson(1) approximation gives every row
+    * an independent weight w ~ Poisson(1) per replicate, so all B
+    * resamples are ONE row-local projection + one keyed agg. Weights are
+    * md5-dyadic uniforms pushed through the hard-coded Poisson(1)
+    * inverse CDF (identical literals on both engines → identical
+    * weights), values are integer cents, so every replicate mean is an
+    * exact integer ratio; the CI is the exact interpolating percentile
+    * over the B replicate means.
+    *
+    * Output: one row (n, mean, n_reps, ci_lo, ci_hi) at 95%.
+    */
+  def poissonBootstrapMeanCi(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      reps: Int = 50,
+      salt: String = "boot"
+  ): DataFrame = {
+    require(reps >= 10, "need >= 10 replicates")
+    val base = df
+      .select(
+        col(idCol).cast("string").as("rid"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c"))
+      .localCheckpoint() // consumed by the replicate explode and the point estimate
+    val u = conv(
+      substring(md5(concat(col("rid"), lit(":"), col("b").cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .when(u < 0.9999897508033253, 7L)
+      .otherwise(8L)
+    val repMeans = base
+      .withColumn("b", explode(expr(s"sequence(1, $reps)")))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select((col("swc").cast("double") / col("sw").cast("double") / 100.0).as("rep_mean"))
+    val overall = base.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    repMeans
+      .agg(
+        count(lit(1)).as("n_reps"),
+        expr("percentile(rep_mean, 0.025)").as("lo"),
+        expr("percentile(rep_mean, 0.975)").as("hi"))
+      .crossJoin(broadcast(overall))
+      .select(
+        col("n"),
+        round(col("sc").cast("double") / 100.0 / col("n").cast("double"), 6).as("mean"),
+        col("n_reps"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+  }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between groups A and
+    * B of `valCol` — the nonparametric "did the distribution shift?"
+    * test, computed like [[rocAuc]]: midranks over the VALUE HISTOGRAM
+    * (doubled to stay integer), never a per-row sort. U from the rank
+    * sum, normal approximation with tie correction and continuity
+    * correction:
+    *
+    *   z = sign(d)·(|d| − 1) / (2σ),  d = 2U − n₁n₂  (exact long),
+    *   σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    *
+    * Everything up to the final sqrt/divide is exact integer arithmetic.
+    * p-values intentionally omitted (no erf in the oracle engine) — z
+    * IS the decision statistic.
+    *
+    * Output: one row (n_a, n_b, u_stat, z).
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valCol).as("v"))
+      .agg(
+        count(lit(1)).as("t"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"))
+      .localCheckpoint() // histogram-sized; window + two aggregates below
+    val wCum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum_excl", coalesce(sum(col("t")).over(wCum), lit(0L)))
+      // doubled midrank of every value in this tie group: 2·cum + t + 1
+      .withColumn("mr2", lit(2L) * col("cum_excl") + col("t") + 1)
+    val agg = ranked.agg(
+      sum(col("ta")).as("n_a"),
+      sum(col("t") - col("ta")).as("n_b"),
+      sum(col("ta") * col("mr2")).as("r2a"), // 2·(rank sum of A)
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    agg
+      .withColumn("n_tot", col("n_a") + col("n_b"))
+      // 2U = 2R_A − n_a(n_a+1); d = 2U − n_a·n_b (all exact longs)
+      .withColumn("d2", col("r2a") - col("n_a") * (col("n_a") + 1) - col("n_a") * col("n_b"))
+      .withColumn(
+        "sigma2",
+        col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+          ((col("n_tot") + 1).cast("double") -
+            col("tie3").cast("double") /
+              (col("n_tot") * (col("n_tot") - 1)).cast("double")))
+      .select(
+        col("n_a"),
+        col("n_b"),
+        ((col("d2") + col("n_a") * col("n_b")).cast("double") / 2.0).as("u_stat"),
+        when(col("d2") === 0L || col("sigma2") <= 0.0, 0.0)
+          .otherwise(
+            round(
+              signum(col("d2").cast("double")) * (abs(col("d2")).cast("double") - 1.0) /
+                (lit(2.0) * sqrt(col("sigma2"))),
+              6)).as("z"))
+  }
 }

@@ -518,6 +518,43 @@ object TextAnalysis {
       )
   }
 
+  /** Per-document n-gram novelty — the corpus-diversity dual of the
+    * dedup family: the fraction of a document's distinct word n-grams
+    * that appear NOWHERE else (df = 1). Low novelty across a shard
+    * means templated/boilerplate content even when no document pair
+    * crosses a near-dup threshold; mean novelty is the self-similarity
+    * alarm a diversity report tracks per source.
+    *
+    * Shape: one scan-side distinct-shingle explode (md5 gram identity,
+    * the [[Dedup]] posture), one gram-keyed df agg, one join back —
+    * work is Σ distinct grams, never corpus². Documents shorter than n
+    * words have no grams and drop out (documented).
+    *
+    * Output per doc: (doc_id, n_grams, n_novel, novelty).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val gramExpr =
+      s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+            array_distinct(transform(
+              sequence(0, size(split(text, ' ')) - $n),
+              i -> md5(array_join(slice(split(text, ' '), i + 1, $n), ' '))))
+          ELSE array() END"""
+    val grams = docs
+      .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
+      .localCheckpoint() // consumed by the df agg and the join back
+    val dfCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams
+      .join(dfCounts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn(
+        "novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β fitted over `buckets`
     * cumulative checkpoints of the corpus in doc_id order — the
     * projection ("how much NEW vocabulary will the next 10× of data

@@ -754,9 +754,178 @@ object Round7 {
             FROM cls GROUP BY 1""")
   )
 
+  /** Difference-in-differences: 2×2 (arm × pre/post) cell means from
+    * integer cent sums, DiD = (ΔT) − (ΔC) — the observational-causal
+    * readout next to q208's variance-reduced A/B. One conditional agg,
+    * a single row out, every mean an exact ratio.
+    */
+  val q211Did: QueryDef = QueryDef(
+    "q211_did",
+    (s, dir) => {
+      val t0 = Tables.events(s, dir).agg(min(unix_micros(col("ts"))).as("t0"))
+      val cut = col("t0") + lit(15L * 86400000000L)
+      Tables
+        .events(s, dir)
+        .crossJoin(broadcast(t0))
+        .select(
+          (col("user_id") % 2).cast("long").as("arm"),
+          (unix_micros(col("ts")) >= cut).as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .agg(
+          sum(when(col("arm") === 0 && !col("post"), 1L).otherwise(0L)).as("n00"),
+          sum(when(col("arm") === 0 && col("post"), 1L).otherwise(0L)).as("n01"),
+          sum(when(col("arm") === 1 && !col("post"), 1L).otherwise(0L)).as("n10"),
+          sum(when(col("arm") === 1 && col("post"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("arm") === 0 && !col("post"), col("c")).otherwise(0L)).as("s00"),
+          sum(when(col("arm") === 0 && col("post"), col("c")).otherwise(0L)).as("s01"),
+          sum(when(col("arm") === 1 && !col("post"), col("c")).otherwise(0L)).as("s10"),
+          sum(when(col("arm") === 1 && col("post"), col("c")).otherwise(0L)).as("s11"))
+        .select(
+          col("n00"), col("n01"), col("n10"), col("n11"),
+          round(col("s00").cast("double") / 100.0 / col("n00").cast("double"), 6).as("mean_ctl_pre"),
+          round(col("s01").cast("double") / 100.0 / col("n01").cast("double"), 6).as("mean_ctl_post"),
+          round(col("s10").cast("double") / 100.0 / col("n10").cast("double"), 6).as("mean_trt_pre"),
+          round(col("s11").cast("double") / 100.0 / col("n11").cast("double"), 6).as("mean_trt_post"),
+          round(
+            (col("s11").cast("double") / 100.0 / col("n11").cast("double") -
+              col("s10").cast("double") / 100.0 / col("n10").cast("double")) -
+              (col("s01").cast("double") / 100.0 / col("n01").cast("double") -
+                col("s00").cast("double") / 100.0 / col("n00").cast("double")),
+            6).as("did"))
+    },
+    Some("""WITH t0 AS (SELECT min(epoch_us(ts)) t0 FROM events),
+            r AS (SELECT CAST(user_id % 2 AS BIGINT) arm,
+                         epoch_us(ts) >= t0 + 1296000000000 post,
+                         CAST(round(value * 100) AS BIGINT) c
+                  FROM events CROSS JOIN t0),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN arm = 0 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) n00,
+                    CAST(sum(CASE WHEN arm = 0 AND post THEN 1 ELSE 0 END) AS BIGINT) n01,
+                    CAST(sum(CASE WHEN arm = 1 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) n10,
+                    CAST(sum(CASE WHEN arm = 1 AND post THEN 1 ELSE 0 END) AS BIGINT) n11,
+                    CAST(sum(CASE WHEN arm = 0 AND NOT post THEN c ELSE 0 END) AS BIGINT) s00,
+                    CAST(sum(CASE WHEN arm = 0 AND post THEN c ELSE 0 END) AS BIGINT) s01,
+                    CAST(sum(CASE WHEN arm = 1 AND NOT post THEN c ELSE 0 END) AS BIGINT) s10,
+                    CAST(sum(CASE WHEN arm = 1 AND post THEN c ELSE 0 END) AS BIGINT) s11
+                  FROM r)
+            SELECT n00, n01, n10, n11,
+                   round(CAST(s00 AS DOUBLE) / 100.0 / n00, 6) AS mean_ctl_pre,
+                   round(CAST(s01 AS DOUBLE) / 100.0 / n01, 6) AS mean_ctl_post,
+                   round(CAST(s10 AS DOUBLE) / 100.0 / n10, 6) AS mean_trt_pre,
+                   round(CAST(s11 AS DOUBLE) / 100.0 / n11, 6) AS mean_trt_post,
+                   round((CAST(s11 AS DOUBLE) / 100.0 / n11 -
+                          CAST(s10 AS DOUBLE) / 100.0 / n10) -
+                         (CAST(s01 AS DOUBLE) / 100.0 / n01 -
+                          CAST(s00 AS DOUBLE) / 100.0 / n00), 6) AS did
+            FROM a""")
+  )
+
+  /** Poisson bootstrap CI
+    * ([[graft.operators.Eval.poissonBootstrapMeanCi]]): the distributed
+    * bootstrap — md5-dyadic uniforms through the hard-coded Poisson(1)
+    * inverse CDF give every (row, replicate) an integer weight
+    * row-locally; replicate means are exact cent ratios, the CI an
+    * exact percentile over 50 of them. Oracle replays weights, means,
+    * and the percentile.
+    */
+  val q212PoissonBootstrap: QueryDef = QueryDef(
+    "q212_poisson_bootstrap",
+    (s, dir) =>
+      graft.operators.Eval.poissonBootstrapMeanCi(
+        Tables.events(s, dir), "event_id", "value", reps = 50),
+    Some("""WITH base AS (SELECT CAST(event_id AS VARCHAR) rid,
+                                 CAST(round(value * 100) AS BIGINT) c FROM events),
+            wb AS (SELECT rid, c, b.b,
+                          CAST(('0x' || substring(md5(rid || ':' || CAST(b.b AS VARCHAR) ||
+                                'boot'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+                   FROM base CROSS JOIN range(1, 51) b(b)),
+            ww AS (SELECT b, c,
+                          CASE WHEN u < 0.36787944117144233 THEN 0
+                               WHEN u < 0.7357588823428847 THEN 1
+                               WHEN u < 0.9196986029286058 THEN 2
+                               WHEN u < 0.9810118431238463 THEN 3
+                               WHEN u < 0.9963401531726563 THEN 4
+                               WHEN u < 0.9994058151824183 THEN 5
+                               WHEN u < 0.999916758850712 THEN 6
+                               WHEN u < 0.9999897508033253 THEN 7
+                               ELSE 8 END AS w
+                   FROM wb),
+            reps AS (SELECT b, CAST(sum(w * c) AS BIGINT) swc, CAST(sum(w) AS BIGINT) sw
+                     FROM ww GROUP BY 1),
+            rm AS (SELECT CAST(swc AS DOUBLE) / sw / 100.0 AS rep_mean
+                   FROM reps WHERE sw > 0),
+            ci AS (SELECT CAST(count(*) AS BIGINT) n_reps,
+                          quantile_cont(rep_mean, 0.025) lo,
+                          quantile_cont(rep_mean, 0.975) hi FROM rm),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) sc FROM base)
+            SELECT n, round(CAST(sc AS DOUBLE) / 100.0 / n, 6) AS mean, n_reps,
+                   round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+            FROM ci CROSS JOIN tot""")
+  )
+
+  /** Mann–Whitney U ([[graft.operators.Eval.mannWhitney]]): click vs
+    * purchase value distributions compared by histogram midranks —
+    * exact integer rank sums, tie-corrected normal z with continuity
+    * correction. Oracle replays the doubled-midrank arithmetic.
+    */
+  val q213MannWhitney: QueryDef = QueryDef(
+    "q213_mann_whitney",
+    (s, dir) =>
+      graft.operators.Eval.mannWhitney(
+        Tables.events(s, dir), "event_type", "value", "click", "purchase"),
+    Some("""WITH counts AS (SELECT value v, CAST(count(*) AS BIGINT) t,
+                                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                                        AS BIGINT) ta
+                            FROM events WHERE event_type IN ('click', 'purchase')
+                            GROUP BY 1),
+            rk AS (SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) cum_excl
+                   FROM counts),
+            ag AS (SELECT CAST(sum(ta) AS BIGINT) n_a, CAST(sum(t - ta) AS BIGINT) n_b,
+                          CAST(sum(ta * (2 * cum_excl + t + 1)) AS BIGINT) r2a,
+                          CAST(sum(t * t * t - t) AS BIGINT) tie3
+                   FROM rk),
+            d AS (SELECT *, n_a + n_b n_tot,
+                         r2a - n_a * (n_a + 1) - n_a * n_b d2 FROM ag),
+            sg AS (SELECT *, CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                             (CAST(n_tot + 1 AS DOUBLE) -
+                              CAST(tie3 AS DOUBLE) / CAST(n_tot * (n_tot - 1) AS DOUBLE))
+                             AS sigma2
+                   FROM d)
+            SELECT n_a, n_b,
+                   CAST(d2 + n_a * n_b AS DOUBLE) / 2.0 AS u_stat,
+                   CASE WHEN d2 = 0 OR sigma2 <= 0 THEN 0.0
+                        ELSE round(sign(CAST(d2 AS DOUBLE)) *
+                                   (abs(CAST(d2 AS DOUBLE)) - 1.0) /
+                                   (2.0 * sqrt(sigma2)), 6) END AS z
+            FROM sg""")
+  )
+
+  /** n-gram novelty ([[graft.operators.TextAnalysis.ngramNovelty]]):
+    * per-document fraction of distinct trigrams seen nowhere else —
+    * the diversity dual of dedup. Oracle replays md5 gram identities,
+    * df counts, and the join back.
+    */
+  val q214NgramNovelty: QueryDef = QueryDef(
+    "q214_ngram_novelty",
+    (s, dir) => graft.operators.TextAnalysis.ngramNovelty(Tables.documents(s, dir), n = 3),
+    Some("""WITH g AS (SELECT doc_id,
+                              unnest(list_distinct([md5(array_to_string(ts[i + 1 : i + 3], ' '))
+                                                    FOR i IN range(0, len(ts) - 2)])) gram
+                       FROM (SELECT doc_id, string_split(text, ' ') ts FROM documents)
+                       WHERE len(ts) >= 3),
+            d AS (SELECT gram, CAST(count(*) AS BIGINT) df FROM g GROUP BY 1)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) n_grams,
+                   CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+                   round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                         count(*), 6) AS novelty
+            FROM g JOIN d USING (gram) GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
     q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
-    q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity)
+    q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity, q211Did, q212PoissonBootstrap,
+    q213MannWhitney, q214NgramNovelty)
 }

@@ -388,6 +388,59 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("min_l") === 1L)
   }
 
+  // ---- Mann–Whitney ---------------------------------------------------
+
+  test("mann-whitney: complete separation closed form; all-tied gives z = 0") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)
+    ).toDF("g", "v")
+    val r = graft.operators.Eval.mannWhitney(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Double]("u_stat") === 0.0)
+    // d2 = -9, sigma2 = 9*7/12; z = -(9-1)/(2*sqrt(5.25))
+    val expected = -8.0 / (2.0 * math.sqrt(5.25))
+    assert(math.abs(r.getAs[Double]("z") - expected) < 1e-6)
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val t = graft.operators.Eval.mannWhitney(tied, "g", "v", "a", "b").collect().head
+    assert(t.getAs[Double]("u_stat") === 2.0) // n1*n2/2
+    assert(t.getAs[Double]("z") === 0.0)
+  }
+
+  // ---- Poisson bootstrap ----------------------------------------------
+
+  test("poisson bootstrap: deterministic CI brackets the mean") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 10 + 1).toDouble / 10.0)).toDF("id", "v")
+    val run1 = graft.operators.Eval
+      .poissonBootstrapMeanCi(df, "id", "v", reps = 50).collect().head
+    val run2 = graft.operators.Eval
+      .poissonBootstrapMeanCi(df, "id", "v", reps = 50).collect().head
+    assert(run1 === run2) // md5 resampling: bit-identical across runs
+    assert(run1.getAs[Long]("n_reps") === 50L)
+    val (lo, m, hi) = (run1.getAs[Double]("ci_lo"), run1.getAs[Double]("mean"),
+      run1.getAs[Double]("ci_hi"))
+    assert(lo < m && m < hi)
+    assert(hi - lo < 0.2) // sane width for a bounded metric
+  }
+
+  // ---- n-gram novelty -------------------------------------------------
+
+  test("ngram novelty: shared gram not novel, short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams abc(df2), bcd(df1)
+      (2L, "a b c x"), // grams abc(df2), bcx(df1)
+      (3L, "z z")      // too short for trigrams
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramNovelty(docs, n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_grams") === 2L)
+      assert(r.getAs[Long]("n_novel") === 1L)
+      assert(r.getAs[Double]("novelty") === 0.5)
+    }
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
