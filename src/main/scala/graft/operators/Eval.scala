@@ -228,9 +228,11 @@ object Eval {
         col(idCol).cast("string").as("rid"),
         expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c"))
       .localCheckpoint() // consumed by the replicate explode and the point estimate
-    val u = conv(
-      substring(md5(concat(col("rid"), lit(":"), col("b").cast("string"), lit(salt))), 1, 8),
-      16, 10).cast("double") / lit(4294967296.0)
+    // one md5 yields FOUR dyadic uniforms (32 hex chars = 4 × 8-hex
+    // words): digests are computed once per BATCH row before the word
+    // explode, cutting the dominant per-(row, replicate) hash cost 4×
+    val u = conv(expr("substring(digest, j * 8 + 1, 8)"), 16, 10)
+      .cast("double") / lit(4294967296.0)
     val w = when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)
       .when(u < 0.9196986029286058, 2L)
@@ -241,7 +243,13 @@ object Eval {
       .when(u < 0.9999897508033253, 7L)
       .otherwise(8L)
     val repMeans = base
-      .withColumn("b", explode(expr(s"sequence(1, $reps)")))
+      .withColumn("batch", explode(expr(s"sequence(0, ${(reps - 1) / 4})")))
+      .withColumn(
+        "digest",
+        md5(concat(col("rid"), lit(":"), col("batch").cast("string"), lit(salt))))
+      .withColumn("j", explode(expr("sequence(0, 3)")))
+      .withColumn("b", col("batch") * 4 + col("j") + 1)
+      .filter(col("b") <= reps)
       .withColumn("w", w)
       .groupBy(col("b"))
       .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))

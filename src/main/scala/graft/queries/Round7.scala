@@ -836,8 +836,10 @@ object Round7 {
     Some("""WITH base AS (SELECT CAST(event_id AS VARCHAR) rid,
                                  CAST(round(value * 100) AS BIGINT) c FROM events),
             wb AS (SELECT rid, c, b.b,
-                          CAST(('0x' || substring(md5(rid || ':' || CAST(b.b AS VARCHAR) ||
-                                'boot'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+                          CAST(('0x' || substring(md5(rid || ':' ||
+                                CAST((b.b - 1) // 4 AS VARCHAR) || 'boot'),
+                                CAST(((b.b - 1) % 4) * 8 + 1 AS INT), 8)) AS BIGINT)
+                            / 4294967296.0 AS u
                    FROM base CROSS JOIN range(1, 51) b(b)),
             ww AS (SELECT b, c,
                           CASE WHEN u < 0.36787944117144233 THEN 0
