@@ -334,4 +334,40 @@ object Sampling {
           .cast("long"))
       .drop("__h")
   }
+
+  /** Dedup-aware (cluster-weighted) sampling: keep each document with
+    * probability 1/|its duplicate cluster| — in expectation one
+    * representative per cluster, so over-represented near-duplicate
+    * content stops dominating the training mix WITHOUT the hard
+    * keep-exactly-one cut (soft dedup, the mix-rebalancing knob next to
+    * [[sqrtSourceCap]]).
+    *
+    * The draw is exact integer arithmetic: the md5-dyadic 32-bit
+    * uniform u keeps the row iff u·|cluster| < 2³² — no float
+    * probabilities, replayable anywhere. Docs absent from `clusters`
+    * (non-duplicates) are singletons and always kept. Output is the
+    * per-cluster-size audit (size, clusters, docs, kept) — kept ≈
+    * clusters is the expectation a mix report checks.
+    */
+  def clusterWeightedSample(
+      docs: DataFrame,
+      clusters: DataFrame,
+      salt: String = "csample"
+  ): DataFrame = {
+    val m = docs
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("cluster"))
+    val sizes = m.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    m.join(sizes, Seq("cluster"))
+      .withColumn(
+        "u",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col("csize").as("cluster_size"))
+      .agg(
+        countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("u") * col("csize") < 4294967296L, 1L).otherwise(0L)).as("n_kept"))
+  }
 }

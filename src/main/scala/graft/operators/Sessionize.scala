@@ -131,6 +131,96 @@ object Sessionize {
         round(col("dau").cast("double") / col("wau").cast("double"), 6).as("stickiness"))
   }
 
+  /** Top session paths — the "what do users actually do" sequence view:
+    * events split into sessions at `gapSec` inactivity gaps (the
+    * [[firstTouchAttribution]] islands), each session reduced to its
+    * first `maxSteps` event types joined with '>', most common paths
+    * ranked. The per-session ordered reduction happens INSIDE the
+    * session group (sorted-struct fold, total (ts, event_id) order — no
+    * second window pass), and the final ranking is a partial top-n
+    * (TakeOrderedAndProject), never a global sort.
+    *
+    * Output: top `topK` (path, n_sessions) by frequency, path tie-break.
+    */
+  def topSessionPaths(
+      events: DataFrame,
+      gapSec: Long = 1800,
+      maxSteps: Int = 5,
+      topK: Int = 10
+  ): DataFrame = {
+    require(gapSec > 0 && maxSteps >= 1 && topK >= 1, "bad parameters")
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val lagUs = lag(col("us"), 1).over(byUser)
+    events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn(
+        "brk",
+        when(lagUs.isNull || col("us") - lagUs > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        expr(
+          s"""array_join(
+                transform(
+                  slice(array_sort(collect_list(named_struct(
+                    'us', us, 'eid', event_id, 'et', event_type))), 1, $maxSteps),
+                  x -> x.et),
+                '>')""").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /** Cohort LTV curves — [[retentionMatrix]]'s revenue sibling: users
+    * cohorted by first-seen week, per-(cohort, week-offset) revenue in
+    * exact integer cents, CUMULATIVE revenue along each cohort's
+    * timeline, and LTV-per-user = cum / cohort size. The running sum is
+    * a cohort-partitioned window over the cohort × offset matrix —
+    * calendar-bounded, never event-bounded.
+    *
+    * Output: (cohort_week, week_offset, cohort_size, cum_revenue_cents,
+    * ltv_per_user).
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val firstWeek = events
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+      // user-count-sized; consumed by cohort sizes and the revenue join
+      .localCheckpoint()
+    val sizes = firstWeek.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    val rev = events
+      .select(
+        col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("aw"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .join(firstWeek, "user_id")
+      .select(col("cw"), (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"), col("c"))
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(sum(col("c")).as("week_cents"))
+    val wCum = Window
+      .partitionBy(col("cw"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum_revenue_cents", sum(col("week_cents")).over(wCum))
+      .join(broadcast(sizes), "cw")
+      .select(
+        col("cw").as("cohort_week"),
+        col("week_offset"),
+        col("cohort_size"),
+        col("cum_revenue_cents"),
+        round(
+          col("cum_revenue_cents").cast("double") / 100.0 / col("cohort_size").cast("double"),
+          6).as("ltv_per_user"))
+  }
+
   /** First-order Markov transition matrix of the per-user event stream:
     * each user's events ordered by (ts, event_id) yield (cur → next)
     * transition counts, row-normalized into transition probabilities,

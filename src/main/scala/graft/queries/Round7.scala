@@ -924,10 +924,126 @@ object Round7 {
             FROM g JOIN d USING (gram) GROUP BY 1""")
   )
 
+  /** Streaming moments sketch
+    * ([[graft.streaming.StreamingOps.runStreamingMoments]]): per-type
+    * (n, Σ, Σ², max) cents maintained as one stateful streaming agg —
+    * end state ≡ batch, so the oracle replays the batch moments and the
+    * read-time mean/σ/z_max extraction.
+    */
+  val q215StreamMoments: QueryDef = QueryDef(
+    "q215_stream_moments",
+    (s, dir) => graft.streaming.StreamingOps.runStreamingMoments(s, dir),
+    Some("""WITH cc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) c FROM events),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) s,
+                         CAST(sum(c * c) AS BIGINT) s2, CAST(max(c) AS BIGINT) mx
+                  FROM cc GROUP BY 1)
+            SELECT event_type, n,
+                   round(CAST(s AS DOUBLE) / 100.0 / n, 6) AS mean,
+                   round(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n / 100.0, 6) AS stddev,
+                   CASE WHEN n * s2 - s * s > 0 THEN
+                     round(CAST(n * mx - s AS DOUBLE) /
+                           sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6) END AS z_max
+            FROM a""")
+  )
+
+  /** Top session paths ([[graft.operators.Sessionize.topSessionPaths]]):
+    * gaps-and-islands sessions reduced to their first-5-step event-type
+    * sequences, most common paths ranked. Oracle replays sessions, the
+    * ordered path fold, and the top-k.
+    */
+  val q216SessionPaths: QueryDef = QueryDef(
+    "q216_session_paths",
+    (s, dir) => Sessionize.topSessionPaths(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+            s AS (SELECT user_id, event_id, event_type, us,
+                         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) sess
+                   FROM s),
+            p AS (SELECT user_id, sess,
+                         array_to_string((list(event_type ORDER BY us, event_id))[1:5], '>')
+                           AS path
+                  FROM s2 GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) n_sessions
+            FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""")
+  )
+
+  /** Cluster-weighted sampling
+    * ([[graft.operators.Sampling.clusterWeightedSample]]): soft dedup —
+    * keep-probability 1/|cluster| as an exact integer md5 draw over the
+    * q58 closure labels (+ singletons). Oracle replays the closure, the
+    * draw, and the per-size audit.
+    */
+  val q217ClusterSample: QueryDef = QueryDef(
+    "q217_cluster_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sampling.clusterWeightedSample(
+        docs,
+        graft.operators.Dedup.connectedComponents(graft.operators.Dedup.minhashPairs(docs)))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${LlmQueries.ngramJaccardOracle}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS doc, u AS label FROM edges
+              UNION
+              SELECT e.u AS doc, r.label
+              FROM edges e JOIN reach r ON r.doc = e.v),
+            lab AS (SELECT doc, CAST(min(label) AS BIGINT) AS cluster_rep
+                    FROM reach GROUP BY doc),
+            m AS (SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN lab l ON l.doc = d.doc_id),
+            sz AS (SELECT cluster, CAST(count(*) AS BIGINT) csize FROM m GROUP BY 1),
+            k AS (SELECT m.doc_id, m.cluster, sz.csize,
+                         CAST(('0x' || substring(md5(CAST(m.doc_id AS VARCHAR) || 'csample'),
+                               1, 8)) AS BIGINT) u
+                  FROM m JOIN sz USING (cluster))
+            SELECT csize AS cluster_size,
+                   CAST(count(DISTINCT cluster) AS BIGINT) n_clusters,
+                   CAST(count(*) AS BIGINT) n_docs,
+                   CAST(sum(CASE WHEN u * csize < 4294967296 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM k GROUP BY 1""")
+  )
+
+  /** Cohort LTV ([[graft.operators.Sessionize.cohortLtv]]): cumulative
+    * per-user revenue along each first-seen-week cohort's timeline —
+    * exact cents, calendar-bounded running sum. Oracle replays cohorts,
+    * weekly sums, cumsum, and the ratio.
+    */
+  val q218CohortLtv: QueryDef = QueryDef(
+    "q218_cohort_ltv",
+    (s, dir) => Sessionize.cohortLtv(Tables.events(s, dir)),
+    Some("""WITH fw AS (SELECT user_id,
+                               CAST(date_trunc('week', min(ts)) AS DATE) cw
+                        FROM events GROUP BY 1),
+            sizes AS (SELECT cw, CAST(count(*) AS BIGINT) cohort_size FROM fw GROUP BY 1),
+            rev AS (SELECT f.cw,
+                           CAST(datediff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE))
+                                // 7 AS INT) week_offset,
+                           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                             week_cents
+                    FROM events e JOIN fw f USING (user_id)
+                    GROUP BY 1, 2),
+            cum AS (SELECT cw, week_offset,
+                           CAST(sum(week_cents) OVER (PARTITION BY cw ORDER BY week_offset)
+                                AS BIGINT) cum_revenue_cents
+                    FROM rev)
+            SELECT c.cw AS cohort_week, c.week_offset, s.cohort_size, c.cum_revenue_cents,
+                   round(CAST(c.cum_revenue_cents AS DOUBLE) / 100.0 / s.cohort_size, 6)
+                     AS ltv_per_user
+            FROM cum c JOIN sizes s USING (cw)""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
     q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
     q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity, q211Did, q212PoissonBootstrap,
-    q213MannWhitney, q214NgramNovelty)
+    q213MannWhitney, q214NgramNovelty, q215StreamMoments, q216SessionPaths,
+    q217ClusterSample, q218CohortLtv)
 }

@@ -198,6 +198,47 @@ object StreamingOps {
       drainComplete(spark, "stream_ddsketch", bins), "event_type")
   }
 
+  /** STREAMING MOMENTS: per-type (n, Σc, Σc², max) in integer cents as
+    * ONE stateful streaming aggregation — every component is a
+    * sum/max, so the end state is bit-identical to the batch moments
+    * and the state is |groups| rows forever. Mean/σ/z are extracted at
+    * READ time from exact integer sums (the q168 no-variance-
+    * accumulator posture: σ = √(nΣc²−S²)/n — one fixed double chain,
+    * never an engine-internal running variance), making this the
+    * fourth member of the bounded-state sketch family
+    * ([[runStreamingHll]] max-register, [[runStreamingCms]]
+    * sum-counter, [[runStreamingDdSketch]] bin-count). z_max — how
+    * extreme is the largest observed value — rides along as the live
+    * alarm statistic.
+    *
+    * 64-bit headroom: n·Σc² stays under 2⁶³ through sf0.1 cents; a
+    * larger deployment moves the moment columns to decimal(38,0) (same
+    * plan shape).
+    */
+  def runStreamingMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val moments = eventsStream(spark, sfDir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"),
+        max(col("c")).as("mx"))
+    drainComplete(spark, "stream_moments", moments)
+      .withColumn("varnum", col("n") * col("s2") - col("s") * col("s"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("s").cast("double") / 100.0 / col("n").cast("double"), 6).as("mean"),
+        round(sqrt(col("varnum").cast("double")) / col("n").cast("double") / 100.0, 6)
+          .as("stddev"),
+        when(col("varnum") > 0,
+          round(
+            (col("n") * col("mx") - col("s")).cast("double") /
+              sqrt(col("varnum").cast("double")),
+            6)).as("z_max"))
+  }
+
   /** STREAMING KEY DEDUP WITH WATERMARK-BOUNDED STATE
     * (`dropDuplicatesWithinWatermark`): first arrival per
     * (user_id, event_type) is emitted, later arrivals are dropped, and —

@@ -441,6 +441,57 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Session paths --------------------------------------------------
+
+  test("session paths: gap splits sessions, path truncates at 5 steps") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "view"), // > 30 min gap: new session
+      (5L, ts("2024-01-02 09:00:00"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessionize.topSessionPaths(events).collect()
+    val m = out.map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions")).toMap
+    assert(m === Map("view" -> 2L, "view>click>purchase" -> 1L))
+  }
+
+  // ---- Cluster-weighted sampling --------------------------------------
+
+  test("cluster-weighted sample: singletons always kept, sizes audited") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_rep")
+    val out = graft.operators.Sampling
+      .clusterWeightedSample(docs, clusters)
+      .orderBy("cluster_size").collect()
+    assert(out.length === 2)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("cluster_size") === 1L)
+    assert(s1.getAs[Long]("n_clusters") === 2L)
+    assert(s1.getAs[Long]("n_kept") === 2L) // u * 1 < 2^32 always
+    val s2 = out(1)
+    assert(s2.getAs[Long]("cluster_size") === 2L)
+    assert(s2.getAs[Long]("n_docs") === 2L)
+    assert(s2.getAs[Long]("n_kept") <= 2L)
+  }
+
+  // ---- Cohort LTV -----------------------------------------------------
+
+  test("cohort LTV: cumulative cents per cohort user") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.00), // Mon week0
+      (2L, ts("2024-01-08 10:00:00"), 1L, 2.00), // week1
+      (3L, ts("2024-01-02 10:00:00"), 2L, 3.00)  // week0
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.cohortLtv(events).orderBy("week_offset").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("cohort_size") === 2L)
+    assert(out(0).getAs[Long]("cum_revenue_cents") === 400L)
+    assert(out(0).getAs[Double]("ltv_per_user") === 2.0)
+    assert(out(1).getAs[Long]("cum_revenue_cents") === 600L)
+    assert(out(1).getAs[Double]("ltv_per_user") === 3.0)
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
