@@ -318,6 +318,49 @@ object Sampling {
         (col("base") + when(col("rn") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** Neyman-optimal stratified allocation: split a sampling `budget`
+    * across strata ∝ N_h·σ_h — the minimum-variance design, which
+    * oversamples big AND volatile strata where proportional allocation
+    * ([[largestRemainderAlloc]]) only sees size. With integer-cent
+    * values, N_h·σ_h = √(N_h·Σc² − (Σc)²) exactly, so each stratum's
+    * weight is ONE sqrt of an exact long; integerization is the same
+    * largest-remainder step (exact Σ = budget). Two strata-sized aggs,
+    * one broadcast total.
+    *
+    * Output per stratum: (stratum, n_rows, sigma, alloc).
+    */
+  def neymanAlloc(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      budget: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be nonnegative")
+    val moments = df
+      .select(col(groupCol), expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_s"), sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"))
+      .withColumn("w", sqrt((col("n_s") * col("sc2") - col("sc") * col("sc")).cast("double")))
+      .localCheckpoint() // strata-sized; consumed by the total and the quota pass
+    val tot = moments.agg(sum(col("w")).as("wtot"))
+    val q = moments
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", lit(budget.toDouble) * col("w") / col("wtot"))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - col("base"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).as("deficit"))
+    q.crossJoin(broadcast(deficit))
+      .withColumn(
+        "rn",
+        row_number().over(Window.orderBy(col("frac").desc, col(groupCol).asc)))
+      .select(
+        col(groupCol),
+        col("n_s").as("n_rows"),
+        round(col("w") / col("n_s").cast("double") / 100.0, 6).as("sigma"),
+        (col("base") + when(col("rn") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, shards: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")

@@ -1039,11 +1039,234 @@ object Round7 {
             FROM cum c JOIN sizes s USING (cw)""")
   )
 
+  /** Join-cardinality estimator diagnostics: the optimizer-statistics
+    * view — exact self-join cardinality on l_partkey (Σ cnt²) next to
+    * the two classic estimates (uniform-over-NDV and 64-bucket
+    * histogram, each bucket uniform over its own NDV), with signed
+    * relative errors. Bucket addends snap to the 2⁻³⁰ grid before the
+    * 64-term sum.
+    */
+  val q219JoinCardinality: QueryDef = QueryDef(
+    "q219_join_cardinality",
+    (s, dir) => {
+      val grid30 = 1073741824.0
+      val perKey = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val glob = perKey.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt") * col("cnt")).as("exact_pairs"))
+      val bucketEst = perKey
+        .groupBy(pmod(col("l_partkey"), lit(64L)).as("b"))
+        .agg(sum(col("cnt")).as("nb"), count(lit(1)).as("db"))
+        .agg(
+          sum(
+            floor(
+              (col("nb") * col("nb")).cast("double") / col("db").cast("double") * grid30 +
+                0.5) / grid30).as("est_bucket"))
+      glob
+        .crossJoin(broadcast(bucketEst))
+        .select(
+          col("n_rows"),
+          col("n_keys"),
+          col("exact_pairs"),
+          round(col("est_bucket"), 6).as("est_bucket"),
+          round(
+            (col("n_rows") * col("n_rows")).cast("double") / col("n_keys").cast("double"),
+            6).as("est_uniform"),
+          round(col("est_bucket") / col("exact_pairs").cast("double") - 1.0, 6)
+            .as("err_bucket"),
+          round(
+            (col("n_rows") * col("n_rows")).cast("double") / col("n_keys").cast("double") /
+              col("exact_pairs").cast("double") - 1.0,
+            6).as("err_uniform"))
+    },
+    Some("""WITH pk AS (SELECT l_partkey, CAST(count(*) AS BIGINT) cnt
+                        FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(sum(cnt) AS BIGINT) n_rows, CAST(count(*) AS BIGINT) n_keys,
+                         CAST(sum(cnt * cnt) AS BIGINT) exact_pairs FROM pk),
+            bk AS (SELECT l_partkey % 64 AS b, CAST(sum(cnt) AS BIGINT) nb,
+                          CAST(count(*) AS BIGINT) db FROM pk GROUP BY 1),
+            be AS (SELECT sum(floor(CAST(nb * nb AS DOUBLE) / db * 1073741824.0 + 0.5) /
+                              1073741824.0) AS est_bucket FROM bk)
+            SELECT n_rows, n_keys, exact_pairs,
+                   round(est_bucket, 6) AS est_bucket,
+                   round(CAST(n_rows * n_rows AS DOUBLE) / n_keys, 6) AS est_uniform,
+                   round(est_bucket / exact_pairs - 1.0, 6) AS err_bucket,
+                   round(CAST(n_rows * n_rows AS DOUBLE) / n_keys / exact_pairs - 1.0, 6)
+                     AS err_uniform
+            FROM g CROSS JOIN be""")
+  )
+
+  /** Neyman-optimal allocation ([[graft.operators.Sampling.neymanAlloc]]):
+    * budget split ∝ N_h·σ_h = √(N·Σc²−S²) exactly, largest-remainder
+    * integerized. Oracle replays weights, quotas, and the remainder
+    * ranking.
+    */
+  val q220NeymanAlloc: QueryDef = QueryDef(
+    "q220_neyman_alloc",
+    (s, dir) =>
+      graft.operators.Sampling.neymanAlloc(Tables.events(s, dir), "event_type", "value", 1000L),
+    Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n_s,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) sc,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT) *
+                                       CAST(round(value * 100) AS BIGINT)) AS BIGINT) sc2
+                       FROM events GROUP BY 1),
+            w AS (SELECT *, sqrt(CAST(n_s * sc2 - sc * sc AS DOUBLE)) w FROM m),
+            t AS (SELECT sum(w) wtot FROM w),
+            q AS (SELECT event_type, n_s, w, 1000.0 * w / wtot AS quota
+                  FROM w CROSS JOIN t),
+            q2 AS (SELECT *, CAST(floor(quota) AS BIGINT) base, quota - floor(quota) frac
+                   FROM q),
+            d AS (SELECT 1000 - CAST(sum(base) AS BIGINT) deficit FROM q2),
+            r AS (SELECT *, CAST(row_number() OVER (ORDER BY frac DESC, event_type ASC)
+                                 AS BIGINT) rn
+                  FROM q2)
+            SELECT event_type, n_s AS n_rows,
+                   round(w / n_s / 100.0, 6) AS sigma,
+                   base + CASE WHEN rn <= d.deficit THEN 1 ELSE 0 END AS alloc
+            FROM r CROSS JOIN d""")
+  )
+
+  /** Point-in-time (SCD2) dimension join: every lineitem fact joined to
+    * the customer's order-status SCD2 interval COVERING its ship date —
+    * the as-at warehouse lookup — through the binned
+    * [[graft.operators.RangeJoin.pointInInterval]] with the customer as
+    * an extra equi-key (no nested loop; open intervals closed at the
+    * fact horizon so bin ranges stay bounded). Oracle replays the SCD2
+    * build and the BETWEEN join.
+    */
+  val q221PitJoin: QueryDef = QueryDef(
+    "q221_pit_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("ts"), col("o_orderkey"))
+      val changes = Tables
+        .orders(s, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          col("o_orderstatus").as("status"))
+        .withColumn("prev", lag(col("status"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("status"))
+      val scd = changes.select(
+        col("o_custkey"),
+        col("status"),
+        unix_micros(col("ts")).as("eff_from"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("eff_to"))
+      val facts = Tables
+        .lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      val horizon = facts.agg(max(col("ship_us")).as("mx"))
+      val dim = scd
+        .crossJoin(broadcast(horizon))
+        .select(
+          col("o_custkey"),
+          col("status"),
+          col("eff_from"),
+          coalesce(col("eff_to") - 1, col("mx")).as("eff_close"))
+      val binSize = graft.operators.RangeJoin.autoBinSize(dim, "eff_from", "eff_close")
+      graft.operators.RangeJoin
+        .pointInInterval(facts, dim, "ship_us", "eff_from", "eff_close", binSize,
+          extraKeys = Seq("o_custkey"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_facts"))
+    },
+    Some("""WITH ordered AS (
+              SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) ts,
+                     o_orderstatus status,
+                     lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey) prev
+              FROM orders),
+            ch AS (SELECT * FROM ordered WHERE prev IS NULL OR prev != status),
+            scd AS (SELECT o_custkey, status, epoch_us(ts) eff_from,
+                           lead(epoch_us(ts)) OVER (PARTITION BY o_custkey
+                             ORDER BY ts, o_orderkey) eff_to
+                    FROM ch),
+            f AS (SELECT o.o_custkey, epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) ship_us
+                  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            hz AS (SELECT max(ship_us) mx FROM f)
+            SELECT s.status, CAST(count(*) AS BIGINT) n_facts
+            FROM f
+            JOIN scd s ON s.o_custkey = f.o_custkey
+             AND f.ship_us >= s.eff_from
+             AND f.ship_us <= coalesce(s.eff_to - 1, (SELECT mx FROM hz))
+            GROUP BY 1""")
+  )
+
+  /** Metric movement decomposition: week-over-week total change broken
+    * into per-event-type contributions — "what moved the metric", the
+    * first question every metrics review asks. Exact integers; shares
+    * guard against a zero total move.
+    */
+  val q222MetricDecomposition: QueryDef = QueryDef(
+    "q222_metric_decomp",
+    (s, dir) => {
+      val ev = Tables
+        .events(s, dir)
+        .select(col("event_type"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .localCheckpoint()
+      val wmax = ev.agg(max(col("wk")).as("w1"))
+      val wprev = ev
+        .crossJoin(broadcast(wmax))
+        .filter(col("wk") < col("w1"))
+        .agg(max(col("wk")).as("w0"))
+      val counts = ev
+        .crossJoin(broadcast(wmax))
+        .crossJoin(broadcast(wprev))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("wk") === col("w0"), 1L).otherwise(0L)).as("prev_n"),
+          sum(when(col("wk") === col("w1"), 1L).otherwise(0L)).as("cur_n"))
+        .withColumn("delta", col("cur_n") - col("prev_n"))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("delta")).as("total_delta"))
+      counts
+        .crossJoin(broadcast(tot))
+        .select(
+          col("event_type"),
+          col("prev_n"),
+          col("cur_n"),
+          col("delta"),
+          col("total_delta"),
+          when(col("total_delta") =!= 0L,
+            round(col("delta").cast("double") / col("total_delta").cast("double") * 100.0, 6))
+            .as("contribution_pct"))
+    },
+    Some("""WITH e AS (SELECT event_type, CAST(date_trunc('week', ts) AS DATE) wk
+                       FROM events),
+            w1 AS (SELECT max(wk) w1 FROM e),
+            w0 AS (SELECT max(wk) w0 FROM e CROSS JOIN w1 WHERE wk < w1),
+            c AS (SELECT event_type,
+                         CAST(sum(CASE WHEN wk = w0 THEN 1 ELSE 0 END) AS BIGINT) prev_n,
+                         CAST(sum(CASE WHEN wk = w1 THEN 1 ELSE 0 END) AS BIGINT) cur_n
+                  FROM e CROSS JOIN w1 CROSS JOIN w0 GROUP BY 1),
+            d AS (SELECT *, cur_n - prev_n delta FROM c),
+            t AS (SELECT CAST(sum(delta) AS BIGINT) total_delta FROM d)
+            SELECT event_type, prev_n, cur_n, delta, total_delta,
+                   CASE WHEN total_delta != 0 THEN
+                     round(CAST(delta AS DOUBLE) / total_delta * 100.0, 6) END
+                     AS contribution_pct
+            FROM d CROSS JOIN t""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
     q201RollingWau, q202Gini, q203BhFdr, q204Trending, q205SchemaEvolution,
     q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity, q211Did, q212PoissonBootstrap,
     q213MannWhitney, q214NgramNovelty, q215StreamMoments, q216SessionPaths,
-    q217ClusterSample, q218CohortLtv)
+    q217ClusterSample, q218CohortLtv, q219JoinCardinality, q220NeymanAlloc,
+    q221PitJoin, q222MetricDecomposition)
 }

@@ -126,6 +126,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "keeper set not broadcast")
   }
 
+  test("q221 point-in-time SCD2 join: binned equi-join, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q221_pit_join")(spark, sfDir))
+    // the interval lookup itself must be a HASH join keyed on the bin +
+    // customer (one-row broadcast cross joins for the horizon scalar are
+    // fine and expected)
+    assert(plan.contains("BroadcastHashJoin [__bin") || plan.contains("SortMergeJoin [__bin"),
+      "PIT interval lookup is not a bin-keyed hash join")
+    assert(!plan.contains("CartesianProduct"), "PIT join planned a cartesian product")
+  }
+
   test("q54 pure range join: binned equi-join, scan pruned to 3 columns, no nested loop") {
     val plan = planOf(SparkEntry.queries("q54_interval_join")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin"), "range join fell back to a nested loop")

@@ -492,6 +492,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("ltv_per_user") === 3.0)
   }
 
+  // ---- Neyman allocation ----------------------------------------------
+
+  test("neyman allocation: zero-variance stratum gets nothing, sum is exact") {
+    val df = Seq(
+      ("flat", 1L, 5.0), ("flat", 2L, 5.0), ("flat", 3L, 5.0),
+      ("wild", 4L, 1.0), ("wild", 5L, 9.0)
+    ).toDF("g", "id", "v")
+    val out = graft.operators.Sampling.neymanAlloc(df, "g", "v", 100L)
+      .orderBy("g").collect()
+    assert(out(0).getAs[Long]("alloc") === 0L) // flat: sigma 0
+    assert(out(0).getAs[Double]("sigma") === 0.0)
+    assert(out(1).getAs[Long]("alloc") === 100L) // wild takes the full budget
+    assert(out.map(_.getAs[Long]("alloc")).sum === 100L)
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
