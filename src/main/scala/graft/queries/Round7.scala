@@ -1261,6 +1261,214 @@ object Round7 {
             FROM d CROSS JOIN t""")
   )
 
+  /** Time-to-convert: hours from each user's FIRST view to their first
+    * purchase AFTER it — exact µs arithmetic, exact interpolating
+    * percentiles (q3 parity). The conversion-latency readout next to
+    * the q132 funnel.
+    */
+  val q223TimeToConvert: QueryDef = QueryDef(
+    "q223_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstView = ev
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("v_us"))
+      val delays = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstView, "user_id")
+        .filter(col("p_us") > col("v_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("p_us")).as("first_p"))
+        .join(firstView, "user_id")
+        .select(expr("(first_p - v_us) div 3600000000").as("delay_h"))
+      delays.agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(delay_h, 0.5)").as("p50_hours"),
+        expr("percentile(delay_h, 0.9)").as("p90_hours"))
+    },
+    Some("""WITH fv AS (SELECT user_id, min(epoch_us(ts)) v_us FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            fp AS (SELECT e.user_id, min(epoch_us(e.ts)) first_p
+                   FROM events e JOIN fv ON fv.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+                   GROUP BY 1),
+            d AS (SELECT (fp.first_p - fv.v_us) // 3600000000 AS delay_h
+                  FROM fp JOIN fv USING (user_id))
+            SELECT CAST(count(*) AS BIGINT) n_converted,
+                   quantile_cont(delay_h, 0.5) AS p50_hours,
+                   quantile_cont(delay_h, 0.9) AS p90_hours
+            FROM d""")
+  )
+
+  /** Murphy decomposition of the Brier score over the q183 calibration
+    * setup: Brier = REL − RES + UNC (+ within-bin variance residual) —
+    * reliability/resolution/uncertainty from per-bin sums, addends
+    * snapped to the 2⁻³⁰ grid. The "is the classifier honest AND
+    * discriminating" split one ECE number can't give.
+    */
+  val q224BrierDecomp: QueryDef = QueryDef(
+    "q224_brier_decomp",
+    (s, dir) => {
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      val scored = Tables
+        .documents(s, dir)
+        .select(
+          round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 306) / lit(100.0))), 6)
+            .as("p"),
+          (col("lang") === "en").cast("long").as("y"))
+        .withColumn("bin", floor(col("p") * 10).cast("int"))
+        .localCheckpoint()
+      val bins = scored
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+        .localCheckpoint()
+      val tot = scored.agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("ny"),
+        sum(snap((col("p") - col("y")) * (col("p") - col("y")))).as("sq"))
+      bins
+        .crossJoin(broadcast(tot))
+        .withColumn("obar", col("ny").cast("double") / col("n").cast("double"))
+        .agg(
+          max(col("n")).as("n"),
+          round(max(col("sq")) / max(col("n")).cast("double"), 6).as("brier"),
+          round(
+            sum(snap(
+              (col("sp") - col("sy")) * (col("sp") - col("sy")) /
+                col("n_k").cast("double"))) / max(col("n")).cast("double"),
+            6).as("reliability"),
+          round(
+            sum(snap(
+              (col("sy").cast("double") / col("n_k").cast("double") - col("obar")) *
+                (col("sy").cast("double") / col("n_k").cast("double") - col("obar")) *
+                col("n_k").cast("double"))) / max(col("n")).cast("double"),
+            6).as("resolution"),
+          round(max(col("obar")) * (lit(1.0) - max(col("obar"))), 6).as("uncertainty"))
+    },
+    Some("""WITH s AS (SELECT round(1.0 / (1.0 + exp(-(n_chars - 306) / 100.0)), 6) p,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END y,
+                              CAST(floor(round(1.0 / (1.0 + exp(-(n_chars - 306) / 100.0)), 6)
+                                   * 10) AS INT) bin
+                       FROM documents),
+            b AS (SELECT bin, CAST(count(*) AS BIGINT) n_k, sum(p) sp,
+                         CAST(sum(y) AS BIGINT) sy FROM s GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) ny,
+                         sum(floor((p - y) * (p - y) * 1073741824.0 + 0.5) / 1073741824.0) sq
+                  FROM s),
+            o AS (SELECT b.*, t.n, t.ny, t.sq, CAST(t.ny AS DOUBLE) / t.n obar
+                  FROM b CROSS JOIN t)
+            SELECT max(n) AS n,
+                   round(max(sq) / max(n), 6) AS brier,
+                   round(sum(floor((sp - sy) * (sp - sy) / n_k * 1073741824.0 + 0.5) /
+                             1073741824.0) / max(n), 6) AS reliability,
+                   round(sum(floor((CAST(sy AS DOUBLE) / n_k - obar) *
+                                   (CAST(sy AS DOUBLE) / n_k - obar) * n_k *
+                                   1073741824.0 + 0.5) / 1073741824.0) / max(n), 6)
+                     AS resolution,
+                   round(max(obar) * (1.0 - max(obar)), 6) AS uncertainty
+            FROM o""")
+  )
+
+  /** Per-group Lorenz curve deciles — [[graft.operators.Drift.giniByGroup]]'s
+    * pointwise companion: within each event type, rows ranked by value
+    * (id tie-break) split into exact integer-arithmetic deciles, each
+    * decile's share of the group's cent mass. GROUP-partitioned window
+    * (the gini posture), everything integer until the final shares.
+    */
+  val q225Lorenz: QueryDef = QueryDef(
+    "q225_lorenz",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+      val ranked = Tables
+        .events(s, dir)
+        .select(
+          col("event_type"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("decile", expr("((r - 1) * 10) div n_g").cast("int") + 1)
+      ranked
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("decile_cents"))
+        .withColumn(
+          "total_cents",
+          sum(col("decile_cents")).over(Window.partitionBy(col("event_type"))))
+        .withColumn(
+          "cum_cents",
+          sum(col("decile_cents")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(
+          col("event_type"),
+          col("decile"),
+          col("n"),
+          col("decile_cents"),
+          round(col("cum_cents").cast("double") / col("total_cents").cast("double") * 100.0, 6)
+            .as("cum_value_pct"))
+    },
+    Some("""WITH cc AS (SELECT event_type, event_id,
+                               CAST(round(value * 100) AS BIGINT) c FROM events),
+            r AS (SELECT event_type, c,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                           ORDER BY c, event_id) AS BIGINT) r,
+                         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n_g
+                  FROM cc),
+            d AS (SELECT event_type, CAST(((r - 1) * 10) // n_g AS INT) + 1 AS decile,
+                         CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) decile_cents
+                  FROM r GROUP BY 1, 2),
+            t AS (SELECT *, CAST(sum(decile_cents) OVER (PARTITION BY event_type) AS BIGINT)
+                              total_cents,
+                         CAST(sum(decile_cents) OVER (PARTITION BY event_type
+                           ORDER BY decile) AS BIGINT) cum_cents
+                  FROM d)
+            SELECT event_type, decile, n, decile_cents,
+                   round(CAST(cum_cents AS DOUBLE) / total_cents * 100.0, 6)
+                     AS cum_value_pct
+            FROM t""")
+  )
+
+  /** Sample-ratio-mismatch check: the first A/B sanity gate — user
+    * counts per hash arm, χ² against the 50/50 design, flag at the 95%
+    * critical value. Pure integers + one division.
+    */
+  val q226SrmCheck: QueryDef = QueryDef(
+    "q226_srm_check",
+    (s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("user_id"))
+        .distinct()
+        .agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_arm0"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_arm1"))
+        .select(
+          col("n_arm0"),
+          col("n_arm1"),
+          round(
+            ((col("n_arm0") - col("n_arm1")) * (col("n_arm0") - col("n_arm1"))).cast("double") /
+              (col("n_arm0") + col("n_arm1")).cast("double"),
+            6).as("chi2"),
+          (((col("n_arm0") - col("n_arm1")) * (col("n_arm0") - col("n_arm1"))).cast("double") /
+            (col("n_arm0") + col("n_arm1")).cast("double") > 3.841).as("srm_detected")),
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           n_arm0,
+                         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           n_arm1
+                  FROM u)
+            SELECT n_arm0, n_arm1,
+                   round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) /
+                         (n_arm0 + n_arm1), 6) AS chi2,
+                   CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) /
+                     (n_arm0 + n_arm1) > 3.841 AS srm_detected
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -1268,5 +1476,6 @@ object Round7 {
     q206GoldenRecord, q207GeoMedian, q208Cuped, q209HeapsLaw, q210KAnonymity, q211Did, q212PoissonBootstrap,
     q213MannWhitney, q214NgramNovelty, q215StreamMoments, q216SessionPaths,
     q217ClusterSample, q218CohortLtv, q219JoinCardinality, q220NeymanAlloc,
-    q221PitJoin, q222MetricDecomposition)
+    q221PitJoin, q222MetricDecomposition, q223TimeToConvert, q224BrierDecomp,
+    q225Lorenz, q226SrmCheck)
 }
