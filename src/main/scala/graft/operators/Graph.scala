@@ -263,6 +263,41 @@ object Graph {
       .limit(topK)
   }
 
+  /** Unrolled BFS ball growth from the lexicographically smallest node:
+    * how many nodes first become reachable at each hop ≤ `hops` — the
+    * reachability profile (small-world check, component probe) of the
+    * graph. Each level is ONE neighbor equi-join + one anti-join
+    * against the visited set — the frontier/visited relations never
+    * leave the engine, and a fixed hop count keeps the loop
+    * oracle-unrollable (the kCore posture).
+    *
+    * Output: (hop, n_nodes) for hop = 0..`hops`, hops with an empty
+    * frontier omitted.
+    */
+  def bfsLevels(edges: DataFrame, hops: Int = 3): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val stubs = edges
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    val seed = stubs.agg(min(col("u")).as("node"))
+    var frontier = seed.select(col("node")).localCheckpoint()
+    var visited = frontier
+    var out = frontier.select(lit(0).as("hop"), col("node"))
+    for (h <- 1 to hops) {
+      val next = stubs
+        .join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      out = out.union(next.select(lit(h).as("hop"), col("node")))
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    out.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Degree assortativity (Newman '02): the Pearson correlation of
     * endpoint degrees over the undirected edge list — "do hubs attach to
     * hubs?" in one number. Each undirected edge contributes both

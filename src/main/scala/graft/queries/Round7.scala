@@ -1469,6 +1469,210 @@ object Round7 {
             FROM a""")
   )
 
+  /** BFS ball growth ([[graft.operators.Graph.bfsLevels]]): nodes first
+    * reached at hops 0..3 from the smallest node of the q142 word
+    * graph. Oracle unrolls the identical frontier/visited rounds as
+    * MATERIALIZED CTEs (the kCore posture).
+    */
+  val q227BfsHops: QueryDef = QueryDef(
+    "q227_bfs_hops",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.bfsLevels(edges, hops = 3)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e AS (SELECT a AS lo, b AS hi FROM (
+                    SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                    ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+                  WHERE a != b),
+            stubs AS MATERIALIZED (SELECT lo u, hi v FROM e UNION ALL SELECT hi, lo FROM e),
+            f0 AS MATERIALIZED (SELECT min(u) node FROM stubs),
+            f1 AS MATERIALIZED (
+              SELECT DISTINCT s.v AS node FROM stubs s JOIN f0 ON f0.node = s.u
+              WHERE s.v NOT IN (SELECT node FROM f0)),
+            v1 AS MATERIALIZED (SELECT node FROM f0 UNION ALL SELECT node FROM f1),
+            f2 AS MATERIALIZED (
+              SELECT DISTINCT s.v AS node FROM stubs s JOIN f1 ON f1.node = s.u
+              WHERE s.v NOT IN (SELECT node FROM v1)),
+            v2 AS MATERIALIZED (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+            f3 AS MATERIALIZED (
+              SELECT DISTINCT s.v AS node FROM stubs s JOIN f2 ON f2.node = s.u
+              WHERE s.v NOT IN (SELECT node FROM v2)),
+            lv AS (SELECT 0 hop, node FROM f0 UNION ALL SELECT 1, node FROM f1
+                   UNION ALL SELECT 2, node FROM f2 UNION ALL SELECT 3, node FROM f3)
+            SELECT hop, CAST(count(*) AS BIGINT) n_nodes FROM lv GROUP BY 1""")
+  )
+
+  /** Weighted median / p90: volume-weighted price levels — the
+    * quantity-weighted order statistics of the dollar-quantized
+    * extended price, from ONE histogram cumsum (integer weights,
+    * integer cross-multiplied rank conditions; never a per-row sort).
+    */
+  val q228WeightedMedian: QueryDef = QueryDef(
+    "q228_weighted_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables
+        .lineitem(s, dir)
+        .select(
+          expr("CAST(round(l_extendedprice) AS BIGINT)").as("price_d"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+        .groupBy(col("price_d"))
+        .agg(sum(col("w")).as("wsum"))
+      val wCum = Window.orderBy(col("price_d")).rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("cum", sum(col("wsum")).over(wCum))
+        .crossJoin(broadcast(hist.agg(sum(col("wsum")).as("wtot"))))
+        .agg(
+          max(col("wtot")).as("w_total"),
+          min(when(col("cum") * 2 >= col("wtot"), col("price_d"))).as("wmedian_price"),
+          min(when(col("cum") * 10 >= col("wtot") * 9, col("price_d"))).as("wp90_price"))
+    },
+    Some("""WITH h AS (SELECT CAST(round(l_extendedprice) AS BIGINT) price_d,
+                              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) wsum
+                       FROM lineitem GROUP BY 1),
+            c AS (SELECT *, CAST(sum(wsum) OVER (ORDER BY price_d) AS BIGINT) cum FROM h),
+            t AS (SELECT CAST(sum(wsum) AS BIGINT) wtot FROM h)
+            SELECT max(wtot) AS w_total,
+                   min(CASE WHEN cum * 2 >= wtot THEN price_d END) AS wmedian_price,
+                   min(CASE WHEN cum * 10 >= wtot * 9 THEN price_d END) AS wp90_price
+            FROM c CROSS JOIN t""")
+  )
+
+  /** One-way ANOVA F: does mean value differ across event types?
+    * SSB/SSW from exact integer cent sums (per-group S²/n as a single
+    * double division each; 5-term sums carry ~1e-14 relative
+    * order-noise, far under the 6-decimal output grid).
+    */
+  val q229AnovaF: QueryDef = QueryDef(
+    "q229_anova_f",
+    (s, dir) => {
+      val g = Tables
+        .events(s, dir)
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"), sum(col("c") * col("c")).as("s2_g"))
+      g.agg(
+          count(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(col("s2_g")).as("s2"),
+          sum((col("s_g") * col("s_g")).cast("double") / col("n_g").cast("double")).as("sgn"))
+        .select(
+          col("k"),
+          col("n"),
+          round(
+            (col("sgn") - (col("s") * col("s")).cast("double") / col("n").cast("double")) /
+              (col("k") - 1).cast("double") /
+              ((col("s2").cast("double") - col("sgn")) / (col("n") - col("k")).cast("double")),
+            6).as("f_stat"))
+    },
+    Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_g,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) s_g,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT) *
+                                       CAST(round(value * 100) AS BIGINT)) AS BIGINT) s2_g
+                       FROM events GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) k, CAST(sum(n_g) AS BIGINT) n,
+                         CAST(sum(s_g) AS BIGINT) s, CAST(sum(s2_g) AS BIGINT) s2,
+                         sum(CAST(s_g * s_g AS DOUBLE) / n_g) sgn
+                  FROM g)
+            SELECT k, n,
+                   round((sgn - CAST(s * s AS DOUBLE) / n) / (k - 1) /
+                         ((CAST(s2 AS DOUBLE) - sgn) / (n - k)), 6) AS f_stat
+            FROM a""")
+  )
+
+  /** Randomization (permutation-style) test of the between-arm mean
+    * difference: 99 deterministic md5 re-labelings of users (4 dyadic
+    * words per digest, the q212 trick), each replicate's arm-mean
+    * difference from exact per-user cent totals, two-sided p =
+    * (1 + #extreme)/(B + 1). The assignment-free significance check
+    * beside q208/q226.
+    */
+  val q230PermutationTest: QueryDef = QueryDef(
+    "q230_permutation_test",
+    (s, dir) => {
+      val perUser = Tables
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+        .localCheckpoint()
+      val obs = perUser.agg(
+        (sum(when(col("user_id") % 2 === 0, col("x")).otherwise(0L)).cast("double") /
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).cast("double") -
+          sum(when(col("user_id") % 2 === 1, col("x")).otherwise(0L)).cast("double") /
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).cast("double"))
+          .as("obs_diff_cents"))
+      val reps = perUser
+        .withColumn("batch", explode(expr("sequence(0, 24)")))
+        .withColumn(
+          "digest",
+          md5(concat(col("user_id").cast("string"), lit(":"), col("batch").cast("string"),
+            lit("perm"))))
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("b", col("batch") * 4 + col("j") + 1)
+        .filter(col("b") <= 99)
+        .withColumn(
+          "arm",
+          pmod(conv(expr("substring(digest, j * 8 + 1, 8)"), 16, 10).cast("long"), lit(2L)))
+        .groupBy(col("b"))
+        .agg(
+          (sum(when(col("arm") === 0, col("x")).otherwise(0L)).cast("double") /
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("double") -
+            sum(when(col("arm") === 1, col("x")).otherwise(0L)).cast("double") /
+              sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double")).as("diff_b"))
+      reps
+        .crossJoin(broadcast(obs))
+        .agg(
+          round(max(col("obs_diff_cents")) / 100.0, 6).as("obs_diff"),
+          count(lit(1)).as("n_reps"),
+          sum(when(abs(col("diff_b")) >= abs(col("obs_diff_cents")), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .withColumn(
+          "p_value",
+          round((col("n_extreme") + 1).cast("double") / (col("n_reps") + 1).cast("double"), 6))
+    },
+    Some("""WITH pu AS (SELECT user_id,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+                        FROM events GROUP BY 1),
+            obs AS (SELECT
+                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS DOUBLE) /
+                        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) -
+                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS DOUBLE) /
+                        sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS obs_diff_cents
+                    FROM pu),
+            lab AS (SELECT pu.user_id, pu.x, bt.batch, j.j,
+                           bt.batch * 4 + j.j + 1 AS b,
+                           CAST(('0x' || substring(md5(CAST(pu.user_id AS VARCHAR) || ':' ||
+                                 CAST(bt.batch AS VARCHAR) || 'perm'),
+                                 CAST(j.j * 8 + 1 AS INT), 8)) AS BIGINT) % 2 AS arm
+                    FROM pu CROSS JOIN range(0, 25) bt(batch) CROSS JOIN range(0, 4) j(j)),
+            reps AS (SELECT b,
+                            CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) /
+                              sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+                            CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) /
+                              sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS diff_b
+                     FROM lab WHERE b <= 99 GROUP BY 1)
+            SELECT round(max(obs_diff_cents) / 100.0, 6) AS obs_diff,
+                   CAST(count(*) AS BIGINT) AS n_reps,
+                   CAST(sum(CASE WHEN abs(diff_b) >= abs(obs_diff_cents)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                   round(CAST(sum(CASE WHEN abs(diff_b) >= abs(obs_diff_cents)
+                              THEN 1 ELSE 0 END) + 1 AS DOUBLE) / (count(*) + 1), 6)
+                     AS p_value
+            FROM reps CROSS JOIN obs""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -1477,5 +1681,6 @@ object Round7 {
     q213MannWhitney, q214NgramNovelty, q215StreamMoments, q216SessionPaths,
     q217ClusterSample, q218CohortLtv, q219JoinCardinality, q220NeymanAlloc,
     q221PitJoin, q222MetricDecomposition, q223TimeToConvert, q224BrierDecomp,
-    q225Lorenz, q226SrmCheck)
+    q225Lorenz, q226SrmCheck, q227BfsHops, q228WeightedMedian, q229AnovaF,
+    q230PermutationTest)
 }

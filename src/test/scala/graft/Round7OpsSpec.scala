@@ -507,6 +507,19 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("alloc")).sum === 100L)
   }
 
+  // ---- BFS levels ------------------------------------------------------
+
+  test("bfs levels: path graph grows one node per hop from the smallest node") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = Graph.bfsLevels(edges, hops = 3).orderBy("hop").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)))
+    // star from the center: everything lands at hop 1
+    val star = Seq(("a", "x"), ("a", "y"), ("a", "z")).toDF("src", "dst")
+    val s = Graph.bfsLevels(star, hops = 3).orderBy("hop").collect()
+    assert(s.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((0, 1L), (1, 3L)))
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
