@@ -1673,6 +1673,214 @@ object Round7 {
             FROM reps CROSS JOIN obs""")
   )
 
+  /** Quantile treatment effects: the between-arm shift at each of five
+    * exact quantiles of the per-user cent totals — where in the
+    * distribution an effect lives, which the mean (q208) hides. stack()
+    * keeps the output scalar rows.
+    */
+  val q231Qte: QueryDef = QueryDef(
+    "q231_qte",
+    (s, dir) => {
+      val perUser = Tables
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      val q = perUser.agg(
+        expr("percentile(if(arm = 0, x, null), array(0.1, 0.25, 0.5, 0.75, 0.9))").as("q0"),
+        expr("percentile(if(arm = 1, x, null), array(0.1, 0.25, 0.5, 0.75, 0.9))").as("q1"))
+      q.selectExpr(
+        """stack(5,
+             '0.10', q0[0], q1[0],
+             '0.25', q0[1], q1[1],
+             '0.50', q0[2], q1[2],
+             '0.75', q0[3], q1[3],
+             '0.90', q0[4], q1[4]) AS (p, qc0, qc1)""")
+        .select(
+          col("p"),
+          round(col("qc0") / 100.0, 6).as("q_arm0"),
+          round(col("qc1") / 100.0, 6).as("q_arm1"),
+          round((col("qc1") - col("qc0")) / 100.0, 6).as("qte"))
+    },
+    Some("""WITH pu AS (SELECT user_id,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x,
+                               user_id % 2 arm
+                        FROM events GROUP BY 1),
+            q AS (SELECT
+                    quantile_cont(x, 0.10) FILTER (arm = 0) a010,
+                    quantile_cont(x, 0.10) FILTER (arm = 1) a110,
+                    quantile_cont(x, 0.25) FILTER (arm = 0) a025,
+                    quantile_cont(x, 0.25) FILTER (arm = 1) a125,
+                    quantile_cont(x, 0.50) FILTER (arm = 0) a050,
+                    quantile_cont(x, 0.50) FILTER (arm = 1) a150,
+                    quantile_cont(x, 0.75) FILTER (arm = 0) a075,
+                    quantile_cont(x, 0.75) FILTER (arm = 1) a175,
+                    quantile_cont(x, 0.90) FILTER (arm = 0) a090,
+                    quantile_cont(x, 0.90) FILTER (arm = 1) a190
+                  FROM pu)
+            SELECT '0.10' p, round(a010 / 100.0, 6) q_arm0, round(a110 / 100.0, 6) q_arm1,
+                   round((a110 - a010) / 100.0, 6) qte FROM q
+            UNION ALL
+            SELECT '0.25', round(a025 / 100.0, 6), round(a125 / 100.0, 6),
+                   round((a125 - a025) / 100.0, 6) FROM q
+            UNION ALL
+            SELECT '0.50', round(a050 / 100.0, 6), round(a150 / 100.0, 6),
+                   round((a150 - a050) / 100.0, 6) FROM q
+            UNION ALL
+            SELECT '0.75', round(a075 / 100.0, 6), round(a175 / 100.0, 6),
+                   round((a175 - a075) / 100.0, 6) FROM q
+            UNION ALL
+            SELECT '0.90', round(a090 / 100.0, 6), round(a190 / 100.0, 6),
+                   round((a190 - a090) / 100.0, 6) FROM q""")
+  )
+
+  /** Supervised training-set construction: per-user features from the
+    * first-20-day observation window, churn/conversion label from the
+    * holdout window after it — the feature/label snapshot builder every
+    * tabular model pipeline starts with. Exact µs windows, exact cents.
+    */
+  val q232LabelBuilder: QueryDef = QueryDef(
+    "q232_label_builder",
+    (s, dir) => {
+      val t0 = Tables.events(s, dir).agg(min(unix_micros(col("ts"))).as("t0"))
+      val cut = col("t0") + lit(20L * 86400000000L)
+      Tables
+        .events(s, dir)
+        .crossJoin(broadcast(t0))
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("us") < cut, 1L).otherwise(0L)).as("n_events"),
+          countDistinct(when(col("us") < cut, col("event_type"))).as("n_types"),
+          sum(when(col("us") < cut, expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("total_cents"),
+          max(when(col("us") < cut, col("us"))).as("last_obs_us"),
+          max(col("t0")).as("t0v"),
+          max(when(col("us") >= cut && col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+        .filter(col("n_events") > 0)
+        .select(
+          col("user_id"),
+          col("n_events"),
+          col("n_types"),
+          col("total_cents"),
+          expr("(t0v + 1728000000000 - last_obs_us) div 3600000000").as("recency_h"),
+          col("label"))
+    },
+    Some("""WITH t0 AS (SELECT min(epoch_us(ts)) t0 FROM events),
+            e AS (SELECT user_id, event_type, epoch_us(ts) us,
+                         CAST(round(value * 100) AS BIGINT) c, t0.t0,
+                         t0.t0 + 1728000000000 AS cut
+                  FROM events CROSS JOIN t0)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT) n_events,
+                   CAST(count(DISTINCT CASE WHEN us < cut THEN event_type END) AS BIGINT)
+                     n_types,
+                   CAST(sum(CASE WHEN us < cut THEN c ELSE 0 END) AS BIGINT) total_cents,
+                   (max(t0) + 1728000000000 - max(CASE WHEN us < cut THEN us END))
+                     // 3600000000 AS recency_h,
+                   CAST(max(CASE WHEN us >= cut AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS "label"
+            FROM e GROUP BY 1
+            HAVING sum(CASE WHEN us < cut THEN 1 ELSE 0 END) > 0""")
+  )
+
+  /** Smoothed target encoding of the props.k item id against the
+    * purchase outcome: enc = (n_k·rate_k + m·prior)/(n_k + m) with
+    * m = 20 — the classic tabular-ML categorical encoder, every term an
+    * exact count ratio.
+    */
+  val q233TargetEncoding: QueryDef = QueryDef(
+    "q233_target_encoding",
+    (s, dir) => {
+      val base = Tables
+        .events(s, dir)
+        .select(
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val prior = base.agg(
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("prior"))
+      base
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .crossJoin(broadcast(prior))
+        .select(
+          col("k"),
+          col("n"),
+          col("n_pos"),
+          round(
+            (col("n_pos").cast("double") + lit(20.0) * col("prior")) /
+              (col("n") + 20).cast("double"),
+            6).as("enc"))
+    },
+    Some("""WITH b AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) k,
+                              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+                       FROM events),
+            p AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) pr0 FROM b),
+            g AS (SELECT k, CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) n_pos
+                  FROM b GROUP BY 1)
+            SELECT k, n, n_pos,
+                   round((CAST(n_pos AS DOUBLE) + 20.0 * pr0) / (n + 20), 6) AS enc
+            FROM g CROSS JOIN p""")
+  )
+
+  /** Language-ID confusion matrix: the q34 marker-profile classifier
+    * graded against the labeled language — per (labeled, predicted)
+    * counts with row percentages, the eval view a langid filter ships
+    * with. Oracle replays the argmax and the rollup.
+    */
+  val q234LangConfusion: QueryDef = QueryDef(
+    "q234_lang_confusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = graft.operators.TextAnalysis.langId(Tables.documents(s, dir))
+      pred
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn(
+          "row_total",
+          sum(col("n")).over(Window.partitionBy(col("labeled_lang"))))
+        .select(
+          col("labeled_lang"),
+          col("predicted_lang"),
+          col("n"),
+          round(col("n").cast("double") / col("row_total").cast("double") * 100.0, 6)
+            .as("row_pct"))
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, lang AS labeled_lang,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','and','of','to','is','in','that','it'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_en,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('el','la','de','que','y','los','en','un'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_es,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('le','la','de','et','les','des','un','une'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_fr,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('der','die','und','das','ist','ein','nicht','mit'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s_de,
+                0.0 AS s_zh
+              FROM documents),
+            pred AS (SELECT labeled_lang,
+              CASE
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh'
+              END AS predicted_lang
+              FROM s),
+            c AS (SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) n
+                  FROM pred GROUP BY 1, 2),
+            t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT) row_total
+                  FROM c)
+            SELECT labeled_lang, predicted_lang, n,
+                   round(CAST(n AS DOUBLE) / row_total * 100.0, 6) AS row_pct
+            FROM t""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -1682,5 +1890,6 @@ object Round7 {
     q217ClusterSample, q218CohortLtv, q219JoinCardinality, q220NeymanAlloc,
     q221PitJoin, q222MetricDecomposition, q223TimeToConvert, q224BrierDecomp,
     q225Lorenz, q226SrmCheck, q227BfsHops, q228WeightedMedian, q229AnovaF,
-    q230PermutationTest)
+    q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
+    q234LangConfusion)
 }
