@@ -1881,6 +1881,149 @@ object Round7 {
             FROM t""")
   )
 
+  /** Retrieval quality eval: NDCG@10 / MRR / recall@10 of exact-cosine
+    * retrieval against label-match relevance — the IR metrics the ANN
+    * family (q30/q31/q46/q80/q123) gets graded with in production.
+    * Discount weights are single-op constants snapped to the 2⁻³⁰ grid;
+    * ranks use the q30 (rounded-cosine, id tie-break) order so both
+    * engines rank identically.
+    */
+  val q235RetrievalEval: QueryDef = QueryDef(
+    "q235_retrieval_eval",
+    (s, dir) => {
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      val emb = Tables.embeddings(s, dir)
+      val ranked = graft.operators.Similarity
+        .bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val relCounts = emb
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_label"))
+      val qrel = labels
+        .filter(col("vec_id") < 10)
+        .join(relCounts, "label")
+        .select(
+          col("vec_id").as("query_id"),
+          col("label").as("qlabel"),
+          (col("n_label") - 1).as("n_rel")) // corpus excludes the query itself
+      val graded = ranked
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+          "neighbor_id")
+        .join(qrel, "query_id")
+        .withColumn("rel", (col("qlabel") === col("nlabel")).cast("long"))
+        .withColumn("w", snap(lit(1.0) / log2(col("rank") + 1)))
+      graded
+        .groupBy(col("query_id"))
+        .agg(
+          max(col("n_rel")).as("n_rel"),
+          sum(col("rel")).as("hits_at_10"),
+          sum(col("rel").cast("double") * col("w")).as("dcg"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+        .withColumn(
+          "idcg",
+          expr(
+            "aggregate(sequence(1, int(least(n_rel, 10))), 0d, " +
+              "(acc, r) -> acc + floor(1.0 / log2(r + 1) * 1073741824.0 + 0.5) / 1073741824.0)"))
+        .select(
+          col("query_id"),
+          col("n_rel"),
+          col("hits_at_10"),
+          round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("mrr"),
+          round(col("hits_at_10").cast("double") / least(col("n_rel"), lit(10L)).cast("double"), 6)
+            .as("recall_at_10"),
+          when(col("idcg") > 0.0, round(col("dcg") / col("idcg"), 6)).as("ndcg_at_10"))
+    },
+    Some(s"""WITH ranked AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(${LlmQueries.dotSql("q.embedding", "c.embedding")} /
+                               (sqrt(${LlmQueries.dotSql("q.embedding", "q.embedding")}) *
+                                sqrt(${LlmQueries.dotSql("c.embedding", "c.embedding")})), 6)
+                           DESC,
+                         c.vec_id ASC) AS rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 10
+              ) WHERE rank <= 10),
+            lc AS (SELECT label, CAST(count(*) AS BIGINT) n_label FROM embeddings GROUP BY 1),
+            qr AS (SELECT e.vec_id query_id, e.label qlabel, lc.n_label - 1 AS n_rel
+                   FROM embeddings e JOIN lc USING (label) WHERE e.vec_id < 10),
+            g AS (SELECT r.query_id, r.rank, qr.n_rel,
+                         CASE WHEN n.label = qr.qlabel THEN 1 ELSE 0 END rel,
+                         floor(1.0 / log2(r.rank + 1) * 1073741824.0 + 0.5) / 1073741824.0 w
+                  FROM ranked r
+                  JOIN embeddings n ON n.vec_id = r.neighbor_id
+                  JOIN qr ON qr.query_id = r.query_id),
+            a AS (SELECT query_id, CAST(max(n_rel) AS BIGINT) n_rel,
+                         CAST(sum(rel) AS BIGINT) hits_at_10,
+                         sum(rel * w) dcg,
+                         min(CASE WHEN rel = 1 THEN rank END) first_rel_rank
+                  FROM g GROUP BY 1),
+            i AS (SELECT *, list_sum([floor(1.0 / log2(r + 1) * 1073741824.0 + 0.5) /
+                                      1073741824.0
+                                      FOR r IN range(1, CAST(least(n_rel, 10) AS INT) + 1)])
+                              idcg
+                  FROM a)
+            SELECT query_id, n_rel, hits_at_10,
+                   round(coalesce(1.0 / first_rel_rank, 0.0), 6) AS mrr,
+                   round(CAST(hits_at_10 AS DOUBLE) / least(n_rel, 10), 6) AS recall_at_10,
+                   CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg_at_10
+            FROM i""")
+  )
+
+  /** Classical seasonal decomposition of the hourly series: centered
+    * 25-term moving-average trend (full windows only), detrended values
+    * scaled ×25 to STAY INTEGER, hour-of-day seasonal indices as exact
+    * rationals Σd/(25·n). The additive STL-lite a metrics pipeline runs
+    * before alerting on residuals.
+    */
+  val q236SeasonalDecomp: QueryDef = QueryDef(
+    "q236_seasonal_decomp",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables
+        .events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val series = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+        .join(cnt, Seq("h"), "left")
+        .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.orderBy(col("h")).rowsBetween(-12, 12)
+      series
+        .withColumn("wsum", sum(col("x")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 25) // full centered windows only
+        .withColumn("d25", col("x") * 25 - col("wsum")) // 25·(x − trend), integer
+        .groupBy(pmod(col("h"), lit(24L)).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("d25")).as("sd25"))
+        .select(
+          col("hour_of_day"),
+          col("n_obs"),
+          round(col("sd25").cast("double") / (lit(25.0) * col("n_obs").cast("double")), 6)
+            .as("seasonal"))
+    },
+    Some("""WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+            cnt AS (SELECT h, CAST(count(*) AS BIGINT) x FROM hh GROUP BY 1),
+            b AS (SELECT min(h) mn, max(h) mx FROM cnt),
+            s AS (SELECT g.h, coalesce(c.x, 0) AS x
+                  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM b) g
+                  LEFT JOIN cnt c USING (h)),
+            t AS (SELECT h, x,
+                         CAST(sum(x) OVER win AS BIGINT) wsum,
+                         CAST(count(*) OVER win AS BIGINT) wn
+                  FROM s WINDOW win AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+            d AS (SELECT h % 24 AS hour_of_day, x * 25 - wsum AS d25
+                  FROM t WHERE wn = 25)
+            SELECT hour_of_day, CAST(count(*) AS BIGINT) n_obs,
+                   round(CAST(sum(d25) AS DOUBLE) / (25.0 * count(*)), 6) AS seasonal
+            FROM d GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -1891,5 +2034,5 @@ object Round7 {
     q221PitJoin, q222MetricDecomposition, q223TimeToConvert, q224BrierDecomp,
     q225Lorenz, q226SrmCheck, q227BfsHops, q228WeightedMedian, q229AnovaF,
     q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
-    q234LangConfusion)
+    q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp)
 }
