@@ -2024,6 +2024,141 @@ object Round7 {
             FROM d GROUP BY 1""")
   )
 
+  /** Hour-of-day tail bands: p50/p99 of value per hour-of-day — the SLO
+    * heatmap row. Exact interpolating percentiles over hod groups (24
+    * bounded groups; the agg shuffles a histogram, never sorts rows
+    * globally).
+    */
+  val q237HourlyBands: QueryDef = QueryDef(
+    "q237_hourly_bands",
+    (s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(expr("pmod(unix_micros(ts) div 3600000000, 24)").as("hour_of_day"),
+          col("value"))
+        .groupBy(col("hour_of_day"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99")),
+    Some("""SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                   CAST(count(*) AS BIGINT) n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1""")
+  )
+
+  /** Pairwise source vocabulary overlap: Jaccard between every two
+    * sources' word sets through the shared-word inverted join (pairs
+    * only materialize where vocabularies actually intersect — never
+    * sources² × vocab). The corpus-mix diversity matrix.
+    */
+  val q238SourceOverlap: QueryDef = QueryDef(
+    "q238_source_overlap",
+    (s, dir) => {
+      val vocab = Tables
+        .documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .localCheckpoint() // consumed by sizes and the pair join
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      val common = vocab
+        .select(col("source").as("src_a"), col("word"))
+        .join(vocab.select(col("source").as("src_b"), col("word")), "word")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("va"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("vb"))), "src_b")
+        .select(
+          col("src_a"),
+          col("src_b"),
+          col("common"),
+          round(
+            col("common").cast("double") / (col("va") + col("vb") - col("common")).cast("double"),
+            6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("src_a").asc, col("src_b").asc)
+        .limit(20)
+    },
+    Some("""WITH v AS (SELECT DISTINCT source, word FROM (
+                         SELECT source, unnest(string_split(text, ' ')) word
+                         FROM documents) WHERE length(word) > 0),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) vs FROM v GROUP BY 1),
+            c AS (SELECT a.source src_a, b.source src_b, CAST(count(*) AS BIGINT) common
+                  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b, common,
+                   round(CAST(common AS DOUBLE) / (sa.vs + sb.vs - common), 6) AS jaccard
+            FROM c JOIN sz sa ON sa.source = c.src_a JOIN sz sb ON sb.source = c.src_b
+            ORDER BY jaccard DESC, src_a, src_b LIMIT 20""")
+  )
+
+  /** Dedup impact audit: what cluster-collapse (keep the q206 golden
+    * record per near-dup cluster, drop the rest) costs each source —
+    * docs and tokens kept vs dropped, the before/after report a dedup
+    * rollout ships with. Composition of the closure, the election, and
+    * per-source token sums.
+    */
+  val q239DedupImpact: QueryDef = QueryDef(
+    "q239_dedup_impact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val cc = graft.operators.Dedup
+        .connectedComponents(graft.operators.Dedup.minhashPairs(docs))
+      val labeled = docs
+        .join(cc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster"),
+          col("n_chars"))
+      val w = Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(col("n_tok") * col("keep")).as("tokens_kept"))
+        .withColumn(
+          "kept_pct",
+          round(col("tokens_kept").cast("double") / col("tokens_total").cast("double") * 100.0, 6))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${LlmQueries.ngramJaccardOracle}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u AS doc, u AS label FROM edges
+              UNION
+              SELECT e.u AS doc, r.label
+              FROM edges e JOIN reach r ON r.doc = e.v),
+            lab AS (SELECT doc, CAST(min(label) AS BIGINT) AS cluster_rep
+                    FROM reach GROUP BY doc),
+            m AS (SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) n_tok,
+                         d.n_chars, coalesce(l.cluster_rep, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN lab l ON l.doc = d.doc_id),
+            k AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY cluster
+                                   ORDER BY n_chars DESC, doc_id ASC) = 1
+                                 THEN 1 ELSE 0 END keep
+                  FROM m)
+            SELECT source, CAST(count(*) AS BIGINT) n_docs,
+                   CAST(sum(keep) AS BIGINT) n_kept,
+                   CAST(sum(n_tok) AS BIGINT) tokens_total,
+                   CAST(sum(n_tok * keep) AS BIGINT) tokens_kept,
+                   round(CAST(sum(n_tok * keep) AS DOUBLE) / sum(n_tok) * 100.0, 6)
+                     AS kept_pct
+            FROM k GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2034,5 +2169,6 @@ object Round7 {
     q221PitJoin, q222MetricDecomposition, q223TimeToConvert, q224BrierDecomp,
     q225Lorenz, q226SrmCheck, q227BfsHops, q228WeightedMedian, q229AnovaF,
     q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
-    q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp)
+    q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
+    q238SourceOverlap, q239DedupImpact)
 }
