@@ -2159,6 +2159,147 @@ object Round7 {
             FROM k GROUP BY 1""")
   )
 
+  /** Embedding QA: vector-column data quality — dimension conformance,
+    * zero/near-zero vectors, non-finite components, norm spread — the
+    * ingest gate an embedding table needs before any ANN index builds
+    * on it. Norms are ordered positional folds (ANN-family parity).
+    */
+  val q240EmbeddingQa: QueryDef = QueryDef(
+    "q240_embedding_qa",
+    (s, dir) => {
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      Tables
+        .embeddings(s, dir)
+        .select(
+          size(col("embedding")).as("dim"),
+          expr("exists(embedding, x -> isnan(x) OR abs(CAST(x AS DOUBLE)) > 1e308)").as("bad"),
+          snap(sqrt(expr(
+            "aggregate(embedding, 0d, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+            .as("norm"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(col("dim")).as("n_dims_seen"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+          sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_zero"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(expr("percentile(norm, 0.5)"), 6).as("p50_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+    },
+    Some("""WITH v AS (SELECT len(embedding) dim,
+                              len([x FOR x IN embedding
+                                   IF isnan(x) OR abs(CAST(x AS DOUBLE)) > 1e308]) > 0 bad,
+                              floor(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                                   FOR x IN embedding])) *
+                                    1073741824.0 + 0.5) / 1073741824.0 AS nrm
+                       FROM embeddings)
+            SELECT CAST(count(*) AS BIGINT) n_vectors,
+                   CAST(count(DISTINCT dim) AS BIGINT) n_dims_seen,
+                   CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) n_nonfinite,
+                   CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) n_zero,
+                   round(min(nrm), 6) AS min_norm,
+                   round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM v""")
+  )
+
+  /** Mean-embedding distance between label groups (the MMD-lite
+    * embedding-drift statistic): per-label grid-snapped centroid, L2
+    * distance of each label's centroid to label 0's — "has this shard's
+    * embedding distribution moved?" for 100 TB re-embedding audits.
+    * Centroid sums snap to the 2⁻²⁰ grid (kmeans posture); the distance
+    * fold is ordered.
+    */
+  val q241EmbeddingDrift: QueryDef = QueryDef(
+    "q241_embedding_drift",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb
+        .select(col("label"), posexplode(transform(col("embedding"), _.cast("double"))))
+        .groupBy(col("label"), col("pos"))
+        .agg((floor(avg(col("col")) * 1048576.0) / 1048576.0).as("m"))
+        .groupBy(col("label"))
+        .agg(expr("array_agg(struct(pos, m))").as("pm"))
+        .select(col("label"), expr("transform(array_sort(pm), x -> x.m)").as("c"))
+        .localCheckpoint()
+      val base = cents.filter(col("label") === 0).select(col("c").as("c0"))
+      cents
+        .crossJoin(broadcast(base))
+        .select(
+          col("label"),
+          round(
+            sqrt(expr(
+              "aggregate(zip_with(c, c0, (a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)")),
+            6).as("dist_to_label0"))
+    },
+    Some("""WITH e AS (SELECT label, generate_subscripts(embedding, 1) pos,
+                              CAST(unnest(embedding) AS DOUBLE) val
+                       FROM embeddings),
+            m AS (SELECT label, pos, floor(avg(val) * 1048576.0) / 1048576.0 m
+                  FROM e GROUP BY 1, 2),
+            c AS (SELECT label, list(m ORDER BY pos) c FROM m GROUP BY 1),
+            b AS (SELECT c c0 FROM c WHERE label = 0)
+            SELECT c.label,
+                   round(sqrt(list_sum([(c.c[i] - b.c0[i]) * (c.c[i] - b.c0[i])
+                                        FOR i IN range(1, len(c.c) + 1)])), 6)
+                     AS dist_to_label0
+            FROM c CROSS JOIN b""")
+  )
+
+  /** RFM segmentation: recency/frequency/monetary quintiles per user
+    * (exact integer rank bucketing over the USER-dimension relation —
+    * corpus-scale events collapse to one row per user first), rolled up
+    * to segment sizes — the classic lifecycle-marketing cut.
+    */
+  val q242Rfm: QueryDef = QueryDef(
+    "q242_rfm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val horizon = Tables.events(s, dir).agg(max(unix_micros(col("ts"))).as("mx"))
+      val perUser = Tables
+        .events(s, dir)
+        .crossJoin(broadcast(horizon))
+        .groupBy(col("user_id"))
+        .agg(
+          expr("(max(mx) - max(unix_micros(ts))) div 3600000000").as("recency_h"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+        .localCheckpoint() // user-dimension sized; three rank windows below
+      val n = perUser.count()
+      def quintile(order: org.apache.spark.sql.Column*) =
+        (((row_number().over(Window.orderBy(order: _*)) - 1) * 5) / n).cast("int") + 1
+      perUser
+        // recency: LOWER hours-since-last = better -> rank ascending so
+        // quintile 1 is the most recent
+        .withColumn("r_q", quintile(col("recency_h").asc, col("user_id").asc))
+        .withColumn("f_q", quintile(col("freq").desc, col("user_id").asc))
+        .withColumn("m_q", quintile(col("monetary_cents").desc, col("user_id").asc))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("monetary_cents")).as("segment_cents"))
+    },
+    Some("""WITH hz AS (SELECT max(epoch_us(ts)) mx FROM events),
+            pu AS (SELECT user_id,
+                          (max(hz.mx) - max(epoch_us(ts))) // 3600000000 recency_h,
+                          CAST(count(*) AS BIGINT) freq,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                            monetary_cents
+                   FROM events CROSS JOIN hz GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) n FROM pu),
+            q AS (SELECT pu.*,
+                         CAST(((row_number() OVER (ORDER BY recency_h ASC, user_id ASC) - 1)
+                               * 5) // t.n AS INT) + 1 r_q,
+                         CAST(((row_number() OVER (ORDER BY freq DESC, user_id ASC) - 1)
+                               * 5) // t.n AS INT) + 1 f_q,
+                         CAST(((row_number() OVER (ORDER BY monetary_cents DESC, user_id ASC)
+                               - 1) * 5) // t.n AS INT) + 1 m_q
+                  FROM pu CROSS JOIN t)
+            SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) n_users,
+                   CAST(sum(monetary_cents) AS BIGINT) segment_cents
+            FROM q GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2170,5 +2311,6 @@ object Round7 {
     q225Lorenz, q226SrmCheck, q227BfsHops, q228WeightedMedian, q229AnovaF,
     q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
-    q238SourceOverlap, q239DedupImpact)
+    q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
+    q242Rfm)
 }
