@@ -2300,6 +2300,178 @@ object Round7 {
             FROM q GROUP BY 1, 2, 3""")
   )
 
+  /** Dedup threshold sensitivity: exact n-gram Jaccard pair/doc counts
+    * at t ∈ {0.5, 0.7, 0.9} from ONE PPJoin pass at the loosest
+    * threshold — how aggressive each dial setting would be before
+    * committing a rollout. Both engines bucket on round(j, 6), so
+    * at-threshold pairs can't straddle a float boundary.
+    */
+  val q243ThresholdSweep: QueryDef = QueryDef(
+    "q243_threshold_sweep",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+        .withColumn("j6", round(col("jaccard"), 6))
+        .localCheckpoint()
+      val docsIn = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("d"), col("j6"))
+      pairs
+        .agg(
+          sum(when(col("j6") >= 0.5, 1L).otherwise(0L)).as("n_pairs_t50"),
+          sum(when(col("j6") >= 0.7, 1L).otherwise(0L)).as("n_pairs_t70"),
+          sum(when(col("j6") >= 0.9, 1L).otherwise(0L)).as("n_pairs_t90"))
+        .crossJoin(broadcast(docsIn.agg(
+          countDistinct(when(col("j6") >= 0.5, col("d"))).as("n_docs_t50"),
+          countDistinct(when(col("j6") >= 0.7, col("d"))).as("n_docs_t70"),
+          countDistinct(when(col("j6") >= 0.9, col("d"))).as("n_docs_t90"))))
+    },
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
+              FROM documents),
+            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
+            p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                         round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                               len(list_distinct(list_concat(a.gs, b.gs))), 6) AS j6
+                  FROM s a JOIN s b
+                    ON a.doc_id < b.doc_id
+                   AND a.sz >= b.sz * 0.5 - 1e-9 AND b.sz >= a.sz * 0.5 - 1e-9),
+            f AS (SELECT * FROM p WHERE j6 >= 0.5),
+            di AS (SELECT unnest([doc_a, doc_b]) d, j6 FROM f)
+            SELECT
+              (SELECT CAST(sum(CASE WHEN j6 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
+                AS n_pairs_t50,
+              (SELECT CAST(sum(CASE WHEN j6 >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
+                AS n_pairs_t70,
+              (SELECT CAST(sum(CASE WHEN j6 >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
+                AS n_pairs_t90,
+              (SELECT CAST(count(DISTINCT CASE WHEN j6 >= 0.5 THEN d END) AS BIGINT) FROM di)
+                AS n_docs_t50,
+              (SELECT CAST(count(DISTINCT CASE WHEN j6 >= 0.7 THEN d END) AS BIGINT) FROM di)
+                AS n_docs_t70,
+              (SELECT CAST(count(DISTINCT CASE WHEN j6 >= 0.9 THEN d END) AS BIGINT) FROM di)
+                AS n_docs_t90""")
+  )
+
+  /** Corpus-specific stopword discovery: words whose document frequency
+    * crosses 40% of the corpus, with their token-mass share — the
+    * data-driven stopword list an indexing/BM25 stack derives before
+    * hardcoding one. Top 20 by df.
+    */
+  val q244StopwordDiscovery: QueryDef = QueryDef(
+    "q244_stopword_discovery",
+    (s, dir) => {
+      val words = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .localCheckpoint()
+      val totals = words.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+      words
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(totals))
+        .filter(col("df") * 10 >= col("n_docs") * 4) // df_frac >= 0.4, integer form
+        .select(
+          col("word"),
+          col("df"),
+          round(col("df").cast("double") / col("n_docs").cast("double"), 6).as("df_frac"),
+          col("tf"),
+          round(col("tf").cast("double") / col("n_tokens").cast("double") * 100.0, 6)
+            .as("token_share_pct"))
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) word FROM documents),
+            ww AS (SELECT * FROM w WHERE length(word) > 0),
+            t AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+                         CAST(count(*) AS BIGINT) n_tokens FROM ww),
+            g AS (SELECT word, CAST(count(*) AS BIGINT) tf,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) df FROM ww GROUP BY 1)
+            SELECT word, df,
+                   round(CAST(df AS DOUBLE) / n_docs, 6) df_frac, tf,
+                   round(CAST(tf AS DOUBLE) / n_tokens * 100.0, 6) token_share_pct
+            FROM g CROSS JOIN t
+            WHERE df * 10 >= n_docs * 4
+            ORDER BY df DESC, word ASC LIMIT 20""")
+  )
+
+  /** Filter-ensemble disagreement: the quality heuristic, the linear
+    * classifier, and the repetition rule as three binary keep-filters —
+    * pass rates and pairwise disagreement counts, the audit that tells
+    * you whether "add another filter" actually changes the kept set.
+    * Every comparison is on the filters' ROUNDED published scores.
+    */
+  val q245FilterDisagreement: QueryDef = QueryDef(
+    "q245_filter_disagreement",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fq = graft.operators.TextAnalysis
+        .qualityMetrics(docs)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("f_quality"))
+      val fc = graft.operators.TextAnalysis
+        .classifierScore(docs)
+        .select(col("doc_id"), (col("margin") > 0.0).as("f_classifier"))
+      val fr = graft.operators.TextAnalysis
+        .repetitionMetrics(docs)
+        .select(col("doc_id"), (col("dup_3gram_ratio") <= 0.5).as("f_repetition"))
+      fq.join(fc, "doc_id")
+        .join(fr, "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("f_quality").cast("long")).as("pass_quality"),
+          sum(col("f_classifier").cast("long")).as("pass_classifier"),
+          sum(col("f_repetition").cast("long")).as("pass_repetition"),
+          sum(when(col("f_quality") =!= col("f_classifier"), 1L).otherwise(0L))
+            .as("disagree_qc"),
+          sum(when(col("f_quality") =!= col("f_repetition"), 1L).otherwise(0L))
+            .as("disagree_qr"),
+          sum(when(col("f_classifier") =!= col("f_repetition"), 1L).otherwise(0L))
+            .as("disagree_cr"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text, string_split(text, ' ') ws,
+                                 [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)] gs
+                          FROM documents),
+            f AS (SELECT doc_id,
+                    round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                          least(CAST(len(list_filter(ws, w -> w IN
+                                ('the','a','of','and','to','in','is','on','for','with')))
+                                AS DOUBLE) / len(ws) * 5.0, 1.0) * 0.4 +
+                          (1.0 - least(CAST(length(text) -
+                                 length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                                 AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2,
+                          6) >= 0.5 AS f_quality,
+                    round((CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.8
+                          + (CAST(len(list_filter(ws, w -> list_contains(
+                               ['the','a','of','and','to','in','is','on','for','with'], w)))
+                             AS DOUBLE) / len(ws)) * 2.0
+                          - (CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws)) * 0.1
+                          + CAST(len(ws) AS DOUBLE) * 0.004
+                          + (CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE)
+                             / len(ws)) * 1.5
+                          - 1.2, 6) > 0.0 AS f_classifier,
+                    (CASE WHEN len(gs) = 0 THEN 0.0
+                          ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+                     END) <= 0.5 AS f_repetition
+                  FROM base)
+            SELECT CAST(count(*) AS BIGINT) n_docs,
+                   CAST(sum(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) pass_quality,
+                   CAST(sum(CASE WHEN f_classifier THEN 1 ELSE 0 END) AS BIGINT)
+                     pass_classifier,
+                   CAST(sum(CASE WHEN f_repetition THEN 1 ELSE 0 END) AS BIGINT)
+                     pass_repetition,
+                   CAST(sum(CASE WHEN f_quality != f_classifier THEN 1 ELSE 0 END) AS BIGINT)
+                     disagree_qc,
+                   CAST(sum(CASE WHEN f_quality != f_repetition THEN 1 ELSE 0 END) AS BIGINT)
+                     disagree_qr,
+                   CAST(sum(CASE WHEN f_classifier != f_repetition THEN 1 ELSE 0 END)
+                        AS BIGINT) disagree_cr
+            FROM f""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2312,5 +2484,5 @@ object Round7 {
     q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
-    q242Rfm)
+    q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement)
 }
