@@ -270,4 +270,91 @@ object Multimodal {
         }
       }
       .toDF()
+
+  /** REAL RIFF/WAV PCM audio: header-validated parse of actual
+    * little-endian bytes (pure JDK, no codec library), plus a
+    * deterministic square-wave synthesizer whose acoustic statistics
+    * have CLOSED FORMS — the audio sibling of [[ImageIoCodec]]'s PNG
+    * round trip: the oracle never touches a byte, yet any header/parse/
+    * endianness error breaks the reported numbers.
+    */
+  object WavCodec {
+
+    /** Mono 16-bit PCM square wave: freq 200+(id%8)·100 Hz, peak
+      * 1000+(id%20)·1500, `nSamples` samples at `sampleRate`. The phase
+      * is pure integer arithmetic — no trig, so no libm-ulp divergence
+      * between synthesis and any replay.
+      */
+    def synthesizeSquare(id: Long, sampleRate: Int = 8000, nSamples: Int = 800): Array[Byte] = {
+      val freq = 200L + (id % 8) * 100L
+      val amp = (1000L + (id % 20) * 1500L).toInt
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(1) // PCM, mono
+      bb.putInt(sampleRate).putInt(sampleRate * 2)
+      bb.putShort(2).putShort(16) // block align, bits
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val s = if ((2L * freq * i / sampleRate) % 2 == 0) amp else -amp
+        bb.putShort(s.toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    final case class WavStats(
+        doc_id: Long,
+        sample_rate: Int,
+        n_samples: Long,
+        duration_ms: Long,
+        peak: Long,
+        sum_sq: Long,
+        zero_crossings: Long)
+
+    /** Parse + integer acoustic stats. Validates every RIFF marker and
+      * the PCM/mono/16-bit shape — corrupt blobs throw (the
+      * [[ImageIoCodec]] contract).
+      */
+    def decode(id: Long, bytes: Array[Byte]): WavStats = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc $id: missing RIFF")
+      bb.getInt()
+      require(tag() == "WAVE", s"doc $id: missing WAVE")
+      require(tag() == "fmt ", s"doc $id: missing fmt chunk")
+      require(bb.getInt() == 16, s"doc $id: non-PCM fmt size")
+      require(bb.getShort() == 1, s"doc $id: not PCM")
+      require(bb.getShort() == 1, s"doc $id: not mono")
+      val sr = bb.getInt()
+      bb.getInt() // byte rate
+      bb.getShort() // block align
+      require(bb.getShort() == 16, s"doc $id: not 16-bit")
+      require(tag() == "data", s"doc $id: missing data chunk")
+      val dataLen = bb.getInt()
+      val n = dataLen / 2
+      var peak = 0L
+      var sumSq = 0L
+      var crossings = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort().toInt
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumSq += s.toLong * s
+        if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+        prev = s
+        i += 1
+      }
+      WavStats(id, sr, n.toLong, n.toLong * 1000L / sr, peak, sumSq, crossings)
+    }
+  }
 }

@@ -2472,6 +2472,38 @@ object Round7 {
             FROM f""")
   )
 
+  /** REAL audio decode in the correctness gate
+    * ([[graft.operators.Multimodal.WavCodec]]): each doc becomes a
+    * genuine RIFF/WAV PCM blob (integer-phase square wave — no trig, no
+    * libm ulps), parsed back from actual little-endian bytes. Peak /
+    * energy / zero-crossings / duration have closed forms, so DuckDB
+    * verifies the WHOLE synth→parse trip arithmetically without
+    * touching a byte — the audio sibling of q124's PNG round trip.
+    */
+  val q246AudioRoundtrip: QueryDef = QueryDef(
+    "q246_audio_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal.WavCodec
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => WavCodec.decode(id, WavCodec.synthesizeSquare(id))))
+        .toDF()
+    },
+    Some("""SELECT doc_id,
+                   8000 AS sample_rate,
+                   CAST(800 AS BIGINT) AS n_samples,
+                   CAST(100 AS BIGINT) AS duration_ms,
+                   CAST(1000 + (doc_id % 20) * 1500 AS BIGINT) AS peak,
+                   CAST(800 * (1000 + (doc_id % 20) * 1500) *
+                        (1000 + (doc_id % 20) * 1500) AS BIGINT) AS sum_sq,
+                   CAST((2 * (200 + (doc_id % 8) * 100) * 799) // 8000 AS BIGINT)
+                     AS zero_crossings
+            FROM documents""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2484,5 +2516,6 @@ object Round7 {
     q230PermutationTest, q231Qte, q232LabelBuilder, q233TargetEncoding,
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
-    q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement)
+    q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
+    q246AudioRoundtrip)
 }

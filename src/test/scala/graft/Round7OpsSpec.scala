@@ -520,6 +520,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(s.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((0, 1L), (1, 3L)))
   }
 
+  // ---- WAV codec -------------------------------------------------------
+
+  test("wav codec: closed-form stats from real bytes; corrupt header throws") {
+    import graft.operators.Multimodal.WavCodec
+    val bytes = WavCodec.synthesizeSquare(0L)
+    assert(bytes.length === 44 + 1600)
+    val st = WavCodec.decode(0L, bytes)
+    assert(st.sample_rate === 8000)
+    assert(st.n_samples === 800L)
+    assert(st.duration_ms === 100L)
+    assert(st.peak === 1000L)
+    assert(st.sum_sq === 800L * 1000L * 1000L)
+    assert(st.zero_crossings === 39L) // floor(2*200*799/8000)
+    val corrupt = bytes.clone(); corrupt(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(0L, corrupt)
+    }
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
