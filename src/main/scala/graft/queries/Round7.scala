@@ -2504,6 +2504,59 @@ object Round7 {
             FROM documents""")
   )
 
+  /** Late-data report — the watermark-tuning evidence: treating
+    * event_id as arrival order, an event is LATE if an earlier-arriving
+    * event in its hour already carried a later event time (running-max
+    * inversion). Lateness magnitude percentiles tell you what
+    * `withWatermark` delay actually covers. Hour-partitioned windows
+    * only.
+    */
+  val q247LateData: QueryDef = QueryDef(
+    "q247_late_data",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("hr"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables
+        .events(s, dir)
+        .select(
+          col("event_id"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_max", max(col("us")).over(w))
+        .withColumn("late_by_s",
+          when(col("prev_max") > col("us"), (col("prev_max") - col("us")) / lit(1000000L))
+            .otherwise(lit(0L)).cast("long"))
+        .groupBy(expr("pmod(hr, 24)").as("hour_of_day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("late_by_s") > 0, 1L).otherwise(0L)).as("n_late"),
+          round(expr("percentile(late_by_s, 0.99)"), 6).as("p99_late_s"),
+          max(col("late_by_s")).as("max_late_s"))
+        .withColumn(
+          "late_pct",
+          round(col("n_late").cast("double") / col("n").cast("double") * 100.0, 6))
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hr,
+                              epoch_us(ts) us FROM events),
+            r AS (SELECT *, max(us) OVER (PARTITION BY hr ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max
+                  FROM e),
+            l AS (SELECT hr % 24 AS hour_of_day,
+                         CASE WHEN prev_max > us THEN (prev_max - us) // 1000000
+                              ELSE 0 END late_by_s
+                  FROM r)
+            SELECT hour_of_day, CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CASE WHEN late_by_s > 0 THEN 1 ELSE 0 END) AS BIGINT) n_late,
+                   round(quantile_cont(late_by_s, 0.99), 6) AS p99_late_s,
+                   CAST(max(late_by_s) AS BIGINT) AS max_late_s,
+                   round(CAST(sum(CASE WHEN late_by_s > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+                         count(*) * 100.0, 6) AS late_pct
+            FROM l GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2517,5 +2570,5 @@ object Round7 {
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
-    q246AudioRoundtrip)
+    q246AudioRoundtrip, q247LateData)
 }
