@@ -221,6 +221,111 @@ object Sessionize {
           6).as("ltv_per_user"))
   }
 
+  /** Markov removal-effect attribution (the data-driven multi-touch
+    * model): sessions become start → channel → … → {purchase | drop}
+    * chains (absorbed at the FIRST purchase), the transition matrix is
+    * estimated from counts, and each channel's credit is its REMOVAL
+    * EFFECT — how much the start→purchase absorption probability falls
+    * when paths through that channel are cut. Absorption is computed by
+    * `iters` value-iteration steps p(s) ← P(s,conv) + Σ_t P(s,t)·p(t)
+    * on the CHANNEL-COUNT-sized matrix (driver-side bounded model
+    * state, the k-means posture), each component snapped to the 2⁻³⁰
+    * grid so a relational replay reconstructs the identical chain;
+    * removing channel c excludes t = c from every sum.
+    *
+    * Corpus-scale work: one user-keyed session pass + one
+    * transition-count agg. Output per removable channel:
+    * (channel, base_p, removed_p, removal_effect).
+    */
+  def markovAttribution(
+      events: DataFrame,
+      gapSec: Long = 1800,
+      iters: Int = 12
+  ): DataFrame = {
+    require(gapSec > 0 && iters >= 1, "bad parameters")
+    val grid30 = 1073741824.0
+    def snap(x: Double): Double = math.floor(x * grid30 + 0.5) / grid30
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val lagUs = lag(col("us"), 1).over(byUser)
+    val sessioned = events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn(
+        "brk",
+        when(lagUs.isNull || col("us") - lagUs > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(byUser))
+    val bySess = Window
+      .partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("us"), col("event_id"))
+    val kept = sessioned
+      .withColumn("pos", row_number().over(bySess))
+      .withColumn(
+        "first_p",
+        min(when(col("event_type") === "purchase", col("pos")))
+          .over(Window.partitionBy(col("user_id"), col("sess"))))
+      .filter(col("first_p").isNull || col("pos") <= col("first_p"))
+    val steps = kept
+      .withColumn("nxt", lead(col("event_type"), 1).over(bySess))
+      .select(
+        col("user_id"), col("sess"), col("pos"), col("event_type").as("cur"),
+        col("nxt"))
+    val trans = steps
+      .filter(col("pos") === 1)
+      .select(lit("start").as("from_state"), col("cur").as("to_state"))
+      .union(
+        steps
+          .filter(col("nxt").isNotNull)
+          .select(col("cur").as("from_state"), col("nxt").as("to_state")))
+      .union(
+        steps
+          .filter(col("nxt").isNull && col("cur") =!= "purchase")
+          .select(col("cur").as("from_state"), lit("drop").as("to_state")))
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("c"))
+    // channel-count² rows — the bounded model state
+    val rows = trans.collect()
+    val totals = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(2)).sum
+    }
+    val prob = rows.map { r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble / totals(r.getString(0))
+    }.toMap
+    val states = totals.keySet.toSeq.sorted // every state with outgoing edges
+    def absorption(removed: Option[String]): Double = {
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters) {
+        p = states.map { s =>
+          val acc = prob.getOrElse((s, "purchase"), 0.0) +
+            states
+              .filter(t => t != "start" && !removed.contains(t))
+              .map(t => prob.getOrElse((s, t), 0.0) * p(t))
+              .sum
+          s -> snap(acc)
+        }.toMap
+      }
+      p("start")
+    }
+    val baseP = absorption(None)
+    val spark = events.sparkSession
+    import spark.implicits._
+    states
+      .filter(s => s != "start" && s != "purchase")
+      .map { c =>
+        val removedP = absorption(Some(c))
+        val re = if (baseP > 0) (baseP - removedP) / baseP else 0.0
+        (c,
+          math.floor(baseP * 1e6 + 0.5) / 1e6,
+          math.floor(removedP * 1e6 + 0.5) / 1e6,
+          math.floor(re * 1e6 + 0.5) / 1e6)
+      }
+      .toDF("channel", "base_p", "removed_p", "removal_effect")
+  }
+
   /** First-order Markov transition matrix of the per-user event stream:
     * each user's events ordered by (ts, event_id) yield (cur → next)
     * transition counts, row-normalized into transition probabilities,

@@ -2557,6 +2557,83 @@ object Round7 {
             FROM l GROUP BY 1""")
   )
 
+  /** One absorption value-iteration chain in replay SQL: p⁰ = 0, then
+    * `iters` MATERIALIZED rounds of p(s) ← snap(P(s,conv) + Σ P(s,t)·p(t)),
+    * excluding t = `removed` when cutting a channel.
+    */
+  private def markovChainSql(tag: String, removed: Option[String], iters: Int): String = {
+    val notRemoved = removed.map(c => s" AND pp.to_state != '$c'").getOrElse("")
+    val rounds = (1 to iters)
+      .map { k =>
+        val prev = s"p$tag${k - 1}"
+        s"""p$tag$k AS MATERIALIZED (
+              SELECT pp.from_state st,
+                     floor(sum(CASE WHEN pp.to_state = 'purchase' THEN pp.pr
+                                    WHEN pp.to_state NOT IN ('purchase', 'drop')$notRemoved
+                                      THEN pp.pr * coalesce(pv.pv, 0)
+                                    ELSE 0 END) * 1073741824.0 + 0.5) / 1073741824.0 AS pv
+              FROM pm pp LEFT JOIN $prev pv ON pv.st = pp.to_state
+              GROUP BY 1)"""
+      }
+      .mkString(",\n")
+    s"p${tag}0 AS (SELECT from_state st, 0.0 pv FROM tt),\n$rounds"
+  }
+
+  /** Markov removal-effect attribution
+    * ([[graft.operators.Sessionize.markovAttribution]]): session chains
+    * absorbed at first purchase, channel credit = drop in start→purchase
+    * absorption when paths through the channel are cut. Oracle replays
+    * sessionization, the transition matrix, and FIVE 12-round snapped
+    * value-iteration chains (base + one per removable channel).
+    */
+  val q248MarkovAttribution: QueryDef = QueryDef(
+    "q248_markov_attribution",
+    (s, dir) => Sessionize.markovAttribution(Tables.events(s, dir)),
+    Some {
+      val channels = Seq("click", "error", "signup", "view")
+      val chains = (markovChainSql("b", None, 12) +: channels.map(c =>
+        markovChainSql(c, Some(c), 12))).mkString(",\n")
+      val outRows = channels
+        .map { c =>
+          s"""SELECT '$c' AS channel,
+                round((SELECT pv FROM pb12 WHERE st = 'start'), 6) AS base_p,
+                round((SELECT pv FROM p${c}12 WHERE st = 'start'), 6) AS removed_p,
+                round(((SELECT pv FROM pb12 WHERE st = 'start') -
+                       (SELECT pv FROM p${c}12 WHERE st = 'start')) /
+                      (SELECT pv FROM pb12 WHERE st = 'start'), 6) AS removal_effect"""
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+          s1 AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                                THEN 1 ELSE 0 END brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) sess
+                 FROM s1),
+          s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                             ORDER BY us, event_id) pos FROM s2),
+          s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN pos END)
+                             OVER (PARTITION BY user_id, sess) first_p FROM s3),
+          k AS (SELECT * FROM s4 WHERE first_p IS NULL OR pos <= first_p),
+          stp AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id, sess
+                              ORDER BY pos) nxt FROM k),
+          tr AS (
+            SELECT 'start' AS from_state, event_type AS to_state FROM stp WHERE pos = 1
+            UNION ALL
+            SELECT event_type, nxt FROM stp WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT event_type, 'drop' FROM stp
+            WHERE nxt IS NULL AND event_type != 'purchase'),
+          tm AS MATERIALIZED (SELECT from_state, to_state, CAST(count(*) AS BIGINT) c
+                              FROM tr GROUP BY 1, 2),
+          tt AS (SELECT from_state, CAST(sum(c) AS BIGINT) n FROM tm GROUP BY 1),
+          pm AS MATERIALIZED (SELECT m.from_state, m.to_state,
+                                     CAST(m.c AS DOUBLE) / t.n pr
+                              FROM tm m JOIN tt t ON t.from_state = m.from_state),
+          $chains
+          $outRows"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2570,5 +2647,5 @@ object Round7 {
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
-    q246AudioRoundtrip, q247LateData)
+    q246AudioRoundtrip, q247LateData, q248MarkovAttribution)
 }

@@ -539,6 +539,28 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Markov attribution ----------------------------------------------
+
+  test("markov attribution: sole converting channel carries removal effect 1") {
+    // u1 converts twice through view; u2's click session drops
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (4L, ts("2024-01-01 10:01:00"), 1L, "purchase"),
+      (5L, ts("2024-01-01 00:00:00"), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessionize.markovAttribution(events).orderBy("channel").collect()
+    val m = out.map(r => r.getAs[String]("channel") ->
+      (r.getAs[Double]("base_p"), r.getAs[Double]("removed_p"),
+        r.getAs[Double]("removal_effect"))).toMap
+    // base: P(start->view)=2/3, P(view->purchase)=1 -> p = 0.666667
+    assert(math.abs(m("view")._1 - 0.666667) < 1e-6)
+    assert(m("view")._2 === 0.0)
+    assert(m("view")._3 === 1.0)
+    assert(m("click")._3 === 0.0) // click never converts: cutting it changes nothing
+  }
+
   // ---- Markov transitions --------------------------------------------
 
   test("transition matrix: row-normalized probabilities and snapped entropy") {
