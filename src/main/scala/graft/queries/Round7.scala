@@ -2634,6 +2634,189 @@ object Round7 {
     }
   )
 
+  /** Log-rank test ([[graft.operators.Survival.logRank]]): does
+    * survival differ between the hash arms — hypergeometric
+    * expectations and variances at every churn time, snapped addends,
+    * one Z. Completes the survival family next to q191's KM curve.
+    */
+  val q249LogRank: QueryDef = QueryDef(
+    "q249_logrank",
+    (s, dir) => Survival.logRank(Tables.events(s, dir)),
+    Some("""WITH u AS (SELECT user_id, min(epoch_us(ts)) f, max(epoch_us(ts)) l
+                       FROM events GROUP BY 1),
+            m AS (SELECT max(epoch_us(ts)) mx FROM events),
+            lt AS (SELECT user_id % 2 arm, (l - f) // 3600000000 t_hours,
+                          l > mx - 86400000000 censored
+                   FROM u CROSS JOIN m),
+            bat AS (SELECT arm, t_hours, CAST(count(*) AS BIGINT) n_at,
+                           CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) d_at
+                    FROM lt GROUP BY 1, 2),
+            tms AS (SELECT DISTINCT t_hours FROM bat),
+            ams AS (SELECT DISTINCT arm FROM bat),
+            grid AS (SELECT a.arm, t.t_hours, coalesce(b.n_at, 0) n_at,
+                            coalesce(b.d_at, 0) d_at
+                     FROM ams a CROSS JOIN tms t
+                     LEFT JOIN bat b ON b.arm = a.arm AND b.t_hours = t.t_hours),
+            at1 AS (SELECT arm, CAST(count(*) AS BIGINT) n_arm FROM lt GROUP BY 1),
+            ar AS (SELECT g.arm, g.t_hours, g.n_at, g.d_at,
+                          a.n_arm - coalesce(CAST(sum(g.n_at) OVER (PARTITION BY g.arm
+                            ORDER BY g.t_hours
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                            n_risk
+                   FROM grid g JOIN at1 a USING (arm)),
+            bt AS (SELECT t_hours, CAST(sum(n_risk) AS BIGINT) n_t,
+                          CAST(sum(d_at) AS BIGINT) d_t,
+                          CAST(sum(CASE WHEN arm = 1 THEN n_risk ELSE 0 END) AS BIGINT) n1_t,
+                          CAST(sum(CASE WHEN arm = 1 THEN d_at ELSE 0 END) AS BIGINT) d1_t
+                   FROM ar GROUP BY 1),
+            tv AS (SELECT *,
+                          floor(CAST(n1_t AS DOUBLE) * d_t / n_t * 1073741824.0 + 0.5) /
+                            1073741824.0 e1t,
+                          CASE WHEN n_t > 1 THEN
+                            floor(CAST(n1_t AS DOUBLE) * (n_t - n1_t) * d_t * (n_t - d_t) /
+                                  (CAST(n_t AS DOUBLE) * n_t * (n_t - 1)) *
+                                  1073741824.0 + 0.5) / 1073741824.0
+                          ELSE 0.0 END v1t
+                   FROM bt WHERE d_t > 0),
+            a2 AS (SELECT CAST(count(*) AS BIGINT) n_times, CAST(sum(d1_t) AS BIGINT) o1,
+                          round(sum(e1t), 6) e1, round(sum(v1t), 6) var1 FROM tv)
+            SELECT n_times, o1, e1, var1,
+                   CASE WHEN var1 > 0 THEN round((o1 - e1) / sqrt(var1), 6) END AS z
+            FROM a2""")
+  )
+
+  /** Rank-biased overlap (Webber et al. '10) between the BM25 and dense
+    * top-10 rankings (q153's two rankers): truncated
+    * RBO = (1−p)·Σ p^(d−1)·|A_d ∩ B_d|/d at p = 0.9 — the standard
+    * "how differently do two rankers see the corpus" number. Prefix
+    * intersections via greatest-rank explode (equi-grouped, no θ-join);
+    * addends snapped.
+    */
+  val q250Rbo: QueryDef = QueryDef(
+    "q250_rbo",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      val sparse = graft.operators.TextAnalysis
+        .bm25Scores(Tables.documents(s, dir), Seq("data", "query", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+        .withColumn(
+          "ra",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("ra"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = graft.operators.Similarity
+        .bruteTopK(emb, emb.filter(col("vec_id") === 0), k = 10)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rb"))
+      val common = sparse
+        .join(dense, "doc_id")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+        .localCheckpoint()
+      val perDepth = common
+        .withColumn("d", explode(sequence(col("m").cast("int"), lit(10))))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("x_d"))
+      perDepth
+        .withColumn(
+          "addend",
+          snap(pow(lit(0.9), col("d") - 1) * col("x_d").cast("double") / col("d").cast("double")))
+        .agg(
+          max(when(col("d") === 10, col("x_d"))).as("overlap_at_10"),
+          round(lit(0.1) * sum(col("addend")), 6).as("rbo"))
+        .select(
+          lit(10).as("depth"),
+          coalesce(col("overlap_at_10"), lit(0L)).as("overlap_at_10"),
+          col("rbo"))
+    },
+    Some(s"""WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+            q AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                  WHERE t IN ('data', 'query', 'stream') GROUP BY 1, 2),
+            idf AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok
+                    WHERE t IN ('data', 'query', 'stream') GROUP BY t),
+            scored AS (
+              SELECT q.doc_id,
+                     ln((c.n_docs - idf.dfc + 0.5) / (idf.dfc + 0.5) + 1.0)
+                       * q.tf * (1.2 + 1.0)
+                       / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avgdl)) AS ts
+              FROM q JOIN idf USING (t) JOIN dl USING (doc_id), c),
+            sp AS (SELECT doc_id, rank ra FROM (
+                     SELECT doc_id, row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+                     FROM (SELECT doc_id, round(sum(ts), 6) AS bm25
+                           FROM scored GROUP BY doc_id))
+                   WHERE rank <= 10),
+            dn AS (SELECT neighbor_id doc_id, rank rb FROM (
+                     SELECT c.vec_id AS neighbor_id,
+                            row_number() OVER (ORDER BY
+                              round(${LlmQueries.dotSql("q2.embedding", "c.embedding")} /
+                                    (sqrt(${LlmQueries.dotSql("q2.embedding", "q2.embedding")}) *
+                                     sqrt(${LlmQueries.dotSql("c.embedding", "c.embedding")})), 6)
+                                DESC,
+                              c.vec_id ASC) AS rank
+                     FROM embeddings q2 JOIN embeddings c ON c.vec_id != q2.vec_id
+                     WHERE q2.vec_id = 0
+                   ) WHERE rank <= 10),
+            cm AS (SELECT greatest(sp.ra, dn.rb) m FROM sp JOIN dn USING (doc_id)),
+            pd AS (SELECT d.d, CAST(count(*) AS BIGINT) x_d
+                   FROM cm CROSS JOIN range(1, 11) d(d)
+                   WHERE d.d >= cm.m GROUP BY 1),
+            ad AS (SELECT d, x_d,
+                          floor(pow(0.9, d - 1) * x_d / d * 1073741824.0 + 0.5) /
+                            1073741824.0 addend
+                   FROM pd)
+            SELECT 10 AS depth,
+                   coalesce(max(CASE WHEN d = 10 THEN x_d END), 0) AS overlap_at_10,
+                   round(0.1 * sum(addend), 6) AS rbo
+            FROM ad""")
+  )
+
+  /** Temporal referential integrity: lineitems must reference an
+    * existing order and ship on/after its order date — violation counts
+    * plus the exact ship-lag distribution, the DQ gate a warehouse load
+    * runs before publishing.
+    */
+  val q251TemporalIntegrity: QueryDef = QueryDef(
+    "q251_temporal_integrity",
+    (s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("lag_days", datediff(col("ship"), col("odate")).cast("long"))
+        .agg(
+          count(lit(1)).as("n_lineitems"),
+          sum(when(col("odate").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_ship_before_order"),
+          min(col("lag_days")).as("min_lag_days"),
+          round(expr("percentile(lag_days, 0.5)"), 6).as("p50_lag_days"),
+          max(col("lag_days")).as("max_lag_days"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) n_lineitems,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     n_orphans,
+                   CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                               CAST(l.l_shipdate AS DATE)) < 0
+                            THEN 1 ELSE 0 END) AS BIGINT) n_ship_before_order,
+                   CAST(min(datediff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE))) AS BIGINT) min_lag_days,
+                   round(quantile_cont(datediff('day', CAST(o.o_orderdate AS DATE),
+                                                CAST(l.l_shipdate AS DATE)), 0.5), 6)
+                     p50_lag_days,
+                   CAST(max(datediff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE))) AS BIGINT) max_lag_days
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2647,5 +2830,6 @@ object Round7 {
     q234LangConfusion, q235RetrievalEval, q236SeasonalDecomp, q237HourlyBands,
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
-    q246AudioRoundtrip, q247LateData, q248MarkovAttribution)
+    q246AudioRoundtrip, q247LateData, q248MarkovAttribution, q249LogRank, q250Rbo,
+    q251TemporalIntegrity)
 }
