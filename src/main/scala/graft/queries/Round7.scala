@@ -2817,6 +2817,152 @@ object Round7 {
             FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey""")
   )
 
+  /** Partition-layout skew report: daily partition row counts with
+    * max/mean skew factor and tail sizes — what a lake writer checks
+    * before a straggler-prone layout ships. Exact integers + one
+    * division.
+    */
+  val q252PartitionSkew: QueryDef = QueryDef(
+    "q252_partition_skew",
+    (s, dir) => {
+      val parts = Tables
+        .events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("rows_in_part"))
+      parts.agg(
+        count(lit(1)).as("n_partitions"),
+        sum(col("rows_in_part")).as("n_rows"),
+        min(col("rows_in_part")).as("min_rows"),
+        max(col("rows_in_part")).as("max_rows"),
+        round(expr("percentile(rows_in_part, 0.99)"), 6).as("p99_rows"))
+        .withColumn(
+          "skew_factor",
+          round(
+            col("max_rows").cast("double") * col("n_partitions").cast("double") /
+              col("n_rows").cast("double"),
+            6))
+    },
+    Some("""WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) rows_in_part
+                       FROM events GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) n_partitions,
+                   CAST(sum(rows_in_part) AS BIGINT) n_rows,
+                   CAST(min(rows_in_part) AS BIGINT) min_rows,
+                   CAST(max(rows_in_part) AS BIGINT) max_rows,
+                   round(quantile_cont(rows_in_part, 0.99), 6) AS p99_rows,
+                   round(CAST(max(rows_in_part) AS DOUBLE) * count(*) / sum(rows_in_part), 6)
+                     AS skew_factor
+            FROM p""")
+  )
+
+  /** Zipf's-law fit: ln-frequency vs ln-rank OLS over the top 100 words
+    * (frequency-ordered, word tie-break) — the rank-size exponent that
+    * pairs with q209's Heaps fit. Snapped logs, exact ranks.
+    */
+  val q253ZipfFit: QueryDef = QueryDef(
+    "q253_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      val top = Tables
+        .documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("word").asc)
+        .limit(100)
+        .withColumn(
+          "rnk",
+          row_number().over(Window.orderBy(col("tf").desc, col("word").asc)).cast("long"))
+      top
+        .select(snap(log(col("rnk"))).as("lx"), snap(log(col("tf"))).as("ly"))
+        .agg(
+          count(lit(1)).as("m"),
+          sum(col("lx")).as("sx"),
+          sum(col("ly")).as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"),
+          sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("ly") * col("ly")).as("syy"))
+        .withColumn("dxy", col("m") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dxx", col("m") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", col("m") * col("syy") - col("sy") * col("sy"))
+        .select(
+          col("m").as("n_ranks"),
+          when(col("dxx") =!= 0.0, round(col("dxy") / col("dxx"), 6)).as("zipf_slope"),
+          when(col("dxx") =!= 0.0 && col("dyy") =!= 0.0,
+            round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)).as("r2"))
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) word FROM documents),
+            g AS (SELECT word, CAST(count(*) AS BIGINT) tf FROM w
+                  WHERE length(word) > 0 GROUP BY 1),
+            t AS (SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, word ASC) AS BIGINT) rnk
+                  FROM g ORDER BY tf DESC, word ASC LIMIT 100),
+            p AS (SELECT floor(ln(rnk) * 1073741824.0 + 0.5) / 1073741824.0 lx,
+                         floor(ln(tf) * 1073741824.0 + 0.5) / 1073741824.0 ly
+                  FROM t),
+            a AS (SELECT CAST(count(*) AS BIGINT) m, sum(lx) sx, sum(ly) sy,
+                         sum(lx * lx) sxx, sum(lx * ly) sxy, sum(ly * ly) syy FROM p),
+            d AS (SELECT *, m * sxy - sx * sy dxy, m * sxx - sx * sx dxx,
+                         m * syy - sy * sy dyy FROM a)
+            SELECT m AS n_ranks,
+                   CASE WHEN dxx != 0 THEN round(dxy / dxx, 6) END AS zipf_slope,
+                   CASE WHEN dxx != 0 AND dyy != 0
+                        THEN round(dxy * dxy / (dxx * dyy), 6) END AS r2
+            FROM d""")
+  )
+
+  /** Burstiness (Fano factor / index of dispersion): per event type the
+    * variance-to-mean ratio of hourly counts on the zero-filled grid —
+    * VMR > 1 flags bursty arrivals a Poisson model (and a rate limiter
+    * sized for one) would miss. All integer sums, one division.
+    */
+  val q254FanoFactor: QueryDef = QueryDef(
+    "q254_fano_factor",
+    (s, dir) => {
+      val cnt = Tables
+        .events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val bounds = cnt.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = cnt
+        .select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds.select(explode(sequence(col("mn"), col("mx"))).as("h"))))
+        .join(cnt, Seq("event_type", "h"), "left")
+        .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      grid
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sm"), sum(col("x") * col("x")).as("s2"))
+        .select(
+          col("event_type"),
+          col("n").as("n_hours"),
+          round(col("sm").cast("double") / col("n").cast("double"), 6).as("mean_per_hour"),
+          when(col("sm") > 0,
+            round(
+              (col("n") * col("s2") - col("sm") * col("sm")).cast("double") /
+                (col("n") * col("sm")).cast("double"),
+              6)).as("fano"))
+    },
+    Some("""WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                                CAST(count(*) AS BIGINT) x
+                         FROM events GROUP BY 1, 2),
+            b AS (SELECT min(h) mn, max(h) mx FROM cnt),
+            g AS (SELECT e.event_type, gr.h, coalesce(c.x, 0) AS x
+                  FROM (SELECT DISTINCT event_type FROM cnt) e
+                  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) h FROM b) gr
+                  LEFT JOIN cnt c ON c.event_type = e.event_type AND c.h = gr.h),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sm,
+                         CAST(sum(x * x) AS BIGINT) s2 FROM g GROUP BY 1)
+            SELECT event_type, n AS n_hours,
+                   round(CAST(sm AS DOUBLE) / n, 6) AS mean_per_hour,
+                   CASE WHEN sm > 0 THEN
+                     round(CAST(n * s2 - sm * sm AS DOUBLE) / (n * sm), 6) END AS fano
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2831,5 +2977,5 @@ object Round7 {
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
     q246AudioRoundtrip, q247LateData, q248MarkovAttribution, q249LogRank, q250Rbo,
-    q251TemporalIntegrity)
+    q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor)
 }
