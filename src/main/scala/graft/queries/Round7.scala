@@ -2963,6 +2963,131 @@ object Round7 {
             FROM a""")
   )
 
+  /** Geospatial radius join: deterministic per-user coordinates (grid
+    * cities + id-hash jitter), candidate pairs from 1°×1° CELL-BINNED
+    * equi-joins over the 3×3 neighborhood (the geohash trick — never
+    * users²), exact haversine ≤ 50 km verification on candidates only.
+    * The spatial sibling of the binned range join.
+    */
+  val q255GeoRadius: QueryDef = QueryDef(
+    "q255_geo_radius",
+    (s, dir) => {
+      val pts = Tables
+        .events(s, dir)
+        .select(col("user_id")).distinct()
+        .select(
+          col("user_id"),
+          (lit(40.0) + (col("user_id") % 7).cast("double") * 0.3 +
+            (col("user_id") % 13).cast("double") * 0.01).as("lat"),
+          (lit(-100.0) + (col("user_id") % 11).cast("double") * 0.4 +
+            (col("user_id") % 17).cast("double") * 0.01).as("lon"))
+        .localCheckpoint()
+      val binned = pts
+        .withColumn("cx", floor(col("lon")).cast("long"))
+        .withColumn("cy", floor(col("lat")).cast("long"))
+      val probes = binned
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .select(
+          col("user_id").as("ua"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val dist = expr(
+        """12742.0 * asin(sqrt(
+             pow(sin(radians(lat_b - lat_a) / 2), 2) +
+             cos(radians(lat_a)) * cos(radians(lat_b)) *
+             pow(sin(radians(lon_b - lon_a) / 2), 2)))""")
+      probes
+        .join(
+          binned.select(
+            col("user_id").as("ub"), col("lat").as("lat_b"), col("lon").as("lon_b"),
+            col("cx"), col("cy")),
+          Seq("cx", "cy"))
+        .filter(col("ua") < col("ub"))
+        .withColumn("km", dist)
+        .filter(col("km") <= 50.0)
+        .select(col("ua"), col("ub"), round(col("km"), 3).as("km"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            pts AS (SELECT user_id,
+                           40.0 + (user_id % 7) * 0.3 + (user_id % 13) * 0.01 AS lat,
+                           -100.0 + (user_id % 11) * 0.4 + (user_id % 17) * 0.01 AS lon
+                    FROM u),
+            p AS (SELECT a.user_id ua, b.user_id ub,
+                         12742.0 * asin(sqrt(
+                           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+                           cos(radians(a.lat)) * cos(radians(b.lat)) *
+                           pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+                  FROM pts a JOIN pts b ON a.user_id < b.user_id)
+            SELECT ua, ub, round(km, 3) AS km FROM p WHERE km <= 50.0""")
+  )
+
+  /** Exact-decimal money ledger: revenue per return flag summed in
+    * DECIMAL(18,2) — base-10 EXACT arithmetic end to end (the
+    * accounting contract float money can't give), with the discounted
+    * revenue in DECIMAL(38,4) from the exact product.
+    */
+  val q256DecimalLedger: QueryDef = QueryDef(
+    "q256_decimal_ledger",
+    (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("price")).as("gross"),
+          sum(expr("CAST(price * (1 - disc) AS DECIMAL(38,4))")).as("net")),
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) n,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))
+                     AS net
+            FROM lineitem GROUP BY 1""")
+  )
+
+  /** Identity stitching: users and props.k device ids linked by
+    * co-occurrence become a bipartite identity graph; connected
+    * components (the O(log n) star contraction) yield stitched
+    * identities — users/devices/events per identity cluster. The
+    * cross-device resolution every analytics stack runs before
+    * counting "people". Device nodes are offset into their own id
+    * range; the oracle replays the closure recursively.
+    */
+  val q257IdentityGraph: QueryDef = QueryDef(
+    "q257_identity_graph",
+    (s, dir) => {
+      val edges = Tables
+        .events(s, dir)
+        .select(
+          col("user_id").as("doc_a"),
+          (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("doc_b"))
+        .distinct()
+      val cc = graft.operators.Dedup.connectedComponentsStar(edges)
+      cc.groupBy(col("cluster_rep"))
+        .agg(
+          sum(when(col("doc_id") < 1000000L, 1L).otherwise(0L)).as("n_users"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).as("n_devices"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000 AS v
+              FROM events),
+            edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            reach AS (
+              SELECT u AS node, u AS label FROM edges
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+            lab AS (SELECT node, CAST(min(label) AS BIGINT) cluster_rep
+                    FROM reach GROUP BY 1)
+            SELECT cluster_rep,
+                   CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) n_users,
+                   CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) n_devices
+            FROM lab GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -2977,5 +3102,6 @@ object Round7 {
     q238SourceOverlap, q239DedupImpact, q240EmbeddingQa, q241EmbeddingDrift,
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
     q246AudioRoundtrip, q247LateData, q248MarkovAttribution, q249LogRank, q250Rbo,
-    q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor)
+    q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor, q255GeoRadius,
+    q256DecimalLedger, q257IdentityGraph)
 }
