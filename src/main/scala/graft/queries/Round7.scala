@@ -3088,6 +3088,194 @@ object Round7 {
             FROM lab GROUP BY 1""")
   )
 
+  /** Global clustering coefficient: C = 3·triangles / wedges over the
+    * q142 word graph — one number completing the graph-metrology set
+    * (assortativity q196, k-core q166, triangles q142). Triangles from
+    * the oriented two-join; wedges = Σ d(d−1)/2 from exact degrees.
+    */
+  val q258ClusteringCoeff: QueryDef = QueryDef(
+    "q258_clustering_coeff",
+    (s, dir) => {
+      val edges = graft.operators.Cooccur
+        .pmiPairs(Tables.documents(s, dir), window = 2, topK = 60)
+        .select(col("a").as("src"), col("b").as("dst"))
+        .localCheckpoint()
+      val tri = Graph
+        .triangleCounts(edges)
+        .agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+      val wedges = edges
+        .select(col("src").as("n"))
+        .union(edges.select(col("dst").as("n")))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("d"))
+        .agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      tri
+        .crossJoin(broadcast(wedges))
+        .select(
+          col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            round(
+              lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"),
+              6)).as("clustering_coeff"))
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            pr AS (
+              SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 1]}
+                               FOR i IN range(1, len(ts))]) AS p FROM t
+                UNION ALL
+                SELECT unnest([{'a': ts[i], 'b': ts[i + 2]}
+                               FOR i IN range(1, len(ts) - 1)]) AS p FROM t)
+              WHERE p.a != '' AND p.b != ''),
+            e AS (SELECT a AS lo, b AS hi FROM (
+                    SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+                    ORDER BY c_ab DESC, a ASC, b ASC LIMIT 60)
+                  WHERE a != b),
+            tri AS (SELECT CAST(count(*) AS BIGINT) n_triangles
+                    FROM (SELECT e1.lo a, e1.hi b, e2.hi c
+                          FROM e e1 JOIN e e2 ON e2.lo = e1.hi) w
+                    JOIN e e3 ON e3.lo = w.a AND e3.hi = w.c),
+            deg AS (SELECT n, CAST(count(*) AS BIGINT) d FROM (
+                      SELECT lo n FROM e UNION ALL SELECT hi FROM e) GROUP BY 1),
+            wd AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) n_wedges FROM deg)
+            SELECT tri.n_triangles, wd.n_wedges,
+                   CASE WHEN wd.n_wedges > 0 THEN
+                     round(3.0 * tri.n_triangles / wd.n_wedges, 6) END AS clustering_coeff
+            FROM tri CROSS JOIN wd""")
+  )
+
+  /** Weekly activity inequality trend
+    * ([[graft.operators.Drift.giniByGroup]] composed over calendar
+    * weeks): Gini of per-user event counts within each week — "is usage
+    * concentrating?", tracked as a time series. Pure composition of
+    * existing operators.
+    */
+  val q259WeeklyGini: QueryDef = QueryDef(
+    "q259_weekly_gini",
+    (s, dir) => {
+      val weekly = Tables
+        .events(s, dir)
+        .groupBy(
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Drift
+        .giniByGroup(weekly, "wk", "user_id", "n_events", scale = 1)
+        .withColumnRenamed("n", "n_users")
+    },
+    Some("""WITH wu AS (SELECT CAST(date_trunc('week', ts) AS DATE) wk, user_id,
+                               CAST(count(*) AS BIGINT) c
+                        FROM events GROUP BY 1, 2),
+            r AS (SELECT wk, c, CAST(row_number() OVER (
+                    PARTITION BY wk ORDER BY c, user_id) AS BIGINT) i FROM wu),
+            a AS (SELECT wk, CAST(count(*) AS BIGINT) n_users, CAST(sum(c) AS BIGINT) sc,
+                         CAST(sum(i * c) AS BIGINT) sic FROM r GROUP BY 1)
+            SELECT wk, n_users,
+                   CASE WHEN sc != 0 THEN
+                     round(CAST(2 * sic - (n_users + 1) * sc AS DOUBLE) /
+                           CAST(n_users * sc AS DOUBLE), 6) END AS gini
+            FROM a""")
+  )
+
+  /** A/B power planning: the minimum detectable effect at 80% power /
+    * 95% confidence for the per-user metric, MDE ≈ 2.8017·σ_pooled·√(2/n)
+    * — what the experimentation toolkit (q208/q211/q226/q230/q231)
+    * plans against. Moments from exact cent sums; one sqrt chain.
+    */
+  val q260PowerMde: QueryDef = QueryDef(
+    "q260_power_mde",
+    (s, dir) => {
+      val perUser = Tables
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      perUser
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("varnum", col("n_users") * col("sxx") - col("sx") * col("sx"))
+        .select(
+          col("n_users"),
+          round(col("sx").cast("double") / 100.0 / col("n_users").cast("double"), 6)
+            .as("mean_per_user"),
+          round(
+            sqrt(col("varnum").cast("double")) / col("n_users").cast("double") / 100.0,
+            6).as("sigma"),
+          round(
+            lit(2.8017) * (sqrt(col("varnum").cast("double")) /
+              col("n_users").cast("double") / 100.0) *
+              sqrt(lit(4.0) / col("n_users").cast("double")),
+            6).as("mde_abs"))
+    },
+    Some("""WITH pu AS (SELECT user_id,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+                        FROM events GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) n_users, CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(x * x) AS BIGINT) sxx FROM pu),
+            v AS (SELECT *, n_users * sxx - sx * sx varnum FROM a)
+            SELECT n_users,
+                   round(CAST(sx AS DOUBLE) / 100.0 / n_users, 6) AS mean_per_user,
+                   round(sqrt(CAST(varnum AS DOUBLE)) / n_users / 100.0, 6) AS sigma,
+                   round(2.8017 * (sqrt(CAST(varnum AS DOUBLE)) / n_users / 100.0) *
+                         sqrt(4.0 / n_users), 6) AS mde_abs
+            FROM v""")
+  )
+
+  /** Naive-forecast backtest: over the final 7 days, score the
+    * previous-day and same-day-last-week baselines on daily event
+    * counts — exact integer absolute errors, the MASE-style yardstick
+    * any real forecaster must beat before shipping.
+    */
+  val q261ForecastBacktest: QueryDef = QueryDef(
+    "q261_forecast_backtest",
+    (s, dir) => {
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val mx = daily.agg(max(col("day")).as("mx"))
+      daily
+        .crossJoin(broadcast(mx))
+        .filter(col("day") > col("mx") - 7)
+        .join(
+          daily.select((col("day") + 1).as("day"), col("x").as("prev_day")), Seq("day"), "left")
+        .join(
+          daily.select((col("day") + 7).as("day"), col("x").as("prev_week")), Seq("day"), "left")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(abs(col("x") - col("prev_day"))).as("mae_prev_day_sum"),
+          sum(abs(col("x") - col("prev_week"))).as("mae_prev_week_sum"))
+        .select(
+          col("n_days"),
+          round(col("mae_prev_day_sum").cast("double") / col("n_days").cast("double"), 6)
+            .as("mae_prev_day"),
+          round(col("mae_prev_week_sum").cast("double") / col("n_days").cast("double"), 6)
+            .as("mae_seasonal"),
+          (col("mae_prev_week_sum") < col("mae_prev_day_sum")).as("seasonal_wins"))
+    },
+    Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) x
+                       FROM events GROUP BY 1),
+            m AS (SELECT max(day) mx FROM d),
+            t AS (SELECT d.day, d.x, pd.x prev_day, pw.x prev_week
+                  FROM d CROSS JOIN m
+                  LEFT JOIN d pd ON pd.day = d.day - 1
+                  LEFT JOIN d pw ON pw.day = d.day - 7
+                  WHERE d.day > m.mx - 7),
+            a AS (SELECT CAST(count(*) AS BIGINT) n_days,
+                         CAST(sum(abs(x - prev_day)) AS BIGINT) s1,
+                         CAST(sum(abs(x - prev_week)) AS BIGINT) s7
+                  FROM t)
+            SELECT n_days,
+                   round(CAST(s1 AS DOUBLE) / n_days, 6) AS mae_prev_day,
+                   round(CAST(s7 AS DOUBLE) / n_days, 6) AS mae_seasonal,
+                   s7 < s1 AS seasonal_wins
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -3103,5 +3291,6 @@ object Round7 {
     q242Rfm, q243ThresholdSweep, q244StopwordDiscovery, q245FilterDisagreement,
     q246AudioRoundtrip, q247LateData, q248MarkovAttribution, q249LogRank, q250Rbo,
     q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor, q255GeoRadius,
-    q256DecimalLedger, q257IdentityGraph)
+    q256DecimalLedger, q257IdentityGraph, q258ClusteringCoeff, q259WeeklyGini,
+    q260PowerMde, q261ForecastBacktest)
 }
