@@ -614,9 +614,13 @@ object TextAnalysis {
         sum(col("lx") * col("lx")).as("sxx"),
         sum(col("lx") * col("ly")).as("sxy"),
         sum(col("ly") * col("ly")).as("syy"))
-      .withColumn("dxy", col("m") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("dxx", col("m") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("dyy", col("m") * col("syy") - col("sy") * col("sy"))
+      // difference terms snap to the grid too: a saturated curve (e.g. a
+      // CLOSED vocabulary — every checkpoint sees the same v_cum) makes
+      // dyy mathematically 0 but computed as ±1e-13 sum-order noise,
+      // which would make the degenerate-fit guards engine-dependent
+      .withColumn("dxy", snap(col("m") * col("sxy") - col("sx") * col("sy")))
+      .withColumn("dxx", snap(col("m") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("dyy", snap(col("m") * col("syy") - col("sy") * col("sy")))
       .select(
         col("m").as("n_checkpoints"),
         col("total_tokens"),

@@ -711,8 +711,11 @@ object Round7 {
                           max(v_cum) total_vocab, sum(lx) sx, sum(ly) sy,
                           sum(lx * lx) sxx, sum(lx * ly) sxy, sum(ly * ly) syy
                    FROM pts),
-            d AS (SELECT *, m * sxy - sx * sy dxy, m * sxx - sx * sx dxx,
-                         m * syy - sy * sy dyy FROM ag)
+            d AS (SELECT *,
+                         floor((m * sxy - sx * sy) * 1073741824.0 + 0.5) / 1073741824.0 dxy,
+                         floor((m * sxx - sx * sx) * 1073741824.0 + 0.5) / 1073741824.0 dxx,
+                         floor((m * syy - sy * sy) * 1073741824.0 + 0.5) / 1073741824.0 dyy
+                  FROM ag)
             SELECT m AS n_checkpoints, total_tokens, total_vocab,
                    CASE WHEN dxx != 0 THEN round(dxy / dxx, 6) END AS beta,
                    CASE WHEN dxx != 0 THEN round((sy * sxx - sx * sxy) / dxx, 6) END AS ln_k,
@@ -2885,9 +2888,9 @@ object Round7 {
           sum(col("lx") * col("lx")).as("sxx"),
           sum(col("lx") * col("ly")).as("sxy"),
           sum(col("ly") * col("ly")).as("syy"))
-        .withColumn("dxy", col("m") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("dxx", col("m") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("dyy", col("m") * col("syy") - col("sy") * col("sy"))
+        .withColumn("dxy", snap(col("m") * col("sxy") - col("sx") * col("sy")))
+        .withColumn("dxx", snap(col("m") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("dyy", snap(col("m") * col("syy") - col("sy") * col("sy")))
         .select(
           col("m").as("n_ranks"),
           when(col("dxx") =!= 0.0, round(col("dxy") / col("dxx"), 6)).as("zipf_slope"),
@@ -2904,8 +2907,11 @@ object Round7 {
                   FROM t),
             a AS (SELECT CAST(count(*) AS BIGINT) m, sum(lx) sx, sum(ly) sy,
                          sum(lx * lx) sxx, sum(lx * ly) sxy, sum(ly * ly) syy FROM p),
-            d AS (SELECT *, m * sxy - sx * sy dxy, m * sxx - sx * sx dxx,
-                         m * syy - sy * sy dyy FROM a)
+            d AS (SELECT *,
+                         floor((m * sxy - sx * sy) * 1073741824.0 + 0.5) / 1073741824.0 dxy,
+                         floor((m * sxx - sx * sx) * 1073741824.0 + 0.5) / 1073741824.0 dxx,
+                         floor((m * syy - sy * sy) * 1073741824.0 + 0.5) / 1073741824.0 dyy
+                  FROM a)
             SELECT m AS n_ranks,
                    CASE WHEN dxx != 0 THEN round(dxy / dxx, 6) END AS zipf_slope,
                    CASE WHEN dxx != 0 AND dyy != 0
