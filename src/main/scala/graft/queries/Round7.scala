@@ -3282,6 +3282,183 @@ object Round7 {
             FROM a""")
   )
 
+  /** Order-to-ship lag SLA by priority: exact day lags, per-priority
+    * p50/p90 and breach counts over 60 days — the fulfillment SLA board.
+    */
+  val q262ShipLagSla: QueryDef = QueryDef(
+    "q262_ship_lag_sla",
+    (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(lag_days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(lag_days, 0.9)"), 6).as("p90_days"),
+          sum(when(col("lag_days") > 60, 1L).otherwise(0L)).as("n_breach_60d")),
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) n,
+                   round(quantile_cont(datediff('day', CAST(o_orderdate AS DATE),
+                                                CAST(l_shipdate AS DATE)), 0.5), 6) p50_days,
+                   round(quantile_cont(datediff('day', CAST(o_orderdate AS DATE),
+                                                CAST(l_shipdate AS DATE)), 0.9), 6) p90_days,
+                   CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                               CAST(l_shipdate AS DATE)) > 60
+                            THEN 1 ELSE 0 END) AS BIGINT) n_breach_60d
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1""")
+  )
+
+  /** Discount response (elasticity screen): per brand, the OLS slope of
+    * quantity on discount points — all-integer sums (quantities and
+    * discount cents are exact), the q197 closed forms.
+    */
+  val q263DiscountElasticity: QueryDef = QueryDef(
+    "q263_discount_elasticity",
+    (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .join(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_brand"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(
+          col("p_brand"),
+          col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              6)).as("qty_per_discount_pt")),
+    Some("""WITH b AS (SELECT p.p_brand,
+                              CAST(round(l.l_discount * 100) AS BIGINT) x,
+                              CAST(round(l.l_quantity) AS BIGINT) y
+                       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            a AS (SELECT p_brand, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(x * y) AS BIGINT) sxy
+                  FROM b GROUP BY 1)
+            SELECT p_brand, n,
+                   CASE WHEN n * sxx - sx * sx != 0 THEN
+                     round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                           CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+                     AS qty_per_discount_pt
+            FROM a""")
+  )
+
+  /** Supplier concentration (HHI): per part type, the Herfindahl index
+    * of supplier revenue shares ×10000 — the sourcing-risk metric.
+    * Shares are exact cent ratios; addends snapped.
+    */
+  val q264SupplierHhi: QueryDef = QueryDef(
+    "q264_supplier_hhi",
+    (s, dir) => {
+      val grid30 = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid30 + 0.5) / grid30
+      val rev = Tables
+        .lineitem(s, dir)
+        .join(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint() // type×supplier sized; totals + share pass
+      val totals = rev.groupBy(col("p_type")).agg(sum(col("cents")).as("tot"))
+      rev
+        .join(totals, "p_type")
+        .withColumn(
+          "sh2",
+          snap(
+            (col("cents").cast("double") / col("tot").cast("double")) *
+              (col("cents").cast("double") / col("tot").cast("double"))))
+        .groupBy(col("p_type"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          round(sum(col("sh2")) * 10000.0, 6).as("hhi"))
+    },
+    Some("""WITH rev AS (SELECT p.p_type, l.l_suppkey,
+                                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                                     AS BIGINT) cents
+                         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                         GROUP BY 1, 2),
+            t AS (SELECT p_type, CAST(sum(cents) AS BIGINT) tot FROM rev GROUP BY 1),
+            s AS (SELECT rev.p_type,
+                         floor((CAST(rev.cents AS DOUBLE) / t.tot) *
+                               (CAST(rev.cents AS DOUBLE) / t.tot) *
+                               1073741824.0 + 0.5) / 1073741824.0 sh2
+                  FROM rev JOIN t USING (p_type))
+            SELECT p_type, CAST(count(*) AS BIGINT) n_suppliers,
+                   round(sum(sh2) * 10000.0, 6) AS hhi
+            FROM s GROUP BY 1""")
+  )
+
+  /** ABC inventory classification: parts ranked by revenue, classified
+    * A (first 80% of value), B (next 15%), C (rest) by exact integer
+    * cumulative-cents thresholds — the classic ops cut, rolled up to
+    * class sizes and value shares.
+    */
+  val q265AbcClassification: QueryDef = QueryDef(
+    "q265_abc_classification",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum", sum(col("cents")).over(w))
+        .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
+        .withColumn(
+          "abc",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("class_cents"))
+        .withColumn(
+          "value_share_pct",
+          round(col("class_cents").cast("double") /
+            sum(col("class_cents")).over(Window.partitionBy()) * 100.0, 6))
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+                                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                     AS BIGINT) cents
+                         FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(cents) AS BIGINT) tot FROM rev),
+            c AS (SELECT *, CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
+                                 AS BIGINT) cum FROM rev),
+            k AS (SELECT CASE WHEN cum * 100 <= t.tot * 80 THEN 'A'
+                              WHEN cum * 100 <= t.tot * 95 THEN 'B'
+                              ELSE 'C' END abc, cents
+                  FROM c CROSS JOIN t),
+            g AS (SELECT abc, CAST(count(*) AS BIGINT) n_parts,
+                         CAST(sum(cents) AS BIGINT) class_cents FROM k GROUP BY 1),
+            tt AS (SELECT CAST(sum(class_cents) AS BIGINT) all_cents FROM g)
+            SELECT abc, n_parts, class_cents,
+                   round(CAST(class_cents AS DOUBLE) / all_cents * 100.0, 6)
+                     AS value_share_pct
+            FROM g CROSS JOIN tt""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -3298,5 +3475,6 @@ object Round7 {
     q246AudioRoundtrip, q247LateData, q248MarkovAttribution, q249LogRank, q250Rbo,
     q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor, q255GeoRadius,
     q256DecimalLedger, q257IdentityGraph, q258ClusteringCoeff, q259WeeklyGini,
-    q260PowerMde, q261ForecastBacktest)
+    q260PowerMde, q261ForecastBacktest, q262ShipLagSla, q263DiscountElasticity,
+    q264SupplierHhi, q265AbcClassification)
 }
