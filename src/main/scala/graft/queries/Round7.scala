@@ -3459,6 +3459,132 @@ object Round7 {
             FROM g CROSS JOIN tt""")
   )
 
+  /** kNN-classifier eval: predict each probe's label by majority vote
+    * of its top-5 exact-cosine neighbors (smallest-label tie-break),
+    * grade against truth — classification-by-retrieval, the sanity
+    * check an embedding space gets before anything trains on it.
+    */
+  val q266KnnEval: QueryDef = QueryDef(
+    "q266_knn_eval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val ranked = graft.operators.Similarity
+        .bruteTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+      val votes = ranked
+        .join(
+          emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("v"))
+      val wPick = Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("v").desc, col("nlabel").asc)
+      votes
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .join(
+          emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .groupBy(col("true_label"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("nlabel") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn(
+          "accuracy",
+          round(col("n_correct").cast("double") / col("n_probes").cast("double"), 6))
+    },
+    Some(s"""WITH ranked AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(${LlmQueries.dotSql("q.embedding", "c.embedding")} /
+                               (sqrt(${LlmQueries.dotSql("q.embedding", "q.embedding")}) *
+                                sqrt(${LlmQueries.dotSql("c.embedding", "c.embedding")})), 6)
+                           DESC,
+                         c.vec_id ASC) AS rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 50
+              ) WHERE rank <= 5),
+            v AS (SELECT r.query_id, n.label nlabel, CAST(count(*) AS BIGINT) vv
+                  FROM ranked r JOIN embeddings n ON n.vec_id = r.neighbor_id
+                  GROUP BY 1, 2),
+            p AS (SELECT query_id, nlabel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY vv DESC, nlabel ASC) rn FROM v) WHERE rn = 1),
+            g AS (SELECT e.label true_label, p.nlabel
+                  FROM p JOIN embeddings e ON e.vec_id = p.query_id)
+            SELECT true_label, CAST(count(*) AS BIGINT) n_probes,
+                   CAST(sum(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END) AS BIGINT)
+                     n_correct,
+                   round(CAST(sum(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END) AS DOUBLE) /
+                         count(*), 6) AS accuracy
+            FROM g GROUP BY 1""")
+  )
+
+  /** Simpson's-paradox screen: the discount→quantity slope computed
+    * globally vs within each brand — segments whose slope REVERSES the
+    * pooled sign are flagged counts, the aggregation-bias alarm every
+    * metrics review needs before trusting a pooled trend. All-integer
+    * sums (q263's moments) on both levels.
+    */
+  val q267SimpsonScreen: QueryDef = QueryDef(
+    "q267_simpson_screen",
+    (s, dir) => {
+      val base = Tables
+        .lineitem(s, dir)
+        .join(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_brand"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .localCheckpoint()
+      val glob = base.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("gnum"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("gden"))
+      base
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(
+          col("p_brand"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("bnum"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("bden"))
+        .crossJoin(broadcast(glob))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          max(signum(col("gnum").cast("double"))).cast("long").as("global_slope_sign"),
+          sum(when(
+            col("bden") =!= 0 && col("bnum") * col("gnum") < 0, 1L).otherwise(0L))
+            .as("n_reversed"))
+    },
+    Some("""WITH b AS (SELECT p.p_brand,
+                              CAST(round(l.l_discount * 100) AS BIGINT) x,
+                              CAST(round(l.l_quantity) AS BIGINT) y
+                       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            g AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy, CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(x * y) AS BIGINT) sxy FROM b),
+            gg AS (SELECT n * sxy - sx * sy gnum, n * sxx - sx * sx gden FROM g),
+            s AS (SELECT p_brand, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy, CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(x * y) AS BIGINT) sxy FROM b GROUP BY 1),
+            ss AS (SELECT p_brand, n * sxy - sx * sy bnum, n * sxx - sx * sx bden FROM s)
+            SELECT CAST(count(*) AS BIGINT) n_segments,
+                   CAST(max(sign(CAST(gg.gnum AS DOUBLE))) AS BIGINT) global_slope_sign,
+                   CAST(sum(CASE WHEN bden != 0 AND bnum * gg.gnum < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) n_reversed
+            FROM ss CROSS JOIN gg""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -3476,5 +3602,5 @@ object Round7 {
     q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor, q255GeoRadius,
     q256DecimalLedger, q257IdentityGraph, q258ClusteringCoeff, q259WeeklyGini,
     q260PowerMde, q261ForecastBacktest, q262ShipLagSla, q263DiscountElasticity,
-    q264SupplierHhi, q265AbcClassification)
+    q264SupplierHhi, q265AbcClassification, q266KnnEval, q267SimpsonScreen)
 }
