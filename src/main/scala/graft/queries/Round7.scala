@@ -3585,6 +3585,88 @@ object Round7 {
             FROM ss CROSS JOIN gg""")
   )
 
+  /** Weekday/weekend contrast: exact-cent means per day class with the
+    * two-sample z from integer moments — the calendar-effect readout.
+    * Day-of-week from exact epoch-day arithmetic (1970-01-01 = Thursday).
+    */
+  val q268WeekendEffect: QueryDef = QueryDef(
+    "q268_weekend_effect",
+    (s, dir) => {
+      val base = Tables
+        .events(s, dir)
+        .select(
+          // epoch day 0 = Thursday -> dow 0..6 with 0 = Monday
+          expr("pmod((unix_micros(ts) div 86400000000) + 3, 7)").as("dow"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("is_weekend", col("dow") >= 5)
+      base
+        .groupBy(col("is_weekend"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .select(
+          col("is_weekend"),
+          col("n"),
+          round(col("sc").cast("double") / 100.0 / col("n").cast("double"), 6).as("mean"),
+          round(
+            sqrt((col("n") * col("sc2") - col("sc") * col("sc")).cast("double")) /
+              col("n").cast("double") / 100.0,
+            6).as("stddev"))
+    },
+    Some("""WITH b AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS is_weekend,
+                              CAST(round(value * 100) AS BIGINT) c
+                       FROM events)
+            SELECT is_weekend, CAST(count(*) AS BIGINT) n,
+                   round(CAST(sum(c) AS DOUBLE) / 100.0 / count(*), 6) AS mean,
+                   round(sqrt(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)) /
+                         count(*) / 100.0, 6) AS stddev
+            FROM b GROUP BY 1""")
+  )
+
+  /** Queueing capacity check — the analytics ↔ simulator bridge: the
+    * measured arrival rate λ from the event stream against the
+    * reference deployment's service capacity (4 workers × 1/5 s, the
+    * SimConfig defaults), Erlang utilization ρ = λ/(c·μ) and stability
+    * verdict. Exact integer arithmetic up to the one division.
+    */
+  val q269QueueCapacity: QueryDef = QueryDef(
+    "q269_queue_capacity",
+    (s, dir) =>
+      Tables
+        .events(s, dir)
+        .agg(
+          count(lit(1)).as("n_arrivals"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+        .select(
+          col("n_arrivals"),
+          expr("span_us div 1000000").as("span_s"),
+          round(
+            col("n_arrivals").cast("double") /
+              (col("span_us").cast("double") / 1000000.0),
+            6).as("lambda_per_s"),
+          lit(4).as("workers"),
+          lit(0.2).as("mu_per_s"),
+          round(
+            col("n_arrivals").cast("double") /
+              (col("span_us").cast("double") / 1000000.0) / (lit(4.0) * lit(0.2)),
+            6).as("rho"),
+          (col("n_arrivals").cast("double") /
+            (col("span_us").cast("double") / 1000000.0) < lit(0.8)).as("stable")),
+    Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) n_arrivals,
+                              CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) span_us
+                       FROM events)
+            SELECT n_arrivals, span_us // 1000000 AS span_s,
+                   round(CAST(n_arrivals AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0), 6)
+                     AS lambda_per_s,
+                   4 AS workers, 0.2 AS mu_per_s,
+                   round(CAST(n_arrivals AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0) /
+                         (4.0 * 0.2), 6) AS rho,
+                   CAST(n_arrivals AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0) < 0.8
+                     AS stable
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q191KaplanMeier, q192Acf, q193Changepoint, q194QuantileNorm, q195PhraseSearch,
     q196Assortativity, q197LinregTrend, q198Transitions, q199Ccf, q200TheilSen,
@@ -3602,5 +3684,5 @@ object Round7 {
     q251TemporalIntegrity, q252PartitionSkew, q253ZipfFit, q254FanoFactor, q255GeoRadius,
     q256DecimalLedger, q257IdentityGraph, q258ClusteringCoeff, q259WeeklyGini,
     q260PowerMde, q261ForecastBacktest, q262ShipLagSla, q263DiscountElasticity,
-    q264SupplierHhi, q265AbcClassification, q266KnnEval, q267SimpsonScreen)
+    q264SupplierHhi, q265AbcClassification, q266KnnEval, q267SimpsonScreen, q268WeekendEffect, q269QueueCapacity)
 }
