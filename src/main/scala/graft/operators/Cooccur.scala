@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Windowed word co-occurrence counts + pointwise mutual information —
@@ -106,5 +106,64 @@ object Cooccur {
         round(
           col("supp").cast("double") * col("n_baskets") / (col("supp_a") * col("supp_b")),
           6).as("lift"))
+  }
+
+  /** Dunning log-likelihood-ratio (G²) collocation scoring of ADJACENT
+    * bigrams — the significance-based companion to [[pmiPairs]] (PMI
+    * over-rewards rare pairs; G² weighs evidence by count). For each
+    * bigram (a,b) with the 2×2 contingency table
+    * {O11=c(ab), O12=c(a·)−O11, O21=c(·b)−O11, O22=N−c(a·)−c(·b)+O11}:
+    *
+    *   G² = 2·Σ_cells O·ln(O/E),  E from the independence margins,
+    *
+    * zero cells contributing zero. Each cell term is snapped to the
+    * 2⁻³⁰ grid so the 4-term sum is exact in any order and the oracle
+    * replays G² bit-identically.
+    *
+    * Scale shape: one scan-side bigram explode, one keyed count, two
+    * margin aggs broadcast back — all work is proportional to token
+    * count, margins are vocabulary-sized.
+    *
+    * Output: (w_a, w_b, o11, g2) for bigrams with o11 ≥ minCount.
+    */
+  def collocationG2(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: Column) = floor(c * lit(grid) + lit(0.5)) / lit(grid)
+    // O·ln(O/E) with 0·ln0 = 0, each term snapped
+    def term(o: Column, e: Column) =
+      when(o === 0L, 0.0).otherwise(snap(o.cast("double") * log(o.cast("double") / e)))
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        // empty sequence for <2-token docs: sequence(0, -1) would DESCEND
+        "filter(transform(CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2) " +
+          "ELSE array() END, " +
+          "i -> struct(w[i] AS a, w[i+1] AS b)), p -> length(p.a) > 0 AND length(p.b) > 0)"))
+        .as("p"))
+      .select(col("p.a").as("w_a"), col("p.b").as("w_b"))
+    val pair = bigrams.groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("o11"))
+    val rowTot = pair.groupBy(col("w_a")).agg(sum(col("o11")).as("ca"))
+    val colTot = pair.groupBy(col("w_b")).agg(sum(col("o11")).as("cb"))
+    val nTot = pair.agg(sum(col("o11")).as("n"))
+    val joined = pair
+      .filter(col("o11") >= minCount)
+      .join(broadcast(rowTot), Seq("w_a"))
+      .join(broadcast(colTot), Seq("w_b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("o12", col("ca") - col("o11"))
+      .withColumn("o21", col("cb") - col("o11"))
+      .withColumn("o22", col("n") - col("ca") - col("cb") + col("o11"))
+    val nD = col("n").cast("double")
+    val e11 = col("ca").cast("double") * col("cb").cast("double") / nD
+    val e12 = col("ca").cast("double") * (nD - col("cb").cast("double")) / nD
+    val e21 = (nD - col("ca").cast("double")) * col("cb").cast("double") / nD
+    val e22 = (nD - col("ca").cast("double")) * (nD - col("cb").cast("double")) / nD
+    joined
+      .select(
+        col("w_a"), col("w_b"), col("o11"),
+        round(
+          lit(2.0) * (term(col("o11"), e11) + term(col("o12"), e12) +
+            term(col("o21"), e21) + term(col("o22"), e22)),
+          6).as("g2"))
   }
 }

@@ -331,4 +331,97 @@ object Eval {
                 (lit(2.0) * sqrt(col("sigma2"))),
               6)).as("z"))
   }
+
+  /** Always-valid sequential A/B monitor: the mixture SPRT (mSPRT) of
+    * Johari–Koomen–Pekelis–Walsh ("Peeking at A/B Tests"), evaluated on
+    * the daily cumulative mean difference between the identity-hash
+    * arms (user_id % 2 — the q208/q211/q226 assignment). For the
+    * normal mixture with prior variance τ² and observation variance
+    * Vₙ = σ²(1/n_A + 1/n_B):
+    *
+    *   ln Λₙ = ½·ln(Vₙ/(Vₙ+τ²)) + δₙ²·τ² / (2·Vₙ·(Vₙ+τ²))
+    *
+    * and the always-valid p-value is pₜ = min(1, min_{s≤t} 1/Λ_s) — a
+    * running minimum, so "peek every day" stays valid. σ² is the pooled
+    * full-horizon variance from exact integer cent sums and τ² = σ²
+    * (the standard self-scaled default), both documented monitor
+    * parameters, not fitted state.
+    *
+    * Determinism: per-day cumulative (n, Σc, Σc²) are integer window
+    * sums; each day's ln Λ is one fixed float expression over those
+    * integers, snapped to the 2⁻³⁰ grid before the running max, so the
+    * oracle replays decisions bit-identically.
+    *
+    * Scale shape: one keyed day×arm agg (a few hundred cells), then
+    * window passes over the DAY axis — monitor state is O(days), never
+    * O(rows).
+    *
+    * Output per day: (day_idx, n_a, n_b, mean_diff, log_lambda,
+    * p_always_valid, reject).
+    */
+  def msprtDaily(
+      events: DataFrame,
+      valCol: String = "value",
+      alpha: Double = 0.05
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(c * lit(grid) + lit(0.5)) / lit(grid)
+    val base = events.select(
+      (unix_micros(col("ts")).cast("long") / lit(86400000000L)).cast("long").as("day"),
+      (col("user_id") % 2).cast("long").as("arm"),
+      expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c"))
+    val daily = base
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_b"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("ds_a"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("ds_b"),
+        sum(col("c") * col("c")).as("dss"),
+        sum(col("c")).as("ds"),
+        count(lit(1)).as("dn"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("n_a", sum(col("dn_a")).over(wCum))
+      .withColumn("n_b", sum(col("dn_b")).over(wCum))
+      .withColumn("s_a", sum(col("ds_a")).over(wCum))
+      .withColumn("s_b", sum(col("ds_b")).over(wCum))
+    // pooled full-horizon σ² (cents²) from exact integer sums
+    val tot = daily.agg(
+      sum(col("dn")).as("n_tot"), sum(col("ds")).as("s_tot"), sum(col("dss")).as("ss_tot"))
+    val sigma2 = (col("ss_tot").cast("double") -
+      col("s_tot").cast("double") * col("s_tot").cast("double") / col("n_tot").cast("double")) /
+      (col("n_tot").cast("double") - 1.0)
+    val wDayIdx = Window.orderBy(col("day"))
+    val delta = col("s_a").cast("double") / col("n_a").cast("double") -
+      col("s_b").cast("double") / col("n_b").cast("double")
+    val vn = col("sigma2") * (lit(1.0) / col("n_a").cast("double") +
+      lit(1.0) / col("n_b").cast("double"))
+    // degenerate guard: an all-constant metric has σ² = 0 — no
+    // information, no evidence (ln Λ = 0) instead of 0/0 NaNs
+    val logLambda = when(
+      col("sigma2") <= 0.0,
+      lit(0.0)).otherwise(snap(
+      lit(0.5) * log(col("vn") / (col("vn") + col("tau2"))) +
+        col("delta") * col("delta") * col("tau2") /
+        (lit(2.0) * col("vn") * (col("vn") + col("tau2")))))
+    val lnRejectAt = math.log(1.0 / alpha)
+    cum
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .crossJoin(broadcast(tot.select(sigma2.as("sigma2"))))
+      .withColumn("tau2", col("sigma2"))
+      .withColumn("day_idx", row_number().over(wDayIdx).cast("long"))
+      .withColumn("delta", delta)
+      .withColumn("vn", vn)
+      .withColumn("log_lambda", logLambda)
+      .withColumn("peak_ll", max(col("log_lambda")).over(wDayIdx.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("day_idx"), col("n_a"), col("n_b"),
+        round(col("delta") / 100.0, 6).as("mean_diff"),
+        round(col("log_lambda"), 6).as("log_lambda"),
+        round(least(lit(1.0), exp(-col("peak_ll"))), 6).as("p_always_valid"),
+        (col("peak_ll") >= lit(lnRejectAt)).as("reject"))
+  }
 }

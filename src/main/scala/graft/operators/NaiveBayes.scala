@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial naive Bayes trained IN the engine — the classic
+  * fastText-style quality/domain classifier trained from label counts
+  * with add-one smoothing, then applied back to the corpus
+  * (resubstitution evaluation). Complements
+  * [[TextAnalysis.classifierScore]] (a FIXED rule classifier): here the
+  * model parameters are themselves aggregates of the data, so the whole
+  * train→predict→evaluate loop happens in four keyed aggregations.
+  *
+  *   score(d, c) = ln P(c) + Σ_w  n_{d,w} · ln( (n_{c,w}+1) / (T_c+V) )
+  *
+  * Determinism contract: every ln(...) is a ratio of INTEGER counts,
+  * snapped to the 2⁻³⁰ grid; per-doc scores are Σ (integer · dyadic) —
+  * exact in double at any summation order — so argmax decisions (ties
+  * broken by smallest class name) replay bit-identically in a
+  * relational oracle.
+  *
+  * Scale shape: the model is (V × C) likelihood rows — tiny — built by
+  * two keyed aggs and BROADCAST into the scoring join; scoring is one
+  * explode + broadcast join + doc-keyed agg, so corpus cost is
+  * O(tokens) with a single shuffle on doc_id. No driver-side loops: the
+  * "training" is the aggregation itself.
+  */
+object NaiveBayes {
+
+  /** Train on `docs(doc_id, text, labelCol)` and evaluate
+    * resubstitution accuracy per class.
+    *
+    * Output: (label, n_docs, n_correct, accuracy) per true class.
+    */
+  def trainEval(docs: DataFrame, labelCol: String = "source"): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(c * lit(grid) + lit(0.5)) / lit(grid)
+
+    val tokens = docs
+      .select(col("doc_id"), col(labelCol).as("label"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+
+    // model: class priors, class-word counts, vocabulary size
+    val docCounts = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+    val nTotal = docs.count() // scalar model parameter (driver-held, like k-means k)
+    val classWord = tokens.groupBy(col("label"), col("word")).agg(count(lit(1)).as("cw"))
+    val classTot = classWord.groupBy(col("label")).agg(sum(col("cw")).as("t_c"))
+    val vocab = tokens.select(col("word")).distinct()
+    val vSize = vocab.count() // |V|, scalar
+
+    // dense (word × class) likelihood table — V·C rows, broadcast
+    val likelihood = vocab
+      .crossJoin(broadcast(classTot))
+      .join(classWord, Seq("label", "word"), "left")
+      .select(
+        col("label"), col("word"),
+        snap(log((coalesce(col("cw"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_c") + lit(vSize)).cast("double"))).as("ll"))
+    // unseen-in-class floor for words absent from the doc-class pair is
+    // already in the dense table; priors:
+    val prior = docCounts.select(
+      col("label"),
+      snap(log(col("n_docs").cast("double") / lit(nTotal.toDouble))).as("lp"))
+
+    val docWords = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_dw"))
+    val scores = docWords
+      .join(broadcast(likelihood.withColumnRenamed("label", "cand")), Seq("word"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("n_dw").cast("double") * col("ll")).as("wsum"))
+      .join(broadcast(prior.withColumnRenamed("label", "cand")), Seq("cand"))
+      .withColumn("score", col("wsum") + col("lp"))
+    // argmax with deterministic tie-break: highest score, then smallest
+    // class name
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
+    val pred = scores
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand").as("pred"))
+
+    docs
+      .select(col("doc_id"), col(labelCol).as("label"))
+      .join(pred, Seq("doc_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn(
+        "accuracy",
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6))
+  }
+}

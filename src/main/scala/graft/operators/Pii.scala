@@ -88,4 +88,54 @@ object Pii {
         col(reportCol), col("n_rows"), col("n_classes"), col("n_small_classes"),
         col("n_risky_rows"), col("risky_row_pct"), col("min_l"))
   }
+
+  /** Differentially-private release of keyed counts via the DISCRETE
+    * Laplace mechanism at ε = ln 2: each cell's count is perturbed by
+    * two-sided geometric noise X = s·G with P(G = g) ∝ 2⁻ᵍ, which is
+    * exactly the geometric mechanism of Ghosh–Roughgarden–Sundararajan
+    * ("Universally Utility-Maximizing Privacy Mechanisms") for
+    * sensitivity-1 counting queries.
+    *
+    * Engine-defined seed contract (the [[graft.sim.SimCore]] /
+    * Poisson-bootstrap posture): the noise for a cell is derived from
+    * md5(cell key ‖ salt) — G is the LEADING-ZERO COUNT of the first
+    * 32-bit digest word (a fair-coin geometric: each leading bit is an
+    * independent coin), the sign is the parity of the second word.
+    * Everything is INTEGER arithmetic (`length(bin(k))` — no log/exp
+    * float calls), so a relational oracle replays the released counts
+    * bit-identically — no boundary-ulp residual risk at all, unlike
+    * inverse-CDF float sampling.
+    *
+    * Seeded noise is for REPLAY/testing; a production release would
+    * draw G from a CSPRNG per cell — the mechanism and the integer
+    * sampler are unchanged, only the bit source differs (documented
+    * deviation, same posture as the simulator's SplitMix64 contract).
+    *
+    * Scale shape: one keyed count agg, then a row-local projection on
+    * the (small) released table — noise work is O(cells), not O(rows).
+    *
+    * Output: (key columns, true_n, noise, released_n) — `true_n`
+    * retained because this is the pipeline-side audit view (utility
+    * loss measurement); only (key, released_n) would leave the
+    * boundary.
+    */
+  def dpNoisyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      salt: String = "dp"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keyExpr = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("true_n"))
+    // k1 ∈ [0, 2^32): leading zeros = 32 - length(bin(k1)); bin(0) = "0"
+    // (length 1 → 31), so the all-zero word is special-cased to G = 32.
+    val k1 = conv(expr("substring(digest, 1, 8)"), 16, 10).cast("long")
+    val k2 = conv(expr("substring(digest, 9, 8)"), 16, 10).cast("long")
+    counts
+      .withColumn("digest", md5(concat(keyExpr, lit(":" + salt))))
+      .withColumn("g", when(k1 === 0L, 32L).otherwise(lit(32L) - length(bin(k1))))
+      .withColumn("noise", when(k2 % 2 === 0L, col("g")).otherwise(-col("g")))
+      .select(keyCols.map(col) ++ Seq(
+        col("true_n"), col("noise"), (col("true_n") + col("noise")).as("released_n")): _*)
+  }
 }

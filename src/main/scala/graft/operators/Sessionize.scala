@@ -375,4 +375,50 @@ object Sessionize {
         round(col("p"), 6).as("p"),
         col("cur_entropy"))
   }
+
+  /** Sequential-pattern support (the PrefixSpan length-2 primitive):
+    * for every ordered event-type pair (a → b), the number and share of
+    * sessions containing a SUBSEQUENCE a..b — any gap allowed, order
+    * required. A session contains a..b iff min_pos(a) < max_pos(b),
+    * so support needs only each session's per-type (min_pos, max_pos)
+    * — one sessionize pass + a session×type agg (alphabet-bounded
+    * rows), then an alphabet² join on the tiny per-session profile.
+    * Corpus cost: two user-keyed shuffles, never pos×pos pair work —
+    * the trick that makes gap-tolerant sequence mining linear instead
+    * of quadratic in session length.
+    *
+    * Output: (a, b, n_sessions_ab, n_sessions, support) for a ≠ b.
+    */
+  def subsequenceSupport(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val lagUs = lag(col("us"), 1).over(byUser)
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn(
+        "brk",
+        when(lagUs.isNull || col("us") - lagUs > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(byUser))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("user_id"), col("sess")).orderBy(col("us"), col("event_id"))))
+    // per-session per-type first/last position: alphabet-bounded profile
+    val profile = sess
+      .groupBy(col("user_id"), col("sess"), col("event_type"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+    val nSessions = profile
+      .select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sessions")) // one row, broadcast — no driver action
+    val a = profile.select(
+      col("user_id"), col("sess"), col("event_type").as("a"), col("first_pos"))
+    val b = profile.select(
+      col("user_id"), col("sess"), col("event_type").as("b"), col("last_pos"))
+    a.join(b, Seq("user_id", "sess"))
+      .filter(col("a") =!= col("b") && col("first_pos") < col("last_pos"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_sessions_ab"))
+      .crossJoin(broadcast(nSessions))
+      .withColumn(
+        "support",
+        round(col("n_sessions_ab").cast("double") / col("n_sessions").cast("double"), 6))
+  }
 }

@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooccur, Eval, Intervals, NaiveBayes, Pii, Sessionize, Shapley}
+import graft.sources.Tables
+
+/** Round-8 additions (q270+): the remaining attribution model (exact
+  * Shapley), privacy/experimentation depth, and further corpus
+  * diagnostics layered on the established determinism contracts
+  * (2⁻³⁰-grid snapping, md5-derived randomness, bounded driver-side
+  * model state).
+  */
+object Round8 {
+
+  /** Exact Shapley-value attribution ([[graft.operators.Shapley]]):
+    * the coalition game over per-user distinct touch sets, v(S) =
+    * observed conversion rate of exactly-S users, φ enumerated over all
+    * 2^n−1 coalitions. Oracle replays the coalition table, the bitmask
+    * enumeration, and the snapped term sum verbatim.
+    */
+  val q270Shapley: QueryDef = QueryDef(
+    "q270_shapley",
+    (s, dir) => Shapley.attribution(Tables.events(s, dir)),
+    Some("""WITH pu AS (SELECT user_id,
+                   list_sort(list_distinct(list(event_type)
+                     FILTER (event_type <> 'purchase'))) AS touch_set,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1),
+            pu2 AS (SELECT * FROM pu WHERE len(touch_set) > 0),
+            coal AS (SELECT array_to_string(touch_set, ',') AS set_key, touch_set,
+                            CAST(count(*) AS BIGINT) n_users, CAST(sum(conv) AS BIGINT) n_conv
+                     FROM pu2 GROUP BY 1, 2),
+            ch AS (SELECT channel, CAST(row_number() OVER (ORDER BY channel) - 1 AS BIGINT) idx
+                   FROM (SELECT DISTINCT event_type AS channel FROM events
+                         WHERE event_type <> 'purchase')),
+            nn AS (SELECT CAST(count(*) AS BIGINT) n FROM ch),
+            masks AS (SELECT unnest(range(1, 1 << n)) AS mask FROM nn),
+            memb AS (SELECT m.mask, c.channel, c.idx
+                     FROM masks m JOIN ch c ON ((m.mask >> c.idx) & 1) = 1),
+            msets AS (SELECT mask, array_to_string(list_sort(list(channel)), ',') AS set_key,
+                             CAST(count(*) AS BIGINT) sz
+                      FROM memb GROUP BY 1),
+            vs AS (SELECT m.mask, m.sz,
+                          coalesce(CAST(c.n_conv AS DOUBLE) / c.n_users, 0.0) AS v
+                   FROM msets m LEFT JOIN coal c USING (set_key)),
+            terms AS (SELECT mb.channel,
+                             floor((s.v - coalesce(s2.v, 0.0)) *
+                                   (CAST(factorial(CAST(s.sz AS INTEGER) - 1) AS DOUBLE) *
+                                    CAST(factorial(CAST(nn.n - s.sz AS INTEGER)) AS DOUBLE) /
+                                    CAST(factorial(CAST(nn.n AS INTEGER)) AS DOUBLE)) *
+                                   1073741824.0 + 0.5) / 1073741824.0 AS term
+                      FROM memb mb
+                      JOIN vs s ON s.mask = mb.mask
+                      LEFT JOIN vs s2 ON s2.mask = mb.mask - (1 << mb.idx)
+                      CROSS JOIN nn),
+            touched AS (SELECT c2.channel, CAST(sum(co.n_users) AS BIGINT) AS n_users_touched
+                        FROM coal co JOIN ch c2 ON list_contains(co.touch_set, c2.channel)
+                        GROUP BY 1)
+            SELECT t.channel, t.n_users_touched,
+                   floor(sum(term) * 1073741824.0 + 0.5) / 1073741824.0 AS shapley
+            FROM terms JOIN touched t USING (channel)
+            GROUP BY 1, 2 ORDER BY 1""")
+  )
+
+  /** Interval-union coverage ([[graft.operators.Intervals.coverageIslands]]):
+    * per-user gaps-and-islands merge of [ts, ts+30 min) activity
+    * intervals — exact union measure in integer µs via the one-pass
+    * running-max sweep. Oracle replays the sweep with the same window
+    * frames.
+    */
+  val q271IntervalIslands: QueryDef = QueryDef(
+    "q271_interval_islands",
+    (s, dir) => Intervals.coverageIslands(Tables.events(s, dir)),
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                               epoch_us(ts) + 1800000000 AS end_us FROM events),
+            m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+            b AS (SELECT *, CASE WHEN pme IS NULL OR us > pme THEN 1 ELSE 0 END AS brk FROM m),
+            isl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS island FROM b),
+            g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) n_iv,
+                         min(us) s, max(end_us) e
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(e - s) AS BIGINT) AS covered_us,
+                   CAST(max(e - s) AS BIGINT) AS longest_island_us
+            FROM g GROUP BY 1""")
+  )
+
+  /** ε = ln 2 discrete-Laplace DP release of daily event-type counts
+    * ([[graft.operators.Pii.dpNoisyCounts]]): two-sided geometric noise
+    * sampled by INTEGER leading-zero counting on md5 words — zero
+    * float calls, so the oracle replays released counts exactly.
+    */
+  val q272DpCounts: QueryDef = QueryDef(
+    "q272_dp_counts",
+    (s, dir) =>
+      Pii.dpNoisyCounts(
+        Tables.events(s, dir).select(
+          col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day")),
+        keyCols = Seq("event_type", "day")),
+    Some("""WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) AS true_n
+                       FROM events GROUP BY 1, 2),
+            h AS (SELECT *, md5(event_type || CAST(day AS VARCHAR) || ':dp') AS digest FROM c),
+            w AS (SELECT *, CAST(('0x' || substring(digest, 1, 8)) AS BIGINT) AS k1,
+                            CAST(('0x' || substring(digest, 9, 8)) AS BIGINT) AS k2 FROM h),
+            g AS (SELECT *, CASE WHEN k1 = 0 THEN 32
+                                 ELSE 32 - length(bin(k1)) END AS gg FROM w)
+            SELECT event_type, day, true_n,
+                   CAST(CASE WHEN k2 % 2 = 0 THEN gg ELSE -gg END AS BIGINT) AS noise,
+                   CAST(true_n + CASE WHEN k2 % 2 = 0 THEN gg ELSE -gg END AS BIGINT)
+                     AS released_n
+            FROM g""")
+  )
+
+  /** Always-valid mSPRT A/B monitor ([[graft.operators.Eval.msprtDaily]]):
+    * daily-peeking mixture SPRT over the identity-hash arms with
+    * snapped ln Λ and the running-min always-valid p. Oracle replays
+    * the integer cumulative sums and the single float expression.
+    */
+  val q273Msprt: QueryDef = QueryDef(
+    "q273_msprt",
+    (s, dir) => Eval.msprtDaily(Tables.events(s, dir)),
+    Some("""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                 CAST(user_id % 2 AS BIGINT) AS arm,
+                                 CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            daily AS (SELECT day,
+                             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) dn_a,
+                             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) dn_b,
+                             CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) ds_a,
+                             CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) ds_b,
+                             CAST(sum(c * c) AS BIGINT) dss, CAST(sum(c) AS BIGINT) ds,
+                             CAST(count(*) AS BIGINT) dn
+                      FROM base GROUP BY 1),
+            tot AS (SELECT (CAST(sum(dss) AS DOUBLE) -
+                            CAST(sum(ds) AS DOUBLE) * CAST(sum(ds) AS DOUBLE) /
+                            CAST(sum(dn) AS DOUBLE)) /
+                           (CAST(sum(dn) AS DOUBLE) - 1.0) AS sigma2
+                    FROM daily),
+            cum AS (SELECT day,
+                           CAST(sum(dn_a) OVER w AS BIGINT) n_a,
+                           CAST(sum(dn_b) OVER w AS BIGINT) n_b,
+                           CAST(sum(ds_a) OVER w AS BIGINT) s_a,
+                           CAST(sum(ds_b) OVER w AS BIGINT) s_b
+                    FROM daily
+                    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)),
+            f AS (SELECT day, n_a, n_b,
+                         CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS delta,
+                         sigma2 * (1.0 / n_a + 1.0 / n_b) AS vn, sigma2 AS tau2
+                  FROM cum CROSS JOIN tot WHERE n_a > 0 AND n_b > 0),
+            ll AS (SELECT *, floor((0.5 * ln(vn / (vn + tau2)) +
+                                    delta * delta * tau2 / (2.0 * vn * (vn + tau2))) *
+                                   1073741824.0 + 0.5) / 1073741824.0 AS log_lambda
+                   FROM f),
+            pk AS (SELECT *, CAST(row_number() OVER (ORDER BY day) AS BIGINT) day_idx,
+                          max(log_lambda) OVER (ORDER BY day ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_ll
+                   FROM ll)
+            SELECT day_idx, n_a, n_b, round(delta / 100.0, 6) AS mean_diff,
+                   round(log_lambda, 6) AS log_lambda,
+                   round(least(1.0, exp(-peak_ll)), 6) AS p_always_valid,
+                   peak_ll >= ln(20.0) AS reject
+            FROM pk""")
+  )
+
+  /** In-engine multinomial naive Bayes ([[graft.operators.NaiveBayes]]):
+    * train per-source word likelihoods with add-one smoothing, score
+    * every document, report resubstitution accuracy per class. The
+    * model is built BY aggregation (V×C broadcast table); the oracle
+    * replays training, scoring, and the argmax tie-break.
+    */
+  val q274NaiveBayes: QueryDef = QueryDef(
+    "q274_naive_bayes",
+    (s, dir) => NaiveBayes.trainEval(Tables.documents(s, dir)),
+    Some("""WITH toks AS (SELECT doc_id, source AS label,
+                                 unnest(string_split(text, ' ')) AS word
+                          FROM documents),
+            tk AS (SELECT * FROM toks WHERE length(word) > 0),
+            dc AS (SELECT source AS label, CAST(count(*) AS BIGINT) n_docs
+                   FROM documents GROUP BY 1),
+            ntot AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+            cw AS (SELECT label, word, CAST(count(*) AS BIGINT) cwn FROM tk GROUP BY 1, 2),
+            tc AS (SELECT label, CAST(sum(cwn) AS BIGINT) t_c FROM cw GROUP BY 1),
+            voc AS (SELECT DISTINCT word FROM tk),
+            vs AS (SELECT CAST(count(*) AS BIGINT) v FROM voc),
+            lik AS (SELECT tc.label, voc.word,
+                           floor(ln(CAST(coalesce(cw.cwn, 0) + 1 AS DOUBLE) /
+                                    (tc.t_c + vs.v)) * 1073741824.0 + 0.5) /
+                             1073741824.0 AS ll
+                    FROM voc CROSS JOIN tc CROSS JOIN vs
+                    LEFT JOIN cw ON cw.label = tc.label AND cw.word = voc.word),
+            pri AS (SELECT label, floor(ln(CAST(n_docs AS DOUBLE) / n) *
+                                        1073741824.0 + 0.5) / 1073741824.0 AS lp
+                    FROM dc CROSS JOIN ntot),
+            dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) n_dw FROM tk GROUP BY 1, 2),
+            sc AS (SELECT dw.doc_id, lik.label AS cand, sum(dw.n_dw * lik.ll) AS wsum
+                   FROM dw JOIN lik USING (word) GROUP BY 1, 2),
+            s2 AS (SELECT sc.doc_id, sc.cand, sc.wsum + pri.lp AS score
+                   FROM sc JOIN pri ON pri.label = sc.cand),
+            pred AS (SELECT doc_id, cand AS pred
+                     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cand ASC) rk FROM s2)
+                     WHERE rk = 1)
+            SELECT d.source AS label, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   round(CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS accuracy
+            FROM documents d LEFT JOIN pred p USING (doc_id)
+            GROUP BY 1""")
+  )
+
+  /** Instrumental-variable (2SLS, just-identified) estimate of the
+    * discount→quantity response using the part's size as the cost-side
+    * instrument, next to the naive OLS slope — the textbook
+    * endogeneity contrast. β_IV = cov(z,y)/cov(z,x); every covariance
+    * is an EXACT decimal(38) expression of integer sums (quantity and
+    * discount are exact at 2 decimals, p_size is an int), so the two
+    * slopes and the instrument-relevance correlation replay exactly.
+    * One scan + one broadcast dim join + one total agg — no per-group
+    * state, overflow-safe at 100 TB via decimal sums.
+    */
+  val q275Iv2sls: QueryDef = QueryDef(
+    "q275_iv_2sls",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_partkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("y"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_size").cast("long").as("z"))
+      val j = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val d = "decimal(38,0)"
+      j.agg(
+          count(lit(1)).cast(d).as("n"),
+          sum(col("x")).cast(d).as("sx"), sum(col("y")).cast(d).as("sy"),
+          sum(col("z")).cast(d).as("sz"),
+          sum(col("x") * col("y")).cast(d).as("sxy"),
+          sum(col("z") * col("y")).cast(d).as("szy"),
+          sum(col("z") * col("x")).cast(d).as("szx"),
+          sum(col("x") * col("x")).cast(d).as("sxx"),
+          sum(col("z") * col("z")).cast(d).as("szz"))
+        .select(
+          col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("beta_ols"),
+          round((col("n") * col("szy") - col("sz") * col("sy")).cast("double") /
+            (col("n") * col("szx") - col("sz") * col("sx")).cast("double"), 6)
+            .as("beta_iv"),
+          round((col("n") * col("szx") - col("sz") * col("sx")).cast("double") /
+            sqrt((col("n") * col("szz") - col("sz") * col("sz")).cast("double") *
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
+            .as("first_stage_corr"))
+    },
+    Some("""WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) y,
+                              CAST(round(l_discount * 100) AS BIGINT) x,
+                              CAST(p_size AS BIGINT) z
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+            a AS (SELECT CAST(count(*) AS DECIMAL(38,0)) n,
+                         CAST(sum(x) AS DECIMAL(38,0)) sx, CAST(sum(y) AS DECIMAL(38,0)) sy,
+                         CAST(sum(z) AS DECIMAL(38,0)) sz,
+                         CAST(sum(x * y) AS DECIMAL(38,0)) sxy,
+                         CAST(sum(z * y) AS DECIMAL(38,0)) szy,
+                         CAST(sum(z * x) AS DECIMAL(38,0)) szx,
+                         CAST(sum(x * x) AS DECIMAL(38,0)) sxx,
+                         CAST(sum(z * z) AS DECIMAL(38,0)) szz
+                  FROM b)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta_ols,
+                   round(CAST(n * szy - sz * sy AS DOUBLE) /
+                         CAST(n * szx - sz * sx AS DOUBLE), 6) AS beta_iv,
+                   round(CAST(n * szx - sz * sx AS DOUBLE) /
+                         sqrt(CAST(n * szz - sz * sz AS DOUBLE) *
+                              CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS first_stage_corr
+            FROM a""")
+  )
+
+  /** Histogram-based single-split induction (the LightGBM primitive):
+    * best information-gain threshold of o_totalprice against the
+    * "order fulfilled" label, thresholds taken from $100 histogram
+    * bins so candidate count is BOUNDED regardless of data size.
+    * Cumulative class counts come from one window pass over the bin
+    * histogram; each entropy term is snapped before the gain compare,
+    * tie broken toward the smallest threshold. Oracle replays bins,
+    * cumsums, entropies, and the argmax.
+    */
+  val q276InfoGain: QueryDef = QueryDef(
+    "q276_info_gain",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) =
+        floor(c * lit(grid) + lit(0.5)) / lit(grid)
+      // H(pos, n) with 0·ln0 = 0, as a reusable snapped expression
+      def ent(pos: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+        val p = pos.cast("double") / n.cast("double")
+        snap(when(pos === 0L || pos === n, 0.0)
+          .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p))))
+      }
+      val binned = Tables.orders(s, dir)
+        .select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000").as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("bn"), sum(col("pos")).as("bpos"))
+      val wBin = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+      val tot = binned.agg(sum(col("bn")).as("n"), sum(col("bpos")).as("npos"))
+      val cums = binned
+        .withColumn("nl", sum(col("bn")).over(wBin))
+        .withColumn("posl", sum(col("bpos")).over(wBin))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // a split must leave both sides non-empty
+        .select(
+          col("bin"), col("nl"), col("posl"), col("n"), col("npos"),
+          (col("n") - col("nl")).as("nr"), (col("npos") - col("posl")).as("posr"))
+      val gain = snap(
+        ent(col("npos"), col("n")) -
+          (col("nl").cast("double") / col("n").cast("double")) * ent(col("posl"), col("nl")) -
+          (col("nr").cast("double") / col("n").cast("double")) * ent(col("posr"), col("nr")))
+      val wBest = Window.orderBy(col("info_gain").desc, col("bin").asc)
+      cums
+        .withColumn("info_gain", gain)
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(
+          (col("bin") * 10000L).as("threshold_cents"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("posl").as("pos_left"), col("posr").as("pos_right"),
+          round(col("info_gain"), 6).as("info_gain"))
+    },
+    Some("""WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bin,
+                              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                       FROM orders),
+            h AS (SELECT bin, CAST(count(*) AS BIGINT) bn, CAST(sum(pos) AS BIGINT) bpos
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(bn) AS BIGINT) n, CAST(sum(bpos) AS BIGINT) npos FROM h),
+            c AS (SELECT bin,
+                         CAST(sum(bn) OVER w AS BIGINT) nl,
+                         CAST(sum(bpos) OVER w AS BIGINT) posl
+                  FROM h WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+            s AS (SELECT bin, nl, posl, n, npos, n - nl AS nr, npos - posl AS posr
+                  FROM c CROSS JOIN t WHERE nl < n),
+            e AS (SELECT *,
+                         floor((CASE WHEN npos = 0 OR npos = n THEN 0.0 ELSE
+                           -(CAST(npos AS DOUBLE)/n * ln(CAST(npos AS DOUBLE)/n) +
+                             (1.0 - CAST(npos AS DOUBLE)/n) * ln(1.0 - CAST(npos AS DOUBLE)/n))
+                           END) * 1073741824.0 + 0.5) / 1073741824.0 AS hp,
+                         floor((CASE WHEN posl = 0 OR posl = nl THEN 0.0 ELSE
+                           -(CAST(posl AS DOUBLE)/nl * ln(CAST(posl AS DOUBLE)/nl) +
+                             (1.0 - CAST(posl AS DOUBLE)/nl) * ln(1.0 - CAST(posl AS DOUBLE)/nl))
+                           END) * 1073741824.0 + 0.5) / 1073741824.0 AS hl,
+                         floor((CASE WHEN posr = 0 OR posr = nr THEN 0.0 ELSE
+                           -(CAST(posr AS DOUBLE)/nr * ln(CAST(posr AS DOUBLE)/nr) +
+                             (1.0 - CAST(posr AS DOUBLE)/nr) * ln(1.0 - CAST(posr AS DOUBLE)/nr))
+                           END) * 1073741824.0 + 0.5) / 1073741824.0 AS hr
+                  FROM s),
+            g AS (SELECT *, floor((hp - CAST(nl AS DOUBLE)/n * hl -
+                                   CAST(nr AS DOUBLE)/n * hr) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS info_gain
+                  FROM e)
+            SELECT CAST(bin * 10000 AS BIGINT) AS threshold_cents,
+                   nl AS n_left, nr AS n_right, posl AS pos_left, posr AS pos_right,
+                   round(info_gain, 6) AS info_gain
+            FROM g ORDER BY info_gain DESC, bin ASC LIMIT 1""")
+  )
+
+  /** Gap-tolerant sequential-pattern support
+    * ([[graft.operators.Sessionize.subsequenceSupport]]): share of
+    * sessions containing each ordered type pair a..b as a subsequence,
+    * via the per-session (min_pos, max_pos) profile — linear in
+    * session length. Oracle replays sessionization and the profile
+    * join.
+    */
+  val q277SeqMining: QueryDef = QueryDef(
+    "q277_seq_mining",
+    (s, dir) => Sessionize.subsequenceSupport(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+            l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) pus FROM e),
+            bb AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                     THEN 1 ELSE 0 END brk FROM l),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) sess FROM bb),
+            p AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                    ORDER BY us, event_id) pos FROM s),
+            pr AS (SELECT user_id, sess, event_type, min(pos) fp, max(pos) lp
+                   FROM p GROUP BY 1, 2, 3),
+            ns AS (SELECT CAST(count(*) AS BIGINT) n_sessions
+                   FROM (SELECT DISTINCT user_id, sess FROM pr)),
+            pairs AS (SELECT x.event_type a, y.event_type b,
+                             CAST(count(*) AS BIGINT) n_sessions_ab
+                      FROM pr x JOIN pr y USING (user_id, sess)
+                      WHERE x.event_type <> y.event_type AND x.fp < y.lp
+                      GROUP BY 1, 2)
+            SELECT a, b, n_sessions_ab, n_sessions,
+                   round(CAST(n_sessions_ab AS DOUBLE) / n_sessions, 6) AS support
+            FROM pairs CROSS JOIN ns""")
+  )
+
+  /** Dunning G² collocations ([[graft.operators.Cooccur.collocationG2]]):
+    * log-likelihood-ratio significance of adjacent bigrams from the
+    * 2×2 contingency margins, each O·ln(O/E) cell snapped. Oracle
+    * replays counts, margins, and the four-cell sum.
+    */
+  val q278CollocationG2: QueryDef = QueryDef(
+    "q278_collocation_g2",
+    (s, dir) => Cooccur.collocationG2(Tables.documents(s, dir)),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            bg0 AS (SELECT doc_id,
+                           unnest([{'a': ts[i], 'b': ts[i + 1]}
+                                   FOR i IN range(1, len(ts))]) AS p
+                    FROM t),
+            bg AS (SELECT p.a AS w_a, p.b AS w_b FROM bg0
+                   WHERE p.a != '' AND p.b != ''),
+            pair AS (SELECT w_a, w_b, CAST(count(*) AS BIGINT) o11 FROM bg GROUP BY 1, 2),
+            ra AS (SELECT w_a, CAST(sum(o11) AS BIGINT) ca FROM pair GROUP BY 1),
+            cbm AS (SELECT w_b, CAST(sum(o11) AS BIGINT) cb FROM pair GROUP BY 1),
+            nt AS (SELECT CAST(sum(o11) AS BIGINT) n FROM pair),
+            j AS (SELECT pair.w_a, pair.w_b, o11, ca, cb, n,
+                         ca - o11 AS o12, cb - o11 AS o21, n - ca - cb + o11 AS o22
+                  FROM pair JOIN ra USING (w_a) JOIN cbm USING (w_b) CROSS JOIN nt
+                  WHERE o11 >= 5),
+            terms AS (SELECT w_a, w_b, o11,
+                   CASE WHEN o11 = 0 THEN 0.0 ELSE floor(o11 * ln(CAST(o11 AS DOUBLE) /
+                     (CAST(ca AS DOUBLE) * cb / n)) * 1073741824.0 + 0.5) /
+                     1073741824.0 END AS t11,
+                   CASE WHEN o12 = 0 THEN 0.0 ELSE floor(o12 * ln(CAST(o12 AS DOUBLE) /
+                     (CAST(ca AS DOUBLE) * (n - cb) / n)) * 1073741824.0 + 0.5) /
+                     1073741824.0 END AS t12,
+                   CASE WHEN o21 = 0 THEN 0.0 ELSE floor(o21 * ln(CAST(o21 AS DOUBLE) /
+                     ((n - CAST(ca AS DOUBLE)) * cb / n)) * 1073741824.0 + 0.5) /
+                     1073741824.0 END AS t21,
+                   CASE WHEN o22 = 0 THEN 0.0 ELSE floor(o22 * ln(CAST(o22 AS DOUBLE) /
+                     ((n - CAST(ca AS DOUBLE)) * (n - cb) / n)) * 1073741824.0 + 0.5) /
+                     1073741824.0 END AS t22
+                   FROM j)
+            SELECT w_a, w_b, o11, round(2.0 * (t11 + t12 + t21 + t22), 6) AS g2
+            FROM terms""")
+  )
+
+  /** Hash-bucketed lake layout + pruned key probe
+    * ([[graft.sources.LakeWriter.writeBucketed]] /
+    * `readBucketedProbe`): orders rewritten into 16 xxhash64 bucket
+    * directories, then a 50-key probe that scans only the matching
+    * buckets (static partition pruning; file-subset behavior pinned in
+    * Round8OpsSpec). The oracle is the plain IN-list aggregate — the
+    * layout must be invisible in results.
+    */
+  val q279BucketLayout: QueryDef = QueryDef(
+    "q279_bucket_layout",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q279").resolve("orders_bucketed").toString
+      graft.sources.LakeWriter.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        path, "o_custkey", numBuckets = 16)
+      val keys = (1 to 50).map(_ * 7L)
+      graft.sources.LakeWriter.readBucketedProbe(s, path, "o_custkey", keys, numBuckets = 16)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+    },
+    Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders
+            WHERE o_custkey IN (7,14,21,28,35,42,49,56,63,70,77,84,91,98,105,112,119,126,
+                                133,140,147,154,161,168,175,182,189,196,203,210,217,224,
+                                231,238,245,252,259,266,273,280,287,294,301,308,315,322,
+                                329,336,343,350)
+            GROUP BY 1""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
+      q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
+      q279BucketLayout)
+}

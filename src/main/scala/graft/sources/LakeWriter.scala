@@ -141,4 +141,52 @@ object LakeWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
   }
+
+  /** Hash-bucketed layout: rows land in `numBuckets` directories by
+    * `pmod(xxhash64(key), numBuckets)` — the metastore-free equivalent
+    * of `bucketBy` (Spark's own bucketed tables need a catalog; a lake
+    * path does not). A key-set probe then reads ONLY the matching
+    * bucket directories (static partition pruning on the `__bucket`
+    * dir column), so a point lookup touches 1/numBuckets of the table
+    * regardless of total size — the layout every id-probe workload
+    * wants at 100 TB. Within each bucket, rows are sorted by the key so
+    * row-group min/max stats prune further inside the directory.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int = 16
+  ): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    writePartitioned(
+      df.withColumn("__bucket", pmod(xxhash64(col(bucketCol)), lit(numBuckets.toLong)).cast("int")),
+      path,
+      partitionCols = Seq("__bucket"),
+      sortCols = Seq(bucketCol))
+  }
+
+  /** Bucket-pruned key probe against a [[writeBucketed]] layout: maps
+    * the key set to its bucket ids (tiny local job — the probe set is
+    * driver-sized by definition), then scans only those directories and
+    * semi-joins the keys. The returned frame's scan reads
+    * |distinct buckets| / numBuckets of the table's files.
+    */
+  def readBucketedProbe(
+      spark: SparkSession,
+      path: String,
+      bucketCol: String,
+      keys: Seq[Long],
+      numBuckets: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val keyDf = keys.toDF(bucketCol)
+    val buckets = keyDf
+      .select(pmod(xxhash64(col(bucketCol)), lit(numBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(buckets: _*))
+      .join(broadcast(keyDf), Seq(bucketCol), "left_semi")
+      .drop("__bucket")
+  }
 }

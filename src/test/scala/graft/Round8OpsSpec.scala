@@ -1,0 +1,202 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Closed-form goldens for the round-8 operators (Shapley attribution,
+  * interval-union islands, discrete-Laplace DP counts, mSPRT monitor).
+  */
+class Round8OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- Shapley attribution --------------------------------------------
+
+  test("shapley: hand-computed two-channel game") {
+    // u1 {A} converted     -> v({A})  = 1
+    // u2 {B} not           -> v({B})  = 0
+    // u3 {A,B} converted, u4 {A,B} not -> v({A,B}) = 1/2
+    // phi_A = 1/2*(v(A)-0) + 1/2*(v(AB)-v(B)) = 0.5 + 0.25 = 0.75
+    // phi_B = 1/2*(v(B)-0) + 1/2*(v(AB)-v(A)) = 0 - 0.25   = -0.25
+    val events = Seq(
+      (1L, "A"), (1L, "purchase"),
+      (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "purchase"),
+      (4L, "A"), (4L, "B")
+    ).toDF("user_id", "event_type")
+    val out = Shapley.attribution(events).collect()
+    val byCh = out.map(r => r.getString(0) -> r).toMap
+    assert(byCh("A").getLong(1) === 3L) // u1, u3, u4 touched A
+    assert(byCh("B").getLong(1) === 3L)
+    assert(byCh("A").getDouble(2) === 0.75)
+    assert(byCh("B").getDouble(2) === -0.25)
+  }
+
+  test("shapley: efficiency — credits sum to v(grand coalition) when observed") {
+    // every user touches both channels -> only the grand coalition is
+    // observed; Shapley efficiency gives phi_A + phi_B = v({A,B})
+    val events = Seq(
+      (1L, "A"), (1L, "B"), (1L, "purchase"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "purchase")
+    ).toDF("user_id", "event_type")
+    val out = Shapley.attribution(events).collect()
+    val total = out.map(_.getDouble(2)).sum
+    assert(math.abs(total - 2.0 / 3.0) < 1e-9)
+  }
+
+  // ---- interval islands -----------------------------------------------
+
+  test("coverage islands: overlap merges, gap splits, touching merges") {
+    val events = Seq(
+      // u1: [0,30), [10,40) overlap -> island [0,40); [100,130) separate
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 00:00:10"), 1L),
+      (3L, ts("2024-01-01 00:01:40"), 1L),
+      // u2: [0,30) and a TOUCHING [30,60) -> one island [0,60)
+      (4L, ts("2024-01-01 00:00:00"), 2L),
+      (5L, ts("2024-01-01 00:00:30"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Intervals.coverageIslands(events, holdSec = 30L).collect()
+    val byUser = out.map(r => r.getLong(0) -> r).toMap
+    val u1 = byUser(1L)
+    assert(u1.getAs[Long]("n_intervals") === 3L)
+    assert(u1.getAs[Long]("n_islands") === 2L)
+    assert(u1.getAs[Long]("covered_us") === 70L * 1000000L)
+    assert(u1.getAs[Long]("longest_island_us") === 40L * 1000000L)
+    val u2 = byUser(2L)
+    assert(u2.getAs[Long]("n_islands") === 1L)
+    assert(u2.getAs[Long]("covered_us") === 60L * 1000000L)
+  }
+
+  test("coverage islands: union measure never exceeds sum of intervals") {
+    val events = (1 to 50).map { i =>
+      (i.toLong, ts(f"2024-01-01 00:${(i * 7) % 60}%02d:${(i * 13) % 60}%02d"), (i % 3).toLong)
+    }.toDF("event_id", "ts", "user_id")
+    Intervals.coverageIslands(events, holdSec = 120L).collect().foreach { r =>
+      val nIv = r.getAs[Long]("n_intervals")
+      val covered = r.getAs[Long]("covered_us")
+      assert(covered <= nIv * 120L * 1000000L)
+      assert(covered >= 120L * 1000000L) // at least one interval's worth
+      assert(r.getAs[Long]("longest_island_us") <= covered)
+    }
+  }
+
+  // ---- DP noisy counts ------------------------------------------------
+
+  test("dp counts: md5 leading-zero golden (engine seed contract)") {
+    // md5("signup:dp") = 25f9f773 c8328bda ... ->
+    //   k1 = 0x25f9f773 (bin length 30) -> G = 2; k2 even -> noise = +2
+    val df = Seq.fill(7)("signup").toDF("event_type")
+    val out = Pii.dpNoisyCounts(df, Seq("event_type")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("true_n") === 7L)
+    assert(out.head.getAs[Long]("noise") === 2L)
+    assert(out.head.getAs[Long]("released_n") === 9L)
+  }
+
+  test("dp counts: released = true + noise, deterministic across runs") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val run1 = Pii.dpNoisyCounts(df, Seq("k")).collect().sortBy(_.getString(0))
+    val run2 = Pii.dpNoisyCounts(df, Seq("k")).collect().sortBy(_.getString(0))
+    assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq)
+    run1.foreach { r =>
+      assert(r.getAs[Long]("released_n") === r.getAs[Long]("true_n") + r.getAs[Long]("noise"))
+    }
+  }
+
+  // ---- naive Bayes ----------------------------------------------------
+
+  test("naive bayes: separable corpus classifies itself perfectly") {
+    val docs = Seq(
+      (1L, "x x y", "A"), (2L, "x y", "A"),
+      (3L, "z z", "B"), (4L, "z y", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = NaiveBayes.trainEval(docs).collect()
+    val byLabel = out.map(r => r.getString(0) -> r).toMap
+    Seq("A", "B").foreach { c =>
+      assert(byLabel(c).getAs[Long]("n_docs") === 2L)
+      assert(byLabel(c).getAs[Long]("n_correct") === 2L)
+      assert(byLabel(c).getAs[Double]("accuracy") === 1.0)
+    }
+  }
+
+  test("naive bayes: exact score ties break toward the smallest class name") {
+    // identical class profiles -> every doc scores equally for A and B
+    // -> deterministic argmax picks "A" for all docs
+    val docs = Seq(
+      (1L, "x", "A"), (2L, "x", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = NaiveBayes.trainEval(docs).collect()
+    val byLabel = out.map(r => r.getString(0) -> r).toMap
+    assert(byLabel("A").getAs[Long]("n_correct") === 1L)
+    assert(byLabel("B").getAs[Long]("n_correct") === 0L)
+  }
+
+  // ---- bucketed layout ------------------------------------------------
+
+  test("bucketed probe reads only matching bucket directories") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bucket_spec").resolve("t").toString
+    val df = (1L to 2000L).map(i => (i, i * 3)).toDF("k", "v")
+    graft.sources.LakeWriter.writeBucketed(df, path, "k", numBuckets = 8)
+    val allFiles = spark.read.parquet(path).inputFiles
+    assert(allFiles.map(f => f.substring(f.indexOf("__bucket="))).distinct.length === 8)
+    val keys = Seq(5L, 10L, 15L)
+    val probe = graft.sources.LakeWriter.readBucketedProbe(spark, path, "k", keys, 8)
+    // correctness: exactly the probed keys come back
+    assert(probe.select("k").collect().map(_.getLong(0)).sorted === keys.sorted.toArray)
+    // pruning: the bucket IN-list is a PartitionFilter on the scan (the
+    // PlanAuditSpec idiom — inputFiles is pre-filter, so not usable here)
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = """PartitionFilters: \[[^\]]*\]""".r.findFirstIn(plan)
+    assert(pf.exists(_.contains("__bucket")),
+      s"bucket predicate not pushed to PartitionFilters: $pf")
+    // and the pruned scan really reads fewer files than the full table
+    val expectBuckets = keys.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8L)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(expectBuckets.size < 8)
+    val prunedCount = spark.read.parquet(path)
+      .filter(col("__bucket").isin(expectBuckets.toSeq: _*))
+      .count()
+    val fullCount = spark.read.parquet(path).count()
+    assert(prunedCount < fullCount)
+  }
+
+  // ---- mSPRT ----------------------------------------------------------
+
+  test("msprt: planted massive effect rejects; p is non-increasing") {
+    // arm = user_id % 2: even users (arm 0) value 100, odd (arm 1) value 1
+    val events = (1 to 600).map { i =>
+      val uid = (i % 60).toLong
+      val day = i % 3
+      (i.toLong, ts(f"2024-01-0${day + 1}%d 12:00:00"), uid,
+        if (uid % 2 == 0) 100.0 else 1.0)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val out = Eval.msprtDaily(events).orderBy("day_idx").collect()
+    assert(out.length === 3)
+    val ps = out.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(out.last.getAs[Boolean]("reject"))
+    assert(out.last.getAs[Double]("mean_diff") > 90.0)
+  }
+
+  test("msprt: A/A with zero variance is guarded (no NaN, never rejects)") {
+    val events = (1 to 200).map { i =>
+      (i.toLong, ts("2024-01-01 12:00:00"), (i % 20).toLong, 5.0)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val out = Eval.msprtDaily(events).collect()
+    assert(out.length === 1)
+    assert(!out.head.getAs[Double]("log_lambda").isNaN)
+    assert(!out.head.getAs[Boolean]("reject"))
+    assert(out.head.getAs[Double]("p_always_valid") === 1.0)
+  }
+}
