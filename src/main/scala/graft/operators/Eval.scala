@@ -424,4 +424,71 @@ object Eval {
         round(least(lit(1.0), exp(-col("peak_ll"))), 6).as("p_always_valid"),
         (col("peak_ll") >= lit(lnRejectAt)).as("reject"))
   }
+
+  /** Off-policy evaluation by inverse-propensity scoring (IPS): treat
+    * the event log as a logged contextual bandit — context x =
+    * hour-of-day, action a = event_type, reward r = value — estimate
+    * the counterfactual value of the GREEDY policy π(x) = argmax_a
+    * mean-reward(x, a) from the same logs, with empirical logging
+    * propensities p̂(a|x) = c_{x,a}/c_x:
+    *
+    *   V̂_IPS = (1/n)·Σ_i 1{a_i = π(x_i)}·r_i / p̂(a_i|x_i)
+    *
+    * Matched rows share their context's propensity, so the estimator
+    * collapses to one term per CONTEXT — Σ_x c_x·S_{x,π(x)}/c_{x,π(x)}
+    * — integer products and one division per context, snapped to the
+    * 2⁻³⁰ grid after the /n/100 normalization (keeps magnitudes inside
+    * the grid's exact range), then an exact dyadic sum. Self-evaluation
+    * of a policy fitted on the same logs is the standard replay-audit
+    * demo; a production evaluator would take π from a holdout (the
+    * estimator is unchanged).
+    *
+    * Scale shape: two keyed aggs on (x, a) — context×action cells, not
+    * rows — then an argmax window over the tiny cell table. Corpus cost
+    * is one scan + one shuffle.
+    *
+    * Output: (n, n_contexts, match_rate, logged_value, ips_value).
+    */
+  def ipsOffPolicy(events: DataFrame, valCol: String = "value"): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(c * lit(grid) + lit(0.5)) / lit(grid)
+    val base = events.select(
+      ((unix_micros(col("ts")).cast("long") / lit(3600000000L)).cast("long") % 24L).as("x"),
+      col("event_type").as("a"),
+      expr(s"CAST(round($valCol * 100) AS BIGINT)").as("r"))
+    val cells = base
+      .groupBy(col("x"), col("a"))
+      .agg(count(lit(1)).as("c_xa"), sum(col("r")).as("s_xa"))
+    val ctx = cells.groupBy(col("x")).agg(sum(col("c_xa")).as("c_x"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("r")).as("s_all"))
+    // greedy target policy: argmax mean reward per context, ties to the
+    // smallest action name (exact rational compare via cross-mult would
+    // be ideal; the double ratio is the same IEEE expression both sides)
+    val wCtx = Window.partitionBy(col("x"))
+      .orderBy((col("s_xa").cast("double") / col("c_xa").cast("double")).desc, col("a").asc)
+    val matched = cells
+      .withColumn("rk", row_number().over(wCtx))
+      .filter(col("rk") === 1)
+      .join(ctx, Seq("x"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("x"), col("c_xa"), col("c_x"), col("n"),
+        snap((col("c_x") * col("s_xa")).cast("double") /
+          (col("c_xa") * col("n")).cast("double") / lit(100.0)).as("term"))
+    matched
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("n_contexts"),
+        sum(col("c_xa")).as("n_matched"),
+        sum(col("term")).as("vsum"))
+      .crossJoin(broadcast(tot.select(col("s_all"))))
+      .select(
+        col("n"),
+        col("n_contexts"),
+        round(col("n_matched").cast("double") / col("n").cast("double"), 6).as("match_rate"),
+        round(col("s_all").cast("double") / 100.0 / col("n").cast("double"), 6)
+          .as("logged_value"),
+        round(col("vsum"), 6).as("ips_value"))
+  }
 }

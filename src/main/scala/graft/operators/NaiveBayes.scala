@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Train on `docs(doc_id, text, labelCol)` and evaluate
-    * resubstitution accuracy per class.
-    *
-    * Output: (label, n_docs, n_correct, accuracy) per true class.
+  /** Per-document argmax predictions of the model trained on the same
+    * corpus (resubstitution): (doc_id, label, pred, margin) where
+    * margin = score(pred) − score(label) ≥ 0 — an exact difference of
+    * snapped dyadic scores, so "confidently mislabeled" thresholds
+    * replay bit-identically. Docs with no tokens get no prediction and
+    * are omitted (callers LEFT-join if they need them).
     */
-  def trainEval(docs: DataFrame, labelCol: String = "source"): DataFrame = {
+  def predictions(docs: DataFrame, labelCol: String = "source"): DataFrame = {
     val grid = 1073741824.0
     def snap(c: org.apache.spark.sql.Column) =
       floor(c * lit(grid) + lit(0.5)) / lit(grid)
@@ -78,11 +80,28 @@ object NaiveBayes {
     val pred = scores
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand").as("pred"))
+      .select(col("doc_id"), col("cand").as("pred"), col("score").as("best_score"))
 
     docs
       .select(col("doc_id"), col(labelCol).as("label"))
-      .join(pred, Seq("doc_id"), "left")
+      .join(pred, Seq("doc_id"))
+      .join(
+        scores.select(col("doc_id"), col("cand").as("label"), col("score").as("label_score")),
+        Seq("doc_id", "label"))
+      // both scores are sums of dyadics -> the margin difference is exact
+      .select(col("doc_id"), col("label"), col("pred"),
+        (col("best_score") - col("label_score")).as("margin"))
+  }
+
+  /** Train on `docs(doc_id, text, labelCol)` and evaluate
+    * resubstitution accuracy per class.
+    *
+    * Output: (label, n_docs, n_correct, accuracy) per true class.
+    */
+  def trainEval(docs: DataFrame, labelCol: String = "source"): DataFrame =
+    docs
+      .select(col("doc_id"), col(labelCol).as("label"))
+      .join(predictions(docs, labelCol).select(col("doc_id"), col("pred")), Seq("doc_id"), "left")
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -90,5 +109,26 @@ object NaiveBayes {
       .withColumn(
         "accuracy",
         round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6))
-  }
+
+  /** Confident-learning label-noise screen (the Northcutt-style
+    * off-diagonal audit): documents whose model prediction disagrees
+    * with their recorded label by at least `minMargin` log-units are
+    * counted into a (label → pred) confusion cell with their mean
+    * margin — the cells with mass are the labeling rules to re-audit.
+    * Margins are exact dyadic differences, so the cell counts replay
+    * exactly.
+    *
+    * Output: (label, pred, n_confident, mean_margin) for label ≠ pred.
+    */
+  def labelNoise(
+      docs: DataFrame,
+      labelCol: String = "source",
+      minMargin: Double = 0.5
+  ): DataFrame =
+    predictions(docs, labelCol)
+      .filter(col("pred") =!= col("label") && col("margin") >= minMargin)
+      .groupBy(col("label"), col("pred"))
+      .agg(
+        count(lit(1)).as("n_confident"),
+        round(sum(col("margin")) / count(lit(1)).cast("double"), 6).as("mean_margin"))
 }

@@ -479,8 +479,166 @@ object Round8 {
             GROUP BY 1""")
   )
 
+  // shared CTE chain for the naive-Bayes family (q274/q280): train,
+  // score, argmax — kept verbatim so both oracles replay one pipeline
+  private val NbChainSql =
+    """toks AS (SELECT doc_id, source AS label,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents),
+       tk AS (SELECT * FROM toks WHERE length(word) > 0),
+       dc AS (SELECT source AS label, CAST(count(*) AS BIGINT) n_docs
+              FROM documents GROUP BY 1),
+       ntot AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+       cw AS (SELECT label, word, CAST(count(*) AS BIGINT) cwn FROM tk GROUP BY 1, 2),
+       tc AS (SELECT label, CAST(sum(cwn) AS BIGINT) t_c FROM cw GROUP BY 1),
+       voc AS (SELECT DISTINCT word FROM tk),
+       vs AS (SELECT CAST(count(*) AS BIGINT) v FROM voc),
+       lik AS (SELECT tc.label, voc.word,
+                      floor(ln(CAST(coalesce(cw.cwn, 0) + 1 AS DOUBLE) /
+                               (tc.t_c + vs.v)) * 1073741824.0 + 0.5) /
+                        1073741824.0 AS ll
+               FROM voc CROSS JOIN tc CROSS JOIN vs
+               LEFT JOIN cw ON cw.label = tc.label AND cw.word = voc.word),
+       pri AS (SELECT label, floor(ln(CAST(n_docs AS DOUBLE) / n) *
+                                   1073741824.0 + 0.5) / 1073741824.0 AS lp
+               FROM dc CROSS JOIN ntot),
+       dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) n_dw FROM tk GROUP BY 1, 2),
+       sc AS (SELECT dw.doc_id, lik.label AS cand, sum(dw.n_dw * lik.ll) AS wsum
+              FROM dw JOIN lik USING (word) GROUP BY 1, 2),
+       s2 AS (SELECT sc.doc_id, sc.cand, sc.wsum + pri.lp AS score
+              FROM sc JOIN pri ON pri.label = sc.cand)"""
+
+  /** Confident-learning label-noise screen
+    * ([[graft.operators.NaiveBayes.labelNoise]]): off-diagonal
+    * (label → pred) cells where the model outvotes the recorded label
+    * by ≥ 0.5 log-units — exact dyadic margins, so cell membership
+    * replays bit-identically.
+    */
+  val q280LabelNoise: QueryDef = QueryDef(
+    "q280_label_noise",
+    (s, dir) => NaiveBayes.labelNoise(Tables.documents(s, dir)),
+    Some(s"""WITH $NbChainSql,
+            pred AS (SELECT doc_id, cand AS pred, score AS best_score
+                     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cand ASC) rk FROM s2)
+                     WHERE rk = 1),
+            mm AS (SELECT d.source AS label, p.pred, p.best_score - s.score AS margin
+                   FROM documents d JOIN pred p USING (doc_id)
+                   JOIN s2 s ON s.doc_id = d.doc_id AND s.cand = d.source)
+            SELECT label, pred, CAST(count(*) AS BIGINT) AS n_confident,
+                   round(sum(margin) / count(*), 6) AS mean_margin
+            FROM mm WHERE pred <> label AND margin >= 0.5
+            GROUP BY 1, 2""")
+  )
+
+  /** IPS off-policy replay ([[graft.operators.Eval.ipsOffPolicy]]):
+    * counterfactual value of the per-hour greedy policy from logged
+    * propensities — per-context collapsed terms, snapped, exact sum.
+    */
+  val q281IpsOffpolicy: QueryDef = QueryDef(
+    "q281_ips_offpolicy",
+    (s, dir) => Eval.ipsOffPolicy(Tables.events(s, dir)),
+    Some("""WITH base AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS x,
+                                 event_type AS a,
+                                 CAST(round(value * 100) AS BIGINT) r FROM events),
+            cells AS (SELECT x, a, CAST(count(*) AS BIGINT) c_xa,
+                             CAST(sum(r) AS BIGINT) s_xa FROM base GROUP BY 1, 2),
+            ctx AS (SELECT x, CAST(sum(c_xa) AS BIGINT) c_x FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(r) AS BIGINT) s_all
+                    FROM base),
+            m AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+                    ORDER BY CAST(s_xa AS DOUBLE) / c_xa DESC, a ASC) rk FROM cells)
+                  WHERE rk = 1),
+            t AS (SELECT m.x, m.c_xa,
+                         floor(CAST(ctx.c_x * m.s_xa AS DOUBLE) /
+                               CAST(m.c_xa * tot.n AS DOUBLE) / 100.0 *
+                               1073741824.0 + 0.5) / 1073741824.0 AS term,
+                         tot.n
+                  FROM m JOIN ctx USING (x) CROSS JOIN tot),
+            f AS (SELECT CAST(max(n) AS BIGINT) n, CAST(count(*) AS BIGINT) n_contexts,
+                         CAST(sum(c_xa) AS BIGINT) n_matched, sum(term) vsum FROM t)
+            SELECT f.n, f.n_contexts,
+                   round(CAST(n_matched AS DOUBLE) / f.n, 6) AS match_rate,
+                   round(CAST(s_all AS DOUBLE) / 100.0 / f.n, 6) AS logged_value,
+                   round(vsum, 6) AS ips_value
+            FROM f CROSS JOIN tot""")
+  )
+
+  /** Exact 2-D Mahalanobis outliers: top-20 lineitems by squared
+    * Mahalanobis distance in the (quantity, extendedprice) plane, with
+    * the covariance matrix from exact decimal(38) central sums (no
+    * long-sum overflow at any SF) and one closed-form 2×2 inverse.
+    * Multivariate complement to the univariate MAD screen (q150).
+    * Identical IEEE expression trees on both sides make the ranking
+    * replayable; ties (duplicate value pairs) break on the key.
+    */
+  val q282Mahalanobis: QueryDef = QueryDef(
+    "q282_mahalanobis",
+    (s, dir) => {
+      val d = "decimal(38,0)"
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x1"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x2"))
+      val st = li.agg(
+        count(lit(1)).cast(d).as("n"),
+        sum(col("x1")).cast(d).as("sx1"), sum(col("x2")).cast(d).as("sx2"),
+        sum((col("x1") * col("x1")).cast(d)).as("s11"),
+        sum((col("x1") * col("x2")).cast(d)).as("s12"),
+        sum((col("x2") * col("x2")).cast(d)).as("s22"))
+      val nD = col("n").cast("double")
+      val denom = (col("n") * (col("n") - lit(1))).cast("double")
+      val withStats = li.crossJoin(broadcast(st))
+        .withColumn("m1", col("sx1").cast("double") / nD)
+        .withColumn("m2", col("sx2").cast("double") / nD)
+        .withColumn("c11", (col("n") * col("s11") - col("sx1") * col("sx1")).cast("double") / denom)
+        .withColumn("c12", (col("n") * col("s12") - col("sx1") * col("sx2")).cast("double") / denom)
+        .withColumn("c22", (col("n") * col("s22") - col("sx2") * col("sx2")).cast("double") / denom)
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("dx1", col("x1").cast("double") - col("m1"))
+        .withColumn("dx2", col("x2").cast("double") - col("m2"))
+        .withColumn(
+          "d2",
+          (col("c22") * (col("dx1") * col("dx1")) -
+            lit(2.0) * col("c12") * (col("dx1") * col("dx2")) +
+            col("c11") * (col("dx2") * col("dx2"))) / col("det"))
+      withStats
+        .orderBy(col("d2").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("d2"), 6).as("d2"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) l_linenumber,
+                               CAST(round(l_quantity * 100) AS BIGINT) x1,
+                               CAST(round(l_extendedprice * 100) AS BIGINT) x2
+                        FROM lineitem),
+            st AS (SELECT CAST(count(*) AS HUGEINT) n,
+                          CAST(sum(x1) AS HUGEINT) sx1, CAST(sum(x2) AS HUGEINT) sx2,
+                          CAST(sum(x1 * x1) AS HUGEINT) s11,
+                          CAST(sum(x1 * x2) AS HUGEINT) s12,
+                          CAST(sum(x2 * x2) AS HUGEINT) s22
+                   FROM li),
+            cv AS (SELECT CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) m1,
+                          CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) m2,
+                          CAST(n * s11 - sx1 * sx1 AS DOUBLE) /
+                            CAST(n * (n - 1) AS DOUBLE) c11,
+                          CAST(n * s12 - sx1 * sx2 AS DOUBLE) /
+                            CAST(n * (n - 1) AS DOUBLE) c12,
+                          CAST(n * s22 - sx2 * sx2 AS DOUBLE) /
+                            CAST(n * (n - 1) AS DOUBLE) c22
+                   FROM st),
+            dd AS (SELECT l_orderkey, l_linenumber,
+                          (c22 * ((CAST(x1 AS DOUBLE) - m1) * (CAST(x1 AS DOUBLE) - m1)) -
+                           2.0 * c12 * ((CAST(x1 AS DOUBLE) - m1) * (CAST(x2 AS DOUBLE) - m2)) +
+                           c11 * ((CAST(x2 AS DOUBLE) - m2) * (CAST(x2 AS DOUBLE) - m2))) /
+                          (c11 * c22 - c12 * c12) AS d2
+                   FROM li CROSS JOIN cv)
+            SELECT l_orderkey, l_linenumber, round(d2, 6) AS d2
+            FROM dd ORDER BY d2 DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
-      q279BucketLayout)
+      q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis)
 }

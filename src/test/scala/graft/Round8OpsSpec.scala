@@ -139,6 +139,52 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(byLabel("B").getAs[Long]("n_correct") === 0L)
   }
 
+  // ---- label noise ----------------------------------------------------
+
+  test("label noise: planted mislabel lands in its (label, pred) cell") {
+    val docs = Seq(
+      (1L, "x x x", "A"), (2L, "x x", "A"), (3L, "x x x x", "A"),
+      (4L, "z z z", "B"), (5L, "z z", "B"),
+      (6L, "z z z z", "A") // mislabeled: clearly class B
+    ).toDF("doc_id", "text", "source")
+    val out = NaiveBayes.labelNoise(docs, minMargin = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "A") // recorded label
+    assert(out.head.getString(1) === "B") // model's verdict
+    assert(out.head.getAs[Long]("n_confident") === 1L)
+    assert(out.head.getAs[Double]("mean_margin") > 0.5)
+  }
+
+  test("label noise: clean separable corpus reports no confident cells") {
+    val docs = Seq(
+      (1L, "x x", "A"), (2L, "x x x", "A"),
+      (3L, "z z", "B"), (4L, "z z z", "B")
+    ).toDF("doc_id", "text", "source")
+    assert(NaiveBayes.labelNoise(docs).count() === 0L)
+  }
+
+  // ---- IPS off-policy -------------------------------------------------
+
+  test("ips: hand-computed single-context bandit replay") {
+    // hour 0: action 'a' pays 1.00 twice, action 'b' pays 0.00 twice
+    // greedy pi(0) = 'a'; p(a|0) = 1/2
+    // V_ips = (1/4) * 2 * (1.00 / 0.5) = 1.0 ; logged mean = 0.5
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), 2L, "a", 1.0),
+      (3L, ts("2024-01-01 00:30:00"), 3L, "b", 0.0),
+      (4L, ts("2024-01-01 00:40:00"), 4L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Eval.ipsOffPolicy(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_contexts") === 1L)
+    assert(r.getAs[Double]("match_rate") === 0.5)
+    assert(r.getAs[Double]("logged_value") === 0.5)
+    assert(r.getAs[Double]("ips_value") === 1.0)
+  }
+
   // ---- bucketed layout ------------------------------------------------
 
   test("bucketed probe reads only matching bucket directories") {
