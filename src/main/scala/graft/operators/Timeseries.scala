@@ -332,4 +332,79 @@ object Timeseries {
         when(col("dxx") =!= 0.0 && col("dyy") =!= 0.0,
           round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)).as("r2"))
   }
+
+  /** Non-negative clamped running balance via the reflecting-barrier
+    * identity: the sequential recurrence L_t = max(0, L_{t−1} + net_t)
+    * equals L_t = S_t − min(0, min_{s≤t} S_s) on plain cumulative sums
+    * S — so the "un-parallelizable" inventory fold is two window
+    * passes, exact in integers, at any per-key history length.
+    *
+    * Input: `flows(key, day, dnet)` (one row per key×day). Output:
+    * (key, n_days, final_raw, final_level, peak_level).
+    */
+  def clampedBalance(flows: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    flows
+      .withColumn("s_cum", sum(col("dnet")).over(wCum))
+      .withColumn("m_cum", min(col("s_cum")).over(wCum))
+      .withColumn("level", col("s_cum") - least(lit(0L), col("m_cum")))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("max_by(s_cum, day)").as("final_raw"),
+        expr("max_by(level, day)").as("final_level"),
+        max(col("level")).as("peak_level"))
+  }
+
+  /** Un-normalized Haar wavelet energy spectrum of the hourly count
+    * series: at each dyadic level k (block size 2^k), the detail
+    * coefficient of block j is
+    *
+    *   d_{k,j} = Σ x over the block's FIRST half − Σ over its SECOND
+    *
+    * and the level's energy is Σ_j d². The level with peak energy is
+    * the dominant burst/periodicity SCALE (a 24 h cycle peaks around
+    * levels 4–5), read directly off integer sums — the wavelet
+    * counterpart of [[acfHourly]], and like it entirely exact: no √2
+    * normalization (documented; engines would disagree on floats), so
+    * every coefficient and energy is a plain BIGINT.
+    *
+    * Plan shape: the series explodes into `maxLevel` (level, block)
+    * assignments — histogram-sized × levels — then one keyed agg per
+    * pyramid node and one per level. No iteration, no driver state.
+    *
+    * Output: (level, block_hours, n_blocks, energy) for levels
+    * 1..maxLevel (only complete blocks count).
+    */
+  def haarEnergy(events: DataFrame, maxLevel: Int = 8): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 16, "maxLevel in [1,16]")
+    val series = hourlySeries(events)
+    val leveled = series
+      .withColumn("lvl", explode(sequence(lit(1), lit(maxLevel))))
+      .select(
+        col("lvl"),
+        expr("CAST(shiftleft(1, lvl) AS BIGINT)").as("bs"),
+        col("idx"), col("x"))
+      .withColumn("block", expr("idx div bs"))
+      // first half of the block -> +x, second half -> -x
+      .withColumn(
+        "signed",
+        when(expr("idx % bs") < expr("bs div 2"), col("x")).otherwise(-col("x")))
+    val n = series.agg(count(lit(1)).as("n"))
+    val coeffs = leveled
+      .groupBy(col("lvl"), col("bs"), col("block"))
+      .agg(sum(col("signed")).as("d"), count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      // only complete blocks: a ragged tail block is not a Haar node
+      .filter(col("cnt") === col("bs"))
+    coeffs
+      .groupBy(col("lvl"), col("bs"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("energy"))
+      .select(
+        col("lvl").cast("long").as("level"),
+        col("bs").as("block_hours"),
+        col("n_blocks"),
+        col("energy"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooccur, Eval, Intervals, NaiveBayes, Pii, Sessionize, Shapley}
+import graft.operators.{Cooccur, Eval, Intervals, NaiveBayes, Pii, Sessionize, Shapley, Timeseries}
 import graft.sources.Tables
 
 /** Round-8 additions (q270+): the remaining attribution model (exact
@@ -637,8 +637,118 @@ object Round8 {
             FROM dd ORDER BY d2 DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""")
   )
 
+  /** Hilbert-clustered layout round-trip
+    * ([[graft.sources.LakeWriter.writeHilbert]]): lineitem rewritten
+    * along the Hilbert curve on (l_partkey, l_suppkey), then a 2-D
+    * range predicate + aggregate — q85's Z-order twin with strictly
+    * better range locality (curve adjacency pinned in Round8OpsSpec).
+    * The oracle is the plain filter-aggregate; the layout must be
+    * invisible in results.
+    */
+  val q283HilbertLayout: QueryDef = QueryDef(
+    "q283_hilbert_layout",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q283").resolve("lineitem_h").toString
+      val li = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.sources.LakeWriter.writeHilbert(li, path, Seq("l_partkey", "l_suppkey"), bits = 8)
+      s.read
+        .parquet(path)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 50)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("key_sum"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("qty_sum"))
+    },
+    Some("""SELECT count(*) AS n,
+                   CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sum
+            FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 50""")
+  )
+
+  /** Haar wavelet energy spectrum
+    * ([[graft.operators.Timeseries.haarEnergy]]): exact integer detail
+    * energies per dyadic scale of the hourly count series — the
+    * dominant-burst-scale readout. Oracle replays the grid, the
+    * signed block sums, and the complete-block filter.
+    */
+  val q284HaarEnergy: QueryDef = QueryDef(
+    "q284_haar_energy",
+    (s, dir) => Timeseries.haarEnergy(Tables.events(s, dir)),
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b),
+            srs AS (SELECT g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                    FROM grid g LEFT JOIN cnt c USING (hh)),
+            lv AS (SELECT l AS lvl, CAST(1 << l AS BIGINT) AS bs
+                   FROM range(1, 9) t(l)),
+            asg AS (SELECT lvl, bs, idx // bs AS block,
+                           CASE WHEN idx % bs < bs // 2 THEN x ELSE -x END AS signed
+                    FROM srs CROSS JOIN lv),
+            co AS (SELECT lvl, bs, block, CAST(sum(signed) AS BIGINT) d,
+                          CAST(count(*) AS BIGINT) cnt2
+                   FROM asg GROUP BY 1, 2, 3),
+            fc AS (SELECT * FROM co WHERE cnt2 = bs)
+            SELECT CAST(lvl AS BIGINT) AS level, bs AS block_hours,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(d * d) AS BIGINT) AS energy
+            FROM fc GROUP BY 1, 2""")
+  )
+
+  /** Non-negative running stock via the reflecting-barrier identity:
+    * clamping a running balance at zero — an inherently SEQUENTIAL
+    * recurrence L_t = max(0, L_{t−1} + net_t) — equals
+    * L_t = S_t − min(0, min_{s≤t} S_s) on plain cumulative sums, so
+    * one window pass computes what looks like an un-parallelizable
+    * fold. Exact quantity-cent integers; restocks are 'R'-flagged
+    * lineitems, shipments everything else, per supplier per ship-day.
+    * Output: per-supplier summary (final raw balance, final clamped
+    * level, clamped peak, days active).
+    */
+  val q285ClampedBalance: QueryDef = QueryDef(
+    "q285_clamped_balance",
+    (s, dir) => {
+      val flows = Tables.lineitem(s, dir)
+        .select(
+          col("l_suppkey").cast("long").as("key"),
+          expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+            .as("day"),
+          when(col("l_returnflag") === "R",
+            expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+            .otherwise(expr("-CAST(round(l_quantity * 100) AS BIGINT)")).as("net"))
+        .groupBy(col("key"), col("day"))
+        .agg(sum(col("net")).as("dnet"))
+      Timeseries.clampedBalance(flows).withColumnRenamed("key", "s_key")
+    },
+    Some("""WITH f AS (SELECT CAST(l_suppkey AS BIGINT) s_key,
+                              epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS day,
+                              CAST(sum(CASE WHEN l_returnflag = 'R'
+                                       THEN CAST(round(l_quantity * 100) AS BIGINT)
+                                       ELSE -CAST(round(l_quantity * 100) AS BIGINT) END)
+                                   AS BIGINT) dnet
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT *, CAST(sum(dnet) OVER w AS BIGINT) s_cum
+                  FROM f
+                  WINDOW w AS (PARTITION BY s_key ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            c2 AS (SELECT *, CAST(min(s_cum) OVER w2 AS BIGINT) m_cum
+                   FROM c
+                   WINDOW w2 AS (PARTITION BY s_key ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            l AS (SELECT *, s_cum - least(0, m_cum) AS level FROM c2)
+            SELECT s_key, CAST(count(*) AS BIGINT) n_days,
+                   CAST(max_by(s_cum, day) AS BIGINT) final_raw,
+                   CAST(max_by(level, day) AS BIGINT) final_level,
+                   CAST(max(level) AS BIGINT) peak_level
+            FROM l GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
-      q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis)
+      q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
+      q283HilbertLayout, q284HaarEnergy, q285ClampedBalance)
 }

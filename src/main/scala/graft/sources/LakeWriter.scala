@@ -142,6 +142,71 @@ object LakeWriter {
       .parquet(path)
   }
 
+  /** Hilbert-curve index of two bucketized dimensions — the
+    * locality-preserving alternative to [[zValue]]: consecutive curve
+    * positions are always grid-adjacent (Z-order jumps at power-of-two
+    * seams), so range boxes touch fewer distinct file ranges and
+    * min/max row-group pruning skips more. Backed by the compiled
+    * [[graft.functions.HilbertIndex]] Catalyst expression — the
+    * per-level recurrence is a generated LOOP; a pure Column unroll
+    * duplicates subtrees exponentially and OOMs the analyzer at
+    * useful bit depths.
+    *
+    * Inputs must already be bucketized to [0, 2^bits). Returns the
+    * curve position in [0, 4^bits).
+    */
+  def hilbertValue(xIn: Column, yIn: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, "bits in [1,16]")
+    graft.functions.HilbertIndex.register(SparkSession.active)
+    call_function("hilbert_index", xIn.cast("long"), yIn.cast("long"), lit(bits))
+  }
+
+  /** Hilbert-clustered rewrite of `df` on two numeric columns — same
+    * contract as [[writeZOrdered]] (equal-width bucketing from one
+    * min/max pass, range-partitioned sorted write), but ordered along
+    * the Hilbert curve for strictly better locality on 2-D range
+    * predicates.
+    */
+  def writeHilbert(
+      df: DataFrame,
+      path: String,
+      hCols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 0,
+      maxRecordsPerFile: Long = 1000000L
+  ): Unit = {
+    require(hCols.size == 2, "hilbert layout is two-dimensional")
+    val statExprs = hCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val buckets = 1 << bits
+    val bucketed = hCols.zipWithIndex.map { case (c, i) =>
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val mn = stats.getDouble(2 * i)
+        val mx = stats.getDouble(2 * i + 1)
+        if (mx <= mn) lit(0L)
+        else
+          least(
+            lit(buckets.toLong - 1),
+            greatest(
+              lit(0L),
+              floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * buckets).cast("long")))
+      }
+    }
+    val withH = df.withColumn("__h", hilbertValue(bucketed(0), bucketed(1), bits))
+    val arranged =
+      (if (numFiles > 0) withH.repartitionByRange(numFiles, col("__h"))
+       else withH.repartitionByRange(col("__h")))
+        .sortWithinPartitions(col("__h"))
+        .drop("__h")
+    arranged.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Hash-bucketed layout: rows land in `numBuckets` directories by
     * `pmod(xxhash64(key), numBuckets)` — the metastore-free equivalent
     * of `bucketBy` (Spark's own bucketed tables need a catalog; a lake

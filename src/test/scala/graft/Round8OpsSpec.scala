@@ -217,6 +217,81 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(prunedCount < fullCount)
   }
 
+  // ---- hilbert layout -------------------------------------------------
+
+  test("hilbertValue matches the reference xy2d transform and is a bijection") {
+    import org.apache.spark.sql.functions._
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L; var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 3
+    val n = 1 << bits
+    val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val df = cells.toDF("x", "y")
+      .withColumn("d", graft.sources.LakeWriter.hilbertValue(col("x"), col("y"), bits))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cells.foreach { case (x, y) => assert(got((x, y)) === ref(bits, x, y)) }
+    assert(got.values.toSeq.sorted === (0L until (n.toLong * n)).toSeq)
+    // the locality property that justifies the curve: consecutive curve
+    // positions are always grid-ADJACENT (Manhattan distance 1)
+    val byD = got.toSeq.map { case ((x, y), d) => d -> (x, y) }.sortBy(_._1).map(_._2)
+    byD.zip(byD.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
+  // ---- haar energy ----------------------------------------------------
+
+  test("haar energy: hand-computed two-level pyramid") {
+    // hourly counts 1,3,2,2 -> level1 details (1-3, 2-2) = (-2, 0),
+    // energy 4; level2 detail (1+3)-(2+2) = 0, energy 0
+    val events = (
+      (1 to 1).map(i => (i.toLong, ts("2024-01-01 00:10:00"), 1L)) ++
+        (1 to 3).map(i => (10L + i, ts("2024-01-01 01:10:00"), 1L)) ++
+        (1 to 2).map(i => (20L + i, ts("2024-01-01 02:10:00"), 1L)) ++
+        (1 to 2).map(i => (30L + i, ts("2024-01-01 03:10:00"), 1L))
+      ).toDF("event_id", "ts", "user_id")
+    val out = Timeseries.haarEnergy(events, maxLevel = 2).collect()
+      .map(r => r.getAs[Long]("level") -> r).toMap
+    assert(out(1L).getAs[Long]("n_blocks") === 2L)
+    assert(out(1L).getAs[Long]("energy") === 4L)
+    assert(out(2L).getAs[Long]("n_blocks") === 1L)
+    assert(out(2L).getAs[Long]("energy") === 0L)
+  }
+
+  // ---- clamped balance ------------------------------------------------
+
+  test("clamped balance: reflecting-barrier identity equals the sequential fold") {
+    // nets +5, -10, +3, -1 -> sequential clamp levels 5, 0, 3, 2
+    val flows = Seq(
+      (1L, 1L, 5L), (1L, 2L, -10L), (1L, 3L, 3L), (1L, 4L, -1L)
+    ).toDF("key", "day", "dnet")
+    val out = Timeseries.clampedBalance(flows).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("final_raw") === -3L)
+    assert(r.getAs[Long]("final_level") === 2L)
+    assert(r.getAs[Long]("peak_level") === 5L)
+    // property: identity ≡ fold on pseudorandom walks
+    val walk = (1 to 60).map(i => (2L, i.toLong, ((i * 37) % 21 - 10).toLong))
+    val seqLevels = walk.map(_._3).scanLeft(0L)((l, d) => math.max(0L, l + d)).drop(1)
+    val got = Timeseries.clampedBalance(walk.toDF("key", "day", "dnet")).collect().head
+    assert(got.getAs[Long]("final_level") === seqLevels.last)
+    assert(got.getAs[Long]("peak_level") === seqLevels.max)
+  }
+
   // ---- mSPRT ----------------------------------------------------------
 
   test("msprt: planted massive effect rejects; p is non-increasing") {
