@@ -60,4 +60,37 @@ object Intervals {
         sum(col("stop_us") - col("start_us")).as("covered_us"),
         max(col("stop_us") - col("start_us")).as("longest_island_us"))
   }
+
+  /** FIFO matching of per-key supply and demand queues — the
+    * inventory-costing / order-fill primitive — via the cumulative-
+    * interval identity: walking both queues in order and matching
+    * greedily assigns supply s to demand d EXACTLY the quantity their
+    * cumulative intervals overlap:
+    *
+    *   match(s, d) = max(0, min(scum, dcum) − max(scum₀, dcum₀))
+    *
+    * so the sequential two-pointer walk becomes an equi-join on the
+    * key with a θ-overlap filter — per-key bounded, exact integers,
+    * no iteration. Inputs: `supply(key, ord, q)` / `demand(key, ord,
+    * q)` with `ord` the FIFO arrival order (any sortable type; ties
+    * broken by q then arbitrary-but-keyed ord itself must be unique
+    * per key for determinism). Output: (key, matched_q) per key with
+    * any overlap.
+    */
+  def fifoMatch(supply: DataFrame, demand: DataFrame): DataFrame = {
+    def cums(df: DataFrame, pfx: String): DataFrame = {
+      val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn("cum", sum(col("q")).over(w))
+        .select(col("key"), col("cum").as(s"${pfx}cum"),
+          (col("cum") - col("q")).as(s"${pfx}cum0"))
+    }
+    cums(supply, "s")
+      .join(cums(demand, "d"), Seq("key"))
+      .filter(col("scum0") < col("dcum") && col("dcum0") < col("scum"))
+      .select(col("key"),
+        (least(col("scum"), col("dcum")) - greatest(col("scum0"), col("dcum0"))).as("m"))
+      .groupBy(col("key"))
+      .agg(sum(col("m")).as("matched_q"))
+  }
 }

@@ -746,9 +746,187 @@ object Round8 {
             FROM l GROUP BY 1""")
   )
 
+  /** Time-weighted average value per user (the TWAP/metrics-gauge
+    * reduction): each event's value HOLDS until the user's next event;
+    * the average weights each value by its holding time. Exact
+    * cent×µs products summed as decimal(38) (a long sum would
+    * overflow at ~month×100k-row scale), one window pass per user.
+    * Users with a single event have no held interval and are dropped.
+    */
+  val q286Twap: QueryDef = QueryDef(
+    "q286_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val d = "decimal(38,0)"
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_held"),
+          sum((col("c") * col("dt")).cast(d)).as("cw"),
+          sum(col("dt").cast(d)).as("tw"))
+        .select(
+          col("user_id"), col("n_held"),
+          round(col("cw").cast("double") / col("tw").cast("double") / 100.0, 6).as("twap"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) us,
+                              CAST(round(value * 100) AS BIGINT) c FROM events),
+            h AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) - us AS dt FROM e)
+            SELECT user_id, CAST(count(*) AS BIGINT) n_held,
+                   round(CAST(sum(CAST(c AS HUGEINT) * dt) AS DOUBLE) /
+                         CAST(sum(CAST(dt AS HUGEINT)) AS DOUBLE) / 100.0, 6) AS twap
+            FROM h WHERE dt IS NOT NULL GROUP BY 1""")
+  )
+
+  /** FIFO supply↔demand matching per part — the inventory-costing /
+    * order-fill primitive: restocks ('R' lineitems) and shipments each
+    * form cumulative quantity intervals per part, and FIFO matching is
+    * EXACTLY the pairwise overlap of those intervals —
+    * max(0, min(scum,dcum) − max(scum₀,dcum₀)) — turning a sequential
+    * queue walk into an equi-join on partkey with a θ-overlap filter
+    * (bounded per key, exact integer quantity-cents).
+    * Output per part: demand, supply, FIFO-matched quantity, fill rate.
+    */
+  val q287FifoMatch: QueryDef = QueryDef(
+    "q287_fifo_match",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_partkey").cast("long").as("p"),
+        col("l_returnflag"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q"))
+      def side(flag: Boolean) =
+        (if (flag) li.filter(col("l_returnflag") === "R")
+         else li.filter(col("l_returnflag") =!= "R"))
+          .select(col("p").as("key"),
+            struct(col("us"), col("l_orderkey"), col("l_linenumber")).as("ord"), col("q"))
+      val matched = Intervals.fifoMatch(side(true), side(false))
+        .withColumnRenamed("key", "p")
+      val totals = li.groupBy(col("p")).agg(
+        sum(when(col("l_returnflag") === "R", col("q")).otherwise(0L)).as("supply_q"),
+        sum(when(col("l_returnflag") =!= "R", col("q")).otherwise(0L)).as("demand_q"))
+      totals
+        .join(matched, Seq("p"), "left")
+        .filter(col("demand_q") > 0)
+        .select(
+          col("p"), col("demand_q"), col("supply_q"),
+          coalesce(col("matched_q"), lit(0L)).as("matched_q"),
+          round(coalesce(col("matched_q"), lit(0L)).cast("double") /
+            col("demand_q").cast("double"), 6).as("fill_rate"))
+    },
+    Some("""WITH li AS (SELECT CAST(l_partkey AS BIGINT) p, l_returnflag,
+                               epoch_us(CAST(l_shipdate AS TIMESTAMP)) us,
+                               l_orderkey, l_linenumber,
+                               CAST(round(l_quantity * 100) AS BIGINT) q
+                        FROM lineitem),
+            sup AS (SELECT p, CAST(sum(q) OVER w AS BIGINT) scum,
+                           CAST(sum(q) OVER w - q AS BIGINT) scum0
+                    FROM li WHERE l_returnflag = 'R'
+                    WINDOW w AS (PARTITION BY p ORDER BY us, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            dem AS (SELECT p, CAST(sum(q) OVER w AS BIGINT) dcum,
+                           CAST(sum(q) OVER w - q AS BIGINT) dcum0
+                    FROM li WHERE l_returnflag <> 'R'
+                    WINDOW w AS (PARTITION BY p ORDER BY us, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            mt AS (SELECT sup.p,
+                          CAST(sum(least(scum, dcum) - greatest(scum0, dcum0)) AS BIGINT)
+                            matched_q
+                   FROM sup JOIN dem ON sup.p = dem.p
+                   WHERE scum0 < dcum AND dcum0 < scum
+                   GROUP BY 1),
+            tot AS (SELECT p,
+                           CAST(sum(CASE WHEN l_returnflag = 'R' THEN q ELSE 0 END)
+                                AS BIGINT) supply_q,
+                           CAST(sum(CASE WHEN l_returnflag <> 'R' THEN q ELSE 0 END)
+                                AS BIGINT) demand_q
+                    FROM li GROUP BY 1)
+            SELECT tot.p, demand_q, supply_q,
+                   CAST(coalesce(matched_q, 0) AS BIGINT) AS matched_q,
+                   round(CAST(coalesce(matched_q, 0) AS DOUBLE) / demand_q, 6) AS fill_rate
+            FROM tot LEFT JOIN mt ON tot.p = mt.p
+            WHERE demand_q > 0""")
+  )
+
+  /** Exponential goodness-of-fit of inter-arrival gaps (the "is this a
+    * Poisson process?" check): pooled per-user gaps, λ̂ = n/Σdt, and
+    * the KS distance between the empirical CDF and 1−e^(−λ̂t)
+    * evaluated at BOTH step corners of every distinct gap (the sup of
+    * a step-vs-continuous difference sits at a corner). Theoretical
+    * CDF values snapped to the 2⁻³⁰ grid; counts exact.
+    */
+  val q288ExpGof: QueryDef = QueryDef(
+    "q288_exp_gof",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("dt", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("dt").isNotNull)
+        .select(col("dt"))
+      val agg = gaps.agg(count(lit(1)).as("n"), sum(col("dt")).as("sdt"))
+      val byGap = gaps.groupBy(col("dt")).agg(count(lit(1)).as("c"))
+      val wOrd = Window.orderBy(col("dt")).rowsBetween(Window.unboundedPreceding, 0)
+      val grid = 1073741824.0
+      val lam = col("n").cast("double") / col("sdt").cast("double") // per µs
+      val ftheo = floor(
+        (lit(1.0) - exp(-(col("n").cast("double") / col("sdt").cast("double")) *
+          col("dt").cast("double"))) * lit(grid) + lit(0.5)) / lit(grid)
+      val steps = byGap
+        .withColumn("cumc", sum(col("c")).over(wOrd))
+        .crossJoin(broadcast(agg))
+        .withColumn("f_emp", col("cumc").cast("double") / col("n").cast("double"))
+        .withColumn("f_prev", (col("cumc") - col("c")).cast("double") / col("n").cast("double"))
+        .withColumn("f_theo", ftheo)
+        .withColumn("dev", greatest(
+          abs(col("f_emp") - col("f_theo")), abs(col("f_prev") - col("f_theo"))))
+      steps
+        .agg(max(col("n")).as("n_gaps"), max(col("dev")).as("d"),
+          max(lam * lit(3600000000.0)).as("lph"))
+        .select(
+          col("n_gaps"),
+          round(col("lph"), 6).as("lambda_per_hour"),
+          round(col("d"), 6).as("ks_d"),
+          (col("d") > lit(1.36) / sqrt(col("n_gaps").cast("double"))).as("reject_5pct"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),
+            g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS dt FROM e),
+            gg AS (SELECT dt FROM g WHERE dt IS NOT NULL),
+            a AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dt) AS BIGINT) sdt FROM gg),
+            bg AS (SELECT dt, CAST(count(*) AS BIGINT) c FROM gg GROUP BY 1),
+            st AS (SELECT dt, c, CAST(sum(c) OVER (ORDER BY dt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cumc
+                   FROM bg),
+            dv AS (SELECT st.*, a.n, a.sdt,
+                          CAST(cumc AS DOUBLE) / a.n AS f_emp,
+                          CAST(cumc - c AS DOUBLE) / a.n AS f_prev,
+                          floor((1.0 - exp(-(CAST(a.n AS DOUBLE) / a.sdt) *
+                                CAST(dt AS DOUBLE))) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS f_theo
+                   FROM st CROSS JOIN a),
+            dd AS (SELECT n, sdt,
+                          greatest(abs(f_emp - f_theo), abs(f_prev - f_theo)) AS dev
+                   FROM dv),
+            f AS (SELECT CAST(max(n) AS BIGINT) n_gaps, max(dev) d,
+                         max(CAST(n AS DOUBLE) / sdt * 3600000000.0) lph
+                  FROM dd)
+            SELECT n_gaps, round(lph, 6) AS lambda_per_hour, round(d, 6) AS ks_d,
+                   d > 1.36 / sqrt(CAST(n_gaps AS DOUBLE)) AS reject_5pct
+            FROM f""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
       q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
-      q283HilbertLayout, q284HaarEnergy, q285ClampedBalance)
+      q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
+      q287FifoMatch, q288ExpGof)
 }

@@ -270,6 +270,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("energy") === 0L)
   }
 
+  // ---- FIFO matching --------------------------------------------------
+
+  test("fifo match: cumulative-interval identity equals the literal queue walk") {
+    def walk(sup: Seq[Long], dem: Seq[Long]): Long = {
+      // literal two-pointer FIFO walk
+      var si = 0; var di = 0
+      var sRem = if (sup.nonEmpty) sup.head else 0L
+      var dRem = if (dem.nonEmpty) dem.head else 0L
+      var m = 0L
+      while (si < sup.length && di < dem.length) {
+        val take = math.min(sRem, dRem)
+        m += take; sRem -= take; dRem -= take
+        if (sRem == 0) { si += 1; if (si < sup.length) sRem = sup(si) }
+        if (dRem == 0) { di += 1; if (di < dem.length) dRem = dem(di) }
+      }
+      m
+    }
+    val cases = Seq(
+      (Seq(5L, 4L), Seq(3L, 4L)),   // surplus supply
+      (Seq(3L), Seq(5L, 4L)),       // scarce supply
+      (Seq(2L, 2L, 2L), Seq(6L)),   // one demand spans many supplies
+      (Seq(7L), Seq(1L, 1L, 1L)))   // one supply feeds many demands
+    cases.zipWithIndex.foreach { case ((sup, dem), k) =>
+      val supDf = sup.zipWithIndex.map { case (q, i) => (k.toLong, i.toLong, q) }
+        .toDF("key", "ord", "q")
+      val demDf = dem.zipWithIndex.map { case (q, i) => (k.toLong, i.toLong, q) }
+        .toDF("key", "ord", "q")
+      val got = Intervals.fifoMatch(supDf, demDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.getOrElse(k.toLong, 0L) === walk(sup, dem), s"case $k")
+    }
+  }
+
   // ---- clamped balance ------------------------------------------------
 
   test("clamped balance: reflecting-barrier identity equals the sequential fold") {
