@@ -357,6 +357,83 @@ object Timeseries {
         max(col("level")).as("peak_level"))
   }
 
+  /** Two-state burst detection on the hourly count series — the
+    * Kleinberg burst model in its batched form: a baseline state with
+    * Poisson rate λ₀ = mean and a burst state at λ₁ = `scale`·λ₀, a
+    * one-time escalation penalty γ = ln T, and the minimum-cost state
+    * path by min-sum Viterbi. Decoding uses forward AND backward DP
+    * (best(t,i) = F_t(i) + B_t(i); argmin per t, ties → baseline), so
+    * each hour's state is on a globally optimal path.
+    *
+    * Determinism: every emission cost and the escalation penalty are
+    * snapped to the 2⁻³⁰ grid BEFORE accumulation; DP values are sums
+    * of ≤ T such dyadics (integer part < 2¹⁷ for any month-scale
+    * series), hence exact in double in any order — argmin decisions
+    * replay bit-identically, including in a relational oracle that
+    * runs the same DP as a recursive CTE.
+    *
+    * Scale shape: the DP runs on the DRIVER over the hourly histogram
+    * (bounded by time span, not corpus size — the k-means/Markov
+    * bounded-model-state posture); corpus-sized work is the one
+    * hourly count aggregation.
+    *
+    * Output: (state, n_hours, n_episodes, total_events) — an episode
+    * is a maximal run of the state.
+    */
+  def burstViterbi(events: DataFrame, scale: Double = 3.0): DataFrame = {
+    require(scale > 1.0, "burst rate must exceed baseline")
+    val grid = 1073741824.0
+    def snap(x: Double): Double = math.floor(x * grid + 0.5) / grid
+    val spark = events.sparkSession
+    val series = hourlySeries(events).orderBy(col("idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val t = series.length
+    require(t >= 1, "empty series")
+    val total = series.map(_._2).sum
+    val lam0 = total.toDouble / t.toDouble
+    val lam1 = scale * lam0
+    val gamma = snap(math.log(t.toDouble))
+    def emit(i: Int, x: Long): Double = {
+      val l = if (i == 0) lam0 else lam1
+      snap(l - x.toDouble * math.log(l))
+    }
+    // forward: F_t(i); switching 0->1 costs gamma, 1->0 free
+    val f = Array.ofDim[Double](t, 2)
+    f(0)(0) = emit(0, series(0)._2)
+    f(0)(1) = emit(1, series(0)._2) + gamma
+    for (k <- 1 until t; i <- 0 to 1) {
+      val pen0 = f(k - 1)(0) + (if (i == 1) gamma else 0.0)
+      val pen1 = f(k - 1)(1)
+      f(k)(i) = emit(i, series(k)._2) + math.min(pen0, pen1)
+    }
+    // backward: B_t(i) = min over next-state j of pen(i->j) + emit_j(t+1) + B_{t+1}(j)
+    val b = Array.ofDim[Double](t, 2)
+    for (k <- t - 2 to 0 by -1; i <- 0 to 1) {
+      val to0 = emit(0, series(k + 1)._2) + b(k + 1)(0)
+      val to1 = (if (i == 0) gamma else 0.0) + emit(1, series(k + 1)._2) + b(k + 1)(1)
+      b(k)(i) = math.min(to0, to1)
+    }
+    val states = series.indices.map { k =>
+      val c0 = f(k)(0) + b(k)(0)
+      val c1 = f(k)(1) + b(k)(1)
+      (series(k)._1, if (c1 < c0) 1L else 0L, series(k)._2)
+    }
+    import spark.implicits._
+    val st = states.toDF("idx", "state", "x")
+    val wOrd = Window.orderBy(col("idx"))
+    st
+      .withColumn("prev", lag(col("state"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull || col("prev") =!= col("state"), 1L)
+        .otherwise(0L))
+      .withColumn("ep", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("state"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        countDistinct(col("ep")).as("n_episodes"),
+        sum(col("x")).as("total_events"))
+  }
+
   /** Un-normalized Haar wavelet energy spectrum of the hourly count
     * series: at each dyadic level k (block size 2^k), the detail
     * coefficient of block j is

@@ -923,10 +923,72 @@ object Round8 {
             FROM f""")
   )
 
+  /** Kleinberg-style two-state burst detection
+    * ([[graft.operators.Timeseries.burstViterbi]]): min-sum Viterbi
+    * over the hourly series with snapped Poisson costs — the
+    * sequential DP replays EXACTLY in the oracle as a pair of
+    * recursive CTEs (forward + backward), because every accumulated
+    * term is a dyadic rational.
+    */
+  val q289BurstViterbi: QueryDef = QueryDef(
+    "q289_burst_viterbi",
+    (s, dir) => Timeseries.burstViterbi(Tables.events(s, dir)),
+    Some("""WITH RECURSIVE
+            h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            bnd AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            srs AS (SELECT g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                    FROM (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM bnd) g
+                    LEFT JOIN cnt c USING (hh)),
+            par AS (SELECT CAST(count(*) AS BIGINT) t, CAST(sum(x) AS BIGINT) s FROM srs),
+            pp AS (SELECT t, CAST(s AS DOUBLE) / t AS lam0,
+                          3.0 * (CAST(s AS DOUBLE) / t) AS lam1,
+                          floor(ln(CAST(t AS DOUBLE)) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS gamma
+                   FROM par),
+            em AS (SELECT idx, x,
+                          floor((lam0 - x * ln(lam0)) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS e0,
+                          floor((lam1 - x * ln(lam1)) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS e1
+                   FROM srs CROSS JOIN pp),
+            fwd AS (
+              SELECT CAST(0 AS BIGINT) AS idx, e0 AS f0, e1 + gamma AS f1
+              FROM em CROSS JOIN pp WHERE idx = 0
+              UNION ALL
+              SELECT CAST(e.idx AS BIGINT),
+                     e.e0 + least(f.f0, f.f1),
+                     e.e1 + least(f.f0 + pp.gamma, f.f1)
+              FROM fwd f JOIN em e ON e.idx = f.idx + 1 CROSS JOIN pp),
+            bwd AS (
+              SELECT CAST(t - 1 AS BIGINT) AS idx,
+                     CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM pp
+              UNION ALL
+              SELECT CAST(b.idx - 1 AS BIGINT),
+                     least(e.e0 + b.b0, pp.gamma + e.e1 + b.b1),
+                     least(e.e0 + b.b0, e.e1 + b.b1)
+              FROM bwd b JOIN em e ON e.idx = b.idx CROSS JOIN pp
+              WHERE b.idx > 0),
+            dec AS (SELECT s.idx, s.x,
+                           CASE WHEN f.f1 + w.b1 < f.f0 + w.b0 THEN 1 ELSE 0 END AS state
+                    FROM srs s JOIN fwd f USING (idx) JOIN bwd w USING (idx)),
+            runs AS (SELECT *, CASE WHEN lag(state) OVER (ORDER BY idx) IS NULL
+                                     OR lag(state) OVER (ORDER BY idx) <> state
+                                THEN 1 ELSE 0 END brk
+                     FROM dec),
+            ep AS (SELECT *, sum(brk) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) epi
+                   FROM runs)
+            SELECT CAST(state AS BIGINT) AS state, CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(count(DISTINCT epi) AS BIGINT) AS n_episodes,
+                   CAST(sum(x) AS BIGINT) AS total_events
+            FROM ep GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
       q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
       q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
-      q287FifoMatch, q288ExpGof)
+      q287FifoMatch, q288ExpGof, q289BurstViterbi)
 }

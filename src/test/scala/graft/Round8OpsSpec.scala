@@ -303,6 +303,36 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- burst viterbi --------------------------------------------------
+
+  test("burst viterbi: planted 3-hour burst decodes as one burst episode") {
+    var id = 0L
+    val events = (0 until 23).flatMap { h =>
+      val c = if (h >= 10 && h <= 12) 30 else 2
+      (1 to c).map { _ =>
+        id += 1
+        (id, ts(f"2024-01-01 $h%02d:30:00"), 1L)
+      }
+    }.toDF("event_id", "ts", "user_id")
+    val out = Timeseries.burstViterbi(events).collect()
+      .map(r => r.getAs[Long]("state") -> r).toMap
+    assert(out.contains(1L), "burst state never fired")
+    assert(out(1L).getAs[Long]("n_hours") === 3L)
+    assert(out(1L).getAs[Long]("n_episodes") === 1L)
+    assert(out(1L).getAs[Long]("total_events") === 90L)
+    assert(out(0L).getAs[Long]("n_hours") === 20L)
+  }
+
+  test("burst viterbi: flat series stays entirely in baseline") {
+    val events = (0 until 24).flatMap { h =>
+      (1 to 5).map(i => (h * 10L + i, ts(f"2024-01-01 $h%02d:15:00"), 1L))
+    }.toDF("event_id", "ts", "user_id")
+    val out = Timeseries.burstViterbi(events).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("state") === 0L)
+    assert(out.head.getAs[Long]("n_hours") === 24L)
+  }
+
   // ---- clamped balance ------------------------------------------------
 
   test("clamped balance: reflecting-barrier identity equals the sequential fold") {
