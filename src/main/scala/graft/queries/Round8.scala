@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooccur, Eval, Intervals, NaiveBayes, Pii, Sessionize, Shapley, Timeseries}
+import graft.operators.{Cooccur, Eval, Intervals, Jenks, NaiveBayes, Pii, Sessionize, Shapley, Timeseries}
 import graft.sources.Tables
 
 /** Round-8 additions (q270+): the remaining attribution model (exact
@@ -985,10 +985,78 @@ object Round8 {
             FROM ep GROUP BY 1""")
   )
 
+  /** Jenks natural breaks ([[graft.operators.Jenks.naturalBreaks4]]):
+    * v-optimal 4-class split of order totals (dollar grain, $200
+    * histogram bins) by the fully relational O(B²k) DP — no snapping
+    * needed because the DP has no order-dependent float sums; the
+    * oracle replays histogram, prefix sums, three join+argmin stages,
+    * and the backtrack.
+    */
+  val q290JenksBreaks: QueryDef = QueryDef(
+    "q290_jenks_breaks",
+    (s, dir) =>
+      Jenks.naturalBreaks4(
+        Tables.orders(s, dir).select(expr("CAST(round(o_totalprice) AS BIGINT)").as("v")),
+        binWidth = 200L),
+    Some("""WITH vals AS (SELECT CAST(round(o_totalprice) AS BIGINT) v FROM orders),
+            hist AS (SELECT v // 200 AS bin, CAST(count(*) AS BIGINT) nb,
+                            CAST(sum(v) AS BIGINT) sb, CAST(sum(v * v) AS BIGINT) ssb
+                     FROM vals GROUP BY 1),
+            pre0 AS (SELECT CAST(row_number() OVER (ORDER BY bin) AS BIGINT) i, bin, nb, sb,
+                            CAST(sum(nb) OVER w AS BIGINT) cn,
+                            CAST(sum(sb) OVER w AS BIGINT) cs,
+                            CAST(sum(ssb) OVER w AS BIGINT) css
+                     FROM hist WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)),
+            d1 AS (SELECT i, CAST(css AS DOUBLE) -
+                             CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS d
+                   FROM pre0),
+            p2 AS (SELECT i.i AS i, j.i AS j,
+                          d1.d + (CAST(i.css - j.css AS DOUBLE) -
+                            CAST(i.cs - j.cs AS DOUBLE) * CAST(i.cs - j.cs AS DOUBLE) /
+                            CAST(i.cn - j.cn AS DOUBLE)) AS v
+                   FROM pre0 i JOIN d1 ON d1.i < i.i AND d1.i >= 1
+                   JOIN pre0 j ON j.i = d1.i),
+            m2 AS (SELECT i, min(v) d FROM p2 GROUP BY 1),
+            d2 AS (SELECT p2.i, m2.d, CAST(min(p2.j) AS BIGINT) arg
+                   FROM p2 JOIN m2 ON m2.i = p2.i AND p2.v = m2.d GROUP BY 1, 2),
+            p3 AS (SELECT i.i AS i, j.i AS j,
+                          d2.d + (CAST(i.css - j.css AS DOUBLE) -
+                            CAST(i.cs - j.cs AS DOUBLE) * CAST(i.cs - j.cs AS DOUBLE) /
+                            CAST(i.cn - j.cn AS DOUBLE)) AS v
+                   FROM pre0 i JOIN d2 ON d2.i < i.i AND d2.i >= 2
+                   JOIN pre0 j ON j.i = d2.i),
+            m3 AS (SELECT i, min(v) d FROM p3 GROUP BY 1),
+            d3 AS (SELECT p3.i, m3.d, CAST(min(p3.j) AS BIGINT) arg
+                   FROM p3 JOIN m3 ON m3.i = p3.i AND p3.v = m3.d GROUP BY 1, 2),
+            p4 AS (SELECT i.i AS i, j.i AS j,
+                          d3.d + (CAST(i.css - j.css AS DOUBLE) -
+                            CAST(i.cs - j.cs AS DOUBLE) * CAST(i.cs - j.cs AS DOUBLE) /
+                            CAST(i.cn - j.cn AS DOUBLE)) AS v
+                   FROM pre0 i JOIN d3 ON d3.i < i.i AND d3.i >= 3
+                   JOIN pre0 j ON j.i = d3.i),
+            m4 AS (SELECT i, min(v) d FROM p4 GROUP BY 1),
+            d4 AS (SELECT p4.i, m4.d, CAST(min(p4.j) AS BIGINT) arg
+                   FROM p4 JOIN m4 ON m4.i = p4.i AND p4.v = m4.d GROUP BY 1, 2),
+            bm AS (SELECT max(i) b FROM pre0),
+            k3 AS (SELECT arg AS b3 FROM d4 JOIN bm ON d4.i = bm.b),
+            k2 AS (SELECT d3.arg AS b2, b3 FROM d3 JOIN k3 ON d3.i = k3.b3),
+            k1 AS (SELECT d2.arg AS b1, b2, b3 FROM d2 JOIN k2 ON d2.i = k2.b2),
+            cls AS (SELECT pre0.*, CASE WHEN i <= b1 THEN 1 WHEN i <= b2 THEN 2
+                                        WHEN i <= b3 THEN 3 ELSE 4 END AS cl
+                    FROM pre0 CROSS JOIN k1)
+            SELECT CAST(cl AS BIGINT) AS class,
+                   CAST(min(bin) * 200 AS BIGINT) AS lo_edge,
+                   CAST((max(bin) + 1) * 200 - 1 AS BIGINT) AS hi_edge,
+                   CAST(sum(nb) AS BIGINT) AS n_rows,
+                   round(CAST(sum(sb) AS DOUBLE) / sum(nb), 6) AS mean
+            FROM cls GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
       q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
       q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
-      q287FifoMatch, q288ExpGof, q289BurstViterbi)
+      q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks)
 }

@@ -303,6 +303,23 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- jenks breaks ---------------------------------------------------
+
+  test("jenks: four well-separated clusters are recovered exactly") {
+    val vals = (Seq(1L, 2L, 3L) ++ Seq(100L, 101L) ++ Seq(200L, 201L, 202L) ++ Seq(300L))
+      .toDF("v")
+    val out = Jenks.naturalBreaks4(vals, binWidth = 1L).collect()
+      .map(r => r.getAs[Long]("class") -> r).toMap
+    assert(out.size === 4)
+    assert(out(1L).getAs[Long]("n_rows") === 3L) // {1,2,3}
+    assert(out(2L).getAs[Long]("n_rows") === 2L) // {100,101}
+    assert(out(3L).getAs[Long]("n_rows") === 3L) // {200,201,202}
+    assert(out(4L).getAs[Long]("n_rows") === 1L) // {300}
+    assert(out(1L).getAs[Double]("mean") === 2.0)
+    assert(out(4L).getAs[Double]("mean") === 300.0)
+    assert(out(2L).getAs[Long]("lo_edge") === 100L)
+  }
+
   // ---- burst viterbi --------------------------------------------------
 
   test("burst viterbi: planted 3-hour burst decodes as one burst episode") {
