@@ -389,10 +389,14 @@ object Sessionize {
     *
     * Output: (a, b, n_sessions_ab, n_sessions, support) for a ≠ b.
     */
-  def subsequenceSupport(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+  /** Sessionized event positions: (user_id, sess, event_type, pos)
+    * with `pos` the 1-based rank inside the (user, session) — the
+    * shared base of the subsequence-mining family.
+    */
+  private def sessionPositions(events: DataFrame, gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val lagUs = lag(col("us"), 1).over(byUser)
-    val sess = events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn(
@@ -401,6 +405,11 @@ object Sessionize {
       .withColumn("sess", sum(col("brk")).over(byUser))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("user_id"), col("sess")).orderBy(col("us"), col("event_id"))))
+      .select(col("user_id"), col("sess"), col("event_type"), col("pos"))
+  }
+
+  def subsequenceSupport(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val sess = sessionPositions(events, gapSec)
     // per-session per-type first/last position: alphabet-bounded profile
     val profile = sess
       .groupBy(col("user_id"), col("sess"), col("event_type"))
@@ -420,5 +429,52 @@ object Sessionize {
       .withColumn(
         "support",
         round(col("n_sessions_ab").cast("double") / col("n_sessions").cast("double"), 6))
+  }
+
+  /** Three-step gap-tolerant sequence support (the PrefixSpan length-3
+    * primitive): share of sessions containing a..b..c as a
+    * SUBSEQUENCE. A session contains a..b..c iff SOME b-position lies
+    * strictly between first_pos(a) and last_pos(c) — equivalently,
+    * the SMALLEST b-position after first_pos(a) is before
+    * last_pos(c). So beyond [[subsequenceSupport]]'s per-type
+    * (min, max) profile, the only extra state is "earliest b after
+    * a's first touch" per (session, a, b) — an alphabet²-bounded
+    * aggregation over b-events, still linear in session length,
+    * never positions×positions.
+    *
+    * Output: (a, b, c, n_sessions_abc, n_sessions, support) for
+    * pairwise-distinct types.
+    */
+  def subsequenceSupport3(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val sess = sessionPositions(events, gapSec)
+    val profile = sess
+      .groupBy(col("user_id"), col("sess"), col("event_type"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+    val nSessions = profile
+      .select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    // earliest b-position strictly after a's first position
+    val bAfterA = sess
+      .select(col("user_id"), col("sess"), col("event_type").as("b"), col("pos"))
+      .join(
+        profile.select(col("user_id"), col("sess"), col("event_type").as("a"),
+          col("first_pos").as("fa")),
+        Seq("user_id", "sess"))
+      .filter(col("a") =!= col("b") && col("pos") > col("fa"))
+      .groupBy(col("user_id"), col("sess"), col("a"), col("b"))
+      .agg(min(col("pos")).as("b_after_a"))
+    bAfterA
+      .join(
+        profile.select(col("user_id"), col("sess"), col("event_type").as("c"),
+          col("last_pos").as("lc")),
+        Seq("user_id", "sess"))
+      .filter(col("c") =!= col("a") && col("c") =!= col("b") &&
+        col("b_after_a") < col("lc"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_sessions_abc"))
+      .crossJoin(broadcast(nSessions))
+      .withColumn(
+        "support",
+        round(col("n_sessions_abc").cast("double") / col("n_sessions").cast("double"), 6))
   }
 }

@@ -1053,10 +1053,188 @@ object Round8 {
             FROM cls GROUP BY 1""")
   )
 
+  /** Three-step sequence support
+    * ([[graft.operators.Sessionize.subsequenceSupport3]]): a..b..c
+    * subsequence share per session via the earliest-b-after-a profile
+    * — alphabet²-bounded state, linear in session length. Oracle
+    * replays sessionization and both profile joins.
+    */
+  val q291Seq3Mining: QueryDef = QueryDef(
+    "q291_seq3_mining",
+    (s, dir) => Sessionize.subsequenceSupport3(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+            l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) pus FROM e),
+            bb AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                     THEN 1 ELSE 0 END brk FROM l),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) sess FROM bb),
+            p AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                    ORDER BY us, event_id) pos FROM s),
+            pr AS (SELECT user_id, sess, event_type, min(pos) fp, max(pos) lp
+                   FROM p GROUP BY 1, 2, 3),
+            ns AS (SELECT CAST(count(*) AS BIGINT) n_sessions
+                   FROM (SELECT DISTINCT user_id, sess FROM pr)),
+            ba AS (SELECT p.user_id, p.sess, x.event_type a, p.event_type b,
+                          min(p.pos) b_after_a
+                   FROM p JOIN pr x ON x.user_id = p.user_id AND x.sess = p.sess
+                   WHERE x.event_type <> p.event_type AND p.pos > x.fp
+                   GROUP BY 1, 2, 3, 4),
+            tr AS (SELECT ba.a, ba.b, c.event_type c,
+                          CAST(count(*) AS BIGINT) n_sessions_abc
+                   FROM ba JOIN pr c ON c.user_id = ba.user_id AND c.sess = ba.sess
+                   WHERE c.event_type <> ba.a AND c.event_type <> ba.b
+                     AND ba.b_after_a < c.lp
+                   GROUP BY 1, 2, 3)
+            SELECT a, b, c, n_sessions_abc, n_sessions,
+                   round(CAST(n_sessions_abc AS DOUBLE) / n_sessions, 6) AS support
+            FROM tr CROSS JOIN ns""")
+  )
+
+  /** Snapshot expiry + orphan GC ([[graft.sources.LakeLog.vacuum]]):
+    * three single-file overwrite versions, vacuum to the last one,
+    * then read back — the expiry/orphan counts are deterministic
+    * (coalesce(1) writes) and the surviving data must equal the plain
+    * final-slice aggregate. Expired-version unreadability is pinned
+    * in Round8OpsSpec.
+    */
+  val q292Vacuum: QueryDef = QueryDef(
+    "q292_vacuum",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q292").resolve("orders_vac").toString
+      def slice(status: String) = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_orderkey"), col("o_totalprice")).coalesce(1)
+      graft.sources.LakeLog.overwrite(slice("F"), path)
+      graft.sources.LakeLog.overwrite(slice("P"), path)
+      graft.sources.LakeLog.overwrite(slice("O"), path)
+      val (expired, orphans) = graft.sources.LakeLog.vacuum(path, keepLast = 1)
+      graft.sources.LakeLog.read(s, path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+        .select(
+          lit(expired.toLong).as("n_expired"),
+          lit(orphans.toLong).as("n_orphans"),
+          col("n_rows"), col("total_cents"))
+    },
+    Some("""SELECT CAST(2 AS BIGINT) AS n_expired, CAST(2 AS BIGINT) AS n_orphans,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders WHERE o_orderstatus = 'O'""")
+  )
+
+  /** Word burstiness (Church–Gale): per word, the within-document
+    * clumping rate cf/df and the observed-vs-Poisson document
+    * frequency ratio df / (N·(1−e^(−cf/N))) — words that concentrate
+    * in few documents (topical terms) score high on both; function
+    * words sit near 1. Margins are integer counts; the one exp() is
+    * snapped.
+    */
+  val q293WordBurstiness: QueryDef = QueryDef(
+    "q293_word_burstiness",
+    (s, dir) => {
+      val grid = 1073741824.0
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val stats = toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      val expectedDf = floor(
+        col("n_docs").cast("double") *
+          (lit(1.0) - exp(-(col("cf").cast("double") / col("n_docs").cast("double")))) *
+          lit(grid) + lit(0.5)) / lit(grid)
+      stats
+        .crossJoin(broadcast(n))
+        .select(
+          col("word"), col("cf"), col("df"),
+          round(col("cf").cast("double") / col("df").cast("double"), 6).as("per_doc_rate"),
+          round(col("df").cast("double") / expectedDf, 6).as("df_over_expected"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                          FROM documents),
+            tk AS (SELECT * FROM toks WHERE length(word) > 0),
+            n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+            st AS (SELECT word, CAST(count(*) AS BIGINT) cf,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) df
+                   FROM tk GROUP BY 1)
+            SELECT word, cf, df,
+                   round(CAST(cf AS DOUBLE) / df, 6) AS per_doc_rate,
+                   round(CAST(df AS DOUBLE) /
+                         (floor(CAST(n_docs AS DOUBLE) *
+                                (1.0 - exp(-(CAST(cf AS DOUBLE) / n_docs))) *
+                                1073741824.0 + 0.5) / 1073741824.0), 6)
+                     AS df_over_expected
+            FROM st CROSS JOIN n""")
+  )
+
+  /** 1-D optimal transport: the exact Wasserstein-1 (earth-mover)
+    * distance between the click and purchase value distributions —
+    * in one dimension EMD = ∫|F_A − F_B|, evaluated on the shared
+    * cent grid as Σ |cumA·n_B − cumB·n_A|·gap / (n_A·n_B): every term
+    * an exact integer product (decimal-summed), ONE division at the
+    * end. The transport-cost complement of KS (q149) and JS (q189).
+    */
+  val q294Emd1d: QueryDef = QueryDef(
+    "q294_emd_1d",
+    (s, dir) => {
+      val d = "decimal(38,0)"
+      val vals = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+      val byV = vals.groupBy(col("v"))
+        .agg(sum(col("isa")).as("na_v"), sum(lit(1L) - col("isa")).as("nb_v"))
+      val wOrd = Window.orderBy(col("v"))
+      val tot = byV.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+      val steps = byV
+        .withColumn("cum_a", sum(col("na_v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_b", sum(col("nb_v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("gap", lead(col("v"), 1).over(wOrd) - col("v"))
+        .filter(col("gap").isNotNull)
+        .crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"),
+          (abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) * col("gap"))
+            .cast(d).as("term"))
+      steps
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(sum(col("term")).as("num"))
+        .select(
+          col("n_a"), col("n_b"),
+          round(col("num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") / 100.0, 6).as("emd"))
+    },
+    Some("""WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) v,
+                                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END isa
+                          FROM events WHERE event_type IN ('click', 'purchase')),
+            byv AS (SELECT v, CAST(sum(isa) AS BIGINT) na_v,
+                           CAST(sum(1 - isa) AS BIGINT) nb_v
+                    FROM vals GROUP BY 1),
+            tot AS (SELECT CAST(sum(na_v) AS BIGINT) n_a, CAST(sum(nb_v) AS BIGINT) n_b
+                    FROM byv),
+            st AS (SELECT v,
+                          CAST(sum(na_v) OVER w AS BIGINT) cum_a,
+                          CAST(sum(nb_v) OVER w AS BIGINT) cum_b,
+                          lead(v) OVER (ORDER BY v) - v AS gap
+                   FROM byv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)),
+            num AS (SELECT CAST(sum(CAST(abs(cum_a * n_b - cum_b * n_a) * gap AS HUGEINT))
+                                AS DOUBLE) num, max(n_a) n_a, max(n_b) n_b
+                    FROM st CROSS JOIN tot WHERE gap IS NOT NULL)
+            SELECT CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b,
+                   round(num / CAST(n_a * n_b AS DOUBLE) / 100.0, 6) AS emd
+            FROM num""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
       q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
       q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
-      q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks)
+      q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks,
+      q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d)
 }

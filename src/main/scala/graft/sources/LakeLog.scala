@@ -263,6 +263,33 @@ object LakeLog {
     if (origins(path).contains(origin)) None
     else Some(commit(df, path, carryForward = true, None, Some(origin), statsCols))
 
+  /** Snapshot expiry + orphan-file GC — the retention half of the lake
+    * lifecycle (OPTIMIZE/compact exists in [[LakeMerge]]; this is
+    * VACUUM). Drops all but the last `keepLast` versions from the log,
+    * then deletes every data file no RETAINED snapshot references.
+    * Time travel to an expired version fails afterwards by design;
+    * readers of retained versions are untouched (their files are, by
+    * construction, never orphans). Safe against concurrent appenders
+    * in the same sense as Delta's VACUUM: appends only add files, so a
+    * racing commit's files are never in the orphan set (it either
+    * carries the retained tail forward or adds fresh uuids).
+    *
+    * Returns (versions expired, orphan files deleted).
+    */
+  def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least one version")
+    val vs = versions(path)
+    val drop = vs.dropRight(keepLast)
+    val referenced = vs.takeRight(keepLast).flatMap(listing(path, _)).toSet
+    drop.foreach(v => Files.delete(commitFile(path, v)))
+    val orphans = listDir(dataDir(path)).filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !referenced.contains(n)
+    }
+    orphans.foreach(Files.delete(_))
+    (drop.size, orphans.size)
+  }
+
   private def commit(
       df: DataFrame,
       path: String,

@@ -303,6 +303,30 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- lake vacuum ----------------------------------------------------
+
+  test("vacuum: expires versions, deletes orphans, keeps the live snapshot intact") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_spec").resolve("t").toString
+    graft.sources.LakeLog.overwrite(Seq((1L, "a")).toDF("k", "s").coalesce(1), path)
+    graft.sources.LakeLog.overwrite(Seq((2L, "b")).toDF("k", "s").coalesce(1), path)
+    graft.sources.LakeLog.append(Seq((3L, "c")).toDF("k", "s").coalesce(1), path)
+    assert(graft.sources.LakeLog.versions(path) === Seq(1L, 2L, 3L))
+    val (expired, orphans) = graft.sources.LakeLog.vacuum(path, keepLast = 1)
+    assert(expired === 2)
+    assert(orphans === 1) // v1's file; v2's file is carried into v3 by the append
+    // live snapshot unchanged
+    val rows = graft.sources.LakeLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows === Array((2L, "b"), (3L, "c")))
+    // expired version is gone
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeLog.read(spark, path, version = 1L).collect()
+    }
+    // idempotent
+    assert(graft.sources.LakeLog.vacuum(path, keepLast = 1) === ((0, 0)))
+  }
+
   // ---- jenks breaks ---------------------------------------------------
 
   test("jenks: four well-separated clusters are recovered exactly") {
