@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact LRU miss-ratio curve from reuse distances — the Mattson stack
+  * algorithm done relationally. For every re-access of a key, the
+  * REUSE DISTANCE is the number of distinct OTHER keys touched since
+  * that key's previous access; under LRU, the access hits a cache of
+  * capacity C iff distance < C, so one pass over distances yields the
+  * whole hit-rate-vs-capacity curve (the MRC every cache-sizing
+  * decision reads).
+  *
+  * Plan shape: the classic algorithm walks the trace with a balanced
+  * tree — inherently sequential. Here each re-access becomes the
+  * position interval (prev+1, pos−1), intervening accesses attach via
+  * the engine's BINNED point-in-interval join ([[RangeJoin]] — no
+  * nested loop), and a distinct-count per interval gives the
+  * distance. Total joined rows = Σ gap lengths ≈ n·(n/keys) — linear
+  * in trace length for a fixed key population. The global position
+  * index is a single-partition window at test scale; at 100 TB it
+  * would be a zipWithIndex/range-partition rank (documented seam) —
+  * everything downstream is keyed.
+  *
+  * Output: one row per capacity — (cache_size, n_accesses, n_cold,
+  * n_hits, hit_rate) with cold (first-touch) misses counted in the
+  * denominator.
+  */
+object ReuseDistance {
+
+  def missRatioCurve(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      cacheSizes: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+  ): DataFrame = {
+    require(cacheSizes.nonEmpty, "need at least one capacity")
+    val ordered = events
+      .select(col(keyCol).as("k"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("us"), col("event_id"))).cast("long"))
+      .select(col("k"), col("pos"))
+      .localCheckpoint() // consumed as both the re-access and the point side
+    val withPrev = ordered
+      .withColumn("prev", lag(col("pos"), 1).over(Window.partitionBy(col("k")).orderBy(col("pos"))))
+    val re = withPrev.filter(col("prev").isNotNull)
+    val gaps = re.filter(col("pos") - col("prev") >= 2)
+      .select(col("pos").as("acc"), (col("prev") + 1L).as("lo"), (col("pos") - 1L).as("hi"))
+    val pts = ordered.select(col("pos").as("pt"), col("k").as("u"))
+    val bin = math.max(1L, RangeJoin.autoBinSize(gaps, "lo", "hi"))
+    val dists = RangeJoin
+      .pointInInterval(pts, gaps, "pt", "lo", "hi", bin)
+      .groupBy(col("acc"))
+      .agg(countDistinct(col("u")).as("d"))
+      .select(col("d"))
+      .unionByName(re.filter(col("pos") - col("prev") === 1).select(lit(0L).as("d")))
+    val counts = ordered.agg(count(lit(1)).as("n_accesses"))
+      .crossJoin(re.agg(count(lit(1)).as("n_re")))
+      .withColumn("n_cold", col("n_accesses") - col("n_re"))
+    // scan-side fan: each distance row explodes into the (small) size
+    // list — no cross join, no cartesian in the plan
+    dists
+      .withColumn("cache_size", explode(lit(cacheSizes.toArray)))
+      .groupBy(col("cache_size"))
+      .agg(sum(when(col("d") < col("cache_size"), 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(counts))
+      .select(
+        col("cache_size"), col("n_accesses"), col("n_cold"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_accesses").cast("double"), 6)
+          .as("hit_rate"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooccur, Eval, Intervals, Jenks, NaiveBayes, Pii, Sessionize, Shapley, Timeseries}
+import graft.operators.{Cooccur, Eval, Intervals, Jenks, NaiveBayes, Pii, ReuseDistance, Sessionize, Shapley, Timeseries}
 import graft.sources.Tables
 
 /** Round-8 additions (q270+): the remaining attribution model (exact
@@ -1230,11 +1230,128 @@ object Round8 {
             FROM num""")
   )
 
+  /** Exact LRU miss-ratio curve
+    * ([[graft.operators.ReuseDistance.missRatioCurve]]): the Mattson
+    * stack algorithm as a binned point-in-interval join + distinct
+    * count — hit rate at every capacity from one pass over reuse
+    * distances. Oracle replays the trace positions, the BETWEEN join,
+    * and the capacity fan.
+    */
+  val q295ReuseDistance: QueryDef = QueryDef(
+    "q295_reuse_distance",
+    (s, dir) => ReuseDistance.missRatioCurve(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id k, event_id, epoch_us(ts) us FROM events),
+            o AS (SELECT k, CAST(row_number() OVER (ORDER BY us, event_id) AS BIGINT) pos
+                  FROM e),
+            w AS (SELECT *, lag(pos) OVER (PARTITION BY k ORDER BY pos) prev FROM o),
+            re AS (SELECT * FROM w WHERE prev IS NOT NULL),
+            gp AS (SELECT pos AS acc, prev + 1 AS lo, pos - 1 AS hi
+                   FROM re WHERE pos - prev >= 2),
+            ds AS (SELECT acc, CAST(count(DISTINCT o2.k) AS BIGINT) d
+                   FROM gp JOIN o o2 ON o2.pos BETWEEN gp.lo AND gp.hi GROUP BY 1),
+            alld AS (SELECT d FROM ds
+                     UNION ALL SELECT CAST(0 AS BIGINT) FROM re WHERE pos - prev = 1),
+            cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) n_accesses,
+                           (SELECT CAST(count(*) AS BIGINT) FROM re) n_re),
+            sz AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512])
+                               AS BIGINT) cache_size),
+            hh AS (SELECT cache_size,
+                          CAST(sum(CASE WHEN d < cache_size THEN 1 ELSE 0 END) AS BIGINT)
+                            n_hits
+                   FROM sz CROSS JOIN alld GROUP BY 1)
+            SELECT cache_size, n_accesses,
+                   CAST(n_accesses - n_re AS BIGINT) AS n_cold, n_hits,
+                   round(CAST(n_hits AS DOUBLE) / n_accesses, 6) AS hit_rate
+            FROM hh CROSS JOIN cnt""")
+  )
+
+  /** Wilcoxon signed-rank test on paired per-user means (click vs
+    * purchase value) — the PAIRED nonparametric companion to
+    * Mann–Whitney (q213): signed midranks of |diff| in doubled
+    * integers, tie-corrected normal z with continuity correction.
+    * Diffs are identical IEEE expressions of exact cent/count ratios,
+    * so ranks and ties replay; zero diffs are dropped (the standard
+    * convention).
+    */
+  val q296SignedRank: QueryDef = QueryDef(
+    "q296_signed_rank",
+    (s, dir) => {
+      val pairs = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("sa"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("sb"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select((col("sa").cast("double") / col("na").cast("double") -
+          col("sb").cast("double") / col("nb").cast("double")).as("diff"))
+        .filter(col("diff") =!= 0.0)
+        .select(abs(col("diff")).as("ad"), signum(col("diff")).cast("long").as("sgn"))
+      // midranks over |diff|: 2*midrank = 2*cum_before + ties + 1 (doubled ints)
+      val byV = pairs.groupBy(col("ad"))
+        .agg(count(lit(1)).as("t"), sum(col("sgn")).as("sgnsum"))
+      val wOrd = Window.orderBy(col("ad"))
+      val ranked = byV
+        .withColumn("cum", sum(col("t")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("r2", lit(2L) * coalesce(col("cum"), lit(0L)) + col("t") + lit(1L))
+      // 2*W+ = sum over positive diffs of r2 ; positives per value =
+      // (t + sgnsum)/2 (sgn = ±1)
+      val agg = ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("r2") * expr("(t + sgnsum) div 2")).as("w2p"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      agg.select(
+        col("n"),
+        (col("w2p").cast("double") / 2.0).as("w_plus"),
+        round(
+          (col("w2p").cast("double") / 2.0 -
+            col("n").cast("double") * (col("n").cast("double") + 1.0) / 4.0) /
+            sqrt(col("n").cast("double") * (col("n").cast("double") + 1.0) *
+              (col("n").cast("double") * 2.0 + 1.0) / 24.0 -
+              col("tie3").cast("double") / 48.0),
+          6).as("z"))
+    },
+    Some("""WITH pu AS (SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) sa,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) na,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) sb,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) nb
+            FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+            df AS (SELECT CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff
+                   FROM pu WHERE na > 0 AND nb > 0),
+            nz AS (SELECT abs(diff) ad, CAST(sign(diff) AS BIGINT) sgn
+                   FROM df WHERE diff <> 0.0),
+            bv AS (SELECT ad, CAST(count(*) AS BIGINT) t, CAST(sum(sgn) AS BIGINT) sgnsum
+                   FROM nz GROUP BY 1),
+            rk AS (SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY ad
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) cum
+                   FROM bv),
+            r2 AS (SELECT *, 2 * cum + t + 1 AS rr FROM rk),
+            ag AS (SELECT CAST(sum(t) AS BIGINT) n,
+                          CAST(sum(rr * ((t + sgnsum) // 2)) AS BIGINT) w2p,
+                          CAST(sum(t * t * t - t) AS BIGINT) tie3
+                   FROM r2)
+            SELECT n, CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+                   round((CAST(w2p AS DOUBLE) / 2.0 -
+                          CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) /
+                         sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) *
+                              (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0 -
+                              CAST(tie3 AS DOUBLE) / 48.0), 6) AS z
+            FROM ag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
       q279BucketLayout, q280LabelNoise, q281IpsOffpolicy, q282Mahalanobis,
       q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
       q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks,
-      q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d)
+      q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
+      q295ReuseDistance, q296SignedRank)
 }
