@@ -1346,6 +1346,274 @@ object Round8 {
             FROM ag""")
   )
 
+  /** Empirical-Bayes shrinkage of per-user conversion rates: a
+    * beta-binomial prior moment-matched from the (snapped) mean and
+    * variance of raw rates, each user's rate shrunk to
+    * (x + α)/(n + α + β) — small-sample users pull hard toward the
+    * pool, heavy users barely move. Per-user raw rates are snapped
+    * dyadics so their mean/variance sums are exact in any order.
+    */
+  val q297EbShrinkage: QueryDef = QueryDef(
+    "q297_eb_shrinkage",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) =
+        floor(c * lit(grid) + lit(0.5)) / lit(grid)
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+        .withColumn("p", snap(col("x").cast("double") / col("n").cast("double")))
+      val prior = perUser.agg(
+        count(lit(1)).as("k"),
+        sum(col("p")).as("sp"),
+        sum(col("p") * col("p")).as("spp"))
+        .select(
+          (col("sp") / col("k").cast("double")).as("m"),
+          ((col("spp") - col("sp") * col("sp") / col("k").cast("double")) /
+            (col("k").cast("double") - 1.0)).as("v"))
+        .select(
+          col("m"), col("v"),
+          snap(col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)).as("ab"))
+        .select(col("m"), snap(col("m") * col("ab")).as("alpha"),
+          snap((lit(1.0) - col("m")) * col("ab")).as("beta"))
+      perUser
+        .crossJoin(broadcast(prior))
+        .select(
+          col("user_id"), col("n"), col("x"),
+          round(col("p"), 6).as("raw_rate"),
+          round((col("x").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")), 6).as("shrunk_rate"))
+    },
+    Some("""WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) x
+            FROM events GROUP BY 1),
+            pr AS (SELECT *, floor(CAST(x AS DOUBLE) / n * 1073741824.0 + 0.5) /
+                             1073741824.0 AS p
+                   FROM pu),
+            mo AS (SELECT CAST(count(*) AS BIGINT) k, sum(p) sp, sum(p * p) spp FROM pr),
+            mv AS (SELECT sp / k AS m,
+                          (spp - sp * sp / k) / (CAST(k AS DOUBLE) - 1.0) AS v
+                   FROM mo),
+            ab AS (SELECT m, floor((m * (1.0 - m) / v - 1.0) * 1073741824.0 + 0.5) /
+                             1073741824.0 AS ab
+                   FROM mv),
+            pri AS (SELECT floor(m * ab * 1073741824.0 + 0.5) / 1073741824.0 AS alpha,
+                           floor((1.0 - m) * ab * 1073741824.0 + 0.5) /
+                             1073741824.0 AS beta
+                    FROM ab)
+            SELECT user_id, n, x, round(p, 6) AS raw_rate,
+                   round((CAST(x AS DOUBLE) + alpha) /
+                         (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+            FROM pr CROSS JOIN pri""")
+  )
+
+  /** Hill tail-index estimator of the order-total distribution:
+    * α̂⁻¹ = (1/k)·Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top k = 500 order
+    * statistics — the standard heavy-tail diagnostic (α ≈ 2 is the
+    * variance boundary). Each log-ratio term is snapped; their
+    * bounded sum is exact, one division at the end.
+    */
+  val q298HillTail: QueryDef = QueryDef(
+    "q298_hill_tail",
+    (s, dir) => {
+      val grid = 1073741824.0
+      val k = 500
+      val w = Window.orderBy(col("v").desc, col("o_orderkey").asc)
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k + 1)
+      val ref = ranked.filter(col("rk") === k + 1).select(col("v").as("vref"))
+      ranked
+        .filter(col("rk") <= k)
+        .crossJoin(broadcast(ref))
+        .select(
+          (floor(log(col("v").cast("double") / col("vref").cast("double")) * lit(grid)
+            + lit(0.5)) / lit(grid)).as("term"),
+          col("vref"))
+        .groupBy(col("vref"))
+        .agg(count(lit(1)).as("k"), sum(col("term")).as("tsum"))
+        .select(
+          col("k"), col("vref").as("x_kplus1_cents"),
+          round(col("tsum") / col("k").cast("double"), 6).as("hill_alpha_inv"),
+          round(col("k").cast("double") / col("tsum"), 6).as("hill_alpha"))
+    },
+    Some("""WITH r AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) v,
+                              row_number() OVER (ORDER BY CAST(round(o_totalprice * 100)
+                                AS BIGINT) DESC, o_orderkey ASC) rk
+                       FROM orders),
+            ref AS (SELECT v vref FROM r WHERE rk = 501),
+            t AS (SELECT floor(ln(CAST(r.v AS DOUBLE) / vref) * 1073741824.0 + 0.5) /
+                         1073741824.0 AS term, vref
+                  FROM r CROSS JOIN ref WHERE rk <= 500)
+            SELECT CAST(count(*) AS BIGINT) k, CAST(max(vref) AS BIGINT) x_kplus1_cents,
+                   round(sum(term) / count(*), 6) AS hill_alpha_inv,
+                   round(count(*) / sum(term), 6) AS hill_alpha
+            FROM t""")
+  )
+
+  /** Depth-2 decision tree on the order-total histogram: the q276 root
+    * split, then the best information-gain sub-split INSIDE each side
+    * (same windowed-cumsum machinery, partitioned by side) — four
+    * leaves, each with its class purity. Sides with no valid sub-split
+    * (single histogram bin) stay un-split. Entirely relational; the
+    * oracle replays root, sides, and both argmaxes.
+    */
+  val q299TreeDepth2: QueryDef = QueryDef(
+    "q299_tree_depth2",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) =
+        floor(c * lit(grid) + lit(0.5)) / lit(grid)
+      def ent(pos: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+        val p = pos.cast("double") / n.cast("double")
+        snap(when(pos === 0L || pos === n, 0.0)
+          .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p))))
+      }
+      val binned = Tables.orders(s, dir)
+        .select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000").as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("bn"), sum(col("pos")).as("bpos"))
+        .localCheckpoint()
+      // root split (q276)
+      val wBin = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+      val tot = binned.agg(sum(col("bn")).as("n"), sum(col("bpos")).as("npos"))
+      val rootGain = snap(
+        ent(col("npos"), col("n")) -
+          (col("nl").cast("double") / col("n").cast("double")) * ent(col("posl"), col("nl")) -
+          ((col("n") - col("nl")).cast("double") / col("n").cast("double")) *
+          ent(col("npos") - col("posl"), col("n") - col("nl")))
+      val root = binned
+        .withColumn("nl", sum(col("bn")).over(wBin))
+        .withColumn("posl", sum(col("bpos")).over(wBin))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n"))
+        .withColumn("g", rootGain)
+        .withColumn("rk", row_number().over(Window.orderBy(col("g").desc, col("bin").asc)))
+        .filter(col("rk") === 1)
+        .select(col("bin").as("root_bin"))
+      // side assignment + per-side best split
+      val sided = binned.crossJoin(broadcast(root))
+        .withColumn("side", when(col("bin") <= col("root_bin"), "L").otherwise("R"))
+      val wSide = Window.partitionBy(col("side")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val sideTot = sided.groupBy(col("side"))
+        .agg(sum(col("bn")).as("sn"), sum(col("bpos")).as("spos"))
+      val subGain = snap(
+        ent(col("spos"), col("sn")) -
+          (col("nl").cast("double") / col("sn").cast("double")) * ent(col("posl"), col("nl")) -
+          ((col("sn") - col("nl")).cast("double") / col("sn").cast("double")) *
+          ent(col("spos") - col("posl"), col("sn") - col("nl")))
+      val best = sided
+        .withColumn("nl", sum(col("bn")).over(wSide))
+        .withColumn("posl", sum(col("bpos")).over(wSide))
+        .join(broadcast(sideTot), Seq("side"))
+        .filter(col("nl") < col("sn"))
+        .withColumn("g", subGain)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("side")).orderBy(col("g").desc, col("bin").asc)))
+        .filter(col("rk") === 1)
+        .select(col("side"), col("bin").as("split_bin"))
+      sided
+        .join(broadcast(best), Seq("side"), "left")
+        .withColumn(
+          "leaf",
+          when(col("split_bin").isNull, col("side"))
+            .otherwise(concat(col("side"),
+              when(col("bin") <= col("split_bin"), lit("1")).otherwise(lit("2")))))
+        .groupBy(col("leaf"))
+        .agg(
+          min(col("bin") * 10000L).as("lo_cents"),
+          sum(col("bn")).as("n_rows"),
+          sum(col("bpos")).as("n_pos"))
+        .withColumn(
+          "pos_rate",
+          round(col("n_pos").cast("double") / col("n_rows").cast("double"), 6))
+    },
+    Some("""WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bin,
+                              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                       FROM orders),
+            h AS (SELECT bin, CAST(count(*) AS BIGINT) bn, CAST(sum(pos) AS BIGINT) bpos
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(bn) AS BIGINT) n, CAST(sum(bpos) AS BIGINT) npos FROM h),
+            c AS (SELECT bin, CAST(sum(bn) OVER w AS BIGINT) nl,
+                         CAST(sum(bpos) OVER w AS BIGINT) posl
+                  FROM h WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+            eg AS (SELECT bin, nl, posl, n, npos,
+                     floor((CASE WHEN npos = 0 OR npos = n THEN 0.0 ELSE
+                       -(CAST(npos AS DOUBLE)/n * ln(CAST(npos AS DOUBLE)/n) +
+                         (1.0 - CAST(npos AS DOUBLE)/n) * ln(1.0 - CAST(npos AS DOUBLE)/n))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0 -
+                     CAST(nl AS DOUBLE)/n *
+                     (floor((CASE WHEN posl = 0 OR posl = nl THEN 0.0 ELSE
+                       -(CAST(posl AS DOUBLE)/nl * ln(CAST(posl AS DOUBLE)/nl) +
+                         (1.0 - CAST(posl AS DOUBLE)/nl) * ln(1.0 - CAST(posl AS DOUBLE)/nl))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0) -
+                     CAST(n - nl AS DOUBLE)/n *
+                     (floor((CASE WHEN npos - posl = 0 OR npos - posl = n - nl THEN 0.0 ELSE
+                       -(CAST(npos - posl AS DOUBLE)/(n - nl) *
+                           ln(CAST(npos - posl AS DOUBLE)/(n - nl)) +
+                         (1.0 - CAST(npos - posl AS DOUBLE)/(n - nl)) *
+                           ln(1.0 - CAST(npos - posl AS DOUBLE)/(n - nl)))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0) AS g_raw
+                   FROM c CROSS JOIN t WHERE nl < n),
+            rt AS (SELECT bin AS root_bin
+                   FROM (SELECT bin, floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 g,
+                                row_number() OVER (ORDER BY
+                                  floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 DESC,
+                                  bin ASC) rk
+                         FROM eg)
+                   WHERE rk = 1),
+            sd AS (SELECT h.*, CASE WHEN bin <= root_bin THEN 'L' ELSE 'R' END side
+                   FROM h CROSS JOIN rt),
+            st AS (SELECT side, CAST(sum(bn) AS BIGINT) sn, CAST(sum(bpos) AS BIGINT) spos
+                   FROM sd GROUP BY 1),
+            sc AS (SELECT side, bin, CAST(sum(bn) OVER w AS BIGINT) nl,
+                          CAST(sum(bpos) OVER w AS BIGINT) posl
+                   FROM sd WINDOW w AS (PARTITION BY side ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            sg AS (SELECT sc.side, bin, nl, posl, sn, spos,
+                     floor((CASE WHEN spos = 0 OR spos = sn THEN 0.0 ELSE
+                       -(CAST(spos AS DOUBLE)/sn * ln(CAST(spos AS DOUBLE)/sn) +
+                         (1.0 - CAST(spos AS DOUBLE)/sn) * ln(1.0 - CAST(spos AS DOUBLE)/sn))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0 -
+                     CAST(nl AS DOUBLE)/sn *
+                     (floor((CASE WHEN posl = 0 OR posl = nl THEN 0.0 ELSE
+                       -(CAST(posl AS DOUBLE)/nl * ln(CAST(posl AS DOUBLE)/nl) +
+                         (1.0 - CAST(posl AS DOUBLE)/nl) * ln(1.0 - CAST(posl AS DOUBLE)/nl))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0) -
+                     CAST(sn - nl AS DOUBLE)/sn *
+                     (floor((CASE WHEN spos - posl = 0 OR spos - posl = sn - nl THEN 0.0 ELSE
+                       -(CAST(spos - posl AS DOUBLE)/(sn - nl) *
+                           ln(CAST(spos - posl AS DOUBLE)/(sn - nl)) +
+                         (1.0 - CAST(spos - posl AS DOUBLE)/(sn - nl)) *
+                           ln(1.0 - CAST(spos - posl AS DOUBLE)/(sn - nl)))
+                       END) * 1073741824.0 + 0.5) / 1073741824.0) AS g_raw
+                   FROM sc JOIN st ON st.side = sc.side WHERE nl < sn),
+            bs AS (SELECT side, bin AS split_bin
+                   FROM (SELECT side, bin,
+                                row_number() OVER (PARTITION BY side ORDER BY
+                                  floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 DESC,
+                                  bin ASC) rk
+                         FROM sg)
+                   WHERE rk = 1),
+            lf AS (SELECT sd.*, CASE WHEN split_bin IS NULL THEN sd.side
+                                     WHEN bin <= split_bin THEN sd.side || '1'
+                                     ELSE sd.side || '2' END AS leaf
+                   FROM sd LEFT JOIN bs ON bs.side = sd.side)
+            SELECT leaf, CAST(min(bin * 10000) AS BIGINT) AS lo_cents,
+                   CAST(sum(bn) AS BIGINT) AS n_rows,
+                   CAST(sum(bpos) AS BIGINT) AS n_pos,
+                   round(CAST(sum(bpos) AS DOUBLE) / sum(bn), 6) AS pos_rate
+            FROM lf GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
@@ -1353,5 +1621,6 @@ object Round8 {
       q283HilbertLayout, q284HaarEnergy, q285ClampedBalance, q286Twap,
       q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks,
       q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
-      q295ReuseDistance, q296SignedRank)
+      q295ReuseDistance, q296SignedRank, q297EbShrinkage, q298HillTail,
+      q299TreeDepth2)
 }
