@@ -53,8 +53,9 @@ object ReuseDistance {
       .agg(countDistinct(col("u")).as("d"))
       .select(col("d"))
       .unionByName(re.filter(col("pos") - col("prev") === 1).select(lit(0L).as("d")))
-    val counts = ordered.agg(count(lit(1)).as("n_accesses"))
-      .crossJoin(re.agg(count(lit(1)).as("n_re")))
+    val counts = withPrev.agg(
+      count(lit(1)).as("n_accesses"),
+      count(col("prev")).as("n_re"))
       .withColumn("n_cold", col("n_accesses") - col("n_re"))
     // scan-side fan: each distance row explodes into the (small) size
     // list — no cross join, no cartesian in the plan

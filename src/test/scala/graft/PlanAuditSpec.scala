@@ -367,4 +367,47 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", 100))
     assert(plan.contains("TakeOrderedAndProject"), s"global sort in sample:\n$plan")
   }
+
+  // ---- round-8 operators ----------------------------------------------
+
+  test("q287 fifo match: keyed hash join on the cumulative intervals, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q287_fifo_match")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap fell back to a nested loop:\n$plan")
+  }
+
+  test("q295 reuse distance: point-in-interval attaches via hash join, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q295_reuse_distance")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in reuse distance:\n$plan")
+    // the gap↔position attach must be the binned equi-join, not a range
+    // nested loop; the only nested-loop is the deliberate one-row totals fan
+    assert(plan.contains("hashpartitioning(__bin") || plan.contains("__bin"),
+      s"binned equi-join missing from plan:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
+  test("q274 naive bayes: likelihood/prior model tables broadcast into scoring") {
+    val plan = planOf(SparkEntry.queries("q274_naive_bayes")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n$plan")
+  }
+
+  test("hilbert_index is a compiled expression, not a Column unroll") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4)
+      .select(graft.sources.LakeWriter.hilbertValue(col("id"), col("id") + 1, 8).as("h"))
+    // one expression node in the projection — the plan string stays tiny
+    // (a per-level Column unroll at bits=8 would be thousands of nodes;
+    // with literal inputs the optimizer even constant-folds it away)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("hilbert_index"), plan)
+    assert(plan.length < 2000, s"hilbert expression unexpectedly large: ${plan.length} chars")
+  }
+
+  test("q272 dp counts: noise projection is row-local on the aggregated cells") {
+    val plan = planOf(SparkEntry.queries("q272_dp_counts")(spark, sfDir))
+    // exactly one exchange: the keyed count; noise adds no shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected extra shuffles in DP release:\n$plan")
+  }
 }
