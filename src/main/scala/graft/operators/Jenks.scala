@@ -65,12 +65,11 @@ object Jenks {
       val pairs = pre.as("i").join(prev.as("p"), col("p.i") < col("i.i") && col("p.i") >= (m - 1))
         .join(pre.as("j"), col("j.i") === col("p.i"))
         .select(col("i.i").as("i"), col("p.i").as("j"), (col("p.d") + cost("j", "i")).as("v"))
-      val minv = pairs.groupBy(col("i")).agg(min(col("v")).as("d"))
-      pairs.join(minv, Seq("i"))
-        .filter(col("v") === col("d"))
-        .groupBy(col("i"), col("d"))
-        .agg(min(col("j")).as("arg"))
-        .select(col("i"), col("d"), col("arg"))
+      // single-pass argmin: min over struct is (v, j)-lexicographic, which
+      // IS the (cost, smallest-split) tie-break — one aggregation instead
+      // of a min + equality-join re-pass
+      pairs.groupBy(col("i")).agg(min(struct(col("v"), col("j"))).as("mv"))
+        .select(col("i"), col("mv.v").as("d"), col("mv.j").as("arg"))
     }
     val d1k = d1.select(col("i"), col("d")).localCheckpoint()
     val d2 = stage(d1k, 2).localCheckpoint()

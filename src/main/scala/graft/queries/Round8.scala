@@ -986,7 +986,7 @@ object Round8 {
   )
 
   /** Jenks natural breaks ([[graft.operators.Jenks.naturalBreaks4]]):
-    * v-optimal 4-class split of order totals (dollar grain, $200
+    * v-optimal 4-class split of order totals (dollar grain, $500
     * histogram bins) by the fully relational O(B²k) DP — no snapping
     * needed because the DP has no order-dependent float sums; the
     * oracle replays histogram, prefix sums, three join+argmin stages,
@@ -997,9 +997,9 @@ object Round8 {
     (s, dir) =>
       Jenks.naturalBreaks4(
         Tables.orders(s, dir).select(expr("CAST(round(o_totalprice) AS BIGINT)").as("v")),
-        binWidth = 200L),
+        binWidth = 500L),
     Some("""WITH vals AS (SELECT CAST(round(o_totalprice) AS BIGINT) v FROM orders),
-            hist AS (SELECT v // 200 AS bin, CAST(count(*) AS BIGINT) nb,
+            hist AS (SELECT v // 500 AS bin, CAST(count(*) AS BIGINT) nb,
                             CAST(sum(v) AS BIGINT) sb, CAST(sum(v * v) AS BIGINT) ssb
                      FROM vals GROUP BY 1),
             pre0 AS (SELECT CAST(row_number() OVER (ORDER BY bin) AS BIGINT) i, bin, nb, sb,
@@ -1046,8 +1046,8 @@ object Round8 {
                                         WHEN i <= b3 THEN 3 ELSE 4 END AS cl
                     FROM pre0 CROSS JOIN k1)
             SELECT CAST(cl AS BIGINT) AS class,
-                   CAST(min(bin) * 200 AS BIGINT) AS lo_edge,
-                   CAST((max(bin) + 1) * 200 - 1 AS BIGINT) AS hi_edge,
+                   CAST(min(bin) * 500 AS BIGINT) AS lo_edge,
+                   CAST((max(bin) + 1) * 500 - 1 AS BIGINT) AS hi_edge,
                    CAST(sum(nb) AS BIGINT) AS n_rows,
                    round(CAST(sum(sb) AS DOUBLE) / sum(nb), 6) AS mean
             FROM cls GROUP BY 1""")
@@ -1230,17 +1230,21 @@ object Round8 {
             FROM num""")
   )
 
-  /** Exact LRU miss-ratio curve
+  /** SHARDS-sampled LRU miss-ratio curve
     * ([[graft.operators.ReuseDistance.missRatioCurve]]): the Mattson
     * stack algorithm as a binned point-in-interval join + distinct
-    * count — hit rate at every capacity from one pass over reuse
-    * distances. Oracle replays the trace positions, the BETWEEN join,
-    * and the capacity fan.
+    * count, over an R = 4 md5-sampled key population with distances
+    * scaled by R (the published MRC-at-scale estimator — ~R² less
+    * interval-join work). Oracle replays the sampled trace, the
+    * BETWEEN join, and the scaled capacity fan.
     */
   val q295ReuseDistance: QueryDef = QueryDef(
     "q295_reuse_distance",
-    (s, dir) => ReuseDistance.missRatioCurve(Tables.events(s, dir)),
-    Some("""WITH e AS (SELECT user_id k, event_id, epoch_us(ts) us FROM events),
+    (s, dir) => ReuseDistance.missRatioCurve(Tables.events(s, dir), sampleMod = 4),
+    Some("""WITH e0 AS (SELECT user_id k, event_id, epoch_us(ts) us FROM events),
+            e AS (SELECT * FROM e0
+                  WHERE CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':shards'), 1, 8))
+                             AS BIGINT) % 4 = 0),
             o AS (SELECT k, CAST(row_number() OVER (ORDER BY us, event_id) AS BIGINT) pos
                   FROM e),
             w AS (SELECT *, lag(pos) OVER (PARTITION BY k ORDER BY pos) prev FROM o),
@@ -1256,7 +1260,7 @@ object Round8 {
             sz AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512])
                                AS BIGINT) cache_size),
             hh AS (SELECT cache_size,
-                          CAST(sum(CASE WHEN d < cache_size THEN 1 ELSE 0 END) AS BIGINT)
+                          CAST(sum(CASE WHEN d * 4 < cache_size THEN 1 ELSE 0 END) AS BIGINT)
                             n_hits
                    FROM sz CROSS JOIN alld GROUP BY 1)
             SELECT cache_size, n_accesses,
