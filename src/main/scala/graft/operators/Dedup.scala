@@ -96,14 +96,19 @@ object Dedup {
     * docs (which share the small vocabulary) stay ≈0.03.
     */
   def tokenShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("lang"),
-      expr(
-        s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))))"
-      ).as("shingles")
-    )
+    docs
+      // pre-split once: split() referenced INSIDE a lambda is re-evaluated
+      // per element (no subexpression elimination across the lambda
+      // boundary) — the q214 lesson, worth ~3× on the shingle path
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr(
+          s"array_distinct(transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
+            s"i -> concat_ws(' ', slice(w, i, $n))))"
+        ).as("shingles")
+      )
 
   /** Shingle strings → stable 64-bit hashes (one xxhash64 per shingle).
     * Downstream set ops and permutation hashing work on longs — an

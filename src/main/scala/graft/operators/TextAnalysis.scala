@@ -535,24 +535,33 @@ object TextAnalysis {
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val gramExpr =
-      s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+      s"""CASE WHEN size(w) >= $n THEN
             array_distinct(transform(
-              sequence(0, size(split(text, ' ')) - $n),
-              i -> md5(array_join(slice(split(text, ' '), i + 1, $n), ' '))))
+              sequence(0, size(w) - $n),
+              i -> md5(array_join(slice(w, i + 1, $n), ' '))))
           ELSE array() END"""
     val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
-      .localCheckpoint() // consumed by the df agg and the join back
-    val dfCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams
-      .join(dfCounts, Seq("gram"))
+      .localCheckpoint() // consumed by the per-doc count and the df agg
+    // a df=1 gram's sole doc IS min(doc_id) — so novelty needs no
+    // join-back of the corpus-sized gram relation, just one gram-keyed
+    // agg reduced to doc-sized pieces
+    val novelPerDoc = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1L)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
-      .withColumn(
-        "novelty",
-        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+      .agg(count(lit(1)).as("n_novel"))
+    grams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
   }
 
   /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β fitted over `buckets`
