@@ -1618,6 +1618,115 @@ object Round8 {
             FROM lf GROUP BY 1""")
   )
 
+  /** Doubly-robust off-policy evaluation — q281's IPS with the proper
+    * TRAIN/EVAL split: the greedy policy π and the reward model
+    * μ̂(x, a) are fitted on the md5-even half of events; DM, IPS, and
+    * DR = DM + correction are evaluated on the odd half with its own
+    * empirical propensities. All three estimators collapse to
+    * per-(context, action) cell terms (snapped dyadics, exact sums);
+    * DR keeps DM's variance but IPS's unbiasedness when either the
+    * model or the propensities are wrong — the production OPE
+    * default.
+    */
+  val q300DrOffpolicy: QueryDef = QueryDef(
+    "q300_dr_offpolicy",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) =
+        floor(c * lit(grid) + lit(0.5)) / lit(grid)
+      val base = Tables.events(s, dir).select(
+        ((unix_micros(col("ts")).cast("long") / lit(3600000000L)).cast("long") % 24L).as("x"),
+        col("event_type").as("a"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("r"),
+        (pmod(conv(substring(md5(concat(col("event_id").cast("string"), lit(":ope"))), 1, 8),
+          16, 10).cast("long"), lit(2L)) === 0L).as("train"))
+      val cells = base.groupBy(col("train"), col("x"), col("a"))
+        .agg(count(lit(1)).as("c"), sum(col("r")).as("sr"))
+        .localCheckpoint()
+      // fold-0 model: mu(x, a) snapped; policy = argmax mu, ties smallest a
+      val mu = cells.filter(col("train"))
+        .select(col("x"), col("a"), snap(col("sr").cast("double") / col("c").cast("double"))
+          .as("mu"))
+      val pi = mu
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("mu").desc, col("a").asc)))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("a").as("pia"), col("mu").as("mu_pi"))
+      // fold-1 evaluation cells
+      val eval = cells.filter(!col("train"))
+      val ctx1 = eval.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
+      val n1 = eval.agg(sum(col("c")).as("n1"))
+      // DM term per context: c_x * mu_pi ; correction per matched cell:
+      // (c_x / c_match) * (S_match - c_match * mu_pi)  [zero if unmatched]
+      val matched = eval
+        .join(pi, eval("x") === pi("x") && eval("a") === pi("pia"))
+        .select(eval("x").as("x"), col("c").as("c_m"), col("sr").as("s_m"), col("mu_pi"))
+      val perCtx = ctx1
+        .join(pi.select(col("x"), col("mu_pi").as("mp")), Seq("x"), "left")
+        .join(matched.select(col("x"), col("c_m"), col("s_m")), Seq("x"), "left")
+        .crossJoin(broadcast(n1))
+        .select(
+          snap(col("c_x").cast("double") * coalesce(col("mp"), lit(0.0)) /
+            col("n1").cast("double") / 100.0).as("dm_term"),
+          snap(coalesce(
+            col("c_x").cast("double") / col("c_m").cast("double") *
+              (col("s_m").cast("double") - col("c_m").cast("double") * col("mp")),
+            lit(0.0)) / col("n1").cast("double") / 100.0).as("corr_term"),
+          snap(coalesce(
+            col("c_x").cast("double") * col("s_m").cast("double") /
+              col("c_m").cast("double"), lit(0.0)) /
+            col("n1").cast("double") / 100.0).as("ips_term"))
+      perCtx.agg(
+        sum(col("dm_term")).as("dm"),
+        sum(col("ips_term")).as("ips"),
+        sum(col("dm_term") + col("corr_term")).as("dr"))
+        .crossJoin(broadcast(n1))
+        .select(
+          col("n1").as("n_eval"),
+          round(col("dm"), 6).as("dm_value"),
+          round(col("ips"), 6).as("ips_value"),
+          round(col("dr"), 6).as("dr_value"))
+    },
+    Some("""WITH base AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS x,
+                                 event_type AS a,
+                                 CAST(round(value * 100) AS BIGINT) r,
+                                 CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                                   || ':ope'), 1, 8)) AS BIGINT) % 2 = 0 AS train
+                          FROM events),
+            cells AS (SELECT train, x, a, CAST(count(*) AS BIGINT) c,
+                             CAST(sum(r) AS BIGINT) sr
+                      FROM base GROUP BY 1, 2, 3),
+            mu AS (SELECT x, a, floor(CAST(sr AS DOUBLE) / c * 1073741824.0 + 0.5) /
+                                1073741824.0 AS mu
+                   FROM cells WHERE train),
+            pi AS (SELECT x, a AS pia, mu AS mu_pi
+                   FROM (SELECT *, row_number() OVER (PARTITION BY x
+                           ORDER BY mu DESC, a ASC) rk FROM mu)
+                   WHERE rk = 1),
+            ev AS (SELECT * FROM cells WHERE NOT train),
+            ctx1 AS (SELECT x, CAST(sum(c) AS BIGINT) c_x FROM ev GROUP BY 1),
+            n1 AS (SELECT CAST(sum(c) AS BIGINT) n1 FROM ev),
+            mt AS (SELECT ev.x, ev.c c_m, ev.sr s_m, pi.mu_pi
+                   FROM ev JOIN pi ON ev.x = pi.x AND ev.a = pi.pia),
+            pc AS (SELECT
+                     floor(CAST(c_x AS DOUBLE) * coalesce(mp, 0.0) / n1.n1 / 100.0 *
+                           1073741824.0 + 0.5) / 1073741824.0 AS dm_term,
+                     floor(coalesce(CAST(c_x AS DOUBLE) / c_m *
+                             (CAST(s_m AS DOUBLE) - CAST(c_m AS DOUBLE) * mp), 0.0) /
+                           n1.n1 / 100.0 * 1073741824.0 + 0.5) / 1073741824.0 AS corr_term,
+                     floor(coalesce(CAST(c_x AS DOUBLE) * s_m / c_m, 0.0) /
+                           n1.n1 / 100.0 * 1073741824.0 + 0.5) / 1073741824.0 AS ips_term
+                   FROM ctx1
+                   LEFT JOIN (SELECT x, mu_pi AS mp FROM pi) p USING (x)
+                   LEFT JOIN (SELECT x, c_m, s_m FROM mt) m USING (x)
+                   CROSS JOIN n1)
+            SELECT (SELECT n1 FROM n1) AS n_eval,
+                   round(sum(dm_term), 6) AS dm_value,
+                   round(sum(ips_term), 6) AS ips_value,
+                   round(sum(dm_term + corr_term), 6) AS dr_value
+            FROM pc""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
@@ -1626,5 +1735,5 @@ object Round8 {
       q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks,
       q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
       q295ReuseDistance, q296SignedRank, q297EbShrinkage, q298HillTail,
-      q299TreeDepth2)
+      q299TreeDepth2, q300DrOffpolicy)
 }
