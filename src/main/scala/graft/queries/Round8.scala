@@ -1727,6 +1727,184 @@ object Round8 {
             FROM pc""")
   )
 
+  /** Rendezvous (highest-random-weight) hashing audit: customers
+    * assigned to 8 shard nodes by argmax of md5(key‖node); the
+    * readout is per-node load balance plus the defining HRW property
+    * — removing a node moves ONLY its own keys (measured, not
+    * assumed: keys whose argmax over the 7 survivors differs from the
+    * original assignment are exactly the dead node's). The sharding
+    * scheme every stateful service uses, validated as data.
+    */
+  val q301Rendezvous: QueryDef = QueryDef(
+    "q301_rendezvous",
+    (s, dir) => {
+      val nodes = (0 until 8).map(_.toLong)
+      val scored = Tables.customer(s, dir)
+        .select(col("c_custkey"))
+        .withColumn("node", explode(lit(nodes.toArray)))
+        .withColumn("w", conv(substring(
+          md5(concat(col("c_custkey").cast("string"), lit("#"), col("node").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      val pick = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c_custkey")).orderBy(col("w").desc, col("node").asc)))
+        .filter(col("rk") === 1)
+        .select(col("c_custkey"), col("node").as("owner"))
+      val pickAfter = scored
+        .filter(col("node") =!= 3L)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c_custkey")).orderBy(col("w").desc, col("node").asc)))
+        .filter(col("rk") === 1)
+        .select(col("c_custkey"), col("node").as("owner_after"))
+      pick.join(pickAfter, Seq("c_custkey"))
+        .groupBy(col("owner"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("owner") =!= col("owner_after"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn(
+          "moved_only_if_dead",
+          (col("owner") === 3L && col("n_moved") === col("n_keys")) ||
+            (col("owner") =!= 3L && col("n_moved") === 0L))
+    },
+    Some("""WITH sc AS (SELECT c_custkey, node,
+                               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#'
+                                 || CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) w
+                        FROM customer CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS BIGINT)
+                                                  AS node) nn),
+            pk AS (SELECT c_custkey, node AS owner
+                   FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY w DESC, node ASC) rk FROM sc)
+                   WHERE rk = 1),
+            pa AS (SELECT c_custkey, node AS owner_after
+                   FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY w DESC, node ASC) rk FROM sc WHERE node <> 3)
+                   WHERE rk = 1)
+            SELECT owner, CAST(count(*) AS BIGINT) n_keys,
+                   CAST(sum(CASE WHEN owner <> owner_after THEN 1 ELSE 0 END) AS BIGINT)
+                     n_moved,
+                   (owner = 3 AND sum(CASE WHEN owner <> owner_after THEN 1 ELSE 0 END)
+                      = count(*)) OR
+                   (owner <> 3 AND sum(CASE WHEN owner <> owner_after THEN 1 ELSE 0 END) = 0)
+                     AS moved_only_if_dead
+            FROM pk JOIN pa USING (c_custkey)
+            GROUP BY 1""")
+  )
+
+  /** Durbin–Watson autocorrelation of the hourly series' OLS-detrended
+    * residuals — FULLY exact, no snapping anywhere: scaling residuals
+    * by the OLS denominator D = n·Σt²−(Σt)² makes every rₜ an integer
+    * (decimal(38)-squared), so DW = Σ(rₜ−rₜ₋₁)²/Σrₜ² is one terminal
+    * division of two exact decimals. DW ≈ 2 means white residuals;
+    * the synthetic diurnal cycle drives it well below.
+    */
+  val q302DurbinWatson: QueryDef = QueryDef(
+    "q302_durbin_watson",
+    (s, dir) => {
+      val d38 = "decimal(38,0)"
+      val hourly = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("y"))
+      val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .select((col("h") - col("mn")).as("t"), coalesce(col("y"), lit(0L)).as("y"))
+      val sums = grid.agg(
+        count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"), sum(col("t") * col("y")).as("sty"))
+      val res = grid.crossJoin(broadcast(sums))
+        // r_t = D·y_t − (sy·stt − st·sty) − (n·sty − st·sy)·t, all integer
+        .select(col("t"), col("n"),
+          ((col("n") * col("stt") - col("st") * col("st")).cast(d38) * col("y") -
+            (col("sy") * col("stt") - col("st") * col("sty")).cast(d38) -
+            (col("n") * col("sty") - col("st") * col("sy")).cast(d38) * col("t")).as("r"))
+      val wOrd = Window.orderBy(col("t"))
+      res
+        .withColumn("rp", lag(col("r"), 1).over(wOrd))
+        .agg(
+          max(col("n")).as("n_hours"),
+          sum((col("r") - col("rp")) * (col("r") - col("rp"))).as("num"),
+          sum(col("r") * col("r")).as("den"))
+        .select(
+          col("n_hours"),
+          round(col("num").cast("double") / col("den").cast("double"), 6).as("dw"))
+    },
+    Some("""WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+            cnt AS (SELECT h, CAST(count(*) AS BIGINT) y FROM hh GROUP BY 1),
+            b AS (SELECT min(h) mn, max(h) mx FROM cnt),
+            g AS (SELECT gg.hh - gg.mn AS t, coalesce(c.y, 0) AS y
+                  FROM (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b) gg
+                  LEFT JOIN cnt c ON c.h = gg.hh),
+            s AS (SELECT CAST(count(*) AS HUGEINT) n, CAST(sum(t) AS HUGEINT) st,
+                         CAST(sum(y) AS HUGEINT) sy, CAST(sum(t * t) AS HUGEINT) stt,
+                         CAST(sum(t * y) AS HUGEINT) sty
+                  FROM g),
+            r AS (SELECT t, n,
+                         (n * stt - st * st) * y - (sy * stt - st * sty) -
+                         (n * sty - st * sy) * t AS r
+                  FROM g CROSS JOIN s),
+            l AS (SELECT *, lag(r) OVER (ORDER BY t) rp FROM r)
+            SELECT CAST(max(n) AS BIGINT) n_hours,
+                   round(CAST(sum((r - rp) * (r - rp)) AS DOUBLE) /
+                         CAST(sum(r * r) AS DOUBLE), 6) AS dw
+            FROM l""")
+  )
+
+  /** Mann–Kendall trend test on the hourly series: S = Σ_{i<j}
+    * sign(y_j − y_i) as an exact pair count over the bounded
+    * histogram, tie-corrected variance, continuity-corrected z — the
+    * nonparametric companion to the parametric OLS trend (q197).
+    */
+  val q303MannKendall: QueryDef = QueryDef(
+    "q303_mann_kendall",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("y"))
+      val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .select((col("h") - col("mn")).as("t"), coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val pairs = grid.as("i").join(grid.as("j"), col("i.t") < col("j.t"))
+        .agg(sum(signum(col("j.y") - col("i.y")).cast("long")).as("s_stat"))
+      val ties = grid.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+        .agg(
+          sum(col("tc")).as("n"),
+          sum(col("tc") * (col("tc") - 1) * (lit(2L) * col("tc") + 5L)).as("tie_term"))
+      pairs.crossJoin(broadcast(ties))
+        .withColumn(
+          "var_s",
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5L) - col("tie_term"))
+            .cast("double") / 18.0)
+        .select(
+          col("n").as("n_hours"), col("s_stat"),
+          round(
+            when(col("s_stat") > 0, (col("s_stat").cast("double") - 1.0) / sqrt(col("var_s")))
+              .when(col("s_stat") < 0, (col("s_stat").cast("double") + 1.0) / sqrt(col("var_s")))
+              .otherwise(0.0),
+            6).as("z"))
+    },
+    Some("""WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+            cnt AS (SELECT h, CAST(count(*) AS BIGINT) y FROM hh GROUP BY 1),
+            b AS (SELECT min(h) mn, max(h) mx FROM cnt),
+            g AS (SELECT gg.hh - gg.mn AS t, coalesce(c.y, 0) AS y
+                  FROM (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b) gg
+                  LEFT JOIN cnt c ON c.h = gg.hh),
+            sp AS (SELECT CAST(sum(CAST(sign(j.y - i.y) AS BIGINT)) AS BIGINT) s_stat
+                   FROM g i JOIN g j ON i.t < j.t),
+            tt AS (SELECT CAST(sum(tc) AS BIGINT) n,
+                          CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) tie_term
+                   FROM (SELECT y, CAST(count(*) AS BIGINT) tc FROM g GROUP BY 1)),
+            v AS (SELECT s_stat, n, tie_term,
+                         CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 var_s
+                  FROM sp CROSS JOIN tt)
+            SELECT n AS n_hours, s_stat,
+                   round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                              WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                              ELSE 0.0 END, 6) AS z
+            FROM v""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
@@ -1735,5 +1913,6 @@ object Round8 {
       q287FifoMatch, q288ExpGof, q289BurstViterbi, q290JenksBreaks,
       q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
       q295ReuseDistance, q296SignedRank, q297EbShrinkage, q298HillTail,
-      q299TreeDepth2, q300DrOffpolicy)
+      q299TreeDepth2, q300DrOffpolicy, q301Rendezvous, q302DurbinWatson,
+      q303MannKendall)
 }
