@@ -1905,6 +1905,85 @@ object Round8 {
             FROM v""")
   )
 
+  /** Point-in-polygon containment by ray casting — FULLY exact: user
+    * coordinates derive as integer MICRO-degrees (the q255 synthetic
+    * geo layout ×10⁶), the polygon is an integer-vertex pentagon, and
+    * each edge-crossing test is a cross-multiplied integer sign
+    * comparison (no division, no floats, no epsilon). The half-open
+    * vertex rule ((y1 ≤ p) ≠ (y2 ≤ p)) prevents vertex double counts.
+    * Scan shape: points × 5 edges row-local, one parity agg.
+    */
+  val q304PointInPolygon: QueryDef = QueryDef(
+    "q304_point_in_polygon",
+    (s, dir) => {
+      // pentagon in micro-degrees around the point cloud's core
+      val verts = Seq(
+        (-100000000L, 40200000L), (-99000000L, 41900000L), (-97600000L, 41500000L),
+        (-97200000L, 40500000L), (-98600000L, 39900000L))
+      val edges = verts.zip(verts.tail :+ verts.head).map { case ((x1, y1), (x2, y2)) =>
+        (x1, y1, x2, y2)
+      }
+      import s.implicits._
+      val edgeDf = edges.toDF("x1", "y1", "x2", "y2")
+      val pts = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .select(
+          col("user_id"),
+          (lit(40000000L) + (col("user_id") % 7) * 300000L + (col("user_id") % 13) * 10000L)
+            .as("py"),
+          (lit(-100000000L) + (col("user_id") % 11) * 400000L + (col("user_id") % 17) * 10000L)
+            .as("px"))
+      val crossings = pts
+        .crossJoin(broadcast(edgeDf))
+        .filter((col("y1") <= col("py")) =!= (col("y2") <= col("py")))
+        .withColumn("d", col("y2") - col("y1"))
+        .withColumn(
+          "hit",
+          when(((col("x1") - col("px")) * col("d") +
+            (col("x2") - col("x1")) * (col("py") - col("y1"))) *
+            signum(col("d")).cast("long") > 0, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("hit")).as("nc"))
+      pts
+        .join(crossings, Seq("user_id"), "left")
+        .withColumn("inside", coalesce(col("nc"), lit(0L)) % 2 === 1)
+        .groupBy((col("user_id") % 5).as("cohort"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+        .withColumn(
+          "inside_share",
+          round(col("n_inside").cast("double") / col("n_users").cast("double"), 6))
+    },
+    Some("""WITH pts AS (SELECT DISTINCT user_id FROM events),
+            p AS (SELECT user_id,
+                         40000000 + (user_id % 7) * 300000 + (user_id % 13) * 10000 AS py,
+                         -100000000 + (user_id % 11) * 400000 + (user_id % 17) * 10000 AS px
+                  FROM pts),
+            e AS (SELECT * FROM (VALUES
+                    (-100000000, 40200000, -99000000, 41900000),
+                    (-99000000, 41900000, -97600000, 41500000),
+                    (-97600000, 41500000, -97200000, 40500000),
+                    (-97200000, 40500000, -98600000, 39900000),
+                    (-98600000, 39900000, -100000000, 40200000))
+                  t(x1, y1, x2, y2)),
+            cr AS (SELECT user_id, CAST(sum(hit) AS BIGINT) nc FROM (
+                     SELECT p.user_id,
+                            CASE WHEN ((CAST(x1 AS BIGINT) - px) * (y2 - y1) +
+                                       (CAST(x2 AS BIGINT) - x1) * (py - y1)) *
+                                 CAST(sign(y2 - y1) AS BIGINT) > 0 THEN 1 ELSE 0 END hit
+                     FROM p CROSS JOIN e
+                     WHERE (y1 <= py) <> (y2 <= py))
+                   GROUP BY 1),
+            f AS (SELECT p.user_id, coalesce(nc, 0) % 2 = 1 AS inside
+                  FROM p LEFT JOIN cr USING (user_id))
+            SELECT CAST(user_id % 5 AS BIGINT) cohort, CAST(count(*) AS BIGINT) n_users,
+                   CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) n_inside,
+                   round(CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                     AS inside_share
+            FROM f GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
@@ -1914,5 +1993,5 @@ object Round8 {
       q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
       q295ReuseDistance, q296SignedRank, q297EbShrinkage, q298HillTail,
       q299TreeDepth2, q300DrOffpolicy, q301Rendezvous, q302DurbinWatson,
-      q303MannKendall)
+      q303MannKendall, q304PointInPolygon)
 }
