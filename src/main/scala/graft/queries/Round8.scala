@@ -1984,6 +1984,226 @@ object Round8 {
             FROM f GROUP BY 1""")
   )
 
+  /** Shuffle-quality audit of the q96 deterministic training shuffle:
+    * Spearman ρ between each document's ORIGINAL position (doc_id
+    * rank) and its shuffled position (md5-key rank). Distinct ids and
+    * effectively-distinct 60-bit keys mean no ties, so
+    * ρ = 1 − 6·Σd²/(n(n²−1)) is EXACT integer arithmetic end to end;
+    * a good shuffle sits near 0 (|ρ| ≲ 2/√n). Residual order in a
+    * "shuffled" corpus is a real LLM-training failure mode — this is
+    * the gate that catches it.
+    */
+  val q305ShuffleAudit: QueryDef = QueryDef(
+    "q305_shuffle_audit",
+    (s, dir) => {
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("shuf1"))), 1, 15),
+            16, 10).cast("long").as("h"))
+        .withColumn("r_orig", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+        .withColumn("r_shuf", row_number().over(Window.orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+      val d = "decimal(38,0)"
+      ranked
+        .agg(
+          count(lit(1)).as("n"),
+          sum(((col("r_orig") - col("r_shuf")) * (col("r_orig") - col("r_shuf"))).cast(d))
+            .as("sum_d2"))
+        .select(
+          col("n"),
+          col("sum_d2").cast("long").as("sum_d2"),
+          round(
+            lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              (col("n").cast("double") *
+                (col("n").cast("double") * col("n").cast("double") - 1.0)),
+            6).as("spearman_rho"))
+        .withColumn(
+          "well_shuffled",
+          abs(col("spearman_rho")) < lit(2.0) / sqrt(col("n").cast("double")))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+                              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shuf1'),
+                                1, 15)) AS BIGINT) h
+                       FROM documents),
+            r AS (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) r_orig,
+                         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) r_shuf
+                  FROM h),
+            a AS (SELECT CAST(count(*) AS BIGINT) n,
+                         CAST(sum((r_orig - r_shuf) * (r_orig - r_shuf)) AS BIGINT) sum_d2
+                  FROM r)
+            SELECT n, sum_d2,
+                   round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+                         6) AS spearman_rho,
+                   abs(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                     < 2.0 / sqrt(CAST(n AS DOUBLE)) AS well_shuffled
+            FROM a""")
+  )
+
+  /** Chi-square INDEPENDENCE test (r×c contingency) of nation ×
+    * market segment — the one classical test the battery lacked
+    * (q226's SRM is the 2-cell goodness-of-fit): χ² from snapped
+    * per-cell terms over exact integer margins, plus Cramér's V
+    * effect size and the (r−1)(c−1) degrees of freedom.
+    */
+  val q306Chi2Independence: QueryDef = QueryDef(
+    "q306_chi2_independence",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) =
+        floor(c * lit(grid) + lit(0.5)) / lit(grid)
+      val cells = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("nk")).agg(sum(col("o")).as("rn"))
+      val cols_ = cells.groupBy(col("seg")).agg(sum(col("o")).as("cn"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("nk")).as("r"), countDistinct(col("seg")).as("c"))
+      val term = snap(
+        (col("o").cast("double") - col("rn").cast("double") * col("cn").cast("double") /
+          col("n").cast("double")) *
+          (col("o").cast("double") - col("rn").cast("double") * col("cn").cast("double") /
+            col("n").cast("double")) /
+          (col("rn").cast("double") * col("cn").cast("double") / col("n").cast("double")))
+      cells
+        .join(broadcast(rows), Seq("nk"))
+        .join(broadcast(cols_), Seq("seg"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"), term.as("t"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("t")).as("chi2"))
+        .select(
+          col("n"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(
+            sqrt(col("chi2") / (col("n").cast("double") *
+              least(col("r") - 1, col("c") - 1).cast("double"))),
+            6).as("cramers_v"))
+    },
+    Some("""WITH cells AS (SELECT CAST(c_nationkey AS BIGINT) nk, c_mktsegment seg,
+                                  CAST(count(*) AS BIGINT) o
+                           FROM customer GROUP BY 1, 2),
+            rws AS (SELECT nk, CAST(sum(o) AS BIGINT) rn FROM cells GROUP BY 1),
+            cls AS (SELECT seg, CAST(sum(o) AS BIGINT) cn FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) n,
+                           CAST(count(DISTINCT nk) AS BIGINT) r,
+                           CAST(count(DISTINCT seg) AS BIGINT) c
+                    FROM cells),
+            tm AS (SELECT n, r, c,
+                          floor(((CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * cn / n) *
+                                 (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * cn / n) /
+                                 (CAST(rn AS DOUBLE) * cn / n)) * 1073741824.0 + 0.5) /
+                            1073741824.0 AS t
+                   FROM cells JOIN rws USING (nk) JOIN cls USING (seg) CROSS JOIN tot)
+            SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) dof,
+                   round(sum(t), 6) AS chi2,
+                   round(sqrt(sum(t) / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+                     AS cramers_v
+            FROM tm GROUP BY n, r, c""")
+  )
+
+  /** Parallel-trends pretest for q211's diff-in-differences: the
+    * pre-period daily mean-value OLS slopes of the two identity-hash
+    * arms, their difference, and a conservative equality z from the
+    * per-arm slope variances — the assumption check that must pass
+    * BEFORE a DiD readout is causal. Exact decimal slope numerators /
+    * denominators; one terminal division per statistic.
+    */
+  val q307ParallelTrends: QueryDef = QueryDef(
+    "q307_parallel_trends",
+    (s, dir) => {
+      val t0 = Tables.events(s, dir).agg(min(unix_micros(col("ts"))).as("t0"))
+      val daily = Tables.events(s, dir)
+        .crossJoin(broadcast(t0))
+        .filter(unix_micros(col("ts")) < col("t0") + lit(15L * 86400000000L)) // pre-period
+        .select(
+          (col("user_id") % 2).cast("long").as("arm"),
+          ((unix_micros(col("ts")) - col("t0")) / lit(86400000000L)).cast("long").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("arm"), col("day"))
+        .agg(count(lit(1)).as("dn"), sum(col("c")).as("dc"))
+        // daily means snapped to the 2^-30 grid: their sums (and
+        // day-weighted sums) are then exact in any aggregation order;
+        // m*m would need 80 mantissa bits, so each square is re-snapped
+        .withColumn("m",
+          floor(col("dc").cast("double") / col("dn").cast("double") * lit(1073741824.0)
+            + lit(0.5)) / lit(1073741824.0))
+      val g = daily.groupBy(col("arm"))
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("day")).as("st"), sum(col("m")).as("sm"),
+          sum(col("day") * col("day")).as("stt"),
+          sum(col("day").cast("double") * col("m")).as("stm"),
+          sum(floor(col("m") * col("m") * lit(1073741824.0) + lit(0.5)) /
+            lit(1073741824.0)).as("smm"))
+        .withColumn("den", (col("k") * col("stt") - col("st") * col("st")).cast("double"))
+        .withColumn("slope",
+          (col("k").cast("double") * col("stm") - col("st").cast("double") * col("sm")) /
+            col("den"))
+        // residual variance of the per-day means around the fit, then
+        // var(slope) = s2 * k / den
+        .withColumn("s2",
+          (col("smm") - col("sm") * col("sm") / col("k").cast("double") -
+            col("slope") * col("slope") * col("den") / col("k").cast("double")) /
+            (col("k").cast("double") - 2.0))
+        .withColumn("var_slope", col("s2") * col("k").cast("double") / col("den"))
+      val a0 = g.filter(col("arm") === 0).select(
+        col("slope").as("slope_ctl"), col("var_slope").as("v0"), col("k").as("k0"))
+      val a1 = g.filter(col("arm") === 1).select(
+        col("slope").as("slope_trt"), col("var_slope").as("v1"), col("k").as("k1"))
+      a0.crossJoin(a1).select(
+        col("k0").as("n_days_ctl"), col("k1").as("n_days_trt"),
+        round(col("slope_ctl") / 100.0, 6).as("slope_ctl"),
+        round(col("slope_trt") / 100.0, 6).as("slope_trt"),
+        round((col("slope_trt") - col("slope_ctl")) / 100.0, 6).as("slope_diff"),
+        round((col("slope_trt") - col("slope_ctl")) / sqrt(col("v0") + col("v1")), 6)
+          .as("z"),
+        (abs((col("slope_trt") - col("slope_ctl")) / sqrt(col("v0") + col("v1"))) < 1.96)
+          .as("parallel_ok"))
+    },
+    Some("""WITH t0 AS (SELECT min(epoch_us(ts)) t0 FROM events),
+            d AS (SELECT CAST(user_id % 2 AS BIGINT) arm,
+                         (epoch_us(ts) - t0.t0) // 86400000000 AS day,
+                         CAST(round(value * 100) AS BIGINT) c
+                  FROM events CROSS JOIN t0
+                  WHERE epoch_us(ts) < t0.t0 + 15 * 86400000000),
+            dl AS (SELECT arm, day, CAST(count(*) AS BIGINT) dn, CAST(sum(c) AS BIGINT) dc
+                   FROM d GROUP BY 1, 2),
+            dm AS (SELECT *, floor(CAST(dc AS DOUBLE) / dn * 1073741824.0 + 0.5) /
+                             1073741824.0 AS m FROM dl),
+            g AS (SELECT arm, CAST(count(*) AS BIGINT) k,
+                         CAST(sum(day) AS BIGINT) st, sum(m) sm,
+                         CAST(sum(day * day) AS BIGINT) stt,
+                         sum(CAST(day AS DOUBLE) * m) stm,
+                         sum(floor(m * m * 1073741824.0 + 0.5) / 1073741824.0) smm
+                  FROM dm GROUP BY 1),
+            f AS (SELECT arm, k, CAST(k * stt - st * st AS DOUBLE) den,
+                         (CAST(k AS DOUBLE) * stm - CAST(st AS DOUBLE) * sm) /
+                           CAST(k * stt - st * st AS DOUBLE) AS slope,
+                         sm, smm
+                  FROM g),
+            v AS (SELECT arm, k, slope,
+                         ((smm - sm * sm / CAST(k AS DOUBLE) -
+                           slope * slope * den / CAST(k AS DOUBLE)) /
+                          (CAST(k AS DOUBLE) - 2.0)) * CAST(k AS DOUBLE) / den AS var_slope
+                  FROM f),
+            w AS (SELECT
+                    (SELECT k FROM v WHERE arm = 0) k0, (SELECT k FROM v WHERE arm = 1) k1,
+                    (SELECT slope FROM v WHERE arm = 0) s0,
+                    (SELECT slope FROM v WHERE arm = 1) s1,
+                    (SELECT var_slope FROM v WHERE arm = 0) v0,
+                    (SELECT var_slope FROM v WHERE arm = 1) v1)
+            SELECT k0 AS n_days_ctl, k1 AS n_days_trt,
+                   round(s0 / 100.0, 6) AS slope_ctl, round(s1 / 100.0, 6) AS slope_trt,
+                   round((s1 - s0) / 100.0, 6) AS slope_diff,
+                   round((s1 - s0) / sqrt(v0 + v1), 6) AS z,
+                   abs((s1 - s0) / sqrt(v0 + v1)) < 1.96 AS parallel_ok
+            FROM w""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q270Shapley, q271IntervalIslands, q272DpCounts, q273Msprt,
       q274NaiveBayes, q275Iv2sls, q276InfoGain, q277SeqMining, q278CollocationG2,
@@ -1993,5 +2213,6 @@ object Round8 {
       q291Seq3Mining, q292Vacuum, q293WordBurstiness, q294Emd1d,
       q295ReuseDistance, q296SignedRank, q297EbShrinkage, q298HillTail,
       q299TreeDepth2, q300DrOffpolicy, q301Rendezvous, q302DurbinWatson,
-      q303MannKendall, q304PointInPolygon)
+      q303MannKendall, q304PointInPolygon, q305ShuffleAudit, q306Chi2Independence,
+      q307ParallelTrends)
 }
