@@ -491,4 +491,96 @@ object Eval {
           .as("logged_value"),
         round(col("vsum"), 6).as("ips_value"))
   }
+
+  /** Exact AVERAGE PRECISION (the area under the precision–recall
+    * curve as sklearn's `average_precision_score` computes it — the sum
+    * form, no trapezoid interpolation):
+    *
+    *   AP = (1/P) · Σ_{ranks r with a positive}  cum_pos(r) / r
+    *
+    * Ranking is score DESC with the id column as a total tie-break, so
+    * the permutation is unique and replays are exact. Each precision
+    * term cum_pos/r is snapped to the 2⁻³⁰ grid before the group sum
+    * (the [[ipsOffPolicy]] posture), so the oracle lands on identical
+    * terms. One window + one keyed aggregate — PR-AUC is the metric of
+    * record for imbalanced filters (quality classifiers, dedup
+    * verdicts) where ROC-AUC ([[rocAuc]]) saturates.
+    *
+    * Output: (group, n, n_pos, ap).
+    */
+  def averagePrecision(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(c * lit(grid) + lit(0.5)) / lit(grid)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(
+        col(groupCol), col(scoreCol), col(idCol),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__r", count(lit(1)).over(w))
+      .withColumn("__cp", sum(col("__y")).over(w))
+      .withColumn("__term",
+        when(col("__y") === 1L,
+          snap(col("__cp").cast("double") / col("__r"))).otherwise(lit(0.0)))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__term")).as("__tsum"))
+      .filter(col("n_pos") > 0)
+      .select(
+        col(groupCol), col("n"), col("n_pos"),
+        round(col("__tsum") / col("n_pos"), 6).as("ap"))
+  }
+
+  /** COHEN'S KAPPA inter-rater agreement between two boolean raters —
+    * the audit number for "do my two quality heuristics (or two
+    * annotator models) agree beyond chance?" in an LLM labeling
+    * pipeline:
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *
+    * with p_o the observed agreement rate and p_e the chance agreement
+    * from the raters' marginals. All four cell counts come from ONE
+    * keyed aggregate (exact longs); κ is computed in integer
+    * cross-products — n·(n11+n00) − (a1·b1 + a0·b0) over n² − (…) — so
+    * the only float op is the final divide, rounded to 6.
+    *
+    * Output: one row (n, n11, n10, n01, n00, po, kappa); kappa NULL
+    * when a marginal is degenerate (p_e = 1).
+    */
+  def cohensKappa(df: DataFrame, raterA: org.apache.spark.sql.Column,
+      raterB: org.apache.spark.sql.Column): DataFrame = {
+    df.select(raterA.cast("boolean").as("a"), raterB.cast("boolean").as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(
+        col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round((col("n11") + col("n00")).cast("double") / col("n"), 6).as("po"),
+        when(
+          col("n") * col("n") -
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00"))) =!= 0L,
+          round(
+            (col("n") * (col("n11") + col("n00")) -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+              .cast("double") /
+              (col("n") * col("n") -
+                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                  (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+                .cast("double"),
+            6)).as("kappa"))
+  }
 }

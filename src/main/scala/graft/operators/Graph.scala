@@ -342,4 +342,98 @@ object Graph {
                   (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
             6)).as("assortativity"))
   }
+
+  /** Single-source shortest paths by BOUNDED Bellman–Ford relaxation:
+    * `rounds` synchronous rounds, so the result is EXACTLY "shortest
+    * distance using at most `rounds` edges" — a well-defined operator
+    * contract on its own (set `rounds` ≥ graph diameter for the full
+    * fixpoint; negative cycles cannot loop because the horizon is
+    * bounded). Weights are LONGS, so every relaxation is exact integer
+    * arithmetic — no quantization grid needed, unlike [[pageRank]] — and
+    * the oracle unrolls the identical rounds as chained CTEs.
+    *
+    * Shape per round: one hash join frontier→edges plus one keyed min —
+    * 2 exchanges per round regardless of graph size, lineage truncated
+    * per round with localCheckpoint. Unreached nodes carry NULL (min
+    * ignores NULLs on both engines), so no ∞ sentinel enters arithmetic.
+    *
+    * Output: (id, dist) for every node, dist NULL when unreached within
+    * the horizon.
+    */
+  def ssspBellmanFord(
+      nodes: DataFrame,
+      edges: DataFrame,
+      source: Long,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    var dist = nodes
+      .select(
+        col("id"),
+        when(col("id") === source, lit(0L)).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .filter(col("d").isNotNull)
+        .join(e, dist("id") === e("src"))
+        .select(e("dst").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist
+        .select(col("id"), col("d"))
+        .union(relaxed)
+        .groupBy(col("id"))
+        .agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("id"), col("d").as("dist"))
+  }
+
+  /** PERSONALIZED PageRank: teleportation lands only on the seed set
+    * (uniformly), so ranks measure proximity TO the seeds rather than
+    * global centrality — the "related items from this starting set"
+    * primitive. Same iteration shape, quantization grid, and
+    * per-round lineage truncation as [[pageRank]]; the only change is
+    * the teleport vector: (1−d)·1/|S| on seeds, 0 elsewhere.
+    *
+    * Output: (id, r) for every node.
+    */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nSeeds = seeds.count().toDouble
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val seedMark = seeds.select(col("id"), lit(1).as("__seed"))
+    val base = nodes
+      .join(seedMark, Seq("id"), "left")
+      .select(
+        col("id"),
+        when(col("__seed").isNotNull, lit(1.0) / nSeeds).otherwise(lit(0.0)).as("tp"))
+      .localCheckpoint()
+    var ranks = base.select(col("id"), quant(col("tp")).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val incoming = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      ranks = base
+        .join(incoming, base("id") === incoming("dst"), "left")
+        .select(
+          col("id"),
+          quant(
+            (lit(1.0) - damping) * col("tp") +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -484,4 +484,141 @@ object Timeseries {
         col("n_blocks"),
         col("energy"))
   }
+
+  /** EXPONENTIALLY TIME-DECAYED counts per key — the "trending now"
+    * primitive (each observation contributes 2^(−age_days), half-life
+    * one day relative to the corpus max timestamp). The decay sum is
+    * EXACT: each weight is the dyadic rational 2^(−age), so the engine
+    * sums the INTEGER numerators 2^(40−age) (ages beyond 40 days
+    * contribute exactly 0 — their true weight < 2⁻⁴⁰ is below the
+    * representable grid anyway) and divides by 2⁴⁰ once at the end.
+    * No float accumulates, so any partitioning, any engine, any retry
+    * lands on the identical decayed count — compare the grid-snap
+    * POSTURE of [[ewma]], which this strengthens to exactness.
+    *
+    * Shape: one agg for the corpus max day (broadcast), one keyed
+    * aggregate. Output: (key, n, decayed_count), decayed from `keyCol`.
+    */
+  def decayedCounts(events: DataFrame, keyCol: String): DataFrame = {
+    val maxDay = events.agg(max(to_date(col("ts"))).as("d_max"))
+    events
+      .crossJoin(broadcast(maxDay))
+      .select(
+        col(keyCol).as("key"),
+        datediff(col("d_max"), to_date(col("ts"))).cast("long").as("age"))
+      .select(
+        col("key"),
+        expr("CASE WHEN age <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END").as("num"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("num")).as("s"))
+      .select(
+        col("key"), col("n"),
+        (col("s").cast("double") / lit(1099511627776.0)).as("decayed_count"))
+  }
+
+  /** CUMULATIVE DISTINCT count per day — "total unique users to date",
+    * the growth-curve number naive SQL computes as an O(n²)
+    * re-aggregation per day. The scalable identity: a user counts on
+    * exactly their FIRST day, so cumulative distinct = running sum of
+    * first-seen counts — one keyed agg (min day per id, data-sized,
+    * partition-parallel), one day-grain agg, one running sum over the
+    * DAY table (calendar-sized; the single-partition window is over
+    * ~10³ rows at any data scale, never over data).
+    *
+    * Output: (day, n_events, new_ids, cum_ids) per active day.
+    */
+  def cumulativeDistinct(events: DataFrame, idCol: String): DataFrame = {
+    val perDay = events
+      .select(to_date(col("ts")).as("day"), col(idCol).as("id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val firstSeen = events
+      .select(col(idCol).as("id"), to_date(col("ts")).as("day"))
+      .groupBy(col("id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_ids"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDay
+      .join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_events"), coalesce(col("new_ids"), lit(0L)).as("new_ids"))
+      .withColumn("cum_ids", sum(col("new_ids")).over(w))
+  }
+
+  /** SAX symbolization (Lin et al. '03) of the daily count series per
+    * key: z-normalize the series, average over `frameDays`-day PAA
+    * frames, then map each frame mean to an alphabet-4 symbol at the
+    * standard Gaussian quartile breakpoints ±0.6744897501960817 and 0.
+    * The per-key word is the frame symbols in time order — the
+    * discretized shape that makes series comparable by plain string
+    * ops (motif counting = GROUP BY sax_word).
+    *
+    * Determinism: daily counts are integers; mean and the PAA frame
+    * means are snapped dyadic rationals; σ is the one √ (the identical
+    * IEEE expression both engines), its quotient snapped before the
+    * breakpoint comparison, so symbols replay exactly unless a value
+    * sits within an ulp of a breakpoint (the documented [[graft.operators.Graph]]
+    * residual-risk posture). Days with no events count 0 via a
+    * generated day spine — a SAX word must not silently skip gaps.
+    *
+    * Output: (key, n_days, n_frames, sax_word).
+    */
+  def saxWords(events: DataFrame, keyCol: String, frameDays: Int = 5): DataFrame = {
+    require(frameDays >= 1, "frameDays must be >= 1")
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+    val bp = 0.6744897501960817
+    val span = events.agg(
+      min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val spine = span
+      .select(explode(sequence(lit(0L), datediff(col("d1"), col("d0")).cast("long")))
+        .as("day"))
+    val keys = events.select(col(keyCol).as("key")).distinct()
+    val daily = events
+      .crossJoin(broadcast(span))
+      .select(col(keyCol).as("key"),
+        datediff(to_date(col("ts")), col("d0")).cast("long").as("day"))
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val full = keys
+      .crossJoin(spine)
+      .join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = full
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .select(
+        col("key"), col("nd"),
+        snap(col("s").cast("double") / col("nd")).as("mu"),
+        sqrt((col("ss") - col("s") * col("s") / col("nd").cast("double"))
+          .cast("double") / col("nd")).as("sigma"))
+    val frames = full
+      .select(col("key"), (col("day") / frameDays).cast("long").as("frame"), col("c"))
+      .groupBy(col("key"), col("frame"))
+      .agg(count(lit(1)).as("fn"), sum(col("c")).as("fs"))
+      .join(stats, Seq("key"))
+      .select(
+        col("key"), col("frame"), col("nd"),
+        snap((snap(col("fs").cast("double") / col("fn")) - col("mu")) /
+          when(col("sigma") > 0.0, col("sigma")).otherwise(lit(1.0))).as("z"))
+      .select(
+        col("key"), col("frame"), col("nd"),
+        when(col("z") < -bp, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < bp, lit("c"))
+          .otherwise(lit("d")).as("sym"))
+    frames
+      .groupBy(col("key"))
+      .agg(
+        max(col("nd")).as("n_days"),
+        count(lit(1)).as("n_frames"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("frame"), col("sym")))),
+            s => s.getField("sym")),
+          "").as("sax_word"))
+  }
 }

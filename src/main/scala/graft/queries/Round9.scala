@@ -1,0 +1,541 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EncodingAdvisor, Eval, Graph, Isotonic, Matching, Timeseries}
+import graft.sources.Tables
+
+/** Round-9 additions (q308+): weighted shortest paths, model
+  * calibration and agreement metrics, observational matching, decay
+  * ranking, series symbolization, and the column-encoding layout
+  * advisor — each on the established determinism contracts (exact
+  * integer arithmetic where possible, 2⁻³⁰-grid snapped terms where
+  * not, every oracle a verbatim relational replay).
+  */
+object Round9 {
+
+  /** Bounded Bellman–Ford SSSP ([[graft.operators.Graph.ssspBellmanFord]])
+    * over the nation trade graph: edge (cust-nation → supp-nation)
+    * weighted by the MINIMUM observed order→ship delay in days; 3
+    * relaxation rounds from nation 0 — all integer arithmetic, the
+    * oracle unrolls the identical rounds as chained CTEs.
+    */
+  val q308Sssp: QueryDef = QueryDef(
+    "q308_sssp",
+    (s, dir) => {
+      val edges = Tables
+        .orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(
+          col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(min(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+          .cast("long").as("w"))
+      val nodes = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("id"))
+      Graph.ssspBellmanFord(nodes, edges, source = 0L, rounds = 3)
+    },
+    Some("""WITH edges AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) src, CAST(s.s_nationkey AS BIGINT) dst,
+                     CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE))) AS BIGINT) w
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              WHERE c.c_nationkey <> s.s_nationkey
+              GROUP BY 1, 2),
+            d0 AS (SELECT CAST(n_nationkey AS BIGINT) id,
+                          CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT) END d
+                   FROM nation),
+            d1 AS (SELECT id, min(d) d FROM (
+                     SELECT id, d FROM d0
+                     UNION ALL
+                     SELECT e.dst, d0.d + e.w FROM edges e JOIN d0 ON d0.id = e.src
+                     WHERE d0.d IS NOT NULL) u GROUP BY 1),
+            d2 AS (SELECT id, min(d) d FROM (
+                     SELECT id, d FROM d1
+                     UNION ALL
+                     SELECT e.dst, d1.d + e.w FROM edges e JOIN d1 ON d1.id = e.src
+                     WHERE d1.d IS NOT NULL) u GROUP BY 1),
+            d3 AS (SELECT id, min(d) d FROM (
+                     SELECT id, d FROM d2
+                     UNION ALL
+                     SELECT e.dst, d2.d + e.w FROM edges e JOIN d2 ON d2.id = e.src
+                     WHERE d2.d IS NOT NULL) u GROUP BY 1)
+            SELECT id, d AS dist FROM d3""")
+  )
+
+  /** Isotonic calibration ([[graft.operators.Isotonic.isotonicRates]])
+    * of P(purchase | value-derived score bin) via the minimax closed
+    * form of the PAVA fit; the oracle replays the prefix sums, the
+    * triangular interval averages, and the band min/max verbatim.
+    */
+  val q309Isotonic: QueryDef = QueryDef(
+    "q309_isotonic",
+    (s, dir) =>
+      Isotonic.isotonicRates(
+        Tables.events(s, dir),
+        expr("CAST(round(value * 100) AS BIGINT) % 20"),
+        (col("event_type") === "purchase").cast("long")),
+    Some("""WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) % 20 AS bin,
+                              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+                       FROM events),
+            bins AS (SELECT bin, CAST(count(*) AS BIGINT) w, CAST(sum(y) AS BIGINT) s
+                     FROM b GROUP BY 1),
+            pre AS (SELECT bin, w, s,
+                           CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) cw,
+                           CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) cs
+                    FROM bins),
+            iv AS (SELECT j.bin jj, k.bin kk,
+                          floor(CAST(k.cs - j.cs + j.s AS DOUBLE) /
+                                (k.cw - j.cw + j.w) * 1073741824.0 + 0.5) /
+                          1073741824.0 AS a
+                   FROM pre j JOIN pre k ON j.bin <= k.bin),
+            mn AS (SELECT i.bin ii, iv.jj, min(iv.a) m
+                   FROM iv JOIN pre i ON iv.jj <= i.bin AND i.bin <= iv.kk
+                   GROUP BY 1, 2),
+            fit AS (SELECT ii AS bin, max(m) iso FROM mn GROUP BY 1)
+            SELECT bins.bin, bins.w AS n, bins.s AS n_pos,
+                   round(CAST(bins.s AS DOUBLE) / bins.w, 6) AS raw_rate,
+                   round(fit.iso, 6) AS iso_rate
+            FROM bins JOIN fit USING (bin)""")
+  )
+
+  /** Exact average precision ([[graft.operators.Eval.averagePrecision]]):
+    * PR-AUC of "value predicts purchase" per user cohort, ranked
+    * score-desc with event_id tie-break, snapped precision terms.
+    */
+  val q310AvgPrecision: QueryDef = QueryDef(
+    "q310_avg_precision",
+    (s, dir) =>
+      Eval.averagePrecision(
+        Tables.events(s, dir)
+          .select(
+            (col("user_id") % 10).as("cohort"),
+            col("value"), col("event_id"),
+            (col("event_type") === "purchase").cast("long").as("y")),
+        groupCol = "cohort", scoreCol = "value", idCol = "event_id", labelCol = "y"),
+    Some("""WITH r AS (SELECT user_id % 10 AS cohort, value, event_id,
+                              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+                       FROM events),
+            w AS (SELECT cohort, y,
+                         CAST(count(*) OVER (PARTITION BY cohort
+                           ORDER BY value DESC, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) r,
+                         CAST(sum(y) OVER (PARTITION BY cohort
+                           ORDER BY value DESC, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) cp
+                  FROM r),
+            t AS (SELECT cohort, y,
+                         CASE WHEN y = 1
+                              THEN floor(CAST(cp AS DOUBLE) / r * 1073741824.0 + 0.5) /
+                                   1073741824.0
+                              ELSE 0.0 END term
+                  FROM w)
+            SELECT cohort, CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) n_pos,
+                   round(sum(term) / sum(y), 6) AS ap
+            FROM t GROUP BY 1 HAVING sum(y) > 0""")
+  )
+
+  /** Cohen's kappa ([[graft.operators.Eval.cohensKappa]]) between two
+    * deterministic document-quality raters — char-length vs word-count
+    * thresholds — the agreement audit for labeling pipelines.
+    */
+  val q311Kappa: QueryDef = QueryDef(
+    "q311_kappa",
+    (s, dir) =>
+      Eval.cohensKappa(
+        Tables.documents(s, dir),
+        raterA = col("n_chars") >= 400L,
+        raterB = size(split(col("text"), " ")) >= 60),
+    Some("""WITH r AS (SELECT n_chars >= 400 AS a,
+                              len(string_split(text, ' ')) >= 60 AS b
+                       FROM documents),
+            c AS (SELECT CAST(count(*) AS BIGINT) n,
+                         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) n11,
+                         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) n10,
+                         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) n01,
+                         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) n00
+                  FROM r)
+            SELECT n, n11, n10, n01, n00,
+                   round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+                   CASE WHEN n * n - ((n11 + n10) * (n11 + n01) +
+                                      (n01 + n00) * (n10 + n00)) <> 0
+                        THEN round(CAST(n * (n11 + n00) -
+                                        ((n11 + n10) * (n11 + n01) +
+                                         (n01 + n00) * (n10 + n00)) AS DOUBLE) /
+                                   CAST(n * n - ((n11 + n10) * (n11 + n01) +
+                                                 (n01 + n00) * (n10 + n00)) AS DOUBLE), 6)
+                        END AS kappa
+            FROM c""")
+  )
+
+  /** Exact-block + nearest-neighbor caliper matching
+    * ([[graft.operators.Matching.nearestCaliperAtt]]): urgent orders
+    * matched to the price-nearest non-urgent order in the same order
+    * month (caliper $1 000), ATT on the order's line count. The oracle
+    * replays the two IGNORE-NULLS frames and the tie rules verbatim.
+    */
+  val q312Matching: QueryDef = QueryDef(
+    "q312_matching",
+    (s, dir) => {
+      val lc = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+      val rows = Tables.orders(s, dir)
+        .join(lc, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("block"),
+          col("o_orderkey").as("id"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("t"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
+          col("y"))
+      Matching.nearestCaliperAtt(rows, caliper = 100000L)
+    },
+    Some("""WITH lc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) y
+                        FROM lineitem GROUP BY 1),
+            r AS (SELECT strftime(o_orderdate, '%Y-%m') AS block, o_orderkey id,
+                         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END t,
+                         CAST(round(o_totalprice * 100) AS BIGINT) x, y
+                  FROM orders JOIN lc ON l_orderkey = o_orderkey),
+            c AS (SELECT *,
+                    last_value(CASE WHEN t = 0 THEN x END IGNORE NULLS) OVER
+                      (PARTITION BY block ORDER BY x, t, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) xp,
+                    last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) OVER
+                      (PARTITION BY block ORDER BY x, t, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) yp,
+                    first_value(CASE WHEN t = 0 THEN x END IGNORE NULLS) OVER
+                      (PARTITION BY block ORDER BY x, t, id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) xn,
+                    first_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) OVER
+                      (PARTITION BY block ORDER BY x, t, id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) yn
+                  FROM r),
+            m AS (SELECT *, xp IS NOT NULL AND (xn IS NULL OR (x - xp) <= (xn - x)) up
+                  FROM c WHERE t = 1),
+            f AS (SELECT x, y,
+                         CASE WHEN up THEN xp ELSE xn END xc,
+                         CASE WHEN up THEN yp ELSE yn END yc,
+                         abs(x - CASE WHEN up THEN xp ELSE xn END) dx
+                  FROM m)
+            SELECT CAST(count(*) AS BIGINT) n_treated,
+                   CAST(sum(CASE WHEN dx <= 100000 THEN 1 ELSE 0 END) AS BIGINT) n_matched,
+                   round(CAST(sum(CASE WHEN dx <= 100000 THEN 1 ELSE 0 END) AS DOUBLE) /
+                         count(*), 6) AS match_rate,
+                   round(CAST(sum(CASE WHEN dx <= 100000 THEN dx END) AS DOUBLE) /
+                         sum(CASE WHEN dx <= 100000 THEN 1 ELSE 0 END), 6) AS avg_abs_dx,
+                   round(CAST(sum(CASE WHEN dx <= 100000 THEN y - yc END) AS DOUBLE) /
+                         sum(CASE WHEN dx <= 100000 THEN 1 ELSE 0 END), 6) AS att
+            FROM f""")
+  )
+
+  /** Exponentially time-decayed counts
+    * ([[graft.operators.Timeseries.decayedCounts]]): trending
+    * event types under a one-day half-life — the decay sum is an exact
+    * integer (dyadic numerators), so the oracle matches to the bit.
+    */
+  val q313DecayedCounts: QueryDef = QueryDef(
+    "q313_decayed_counts",
+    (s, dir) => Timeseries.decayedCounts(Tables.events(s, dir), "event_type"),
+    Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) dm FROM events),
+            a AS (SELECT event_type AS key,
+                         date_diff('day', CAST(ts AS DATE), dm) age
+                  FROM events, mx)
+            SELECT key, CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CASE WHEN age <= 40
+                                 THEN CAST(1 AS BIGINT) << (40 - age)
+                                 ELSE 0 END) AS DOUBLE) / 1099511627776.0
+                     AS decayed_count
+            FROM a GROUP BY 1""")
+  )
+
+  /** SAX symbolization ([[graft.operators.Timeseries.saxWords]]) of
+    * each event type's daily-count series: z-normalized 5-day PAA
+    * frames mapped to the alphabet-4 Gaussian breakpoints; the word is
+    * the frame symbols in time order.
+    */
+  val q314Sax: QueryDef = QueryDef(
+    "q314_sax",
+    (s, dir) => Timeseries.saxWords(Tables.events(s, dir), "event_type", frameDays = 5),
+    Some("""WITH span AS (SELECT min(CAST(ts AS DATE)) d0, max(CAST(ts AS DATE)) d1
+                          FROM events),
+            spine AS (SELECT unnest(range(0, date_diff('day', d0, d1) + 1)) AS day
+                      FROM span),
+            keys AS (SELECT DISTINCT event_type AS key FROM events),
+            daily AS (SELECT event_type AS key,
+                             date_diff('day', d0, CAST(ts AS DATE)) AS day,
+                             CAST(count(*) AS BIGINT) c
+                      FROM events, span GROUP BY 1, 2),
+            fl AS (SELECT k.key, sp.day, coalesce(d.c, 0) AS c
+                     FROM keys k CROSS JOIN spine sp
+                     LEFT JOIN daily d ON d.key = k.key AND d.day = sp.day),
+            st AS (SELECT key, CAST(count(*) AS BIGINT) nd,
+                          CAST(sum(c) AS BIGINT) s, CAST(sum(c * c) AS BIGINT) ss
+                   FROM fl GROUP BY 1),
+            stats AS (SELECT key, nd,
+                             floor(CAST(s AS DOUBLE) / nd * 1073741824.0 + 0.5) /
+                               1073741824.0 AS mu,
+                             sqrt((ss - s * s / CAST(nd AS DOUBLE)) / nd) AS sigma
+                      FROM st),
+            fr AS (SELECT key, day // 5 AS frame, CAST(count(*) AS BIGINT) fn,
+                          CAST(sum(c) AS BIGINT) fs
+                   FROM fl GROUP BY 1, 2),
+            z AS (SELECT fr.key, fr.frame, stats.nd,
+                         floor(((floor(CAST(fs AS DOUBLE) / fn * 1073741824.0 + 0.5) /
+                                 1073741824.0) - mu) /
+                               (CASE WHEN sigma > 0.0 THEN sigma ELSE 1.0 END) *
+                               1073741824.0 + 0.5) / 1073741824.0 AS zv
+                  FROM fr JOIN stats USING (key)),
+            sym AS (SELECT key, frame, nd,
+                           CASE WHEN zv < -0.6744897501960817 THEN 'a'
+                                WHEN zv < 0.0 THEN 'b'
+                                WHEN zv < 0.6744897501960817 THEN 'c'
+                                ELSE 'd' END s
+                    FROM z)
+            SELECT key, CAST(max(nd) AS BIGINT) n_days,
+                   CAST(count(*) AS BIGINT) n_frames,
+                   string_agg(s, '' ORDER BY frame) AS sax_word
+            FROM sym GROUP BY 1""")
+  )
+
+  /** Column-encoding advisor ([[graft.operators.EncodingAdvisor.advise]]):
+    * PLAIN vs DICT vs RLE-DICT byte estimates for five lineitem
+    * columns under the (orderkey, linenumber) layout — exact integer
+    * run/distinct/byte accounting, oracle replays the melted windows.
+    */
+  val q315EncodingAdvisor: QueryDef = QueryDef(
+    "q315_encoding_advisor",
+    (s, dir) =>
+      EncodingAdvisor.advise(
+        Tables.lineitem(s, dir),
+        cols = Seq(
+          ("l_returnflag", 0), ("l_linestatus", 0), ("l_quantity", 8),
+          ("l_suppkey", 8), ("l_linenumber", 4)),
+        partCol = "l_orderkey",
+        ordCol = "l_linenumber"),
+    Some("""WITH m AS (
+              SELECT l_orderkey p, l_linenumber o, 'l_returnflag' AS col_name, 0 w,
+                     CAST(l_returnflag AS VARCHAR) v FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_linestatus', 0,
+                     CAST(l_linestatus AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_quantity', 8,
+                     CAST(l_quantity AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_suppkey', 8,
+                     CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_linenumber', 4,
+                     CAST(l_linenumber AS VARCHAR) FROM lineitem),
+            runs AS (SELECT col_name, CAST(count(*) AS BIGINT) n,
+                            CAST(max(w) AS BIGINT) w,
+                            CAST(sum(chg) AS BIGINT) n_runs,
+                            CAST(sum(strlen(v)) AS BIGINT) str_bytes
+                     FROM (SELECT col_name, w, v,
+                                  CASE WHEN lag(v) OVER pw IS NULL
+                                            OR v <> lag(v) OVER pw
+                                       THEN 1 ELSE 0 END chg
+                           FROM m WINDOW pw AS (PARTITION BY col_name, p ORDER BY o, v)) u
+                     GROUP BY 1),
+            dict AS (SELECT col_name, CAST(count(*) AS BIGINT) n_distinct,
+                            CAST(sum(CASE WHEN w = 0 THEN strlen(v)
+                                          ELSE w END) AS BIGINT) dict_data
+                     FROM (SELECT col_name, v, max(w) w FROM m GROUP BY 1, 2) d
+                     GROUP BY 1),
+            est AS (SELECT r.col_name, r.n, d.n_distinct, r.n_runs,
+                           CASE WHEN r.w > 0 THEN r.n * r.w ELSE r.str_bytes END
+                             AS plain_bytes,
+                           d.dict_data + r.n *
+                             (CASE WHEN d.n_distinct <= 256 THEN 1
+                                   WHEN d.n_distinct <= 65536 THEN 2
+                                   WHEN d.n_distinct <= 16777216 THEN 3
+                                   ELSE 4 END) AS dict_bytes,
+                           d.dict_data + r.n_runs *
+                             ((CASE WHEN d.n_distinct <= 256 THEN 1
+                                    WHEN d.n_distinct <= 65536 THEN 2
+                                    WHEN d.n_distinct <= 16777216 THEN 3
+                                    ELSE 4 END) + 4) AS rle_bytes
+                    FROM runs r JOIN dict d USING (col_name))
+            SELECT col_name, n, n_distinct, n_runs,
+                   CAST(plain_bytes AS BIGINT) plain_bytes,
+                   CAST(dict_bytes AS BIGINT) dict_bytes,
+                   CAST(rle_bytes AS BIGINT) rle_bytes,
+                   CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes
+                        THEN 'rle_dict'
+                        WHEN dict_bytes <= plain_bytes THEN 'dict'
+                        ELSE 'plain' END AS advice
+            FROM est""")
+  )
+
+  /** Cumulative distinct users per day
+    * ([[graft.operators.Timeseries.cumulativeDistinct]]): the growth
+    * curve via the first-seen identity — running sum over the
+    * calendar-sized day table, never a per-day re-aggregation.
+    */
+  val q316CumDistinct: QueryDef = QueryDef(
+    "q316_cum_distinct",
+    (s, dir) => Timeseries.cumulativeDistinct(Tables.events(s, dir), "user_id"),
+    Some("""WITH pd AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) n_events
+                        FROM events GROUP BY 1),
+            fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+            nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_ids FROM fs GROUP BY 1)
+            SELECT pd.day, pd.n_events, coalesce(nu.new_ids, 0) AS new_ids,
+                   CAST(sum(coalesce(nu.new_ids, 0)) OVER
+                     (ORDER BY pd.day ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_ids
+            FROM pd LEFT JOIN nu USING (day)""")
+  )
+
+  /** Bitmap-index segment algebra ([[graft.operators.Bitmap.intersections]]):
+    * per-event-type user sets as OR-aggregated 64-bit words, pairwise
+    * intersection/union/Jaccard by word-aligned popcount — all integer.
+    */
+  val q317BitmapSegments: QueryDef = QueryDef(
+    "q317_bitmap_segments",
+    (s, dir) => graft.operators.Bitmap.intersections(
+      Tables.events(s, dir), segCol = "event_type", idCol = "user_id"),
+    Some("""WITH wds AS (SELECT event_type segment, user_id // 63 wid,
+                                bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) w
+                         FROM events GROUP BY 1, 2),
+            cards AS (SELECT segment, CAST(sum(bit_count(w)) AS BIGINT) card
+                      FROM wds GROUP BY 1),
+            p AS (SELECT a.segment seg_a, b.segment seg_b,
+                         CAST(sum(bit_count(a.w & b.w)) AS BIGINT) n_and
+                  FROM wds a JOIN wds b USING (wid)
+                  WHERE a.segment < b.segment GROUP BY 1, 2)
+            SELECT seg_a, seg_b, ca.card n_a, cb.card n_b, n_and,
+                   ca.card + cb.card - n_and AS n_or,
+                   round(CAST(n_and AS DOUBLE) / (ca.card + cb.card - n_and), 6) jaccard
+            FROM p JOIN cards ca ON ca.segment = seg_a
+            JOIN cards cb ON cb.segment = seg_b""")
+  )
+
+  /** Personalized PageRank
+    * ([[graft.operators.Graph.personalizedPageRank]]): proximity to
+    * the region-0 nation seed set over the trade graph, 2 quantized
+    * iterations; the oracle unrolls them with the identical teleport
+    * vector.
+    */
+  val q318Ppr: QueryDef = QueryDef(
+    "q318_ppr",
+    (s, dir) => {
+      val edges = Tables
+        .orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .select(
+          col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+      val nodes = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("id"))
+      val seeds = Tables.nation(s, dir)
+        .filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").cast("long").as("id"))
+      Graph.personalizedPageRank(nodes, edges, seeds, iters = 2)
+        .select(col("id"), round(col("r"), 6).as("rank"))
+    },
+    Some("""WITH edges AS (
+              SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                              CAST(s.s_nationkey AS BIGINT) AS dst
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) s FROM nation WHERE n_regionkey = 0),
+            base AS (SELECT CAST(n_nationkey AS BIGINT) id,
+                            CASE WHEN n_regionkey = 0 THEN 1.0 / ns.s ELSE 0.0 END tp
+                     FROM nation, ns),
+            r0 AS (SELECT id, tp,
+                          floor(tp * 1099511627776.0) / 1099511627776.0 r FROM base),
+            r1 AS (SELECT r0.id, r0.tp,
+                          floor(((1.0 - 0.85) * r0.tp + 0.85 * coalesce(m.s, 0.0)) *
+                                1099511627776.0) / 1099511627776.0 AS r
+                   FROM r0 LEFT JOIN (
+                     SELECT e.dst, sum(r0.r / d.deg) AS s
+                     FROM edges e JOIN r0 ON r0.id = e.src
+                     JOIN outdeg d ON d.src = e.src GROUP BY e.dst) m
+                   ON m.dst = r0.id),
+            r2 AS (SELECT r1.id,
+                          floor(((1.0 - 0.85) * r1.tp + 0.85 * coalesce(m.s, 0.0)) *
+                                1099511627776.0) / 1099511627776.0 AS r
+                   FROM r1 LEFT JOIN (
+                     SELECT e.dst, sum(r1.r / d.deg) AS s
+                     FROM edges e JOIN r1 ON r1.id = e.src
+                     JOIN outdeg d ON d.src = e.src GROUP BY e.dst) m
+                   ON m.dst = r1.id)
+            SELECT id, round(r, 6) AS rank FROM r2""")
+  )
+
+  /** Fellegi–Sunter record linkage
+    * ([[graft.operators.RecordLinkage.fellegiSunter]]): customers vs
+    * suppliers blocked by nation, compared on (acctbal bucket, key mod
+    * 10) with data-estimated u-probabilities; scores banded at ±2.
+    */
+  val q319FellegiSunter: QueryDef = QueryDef(
+    "q319_fellegi_sunter",
+    (s, dir) => {
+      val a = Tables.customer(s, dir).select(
+        col("c_nationkey").cast("long").as("block"),
+        floor(col("c_acctbal") / 100).cast("long").as("bal_bucket"),
+        (col("c_custkey") % 10).as("key_mod"))
+      val b = Tables.supplier(s, dir).select(
+        col("s_nationkey").cast("long").as("block"),
+        floor(col("s_acctbal") / 100).cast("long").as("bal_bucket"),
+        (col("s_suppkey") % 10).as("key_mod"))
+      graft.operators.RecordLinkage.fellegiSunter(
+        a, b, blockCol = "block", fields = Seq("bal_bucket", "key_mod"))
+    },
+    Some("""WITH a AS (SELECT CAST(c_nationkey AS BIGINT) block,
+                              CAST(floor(c_acctbal / 100) AS BIGINT) bal_bucket,
+                              c_custkey % 10 key_mod FROM customer),
+            b AS (SELECT CAST(s_nationkey AS BIGINT) block,
+                         CAST(floor(s_acctbal / 100) AS BIGINT) bal_bucket,
+                         s_suppkey % 10 key_mod FROM supplier),
+            nn AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) na,
+                          (SELECT CAST(count(*) AS DOUBLE) FROM b) nb),
+            u1 AS (SELECT greatest(least(
+                     floor(CAST(h.hits AS DOUBLE) / (nn.na * nn.nb) *
+                           1073741824.0 + 0.5) / 1073741824.0,
+                     1.0 - 1.0 / 1073741824.0), 1.0 / 1073741824.0) u
+                   FROM (SELECT coalesce(sum(ca * cb), 0) hits
+                         FROM (SELECT bal_bucket v, count(*) ca FROM a GROUP BY 1) x
+                         JOIN (SELECT bal_bucket v, count(*) cb FROM b GROUP BY 1) y
+                         USING (v)) h, nn),
+            w1 AS (SELECT floor(log2(0.9 / u) * 1073741824.0 + 0.5) / 1073741824.0 wa,
+                          floor(log2((1.0 - 0.9) / (1.0 - u)) * 1073741824.0 + 0.5) /
+                            1073741824.0 wd FROM u1),
+            u2 AS (SELECT greatest(least(
+                     floor(CAST(h.hits AS DOUBLE) / (nn.na * nn.nb) *
+                           1073741824.0 + 0.5) / 1073741824.0,
+                     1.0 - 1.0 / 1073741824.0), 1.0 / 1073741824.0) u
+                   FROM (SELECT coalesce(sum(ca * cb), 0) hits
+                         FROM (SELECT key_mod v, count(*) ca FROM a GROUP BY 1) x
+                         JOIN (SELECT key_mod v, count(*) cb FROM b GROUP BY 1) y
+                         USING (v)) h, nn),
+            w2 AS (SELECT floor(log2(0.9 / u) * 1073741824.0 + 0.5) / 1073741824.0 wa,
+                          floor(log2((1.0 - 0.9) / (1.0 - u)) * 1073741824.0 + 0.5) /
+                            1073741824.0 wd FROM u2),
+            sc AS (SELECT (CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+                                THEN w1.wa ELSE w1.wd END) +
+                          (CASE WHEN a.key_mod IS NOT DISTINCT FROM b.key_mod
+                                THEN w2.wa ELSE w2.wd END) AS score
+                   FROM a JOIN b USING (block) CROSS JOIN w1 CROSS JOIN w2)
+            SELECT CAST(count(*) AS BIGINT) n_pairs,
+                   CAST(sum(CASE WHEN score >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) n_link,
+                   CAST(sum(CASE WHEN score > -2.0 AND score < 2.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) n_possible,
+                   CAST(sum(CASE WHEN score <= -2.0 THEN 1 ELSE 0 END) AS BIGINT) n_nonlink,
+                   round(min(score), 6) min_score,
+                   round(max(score), 6) max_score
+            FROM sc""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
+      q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
+      q317BitmapSegments, q318Ppr, q319FellegiSunter)
+}

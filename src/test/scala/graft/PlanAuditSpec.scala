@@ -410,4 +410,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"unexpected extra shuffles in DP release:\n$plan")
   }
+
+  test("q312 matching: the nearest-control window is partitioned by block, not global") {
+    val plan = planOf(SparkEntry.queries("q312_matching")(spark, sfDir))
+    assert(plan.contains("hashpartitioning(block"),
+      s"matching window not partitioned by the block key:\n$plan")
+    // the only single-partition stage is the one-row final summary
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"extra global exchanges in matching plan:\n$plan")
+  }
+
+  test("q315 encoding advisor: run-count window is partitioned by (col_name, layout key)") {
+    val plan = planOf(SparkEntry.queries("q315_encoding_advisor")(spark, sfDir))
+    assert(plan.contains("hashpartitioning(col_name"),
+      s"advisor window not partition-parallel:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"advisor plan has a global single-partition stage:\n$plan")
+  }
+
+  test("q308 sssp: every relaxation round is a hash join + keyed min, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q308_sssp")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"sssp relaxation planned a nested loop:\n$plan")
+  }
 }
