@@ -540,6 +540,72 @@ object Eval {
         round(col("__tsum") / col("n_pos"), 6).as("ap"))
   }
 
+  /** COCHRAN–MANTEL–HAENSZEL stratified 2×2 analysis: the common odds
+    * ratio and the CMH chi-square (no continuity correction) across
+    * strata — the standard guard against Simpson reversal when pooling
+    * a treatment×outcome table over a confounding stratum:
+    *
+    *   OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+    *   χ²    = (Σaᵢ − ΣEᵢ)² / ΣVᵢ,  Eᵢ = r1ᵢc1ᵢ/nᵢ,
+    *           Vᵢ = r1ᵢr2ᵢc1ᵢc2ᵢ / (nᵢ²(nᵢ−1))
+    *
+    * One keyed aggregate builds every stratum's cells as exact longs;
+    * each per-stratum ratio term is snapped to the 2⁻³⁰ grid before
+    * the cross-strata sums (the [[ipsOffPolicy]] posture). Strata with
+    * n ≤ 1 or an empty margin contribute nothing, exactly as the
+    * classical estimator drops them.
+    *
+    * Output: one row (n_strata, n, or_cmh, chi2).
+    */
+  def cmhOddsRatio(
+      df: DataFrame,
+      strataCol: org.apache.spark.sql.Column,
+      exposure: org.apache.spark.sql.Column,
+      outcome: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(c * lit(grid) + lit(0.5)) / lit(grid)
+    val cells = df
+      .select(strataCol.as("s"), exposure.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .groupBy(col("s"))
+      .agg(
+        sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+      .select(
+        col("a"), col("n"),
+        snap((col("a") * col("d")).cast("double") / col("n")).as("ad_n"),
+        snap((col("b") * col("c")).cast("double") / col("n")).as("bc_n"),
+        snap(((col("a") + col("b")) * (col("a") + col("c"))).cast("double") / col("n"))
+          .as("ee"),
+        snap(
+          ((col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d"))).cast("double") /
+            (col("n") * col("n") * (col("n") - 1L)).cast("double")).as("vv"))
+    cells
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("n")).as("n"),
+        sum(col("a")).as("sa"),
+        sum(col("ad_n")).as("sad"),
+        sum(col("bc_n")).as("sbc"),
+        sum(col("ee")).as("se"),
+        sum(col("vv")).as("sv"))
+      .select(
+        col("n_strata"), col("n"),
+        when(col("sbc") > 0.0, round(col("sad") / col("sbc"), 6)).as("or_cmh"),
+        when(col("sv") > 0.0,
+          round(
+            (col("sa").cast("double") - col("se")) *
+              (col("sa").cast("double") - col("se")) / col("sv"),
+            6)).as("chi2"))
+  }
+
   /** COHEN'S KAPPA inter-rater agreement between two boolean raters —
     * the audit number for "do my two quality heuristics (or two
     * annotator models) agree beyond chance?" in an LLM labeling

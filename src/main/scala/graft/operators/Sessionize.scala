@@ -477,4 +477,54 @@ object Sessionize {
         "support",
         round(col("n_sessions_abc").cast("double") / col("n_sessions").cast("double"), 6))
   }
+
+  /** MARKOV NEXT-EVENT top-1 accuracy: train a first-order
+    * next-event-type model on the first `splitDays` days (argmax
+    * transition count per current type, ties to the lexicographically
+    * smallest successor — a deterministic `row_number` argmax), then
+    * score it on the remaining days' consecutive pairs. The temporal
+    * split is the honest protocol — the model never sees eval-period
+    * transitions — and the whole train→predict→score loop stays
+    * relational: pairs from one per-user `lead` window, a model table
+    * of |types|² rows, a broadcast join to score.
+    *
+    * Output per current type: (cur, predicted, n_eval, n_correct,
+    * accuracy).
+    */
+  def nextEventAccuracy(events: DataFrame, splitDays: Int = 20): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
+    val pairs = events
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("d"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(d0))
+      .select(
+        col("event_type").as("cur"), col("nxt"),
+        (datediff(col("d"), col("d0")) < splitDays).as("is_train"))
+    val model = pairs
+      .filter(col("is_train"))
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("cur")).orderBy(col("c").desc, col("nxt").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cur"), col("nxt").as("predicted"))
+    pairs
+      .filter(!col("is_train"))
+      .join(broadcast(model), Seq("cur"))
+      .groupBy(col("cur"), col("predicted"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn(
+        "accuracy",
+        round(col("n_correct").cast("double") / col("n_eval"), 6))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EncodingAdvisor, Eval, Graph, Isotonic, Matching, Timeseries}
+import graft.operators.{EncodingAdvisor, Eval, Graph, Isotonic, Matching, Sessionize, Timeseries}
 import graft.sources.Tables
 
 /** Round-9 additions (q308+): weighted shortest paths, model
@@ -534,8 +534,117 @@ object Round9 {
             FROM sc""")
   )
 
+  /** Expectations-gated quarantine write
+    * ([[graft.sources.LakeWriter.writeWithQuarantine]]): one scan
+    * routes rows into `__valid` partitions with violated-rule
+    * annotations; the query reads the table back and reports the
+    * violation mix — which must equal the oracle's direct evaluation
+    * of the same rules on the source.
+    */
+  val q320Quarantine: QueryDef = QueryDef(
+    "q320_quarantine",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q320").resolve("events_gated").toString
+      graft.sources.LakeWriter.writeWithQuarantine(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        rules = Seq(
+          ("value_cap", col("value") <= 400.0),
+          ("user_mod", col("user_id") % 7 =!= 0)),
+        path = path)
+      s.read.parquet(path)
+        .groupBy(col("__violations").as("violations"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("value_sum"))
+    },
+    Some("""WITH v AS (SELECT concat_ws(',',
+                         CASE WHEN NOT coalesce(value <= 400, FALSE)
+                              THEN 'value_cap' END,
+                         CASE WHEN NOT coalesce(user_id % 7 <> 0, FALSE)
+                              THEN 'user_mod' END) AS violations,
+                       value FROM events)
+            SELECT violations, CAST(count(*) AS BIGINT) n,
+                   round(sum(value), 2) AS value_sum
+            FROM v GROUP BY 1""")
+  )
+
+  /** Cochran–Mantel–Haenszel common odds ratio
+    * ([[graft.operators.Eval.cmhOddsRatio]]): urgent-priority ×
+    * fulfilled-status association, stratified by order month — the
+    * Simpson-safe pooled estimate with the CMH chi-square.
+    */
+  val q321Cmh: QueryDef = QueryDef(
+    "q321_cmh",
+    (s, dir) =>
+      Eval.cmhOddsRatio(
+        Tables.orders(s, dir),
+        strataCol = date_format(col("o_orderdate"), "yyyy-MM"),
+        exposure = col("o_orderpriority") === "1-URGENT",
+        outcome = col("o_orderstatus") === "F"),
+    Some("""WITH r AS (SELECT strftime(o_orderdate, '%Y-%m') s,
+                              o_orderpriority = '1-URGENT' e,
+                              o_orderstatus = 'F' o FROM orders),
+            cl AS (SELECT s,
+                          CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) a,
+                          CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) b,
+                          CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) c,
+                          CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) d
+                   FROM r GROUP BY 1),
+            c2 AS (SELECT a, b, c, d, a + b + c + d AS n FROM cl WHERE a + b + c + d > 1),
+            t AS (SELECT a, n,
+                         floor(CAST(a * d AS DOUBLE) / n * 1073741824.0 + 0.5) /
+                           1073741824.0 ad_n,
+                         floor(CAST(b * c AS DOUBLE) / n * 1073741824.0 + 0.5) /
+                           1073741824.0 bc_n,
+                         floor(CAST((a + b) * (a + c) AS DOUBLE) / n * 1073741824.0 + 0.5) /
+                           1073741824.0 ee,
+                         floor(CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) /
+                               CAST(n * n * (n - 1) AS DOUBLE) * 1073741824.0 + 0.5) /
+                           1073741824.0 vv
+                  FROM c2)
+            SELECT CAST(count(*) AS BIGINT) n_strata, CAST(sum(n) AS BIGINT) n,
+                   CASE WHEN sum(bc_n) > 0.0
+                        THEN round(sum(ad_n) / sum(bc_n), 6) END or_cmh,
+                   CASE WHEN sum(vv) > 0.0
+                        THEN round((CAST(sum(a) AS DOUBLE) - sum(ee)) *
+                                   (CAST(sum(a) AS DOUBLE) - sum(ee)) / sum(vv), 6)
+                        END chi2
+            FROM t""")
+  )
+
+  /** Markov next-event top-1 accuracy
+    * ([[graft.operators.Sessionize.nextEventAccuracy]]): first-order
+    * next-type model trained on days < 20, scored on the rest — the
+    * train/predict/score loop fully relational, temporally honest.
+    */
+  val q322NextEvent: QueryDef = QueryDef(
+    "q322_next_event",
+    (s, dir) => Sessionize.nextEventAccuracy(Tables.events(s, dir), splitDays = 20),
+    Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) d0 FROM events),
+            p AS (SELECT event_type cur,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) nxt,
+                         date_diff('day', d0.d0, CAST(ts AS DATE)) < 20 is_train
+                  FROM events, d0),
+            p2 AS (SELECT * FROM p WHERE nxt IS NOT NULL),
+            m AS (SELECT cur, nxt AS predicted FROM (
+                    SELECT cur, nxt, row_number() OVER
+                      (PARTITION BY cur ORDER BY cc DESC, nxt ASC) rk
+                    FROM (SELECT cur, nxt, CAST(count(*) AS BIGINT) cc
+                          FROM p2 WHERE is_train GROUP BY 1, 2) t) u
+                  WHERE rk = 1)
+            SELECT p2.cur, m.predicted, CAST(count(*) AS BIGINT) n_eval,
+                   CAST(sum(CASE WHEN p2.nxt = m.predicted THEN 1 ELSE 0 END)
+                     AS BIGINT) n_correct,
+                   round(CAST(sum(CASE WHEN p2.nxt = m.predicted THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) accuracy
+            FROM p2 JOIN m USING (cur) WHERE NOT is_train GROUP BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
-      q317BitmapSegments, q318Ppr, q319FellegiSunter)
+      q317BitmapSegments, q318Ppr, q319FellegiSunter, q320Quarantine,
+      q321Cmh, q322NextEvent)
 }

@@ -254,4 +254,35 @@ object LakeWriter {
       .join(broadcast(keyDf), Seq(bucketCol), "left_semi")
       .drop("__bucket")
   }
+
+  /** EXPECTATIONS-GATED write with a QUARANTINE lane (the Delta Live
+    * Tables / dbt-test posture, as a plain parquet operator): every
+    * rule is evaluated in ONE scan, rows failing any rule land in the
+    * `__valid=false` partition annotated with the comma-joined names of
+    * the rules they violate (declaration order — `concat_ws` skips the
+    * NULLs of satisfied rules, so no array plumbing survives into the
+    * file), clean rows land in `__valid=true`. Partitioning does the
+    * routing — no second scan, no driver-side split — and downstream
+    * readers get partition pruning on validity for free.
+    *
+    * Rule predicates must be deterministic; a NULL predicate result
+    * counts as a violation (ternary logic must not smuggle bad rows
+    * into the clean lane).
+    */
+  def writeWithQuarantine(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      path: String
+  ): Unit = {
+    require(rules.nonEmpty, "need at least one expectation rule")
+    val flags = rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn("__violations", concat_ws(",", flags: _*))
+      .withColumn("__valid", col("__violations") === "")
+      .write
+      .mode("overwrite")
+      .partitionBy("__valid")
+      .parquet(path)
+  }
 }

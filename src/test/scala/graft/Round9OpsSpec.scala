@@ -268,4 +268,79 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(4) - (-3.058894)) < 1e-5)
     assert(math.abs(out.getDouble(5) - 1.695994) < 1e-5)
   }
+
+  // ---- Quarantine write -----------------------------------------------
+
+  test("quarantine write: one-scan routing, multi-violation annotation, null = violation") {
+    val rows = Seq(
+      (1L, 10.0, "ok"),
+      (2L, -1.0, "neg"), // fails nonneg
+      (3L, 10.0, null), // null predicate -> violation
+      (4L, -5.0, null) // fails both
+    ).toDF("id", "v", "tag")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_quarantine").resolve("t").toString
+    graft.sources.LakeWriter.writeWithQuarantine(
+      rows,
+      rules = Seq(("nonneg", col("v") >= 0), ("tagged", col("tag").isNotNull)),
+      path = path)
+    val back = spark.read.parquet(path)
+    // partition values round-trip as strings (Spark's partition-type
+    // inference has no boolean case) — the filter below still prunes
+    val byId = back.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getString(r.fieldIndex("__violations")), r.getString(r.fieldIndex("__valid"))))
+      .toMap
+    assert(byId(1L) === (("", "true")))
+    assert(byId(2L) === (("nonneg", "false")))
+    assert(byId(3L) === (("tagged", "false")))
+    assert(byId(4L) === (("nonneg,tagged", "false")))
+    // the clean lane is a partition — a pruned read sees only valid rows
+    val clean = spark.read.parquet(path).filter(col("__valid") === "true")
+    assert(clean.count() === 1L)
+  }
+
+  // ---- CMH ------------------------------------------------------------
+
+  test("cmh: two identical strata reproduce the per-stratum odds ratio and chi2") {
+    // per stratum: a=10 b=5 c=5 d=5 -> OR 2; E=9, V=1.5
+    // pooled: OR_MH = 4/2 = 2; chi2 = (20-18)^2 / 3 = 4/3
+    def stratum(s: String) =
+      Seq.fill(10)((s, true, true)) ++ Seq.fill(5)((s, true, false)) ++
+        Seq.fill(5)((s, false, true)) ++ Seq.fill(5)((s, false, false))
+    val df = (stratum("s1") ++ stratum("s2")).toDF("s", "e", "o")
+    val out = Eval.cmhOddsRatio(df, col("s"), col("e"), col("o")).collect().head
+    assert(out.getLong(0) === 2L)
+    assert(out.getLong(1) === 50L)
+    assert(out.getDouble(2) === 2.0)
+    assert(math.abs(out.getDouble(3) - 4.0 / 3.0) < 1e-6)
+  }
+
+  // ---- Next-event accuracy --------------------------------------------
+
+  test("next-event accuracy: temporal split, argmax model, exact scoring") {
+    val events = Seq(
+      // user 1: train day pairs A->B, B->A (pair crossing midnight is
+      // train because its CUR event is on day 0); eval pairs A->B, B->A
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "B", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "A", ts("2024-01-02 10:00:00")),
+      (4L, 1L, "B", ts("2024-01-02 11:00:00")),
+      (5L, 1L, "A", ts("2024-01-02 12:00:00")),
+      // user 2: train A->B, B->A; eval A->A (model says A->B: wrong)
+      (6L, 2L, "A", ts("2024-01-01 10:00:00")),
+      (7L, 2L, "B", ts("2024-01-01 11:00:00")),
+      (8L, 2L, "A", ts("2024-01-02 10:00:00")),
+      (9L, 2L, "A", ts("2024-01-02 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.nextEventAccuracy(events, splitDays = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getString(1) === "B")
+    assert(out("A").getLong(2) === 2L) // eval pairs from cur A
+    assert(out("A").getLong(3) === 1L)
+    assert(out("A").getDouble(4) === 0.5)
+    assert(out("B").getString(1) === "A")
+    assert(out("B").getLong(2) === 1L)
+    assert(out("B").getDouble(4) === 1.0)
+  }
 }
