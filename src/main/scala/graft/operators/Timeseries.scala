@@ -517,6 +517,65 @@ object Timeseries {
         (col("s").cast("double") / lit(1099511627776.0)).as("decayed_count"))
   }
 
+  /** HOLT LINEAR-TREND exponential smoothing over the zero-filled
+    * daily count series, with a one-step-ahead backtest:
+    *
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * The recurrence is inherently sequential, but the series is
+    * CALENDAR-sized (≤ a few hundred rows at any corpus size), so the
+    * fold runs on the driver over the collected day table — the
+    * bounded-model-state posture of [[graft.operators.Sessionize.markovAttribution]]
+    * and [[burstViterbi]]; all corpus-sized work (the daily counts) is
+    * one keyed aggregate. With DYADIC smoothing constants (the α = β =
+    * ½ default) every state update is exact binary arithmetic — no
+    * rounding anywhere, so the oracle's recursive-CTE replay matches
+    * bit-for-bit, with no snapping grid at all.
+    *
+    * Output: one row (n_days, level, trend, forecast_1, forecast_3,
+    * mae) — mae is the mean absolute one-step-ahead error from t=1.
+    */
+  def holtLinear(
+      events: DataFrame,
+      alpha: Double = 0.5,
+      beta: Double = 0.5,
+      spark: org.apache.spark.sql.SparkSession = null
+  ): DataFrame = {
+    val s = Option(spark).getOrElse(events.sparkSession)
+    import s.implicits._
+    val rows = events
+      .select(to_date(col("ts")).as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("d"))
+      .collect()
+    require(rows.length > 1, "holtLinear needs at least 2 active days")
+    val d0 = rows.head.getDate(0).toLocalDate
+    val byIdx = rows.map { r =>
+      java.time.temporal.ChronoUnit.DAYS
+        .between(d0, r.getDate(0).toLocalDate).toInt -> r.getLong(1)
+    }.toMap
+    val nDays = byIdx.keys.max + 1
+    val y = (0 until nDays).map(i => byIdx.getOrElse(i, 0L).toDouble)
+    var l = y(0)
+    var b = 0.0
+    var absErrSum = 0.0
+    for (t <- 1 until nDays) {
+      absErrSum += math.abs(y(t) - (l + b))
+      val lNew = alpha * y(t) + (1.0 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1.0 - beta) * b
+      l = lNew
+    }
+    // round-6 with the engines' shared HALF_UP (away-from-zero) rule —
+    // rint's half-to-even would diverge from SQL round on a boundary
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nDays.toLong, r6(l), r6(b), r6(l + b), r6(l + 3.0 * b),
+      r6(absErrSum / (nDays - 1))))
+      .toDF("n_days", "level", "trend", "forecast_1", "forecast_3", "mae")
+  }
+
   /** CUMULATIVE DISTINCT count per day — "total unique users to date",
     * the growth-curve number naive SQL computes as an O(n²)
     * re-aggregation per day. The scalable identity: a user counts on

@@ -642,9 +642,93 @@ object Round9 {
             FROM p2 JOIN m USING (cur) WHERE NOT is_train GROUP BY 1, 2""")
   )
 
+  /** Brown–Forsythe variance-homogeneity test: ANOVA F on |x − group
+    * median| — the robust Levene variant. Medians of 2-dp values are
+    * exact in the ×200 integer domain (the interpolated midpoint of
+    * two even integers is an integer), so every deviation is an exact
+    * long and the F reuses the q229 integer-sums shape.
+    */
+  val q323BrownForsythe: QueryDef = QueryDef(
+    "q323_brown_forsythe",
+    (s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), expr("CAST(round(value * 200) AS BIGINT)").as("c2"))
+      val med = base.groupBy(col("event_type"))
+        .agg(expr("CAST(percentile(c2, 0.5) AS BIGINT)").as("m2"))
+      val g = base
+        .join(med, "event_type")
+        .select(col("event_type"), abs(col("c2") - col("m2")).as("z"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"), sum(col("z")).as("s_g"),
+          sum(col("z") * col("z")).as("s2_g"))
+      g.agg(
+          count(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(col("s2_g")).as("s2"),
+          sum((col("s_g") * col("s_g")).cast("double") / col("n_g").cast("double"))
+            .as("sgn"))
+        .select(
+          col("k"), col("n"),
+          round(
+            (col("sgn") - (col("s") * col("s")).cast("double") / col("n").cast("double")) /
+              (col("k") - 1).cast("double") /
+              ((col("s2").cast("double") - col("sgn")) / (col("n") - col("k")).cast("double")),
+            6).as("bf_stat"))
+    },
+    Some("""WITH base AS (SELECT event_type, CAST(round(value * 200) AS BIGINT) c2
+                          FROM events),
+            med AS (SELECT event_type, CAST(quantile_cont(c2, 0.5) AS BIGINT) m2
+                    FROM base GROUP BY 1),
+            g AS (SELECT base.event_type, CAST(count(*) AS BIGINT) n_g,
+                         CAST(sum(abs(c2 - m2)) AS BIGINT) s_g,
+                         CAST(sum(abs(c2 - m2) * abs(c2 - m2)) AS BIGINT) s2_g
+                  FROM base JOIN med USING (event_type) GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) k, CAST(sum(n_g) AS BIGINT) n,
+                         CAST(sum(s_g) AS BIGINT) s, CAST(sum(s2_g) AS BIGINT) s2,
+                         sum(CAST(s_g * s_g AS DOUBLE) / n_g) sgn
+                  FROM g)
+            SELECT k, n,
+                   round((sgn - CAST(s * s AS DOUBLE) / n) / (k - 1) /
+                         ((CAST(s2 AS DOUBLE) - sgn) / (n - k)), 6) AS bf_stat
+            FROM a""")
+  )
+
+  /** Holt linear-trend smoothing with dyadic α = β = ½
+    * ([[graft.operators.Timeseries.holtLinear]]): every state update is
+    * exact binary arithmetic, so the recursive-CTE oracle replays the
+    * fold bit-for-bit — forecast and backtest MAE included.
+    */
+  val q324Holt: QueryDef = QueryDef(
+    "q324_holt",
+    (s, dir) => Timeseries.holtLinear(Tables.events(s, dir)),
+    Some("""WITH RECURSIVE sp AS (SELECT min(CAST(ts AS DATE)) d0,
+                                         max(CAST(ts AS DATE)) d1 FROM events),
+            days AS (SELECT unnest(range(0, date_diff('day', d0, d1) + 1)) AS t FROM sp),
+            dc AS (SELECT date_diff('day', d0, CAST(ts AS DATE)) t,
+                          CAST(count(*) AS BIGINT) c
+                   FROM events, sp GROUP BY 1),
+            y AS (SELECT days.t, CAST(coalesce(dc.c, 0) AS DOUBLE) y
+                  FROM days LEFT JOIN dc USING (t)),
+            h(t, l, b, es) AS (
+              SELECT CAST(0 AS BIGINT), y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM y WHERE t = 0
+              UNION ALL
+              SELECT y.t,
+                     0.5 * y.y + 0.5 * (h.l + h.b),
+                     0.5 * ((0.5 * y.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+                     h.es + abs(y.y - (h.l + h.b))
+              FROM h JOIN y ON y.t = h.t + 1),
+            lastrow AS (SELECT * FROM h ORDER BY t DESC LIMIT 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) n FROM y)
+            SELECT nn.n AS n_days, round(l, 6) AS level, round(b, 6) AS trend,
+                   round(l + b, 6) AS forecast_1, round(l + 3 * b, 6) AS forecast_3,
+                   round(es / (nn.n - 1), 6) AS mae
+            FROM lastrow, nn""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
       q317BitmapSegments, q318Ppr, q319FellegiSunter, q320Quarantine,
-      q321Cmh, q322NextEvent)
+      q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt)
 }

@@ -343,4 +343,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out("B").getLong(2) === 1L)
     assert(out("B").getDouble(4) === 1.0)
   }
+
+  // ---- Holt linear trend ----------------------------------------------
+
+  test("holt: hand-computed dyadic fold on a 3-day series, zero-filled gap") {
+    // counts: day0=4, day1=0 (gap), day2=8
+    // t=1: err |0-4|=4;   l=0.5*0+0.5*4=2,   b=0.5*(2-4)+0 = -1
+    // t=2: err |8-1|=7;   l=0.5*8+0.5*1=4.5, b=0.5*(4.5-2)+0.5*(-1)=0.75
+    // mae=(4+7)/2=5.5, forecast_1=5.25, forecast_3=6.75
+    val events = (Seq.fill(4)(ts("2024-01-01 10:00:00")) ++
+      Seq.fill(8)(ts("2024-01-03 10:00:00"))).map(Tuple1(_)).toDF("ts")
+    val out = Timeseries.holtLinear(events).collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getDouble(1) === 4.5) // level
+    assert(out.getDouble(2) === 0.75) // trend
+    assert(out.getDouble(3) === 5.25)
+    assert(out.getDouble(4) === 6.75)
+    assert(out.getDouble(5) === 5.5)
+  }
 }
