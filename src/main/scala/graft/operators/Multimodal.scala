@@ -357,4 +357,73 @@ object Multimodal {
       WavStats(id, sr, n.toLong, n.toLong * 1000L / sr, peak, sumSq, crossings)
     }
   }
+
+  final case class AHash(doc_id: Long, w0: Long, w1: Long)
+  implicit private val aHashEnc: Encoder[AHash] = Encoders.product[AHash]
+
+  /** PERCEPTUAL average-hash (aHash) of each media payload: 64 samples
+    * at positions ⌊i·n/64⌋ (the stub [[resize]] mapping, i.e. an 8×8
+    * thumbnail of the byte stream), bit i set iff sample i is STRICTLY
+    * above the thumbnail mean. The mean is Σ/64 — a dyadic divisor, so
+    * it is exact in doubles and the bit pattern replays on any engine.
+    * The hash lands in TWO 32-bit words (bits 0–31 / 32–63): no sign
+    * bit is ever set, so XOR/popcount/shift stay portable (the
+    * [[graft.operators.Bitmap]] sign-free posture). On real images the
+    * same function runs after [[resizeImage]] grayscaling — the seam
+    * is the byte source, not the hash.
+    */
+  def imageAHash(media: DataFrame): DataFrame =
+    media
+      .as[MediaRecord]
+      .filter((r: MediaRecord) => r.payload.length > 0)
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val n = r.payload.length
+          val samples = Array.tabulate(64)(i => r.payload((i.toLong * n / 64).toInt) & 0xff)
+          val mean = samples.sum / 64.0
+          var w0 = 0L
+          var w1 = 0L
+          var i = 0
+          while (i < 64) {
+            if (samples(i) > mean) {
+              if (i < 32) w0 |= 1L << i else w1 |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          AHash(r.doc_id, w0, w1)
+        }
+      }
+      .toDF()
+
+  /** aHash NEAR-DUP pairs with GUARANTEED recall at Hamming ≤ 7: the
+    * 64-bit hash splits into eight 8-bit bands; two hashes within
+    * Hamming 7 must agree on ≥ one band (pigeonhole), so the band-
+    * bucket equi-join generates a candidate superset and the exact
+    * popcount filter keeps truth — the image-side twin of the SimHash
+    * text pipeline ([[Dedup]]), near-linear instead of all-pairs. The
+    * ≤ 7 radius (vs SimHash's ≤ 3) reflects the hash: an 8×8 byte
+    * thumbnail is coarser than a token sketch, so perceptual "same
+    * image, re-encoded" pairs land further apart.
+    *
+    * Output: (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ 7.
+    */
+  def aHashNearDup(media: DataFrame): DataFrame = {
+    val h = imageAHash(media).localCheckpoint()
+    val bandCols = (0 until 8).map { k =>
+      val word = if (k < 4) col("w0") else col("w1")
+      concat_ws(":", lit(k), shiftright(word, (k % 4) * 8).bitwiseAND(lit(255L)))
+    }
+    val banded = h.select(
+      col("doc_id"), col("w0"), col("w1"),
+      explode(array(bandCols: _*)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.w0").bitwiseXOR(col("b.w0"))) +
+          bit_count(col("a.w1").bitwiseXOR(col("b.w1")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+  }
 }

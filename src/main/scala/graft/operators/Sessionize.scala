@@ -90,6 +90,57 @@ object Sessionize {
         round(sum(col("purchased")) / count(lit(1)), 6).as("cvr"))
   }
 
+  /** POSITION-BASED (U-shaped) attribution: in each converting session
+    * the touches BEFORE the first purchase split the conversion credit
+    * 40% first / 40% last / 20% spread over the middles (the standard
+    * position-based model — the missing classic between
+    * [[firstTouchAttribution]] and the Shapley/Markov models). Edge
+    * rules: a single touch takes 1.0, two touches take 0.5 each. Each
+    * touch's credit is snapped to the 2⁻³⁰ grid before the per-channel
+    * sum so the oracle lands on identical dyadic terms.
+    *
+    * One user-keyed session pass + one channel aggregate. Output:
+    * (channel, n_touches, credit).
+    */
+  def positionAttribution(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val lagUs = lag(col("us"), 1).over(byUser)
+    val s = e
+      .withColumn(
+        "brk",
+        when(lagUs.isNull || col("us") - lagUs > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(byUser))
+    val bySession = Window
+      .partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("us"), col("event_id"))
+    val sessW = Window.partitionBy(col("user_id"), col("sess"))
+    val touches = s
+      .withColumn("pos", row_number().over(bySession))
+      .withColumn(
+        "first_p",
+        min(when(col("event_type") === "purchase", col("pos"))).over(sessW))
+      .filter(col("first_p").isNotNull && col("pos") < col("first_p"))
+      .withColumn("k", max(col("pos")).over(sessW))
+    val credit = when(col("k") === 1, lit(1.0))
+      .when(col("k") === 2, lit(0.5))
+      .when(col("pos") === 1 || col("pos") === col("k"), lit(0.4))
+      .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+    touches
+      .select(col("event_type").as("channel"), snap(credit).as("cr"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        round(sum(col("cr")), 6).as("credit"))
+  }
+
   /** Rolling DAU / WAU / stickiness: for every day in the corpus span,
     * the distinct users active THAT day, the distinct users active in
     * the trailing `windowDays` window, and their ratio (the DAU/WAU

@@ -726,9 +726,215 @@ object Round9 {
             FROM lastrow, nn""")
   )
 
+  /** Perceptual aHash near-dup over the media payloads
+    * ([[graft.operators.Multimodal.aHashNearDup]]): 8×8 byte-thumbnail
+    * average hash, four 16-bit bands for guaranteed recall at Hamming
+    * ≤ 7. ASCII corpus ⇒ byte ≡ codepoint, so the oracle recomputes
+    * the hashes and checks ALL pairs exactly (the band join must
+    * reproduce the quadratic truth).
+    */
+  val q325AHashNearDup: QueryDef = QueryDef(
+    "q325_ahash_neardup",
+    (s, dir) =>
+      graft.operators.Multimodal.aHashNearDup(
+        graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, dir))),
+    Some("""WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) n,
+                              [unicode(substr(text, CAST(i AS INT), 1))
+                               FOR i IN range(1, length(text) + 1)] codes
+                       FROM documents WHERE length(text) > 0),
+            sam AS (SELECT doc_id,
+                           [codes[CAST(i * n // 64 AS INT) + 1]
+                            FOR i IN range(0, 64)] s
+                    FROM m),
+            mm AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64.0 mean FROM sam),
+            h AS (SELECT doc_id,
+                         list_sum([CASE WHEN s[CAST(i AS INT) + 1] > mean
+                                        THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                                        ELSE CAST(0 AS BIGINT) END
+                                   FOR i IN range(0, 32)]) w0,
+                         list_sum([CASE WHEN s[CAST(i AS INT) + 33] > mean
+                                        THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                                        ELSE CAST(0 AS BIGINT) END
+                                   FOR i IN range(0, 32)]) w1
+                  FROM mm)
+            SELECT a.doc_id doc_a, b.doc_id doc_b,
+                   CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                     AS BIGINT) hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7""")
+  )
+
+  /** Position-based (U-shaped) attribution
+    * ([[graft.operators.Sessionize.positionAttribution]]): 40/20/40
+    * credit over pre-purchase touches in converting sessions, snapped
+    * per-touch credits.
+    */
+  val q326PositionAttribution: QueryDef = QueryDef(
+    "q326_position_attribution",
+    (s, dir) => Sessionize.positionAttribution(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+            s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                      OR us - lag(us) OVER w > 1800000000
+                                 THEN 1 ELSE 0 END brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            s2 AS (SELECT *, sum(brk) OVER
+                     (PARTITION BY user_id ORDER BY us, event_id) sess FROM s),
+            p AS (SELECT *, row_number() OVER
+                    (PARTITION BY user_id, sess ORDER BY us, event_id) pos FROM s2),
+            fp AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN pos END)
+                     OVER (PARTITION BY user_id, sess) first_p FROM p),
+            t AS (SELECT *, max(pos) OVER (PARTITION BY user_id, sess) k
+                  FROM (SELECT * FROM fp
+                        WHERE first_p IS NOT NULL AND pos < first_p) x),
+            c AS (SELECT event_type channel,
+                         floor((CASE WHEN k = 1 THEN 1.0
+                                     WHEN k = 2 THEN 0.5
+                                     WHEN pos = 1 OR pos = k THEN 0.4
+                                     ELSE 0.2 / (k - 2) END) * 1073741824.0 + 0.5) /
+                         1073741824.0 cr
+                  FROM t)
+            SELECT channel, CAST(count(*) AS BIGINT) n_touches,
+                   round(sum(cr), 6) credit
+            FROM c GROUP BY 1""")
+  )
+
+  /** Cohen's d effect size of each event type's value against the rest
+    * of the corpus — pooled-SD standardized mean difference from exact
+    * integer cent sums (the practical companion number to the q229/q323
+    * F statistics).
+    */
+  val q327CohensD: QueryDef = QueryDef(
+    "q327_cohens_d",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n1"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("ss1"))
+      val tot = Tables.events(s, dir)
+        .agg(count(lit(1)).as("nn"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("st"),
+          sum(expr("CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)"))
+            .as("sst"))
+      g.crossJoin(broadcast(tot))
+        .select(
+          col("event_type"), col("n1"),
+          round(
+            ((col("s1").cast("double") / col("n1") -
+              (col("st") - col("s1")).cast("double") / (col("nn") - col("n1"))) /
+              sqrt(
+                ((col("ss1").cast("double") -
+                  (col("s1") * col("s1")).cast("double") / col("n1")) +
+                  ((col("sst") - col("ss1")).cast("double") -
+                    ((col("st") - col("s1")) * (col("st") - col("s1"))).cast("double") /
+                      (col("nn") - col("n1")))) /
+                  (col("nn") - 2).cast("double"))) ,
+            6).as("cohens_d"))
+    },
+    Some("""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) c FROM events),
+            g AS (SELECT event_type, CAST(count(*) AS BIGINT) n1,
+                         CAST(sum(c) AS BIGINT) s1, CAST(sum(c * c) AS BIGINT) ss1
+                  FROM b GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) nn, CAST(sum(c) AS BIGINT) st,
+                           CAST(sum(c * c) AS BIGINT) sst FROM b)
+            SELECT event_type, n1,
+                   round((CAST(s1 AS DOUBLE) / n1 -
+                          CAST(st - s1 AS DOUBLE) / (nn - n1)) /
+                         sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n1) +
+                               (CAST(sst - ss1 AS DOUBLE) -
+                                CAST((st - s1) * (st - s1) AS DOUBLE) / (nn - n1))) /
+                              CAST(nn - 2 AS DOUBLE)), 6) + 0.0 AS cohens_d
+            FROM g, tot""")
+  )
+
+  /** Delta-method ratio-metric A/B (Deng et al.): revenue-per-event as
+    * a per-user ratio metric, arm = user parity; the ratio's variance
+    * from the per-user (x, y) moments — all exact integer sums of
+    * cents up to the final float chain, mirrored verbatim.
+    */
+  val q328RatioDelta: QueryDef = QueryDef(
+    "q328_ratio_delta",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      val arms = perUser
+        .groupBy(col("arm"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(
+          col("arm"), col("n"),
+          (col("sy").cast("double") / col("sx")).as("ratio"),
+          ((col("syy").cast("double") -
+            (col("sy") * col("sy")).cast("double") / col("n")) / (col("n") - 1))
+            .as("vy"),
+          ((col("sxx").cast("double") -
+            (col("sx") * col("sx")).cast("double") / col("n")) / (col("n") - 1))
+            .as("vx"),
+          ((col("sxy").cast("double") -
+            (col("sx") * col("sy")).cast("double") / col("n")) / (col("n") - 1))
+            .as("cxy"),
+          (col("sx").cast("double") / col("n")).as("xbar"))
+        .select(
+          col("arm"), col("n"), col("ratio"),
+          ((col("vy") - lit(2.0) * col("ratio") * col("cxy") +
+            col("ratio") * col("ratio") * col("vx")) /
+            (col("n").cast("double") * col("xbar") * col("xbar"))).as("vr"))
+      arms.agg(
+          sum(when(col("arm") === 0, col("n"))).as("n_ctl"),
+          sum(when(col("arm") === 1, col("n"))).as("n_trt"),
+          sum(when(col("arm") === 0, col("ratio"))).as("r0"),
+          sum(when(col("arm") === 1, col("ratio"))).as("r1"),
+          sum(when(col("arm") === 0, col("vr"))).as("v0"),
+          sum(when(col("arm") === 1, col("vr"))).as("v1"))
+        .select(
+          col("n_ctl"), col("n_trt"),
+          round(col("r0") / 100.0, 6).as("ratio_ctl"),
+          round(col("r1") / 100.0, 6).as("ratio_trt"),
+          round((col("r1") - col("r0")) / 100.0, 6).as("ratio_diff"),
+          round((col("r1") - col("r0")) / sqrt(col("v0") + col("v1")), 6).as("z"))
+    },
+    Some("""WITH pu AS (SELECT user_id % 2 arm, user_id, CAST(count(*) AS BIGINT) x,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) y
+                        FROM events GROUP BY 1, 2),
+            a AS (SELECT arm, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy,
+                         CAST(sum(x * y) AS BIGINT) sxy
+                  FROM pu GROUP BY 1),
+            b AS (SELECT arm, n,
+                         CAST(sy AS DOUBLE) / sx ratio,
+                         (CAST(syy AS DOUBLE) - CAST(sy * sy AS DOUBLE) / n) / (n - 1) vy,
+                         (CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) / n) / (n - 1) vx,
+                         (CAST(sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE) / n) / (n - 1) cxy,
+                         CAST(sx AS DOUBLE) / n xbar
+                  FROM a),
+            c AS (SELECT arm, n, ratio,
+                         (vy - 2.0 * ratio * cxy + ratio * ratio * vx) /
+                           (CAST(n AS DOUBLE) * xbar * xbar) vr
+                  FROM b)
+            SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) n_ctl,
+                   CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) n_trt,
+                   round(sum(CASE WHEN arm = 0 THEN ratio END) / 100.0, 6) ratio_ctl,
+                   round(sum(CASE WHEN arm = 1 THEN ratio END) / 100.0, 6) ratio_trt,
+                   round((sum(CASE WHEN arm = 1 THEN ratio END) -
+                          sum(CASE WHEN arm = 0 THEN ratio END)) / 100.0, 6) ratio_diff,
+                   round((sum(CASE WHEN arm = 1 THEN ratio END) -
+                          sum(CASE WHEN arm = 0 THEN ratio END)) /
+                         sqrt(sum(CASE WHEN arm = 0 THEN vr END) +
+                              sum(CASE WHEN arm = 1 THEN vr END)), 6) z
+            FROM c""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
       q317BitmapSegments, q318Ppr, q319FellegiSunter, q320Quarantine,
-      q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt)
+      q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt, q325AHashNearDup,
+      q326PositionAttribution, q327CohensD, q328RatioDelta)
 }

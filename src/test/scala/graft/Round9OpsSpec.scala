@@ -344,6 +344,51 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out("B").getDouble(4) === 1.0)
   }
 
+  // ---- aHash near-dup -------------------------------------------------
+
+  test("ahash: identical payloads pair at hamming 0; distinct content stays apart") {
+    import graft.operators.Multimodal
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val text = "the quick brown fox jumps over the lazy dog " * 4
+    val other = ("z" * 60) + ("a" * 60) + ("z" * 60)
+    val media = Seq(mk(1L, text), mk(2L, text), mk(3L, other))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.aHashNearDup(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+    // hashes themselves: w0/w1 carry no sign bit (portable shifts)
+    val h = Multimodal.imageAHash(media).collect()
+    assert(h.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+  }
+
+  // ---- Position-based attribution -------------------------------------
+
+  test("position attribution: 40/20/40 split with 1- and 2-touch edge rules") {
+    // u1: A B C purchase -> A 0.4, B 0.2, C 0.4
+    // u2: A purchase     -> A 1.0
+    // u3: B C purchase   -> B 0.5, C 0.5
+    // u4: A B (no purchase) -> nothing
+    val events = Seq(
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "B", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "C", ts("2024-01-01 10:02:00")),
+      (4L, 1L, "purchase", ts("2024-01-01 10:03:00")),
+      (5L, 2L, "A", ts("2024-01-01 10:00:00")),
+      (6L, 2L, "purchase", ts("2024-01-01 10:01:00")),
+      (7L, 3L, "B", ts("2024-01-01 10:00:00")),
+      (8L, 3L, "C", ts("2024-01-01 10:01:00")),
+      (9L, 3L, "purchase", ts("2024-01-01 10:02:00")),
+      (10L, 4L, "A", ts("2024-01-01 10:00:00")),
+      (11L, 4L, "B", ts("2024-01-01 10:01:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.positionAttribution(events)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("A") === ((2L, 1.4)))
+    assert(out("B") === ((2L, 0.7)))
+    assert(out("C") === ((2L, 0.9)))
+    assert(!out.contains("purchase"))
+  }
+
   // ---- Holt linear trend ----------------------------------------------
 
   test("holt: hand-computed dyadic fold on a 3-day series, zero-filled gap") {
