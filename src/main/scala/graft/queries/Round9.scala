@@ -931,10 +931,216 @@ object Round9 {
             FROM c""")
   )
 
+  /** Good–Turing frequency smoothing over (part, supplier)
+    * co-occurrence counts — a genuinely long-tailed type space (the
+    * synthetic document vocabulary is 31 words, every one frequent, so
+    * the LM-side smoothing demo lives on the lineitem pair counts):
+    * count-of-counts N_r and adjusted counts r* = (r+1)·N_{r+1}/N_r
+    * for r ≤ 5, plus the unseen-mass estimate P₀ = N₁/T. All exact
+    * integer counts until the final divisions.
+    */
+  val q329GoodTuring: QueryDef = QueryDef(
+    "q329_good_turing",
+    (s, dir) => {
+      val tf = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("r"))
+      val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      val tot = tf.agg(sum(col("r")).as("t"))
+      nr.as("a")
+        .join(nr.as("b"), col("a.r") + 1 === col("b.r"), "left")
+        .filter(col("a.r") <= 5)
+        .crossJoin(broadcast(tot))
+        .select(
+          col("a.r").as("r"),
+          col("a.n_r").as("n_r"),
+          coalesce(col("b.n_r"), lit(0L)).as("n_r_next"),
+          round((col("a.r") + 1).cast("double") * coalesce(col("b.n_r"), lit(0L)) /
+            col("a.n_r"), 6).as("r_star"),
+          when(col("a.r") === 1,
+            round(col("a.n_r").cast("double") / col("t"), 6)).as("p_unseen"))
+    },
+    Some("""WITH tf AS (SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) r
+                        FROM lineitem GROUP BY 1, 2),
+            nr AS (SELECT r, CAST(count(*) AS BIGINT) n_r FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(r) AS BIGINT) t FROM tf)
+            SELECT a.r, a.n_r, coalesce(b.n_r, 0) n_r_next,
+                   round(CAST(a.r + 1 AS DOUBLE) * coalesce(b.n_r, 0) / a.n_r, 6) r_star,
+                   CASE WHEN a.r = 1
+                        THEN round(CAST(a.n_r AS DOUBLE) / t, 6) END p_unseen
+            FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r, tot
+            WHERE a.r <= 5""")
+  )
+
+  /** Chow structural-break test of the daily-count trend at day 15:
+    * pooled vs per-segment OLS residual sums from exact integer
+    * moments — F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)).
+    */
+  val q330ChowTest: QueryDef = QueryDef(
+    "q330_chow_test",
+    (s, dir) => {
+      val d0 = Tables.events(s, dir).agg(min(to_date(col("ts"))).as("d0"))
+      val daily = Tables.events(s, dir)
+        .crossJoin(broadcast(d0))
+        .select(datediff(to_date(col("ts")), col("d0")).cast("long").as("x"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("y"))
+      def moments(pred: org.apache.spark.sql.Column, tag: String) = Seq(
+        sum(when(pred, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(when(pred, col("x"))).as(s"sx_$tag"),
+        sum(when(pred, col("y"))).as(s"sy_$tag"),
+        sum(when(pred, col("x") * col("x"))).as(s"sxx_$tag"),
+        sum(when(pred, col("x") * col("y"))).as(s"sxy_$tag"),
+        sum(when(pred, col("y") * col("y"))).as(s"syy_$tag"))
+      val m = daily.agg(
+        (moments(lit(true), "p") ++ moments(col("x") < 15, "a") ++
+          moments(col("x") >= 15, "b")).head,
+        (moments(lit(true), "p") ++ moments(col("x") < 15, "a") ++
+          moments(col("x") >= 15, "b")).tail: _*)
+      def ssr(tag: String) = {
+        val n = col(s"n_$tag").cast("double")
+        val sxx = col(s"sxx_$tag").cast("double") -
+          (col(s"sx_$tag") * col(s"sx_$tag")).cast("double") / n
+        val sxy = col(s"sxy_$tag").cast("double") -
+          (col(s"sx_$tag") * col(s"sy_$tag")).cast("double") / n
+        val syy = col(s"syy_$tag").cast("double") -
+          (col(s"sy_$tag") * col(s"sy_$tag")).cast("double") / n
+        syy - sxy * sxy / sxx
+      }
+      m.select(
+        col("n_p").as("n_days"), col("n_a").as("n_pre"), col("n_b").as("n_post"),
+        round(
+          ((ssr("p") - ssr("a") - ssr("b")) / 2.0) /
+            ((ssr("a") + ssr("b")) / (col("n_p") - 4).cast("double")),
+          6).as("chow_f"))
+    },
+    Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) d0 FROM events),
+            daily AS (SELECT date_diff('day', d0.d0, CAST(ts AS DATE)) x,
+                             CAST(count(*) AS BIGINT) y
+                      FROM events, d0 GROUP BY 1),
+            m AS (SELECT
+                    CAST(count(*) AS BIGINT) n_p, CAST(sum(x) AS BIGINT) sx_p,
+                    CAST(sum(y) AS BIGINT) sy_p, CAST(sum(x * x) AS BIGINT) sxx_p,
+                    CAST(sum(x * y) AS BIGINT) sxy_p, CAST(sum(y * y) AS BIGINT) syy_p,
+                    CAST(sum(CASE WHEN x < 15 THEN 1 ELSE 0 END) AS BIGINT) n_a,
+                    CAST(sum(CASE WHEN x < 15 THEN x END) AS BIGINT) sx_a,
+                    CAST(sum(CASE WHEN x < 15 THEN y END) AS BIGINT) sy_a,
+                    CAST(sum(CASE WHEN x < 15 THEN x * x END) AS BIGINT) sxx_a,
+                    CAST(sum(CASE WHEN x < 15 THEN x * y END) AS BIGINT) sxy_a,
+                    CAST(sum(CASE WHEN x < 15 THEN y * y END) AS BIGINT) syy_a,
+                    CAST(sum(CASE WHEN x >= 15 THEN 1 ELSE 0 END) AS BIGINT) n_b,
+                    CAST(sum(CASE WHEN x >= 15 THEN x END) AS BIGINT) sx_b,
+                    CAST(sum(CASE WHEN x >= 15 THEN y END) AS BIGINT) sy_b,
+                    CAST(sum(CASE WHEN x >= 15 THEN x * x END) AS BIGINT) sxx_b,
+                    CAST(sum(CASE WHEN x >= 15 THEN x * y END) AS BIGINT) sxy_b,
+                    CAST(sum(CASE WHEN x >= 15 THEN y * y END) AS BIGINT) syy_b
+                  FROM daily),
+            f AS (SELECT n_p, n_a, n_b,
+                    (CAST(syy_p AS DOUBLE) - CAST(sy_p * sy_p AS DOUBLE) / n_p) -
+                      (CAST(sxy_p AS DOUBLE) - CAST(sx_p * sy_p AS DOUBLE) / n_p) *
+                      (CAST(sxy_p AS DOUBLE) - CAST(sx_p * sy_p AS DOUBLE) / n_p) /
+                      (CAST(sxx_p AS DOUBLE) - CAST(sx_p * sx_p AS DOUBLE) / n_p) ssr_p,
+                    (CAST(syy_a AS DOUBLE) - CAST(sy_a * sy_a AS DOUBLE) / n_a) -
+                      (CAST(sxy_a AS DOUBLE) - CAST(sx_a * sy_a AS DOUBLE) / n_a) *
+                      (CAST(sxy_a AS DOUBLE) - CAST(sx_a * sy_a AS DOUBLE) / n_a) /
+                      (CAST(sxx_a AS DOUBLE) - CAST(sx_a * sx_a AS DOUBLE) / n_a) ssr_a,
+                    (CAST(syy_b AS DOUBLE) - CAST(sy_b * sy_b AS DOUBLE) / n_b) -
+                      (CAST(sxy_b AS DOUBLE) - CAST(sx_b * sy_b AS DOUBLE) / n_b) *
+                      (CAST(sxy_b AS DOUBLE) - CAST(sx_b * sy_b AS DOUBLE) / n_b) /
+                      (CAST(sxx_b AS DOUBLE) - CAST(sx_b * sx_b AS DOUBLE) / n_b) ssr_b
+                  FROM m)
+            SELECT n_p AS n_days, n_a AS n_pre, n_b AS n_post,
+                   round(((ssr_p - ssr_a - ssr_b) / 2.0) /
+                         ((ssr_a + ssr_b) / CAST(n_p - 4 AS DOUBLE)), 6) AS chow_f
+            FROM f""")
+  )
+
+  /** MinHash-LSH parameter planner: for each (bands, rows) split of a
+    * 64-permutation signature budget, the S-curve match probabilities
+    * at representative Jaccard levels and the threshold s* ≈ (1/b)^(1/r)
+    * — the table a dedup deployment consults before picking
+    * [[graft.operators.Dedup]] banding. Pow outputs snapped to the
+    * 2⁻³⁰ grid (engine pow differs in ulps).
+    */
+  val q331LshPlanner: QueryDef = QueryDef(
+    "q331_lsh_planner",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+      val combos = s.range(1, 7).select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("b"))
+        .select(col("b"), (lit(64L) / col("b")).cast("long").as("r"))
+      def pCurve(sim: Double) =
+        round(snap(lit(1.0) -
+          snap(pow(lit(1.0) - snap(pow(lit(sim), col("r").cast("double"))),
+            col("b").cast("double")))), 6)
+      combos.select(
+        col("b"), col("r"),
+        round(snap(pow(lit(1.0) / col("b").cast("double"),
+          lit(1.0) / col("r").cast("double"))), 6).as("t_star"),
+        pCurve(0.5).as("p50"), pCurve(0.7).as("p70"),
+        pCurve(0.8).as("p80"), pCurve(0.9).as("p90"))
+    },
+    Some("""WITH combos AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INT) b,
+                                   64 // (CAST(1 AS BIGINT) << CAST(i AS INT)) r
+                            FROM range(1, 7) t(i)),
+            c AS (SELECT b, CAST(r AS BIGINT) r,
+                         floor(pow(1.0 / b, 1.0 / r) * 1073741824.0 + 0.5) /
+                           1073741824.0 t_star,
+                         floor((1.0 - floor(pow(1.0 - floor(pow(0.5, CAST(r AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0, CAST(b AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0) * 1073741824.0 + 0.5) /
+                           1073741824.0 p50,
+                         floor((1.0 - floor(pow(1.0 - floor(pow(0.7, CAST(r AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0, CAST(b AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0) * 1073741824.0 + 0.5) /
+                           1073741824.0 p70,
+                         floor((1.0 - floor(pow(1.0 - floor(pow(0.8, CAST(r AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0, CAST(b AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0) * 1073741824.0 + 0.5) /
+                           1073741824.0 p80,
+                         floor((1.0 - floor(pow(1.0 - floor(pow(0.9, CAST(r AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0, CAST(b AS DOUBLE)) *
+                           1073741824.0 + 0.5) / 1073741824.0) * 1073741824.0 + 0.5) /
+                           1073741824.0 p90
+                  FROM combos)
+            SELECT b, r, round(t_star, 6) t_star, round(p50, 6) p50,
+                   round(p70, 6) p70, round(p80, 6) p80, round(p90, 6) p90
+            FROM c""")
+  )
+
+  /** Column-level lineage off the analyzed Catalyst plan
+    * ([[graft.plans.Provenance.columnLineage]]): the revenue-per-nation
+    * report's output columns traced to their physical source columns —
+    * value provenance through joins, aliases and aggregates. The
+    * oracle is the literal expected lineage (the plan walk must land
+    * exactly there).
+    */
+  val q332ColumnLineage: QueryDef = QueryDef(
+    "q332_column_lineage",
+    (s, dir) => {
+      val report = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+      graft.plans.Provenance.columnLineage(report)
+    },
+    Some("""SELECT * FROM (VALUES
+              ('n_name', 'nation', 'n_name'),
+              ('revenue', 'lineitem', 'l_extendedprice'),
+              ('revenue', 'lineitem', 'l_discount'),
+              ('n_orders', 'orders', 'o_orderkey'))
+            t(out_col, source_table, source_col)""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
       q317BitmapSegments, q318Ppr, q319FellegiSunter, q320Quarantine,
       q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt, q325AHashNearDup,
-      q326PositionAttribution, q327CohensD, q328RatioDelta)
+      q326PositionAttribution, q327CohensD, q328RatioDelta, q329GoodTuring,
+      q330ChowTest, q331LshPlanner, q332ColumnLineage)
 }
