@@ -1136,11 +1136,66 @@ object Round9 {
             t(out_col, source_table, source_col)""")
   )
 
+  /** Native XML source roundtrip (Spark 4 ships the former spark-xml
+    * as a built-in format): orders written as `<order>` row elements,
+    * read back with an explicit schema, aggregated — the result must
+    * equal the parquet-direct aggregate (the oracle), proving the
+    * serialize→parse trip is lossless including double round-trips.
+    */
+  val q333XmlSource: QueryDef = QueryDef(
+    "q333_xml_source",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q333").resolve("orders_xml").toString
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(4)
+        .write.format("xml").option("rowTag", "order").mode("overwrite").save(path)
+      s.read.format("xml").option("rowTag", "order")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+    },
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) n,
+                   CAST(sum(o_orderkey) AS BIGINT) key_sum,
+                   round(sum(o_totalprice), 2) price_sum
+            FROM orders GROUP BY 1""")
+  )
+
+  /** UNPIVOT (melt) surface — `Dataset.unpivot` (the SQL `UNPIVOT`
+    * relational operator, Spark 3.4+): three lineitem measures melted
+    * to (metric, val) rows and re-aggregated; the oracle is the
+    * explicit UNION ALL melt.
+    */
+  val q334Unpivot: QueryDef = QueryDef(
+    "q334_unpivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("v_sum")),
+    Some("""SELECT metric, CAST(count(*) AS BIGINT) n, round(sum(v), 2) v_sum
+            FROM (
+              SELECT 'l_quantity' metric, l_quantity v FROM lineitem
+              UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL SELECT 'l_tax', l_tax FROM lineitem) u
+            GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
       q317BitmapSegments, q318Ppr, q319FellegiSunter, q320Quarantine,
       q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt, q325AHashNearDup,
       q326PositionAttribution, q327CohensD, q328RatioDelta, q329GoodTuring,
-      q330ChowTest, q331LshPlanner, q332ColumnLineage)
+      q330ChowTest, q331LshPlanner, q332ColumnLineage, q333XmlSource,
+      q334Unpivot)
 }
