@@ -29,7 +29,8 @@ from pathlib import Path
 out = sys.argv[1]
 oracle = json.loads(Path(out, "oracle_sql.json").read_text())
 skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
-        "q58_dedup_clusters", "q69_dedup_clusters_star"}
+        "q58_dedup_clusters", "q69_dedup_clusters_star",
+        "q325_ahash_neardup"}
 Path(out, "oracle_sql.json").write_text(
     json.dumps({k: v for k, v in oracle.items() if k not in skip}))
 print("sf0.1: skipping quadratic-family oracles:", sorted(skip))

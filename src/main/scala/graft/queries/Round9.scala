@@ -1190,6 +1190,62 @@ object Round9 {
             GROUP BY 1""")
   )
 
+  /** Distribution-free median CI from binomial order statistics: the
+    * 95% interval is (X₍ₖ₎, X₍ₙ₋ₖ₊₁₎) with k = ⌊(n − 1.96√n)/2⌋ — no
+    * normality assumption, no bootstrap replicates. Ranks resolve
+    * against the VALUE HISTOGRAM cumsum (the q228 posture: the window
+    * runs over distinct cents, never over rows), so there is no global
+    * sort at any scale.
+    */
+  val q335MedianCi: QueryDef = QueryDef(
+    "q335_median_ci",
+    (s, dir) => {
+      val h = Tables.events(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = h.withColumn("cum", sum(col("cnt")).over(wCum))
+      val tot = h.agg(sum(col("cnt")).as("n"))
+      cum
+        .crossJoin(broadcast(tot))
+        .withColumn("k_med", ceil(col("n").cast("double") / 2.0).cast("long"))
+        .withColumn("k_lo",
+          greatest(lit(1L),
+            floor((col("n").cast("double") - lit(1.96) * sqrt(col("n").cast("double"))) /
+              2.0).cast("long")))
+        .withColumn("k_hi", col("n") - col("k_lo") + 1L)
+        .agg(
+          max(col("n")).as("n"),
+          round(min(when(col("cum") >= col("k_med"), col("c"))).cast("double") / 100.0, 2)
+            .as("median"),
+          round(min(when(col("cum") >= col("k_lo"), col("c"))).cast("double") / 100.0, 2)
+            .as("ci_lo"),
+          round(min(when(col("cum") >= col("k_hi"), col("c"))).cast("double") / 100.0, 2)
+            .as("ci_hi"))
+    },
+    Some("""WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) c,
+                              CAST(count(*) AS BIGINT) cnt
+                       FROM events GROUP BY 1),
+            cm AS (SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) n FROM h),
+            k AS (SELECT n, CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT) k_med,
+                         greatest(1, CAST(floor((CAST(n AS DOUBLE) -
+                           1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) k_lo
+                  FROM t)
+            SELECT max(k.n) n,
+                   round(CAST(min(CASE WHEN cum >= k_med THEN c END) AS DOUBLE) / 100.0, 2)
+                     median,
+                   round(CAST(min(CASE WHEN cum >= k_lo THEN c END) AS DOUBLE) / 100.0, 2)
+                     ci_lo,
+                   round(CAST(min(CASE WHEN cum >= k.n - k_lo + 1 THEN c END) AS DOUBLE) /
+                         100.0, 2) ci_hi
+            FROM cm, k""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
@@ -1197,5 +1253,5 @@ object Round9 {
       q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt, q325AHashNearDup,
       q326PositionAttribution, q327CohensD, q328RatioDelta, q329GoodTuring,
       q330ChowTest, q331LshPlanner, q332ColumnLineage, q333XmlSource,
-      q334Unpivot)
+      q334Unpivot, q335MedianCi)
 }
