@@ -1246,6 +1246,179 @@ object Round9 {
             FROM cm, k""")
   )
 
+  /** Cumulative gains / lift table: users ranked by a score (their
+    * total value), cut into exact-integer rank deciles, each reporting
+    * its cumulative share of conversions vs population — the
+    * "top 20% of scores captures X% of buyers" marketing-eval table
+    * beside AP (q310) and ROC (q179). Decile = ⌈10·rank/n⌉ from a
+    * deterministic (score desc, id) rank — exact integer bucketing,
+    * the q242 RFM posture.
+    */
+  val q336GainsTable: QueryDef = QueryDef(
+    "q336_gains_table",
+    (s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val n = users.agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("user_id"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      users
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", ceil(col("rk") * 10.0 / col("n")).cast("long"))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("conv")).as("n_conv_d"),
+          max(col("n_conv")).as("n_conv"))
+        .select(
+          col("decile"), col("n_users"),
+          col("n_conv_d").as("conversions"),
+          round(sum(col("n_conv_d")).over(wCum).cast("double") / col("n_conv"), 6)
+            .as("cum_capture"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) score,
+                              CAST(max(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT) conv
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(conv) AS BIGINT) n_conv
+                  FROM u),
+            r AS (SELECT conv, CAST(row_number() OVER
+                    (ORDER BY score DESC, user_id) AS BIGINT) rk FROM u),
+            d AS (SELECT CAST(ceil(rk * 10.0 / t.n) AS BIGINT) decile, conv, t.n_conv
+                  FROM r, t),
+            g AS (SELECT decile, CAST(count(*) AS BIGINT) n_users,
+                         CAST(sum(conv) AS BIGINT) conversions,
+                         CAST(max(n_conv) AS BIGINT) n_conv
+                  FROM d GROUP BY 1)
+            SELECT decile, n_users, conversions,
+                   round(CAST(sum(conversions) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_conv, 6) cum_capture
+            FROM g""")
+  )
+
+  /** Theil T inequality index with its exact between/within-group
+    * decomposition (the additive-decomposability property Gini lacks):
+    * per-user value totals grouped by user cohort, T = T_between +
+    * T_within — snapped log terms, exact cent sums everywhere else.
+    */
+  val q337TheilDecomposition: QueryDef = QueryDef(
+    "q337_theil",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+      val users = Tables.events(s, dir)
+        .groupBy((col("user_id") % 5).as("g"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+        .filter(col("x") > 0)
+      val tot = users.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val withTot = users.crossJoin(broadcast(tot))
+      // T = (1/n) Σ (x/μ)·ln(x/μ), μ = sx/n  ⇒ term = x·n/sx · ln(x·n/sx)
+      val ratio = (col("x") * col("n")).cast("double") / col("sx")
+      val t_total = withTot
+        .select(snap(ratio * log(ratio)).as("term"), col("n"))
+        .groupBy(col("n")).agg(sum(col("term")).as("st"))
+        .select((col("st") / col("n")).as("t_total"))
+      val groups = users.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      val t_between = groups
+        .crossJoin(broadcast(tot))
+        .select(
+          snap(((col("sg").cast("double") / col("sx")) *
+            log((col("sg") * col("n")).cast("double") / (col("sx") * col("ng")))))
+            .as("term"))
+        .agg(sum(col("term")).as("t_between"))
+      t_total.crossJoin(t_between)
+        .select(
+          round(col("t_total"), 6).as("t_total"),
+          round(col("t_between"), 6).as("t_between"),
+          round(col("t_total") - col("t_between"), 6).as("t_within"))
+    },
+    Some("""WITH u AS (SELECT user_id % 5 g, user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+                       FROM events GROUP BY 1, 2),
+            u2 AS (SELECT * FROM u WHERE x > 0),
+            t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx FROM u2),
+            tt AS (SELECT sum(floor((CAST(x * n AS DOUBLE) / sx) *
+                             ln(CAST(x * n AS DOUBLE) / sx) * 1073741824.0 + 0.5) /
+                             1073741824.0) / max(n) t_total
+                   FROM u2, t),
+            gr AS (SELECT g, CAST(count(*) AS BIGINT) ng, CAST(sum(x) AS BIGINT) sg
+                   FROM u2 GROUP BY 1),
+            tb AS (SELECT sum(floor((CAST(sg AS DOUBLE) / sx) *
+                             ln(CAST(sg * n AS DOUBLE) / (sx * ng)) * 1073741824.0 + 0.5) /
+                             1073741824.0) t_between
+                   FROM gr, t)
+            SELECT round(t_total, 6) t_total, round(t_between, 6) t_between,
+                   round(t_total - t_between, 6) t_within
+            FROM tt, tb""")
+  )
+
+  /** Population stability index (PSI) — the industry drift gate for
+    * scored populations: the per-user value distribution over 10 fixed
+    * bands, first half of the month vs second; PSI = Σ (p−q)·ln(p/q)
+    * with Laplace-smoothed integer band counts so the log never sees
+    * zero — snapped addends, verdict bands at 0.1/0.25.
+    */
+  val q338Psi: QueryDef = QueryDef(
+    "q338_psi",
+    (s, dir) => {
+      val grid = 1073741824.0
+      def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+      val d0 = Tables.events(s, dir).agg(min(to_date(col("ts"))).as("d0"))
+      val banded = Tables.events(s, dir)
+        .crossJoin(broadcast(d0))
+        .select(
+          (datediff(to_date(col("ts")), col("d0")) < 15).as("is_a"),
+          least(lit(9L), expr("CAST(round(value * 100) AS BIGINT) div 5000")).as("band"))
+        .groupBy(col("band"))
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val tots = banded.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      banded
+        .crossJoin(broadcast(tots))
+        .select(
+          snap(
+            (((col("ca") + 1L).cast("double") / (col("na") + 10L)) -
+              ((col("cb") + 1L).cast("double") / (col("nb") + 10L))) *
+              log(((col("ca") + 1L).cast("double") / (col("na") + 10L)) /
+                ((col("cb") + 1L).cast("double") / (col("nb") + 10L)))).as("term"))
+        .agg(round(sum(col("term")), 6).as("psi"))
+        .select(
+          col("psi"),
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate")
+            .otherwise("shifted").as("verdict"))
+    },
+    Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) d0 FROM events),
+            b AS (SELECT date_diff('day', d0.d0, CAST(ts AS DATE)) < 15 is_a,
+                         least(9, CAST(round(value * 100) AS BIGINT) // 5000) band
+                  FROM events, d0),
+            g AS (SELECT band,
+                         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) ca,
+                         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) cb
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) na, CAST(sum(cb) AS BIGINT) nb FROM g),
+            s AS (SELECT round(sum(floor(
+                    ((CAST(ca + 1 AS DOUBLE) / (na + 10)) -
+                     (CAST(cb + 1 AS DOUBLE) / (nb + 10))) *
+                    ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) /
+                       (CAST(cb + 1 AS DOUBLE) / (nb + 10))) * 1073741824.0 + 0.5) /
+                    1073741824.0), 6) psi
+                  FROM g, t)
+            SELECT psi, CASE WHEN psi < 0.1 THEN 'stable'
+                             WHEN psi < 0.25 THEN 'moderate'
+                             ELSE 'shifted' END verdict
+            FROM s""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q308Sssp, q309Isotonic, q310AvgPrecision, q311Kappa, q312Matching,
       q313DecayedCounts, q314Sax, q315EncodingAdvisor, q316CumDistinct,
@@ -1253,5 +1426,6 @@ object Round9 {
       q321Cmh, q322NextEvent, q323BrownForsythe, q324Holt, q325AHashNearDup,
       q326PositionAttribution, q327CohensD, q328RatioDelta, q329GoodTuring,
       q330ChowTest, q331LshPlanner, q332ColumnLineage, q333XmlSource,
-      q334Unpivot, q335MedianCi)
+      q334Unpivot, q335MedianCi, q336GainsTable, q337TheilDecomposition,
+      q338Psi)
 }
