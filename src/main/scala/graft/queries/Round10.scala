@@ -1,0 +1,683 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-10 additions (q339+): rank-correlation and rank-ANOVA tests,
+  * financial drawdown, privacy l-diversity, graph modularity, and the
+  * Spark 4 SQL-surface features (SQL scalar UDFs, pipe syntax) — on the
+  * established determinism contracts: exact integer arithmetic
+  * wherever the math allows, 2⁻³⁰-grid snapped terms where it does
+  * not, every oracle a verbatim relational replay in DuckDB.
+  */
+object Round10 {
+
+  private val grid = 1073741824.0 // 2^30
+  private def snap(c: org.apache.spark.sql.Column) =
+    floor(c * grid + lit(0.5)) / grid
+
+  /** Kendall τ-b rank correlation between the weekly order count and
+    * the weekly revenue (exact cents) — the concordant/discordant pair
+    * scan of q303's Mann–Kendall generalized to two series, with the
+    * τ-b tie correction. The pairwise join runs on the bounded weekly
+    * grid (a few hundred rows at any SF — same scale posture as q303:
+    * pair work is O(weeks²), independent of fact-table size).
+    */
+  val q339KendallTau: QueryDef = QueryDef(
+    "q339_kendall_tau",
+    (s, dir) => {
+      val weekly = Tables.orders(s, dir)
+        .select(
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7")
+            .as("w"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+        .localCheckpoint()
+      val pairs = weekly.as("i")
+        .join(weekly.as("j"), col("i.w") < col("j.w"))
+        .agg(
+          count(lit(1)).as("n0"),
+          sum((signum(col("j.x") - col("i.x")) *
+            signum(col("j.y") - col("i.y"))).cast("long")).as("s_stat"),
+          sum(when(col("i.x") === col("j.x"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("i.y") === col("j.y"), 1L).otherwise(0L)).as("ty"))
+      val n = weekly.agg(count(lit(1)).as("n_weeks"))
+      pairs.crossJoin(broadcast(n))
+        .select(
+          col("n_weeks"), col("s_stat"),
+          round(col("s_stat").cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+    },
+    Some("""WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS w,
+                               CAST(round(o_totalprice * 100) AS BIGINT) cents
+                        FROM orders),
+            g AS (SELECT w, CAST(count(*) AS BIGINT) x,
+                         CAST(sum(cents) AS BIGINT) y
+                  FROM wk GROUP BY 1),
+            p AS (SELECT CAST(count(*) AS BIGINT) n0,
+                         CAST(sum(CAST(sign(j.x - i.x) * sign(j.y - i.y) AS BIGINT))
+                              AS BIGINT) s_stat,
+                         CAST(sum(CASE WHEN i.x = j.x THEN 1 ELSE 0 END) AS BIGINT) tx,
+                         CAST(sum(CASE WHEN i.y = j.y THEN 1 ELSE 0 END) AS BIGINT) ty
+                  FROM g i JOIN g j ON i.w < j.w),
+            t AS (SELECT CAST(count(*) AS BIGINT) n_weeks FROM g)
+            SELECT n_weeks, s_stat,
+                   round(CAST(s_stat AS DOUBLE) /
+                         sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                         6) tau_b
+            FROM p, t""")
+  )
+
+  /** Kruskal–Wallis rank ANOVA: does order price differ across the 5
+    * order priorities? Midranks come from the exact value histogram
+    * (the q296 signed-rank device) as INTEGER doubled ranks — never a
+    * global sort; H with the standard tie correction. Rank sums stay
+    * exact; the final H uses snapped per-group mean-rank terms.
+    */
+  val q340KruskalWallis: QueryDef = QueryDef(
+    "q340_kruskal_wallis",
+    (s, dir) => {
+      val vals = Tables.orders(s, dir)
+        .select(
+          col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("tc"))
+      // doubled midrank of value v: 2*(#smaller) + tc + 1  (exact integer)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("below", coalesce(sum(col("tc")).over(w), lit(0L)))
+        .select(col("v"), (lit(2L) * col("below") + col("tc") + 1L).as("r2"),
+          col("tc"))
+      val tot = hist.agg(
+        sum(col("tc")).as("n"),
+        sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tie3"))
+      val groups = vals
+        .join(ranked.select(col("v"), col("r2")), Seq("v"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("ng"), sum(col("r2")).as("rs2"))
+      // snap the PRE-DIVIDED per-group term: the raw n_g·r̄² term is
+      // ~1e14 at sf0.1 and term×2³⁰ would overflow Spark's LONG floor —
+      // dividing by n(n+1) first keeps every snapped value small
+      groups.crossJoin(broadcast(tot))
+        .select(
+          col("n"), col("tie3"),
+          snap((col("rs2").cast("double") / (lit(2.0) * col("ng"))) *
+            (col("rs2").cast("double") / (lit(2.0) * col("ng"))) *
+            col("ng") / (col("n").cast("double") * (col("n") + 1L))).as("term"))
+        .groupBy(col("n"), col("tie3"))
+        .agg(sum(col("term")).as("st"), count(lit(1)).as("k"))
+        .select(
+          col("k").as("n_groups"), col("n"),
+          round(
+            (lit(12.0) * col("st") - (lit(3.0) * (col("n") + 1L))) /
+              (lit(1.0) - col("tie3").cast("double") /
+                (col("n") * col("n") * col("n") - col("n")).cast("double")),
+            6).as("h_stat"))
+    },
+    Some("""WITH vals AS (SELECT o_orderpriority grp,
+                                 CAST(round(o_totalprice * 100) AS BIGINT) v
+                          FROM orders),
+            hist AS (SELECT v, CAST(count(*) AS BIGINT) tc FROM vals GROUP BY 1),
+            rk AS (SELECT v, 2 * coalesce(sum(tc) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + tc + 1 AS r2
+                   FROM hist),
+            tot AS (SELECT CAST(sum(tc) AS BIGINT) n,
+                           CAST(sum(tc * tc * tc - tc) AS BIGINT) tie3
+                    FROM hist),
+            g AS (SELECT grp, CAST(count(*) AS BIGINT) ng,
+                         CAST(sum(r2) AS BIGINT) rs2
+                  FROM vals JOIN rk USING (v) GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) k,
+                         sum(floor((CAST(rs2 AS DOUBLE) / (2.0 * ng)) *
+                                   (CAST(rs2 AS DOUBLE) / (2.0 * ng)) * ng /
+                                   (CAST(n AS DOUBLE) * (n + 1)) *
+                                   1073741824.0 + 0.5) / 1073741824.0) st
+                  FROM g, tot)
+            SELECT k n_groups, n,
+                   round((12.0 * st - 3.0 * (n + 1)) /
+                         (1.0 - CAST(tie3 AS DOUBLE) /
+                                CAST(n * n * n - n AS DOUBLE)), 6) h_stat
+            FROM t, tot""")
+  )
+
+  /** Maximum drawdown of the cumulative daily event-value ledger —
+    * running peak minus running total on exact cents over the
+    * zero-filled day spine; reports the deepest drawdown, its
+    * (earliest) trough day, and the peak level it fell from. The
+    * window runs on the calendar-sized spine (~30 rows), never the
+    * fact table.
+    */
+  val q341MaxDrawdown: QueryDef = QueryDef(
+    "q341_max_drawdown",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("net"))
+      val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("net"), lit(0L)).as("net"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val curve = spine
+        .withColumn("cum", sum(col("net")).over(wCum))
+        .withColumn("peak", max(col("cum")).over(wCum))
+        .withColumn("dd", col("peak") - col("cum"))
+      val mdd = curve.agg(
+        count(lit(1)).as("n_days"), max(col("dd")).as("max_drawdown_cents"))
+      val trough = curve.crossJoin(broadcast(mdd))
+        .filter(col("dd") === col("max_drawdown_cents"))
+        .agg(min(col("d")).as("trough_day"), min_by(col("peak"), col("d")).as("peak_cents"))
+      mdd.crossJoin(broadcast(trough))
+        .select(col("n_days"), col("max_drawdown_cents"), col("trough_day"),
+          col("peak_cents"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) d,
+                                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                       AS BIGINT) net
+                           FROM events GROUP BY 1),
+            b AS (SELECT min(d) d0, max(d) d1 FROM daily),
+            spine AS (SELECT CAST(gg.dd AS DATE) d, coalesce(daily.net, 0) net
+                      FROM (SELECT unnest(generate_series(d0, d1,
+                                          INTERVAL 1 DAY)) AS dd FROM b) gg
+                      LEFT JOIN daily ON daily.d = CAST(gg.dd AS DATE)),
+            cc AS (SELECT d, sum(net) OVER (ORDER BY d) cum FROM spine),
+            curve AS (SELECT d, cum, max(cum) OVER (ORDER BY d) peak FROM cc),
+            mdd AS (SELECT CAST(count(*) AS BIGINT) n_days,
+                           CAST(max(peak - cum) AS BIGINT) max_drawdown_cents
+                    FROM curve),
+            trough AS (SELECT min(d) trough_day,
+                              CAST(min_by(peak, d) AS BIGINT) peak_cents
+                       FROM curve, mdd
+                       WHERE peak - cum = max_drawdown_cents)
+            SELECT n_days, max_drawdown_cents, trough_day, peak_cents
+            FROM mdd, trough""")
+  )
+
+  /** l-diversity audit — the companion to q210's k-anonymity: within
+    * each quasi-identifier class (char-length band × language), how
+    * many DISTINCT sensitive values (source) appear; classes below
+    * l = 3 are re-identification risks even when k-anonymous. Exact
+    * distinct counts, per-language rollup.
+    */
+  val q342LDiversity: QueryDef = QueryDef(
+    "q342_l_diversity",
+    (s, dir) => {
+      val cls = Tables.documents(s, dir)
+        .groupBy(col("lang"), expr("n_chars div 100").as("qb"))
+        .agg(
+          count(lit(1)).as("class_n"),
+          countDistinct(col("source")).as("class_l"))
+      cls.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("class_l") < 3, 1L).otherwise(0L)).as("n_low_l"),
+          sum(when(col("class_l") < 3, col("class_n")).otherwise(0L))
+            .as("n_exposed_rows"),
+          min(col("class_l")).as("min_l"),
+          round(sum(col("class_l") * col("class_n")).cast("double") /
+            sum(col("class_n")), 6).as("mean_l_weighted"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH cls AS (SELECT lang, n_chars // 100 AS qb,
+                                CAST(count(*) AS BIGINT) class_n,
+                                CAST(count(DISTINCT source) AS BIGINT) class_l
+                         FROM documents GROUP BY 1, 2)
+            SELECT lang, CAST(count(*) AS BIGINT) n_classes,
+                   CAST(sum(CASE WHEN class_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     n_low_l,
+                   CAST(sum(CASE WHEN class_l < 3 THEN class_n ELSE 0 END) AS BIGINT)
+                     n_exposed_rows,
+                   CAST(min(class_l) AS BIGINT) min_l,
+                   round(CAST(sum(class_l * class_n) AS DOUBLE) / sum(class_n), 6)
+                     mean_l_weighted
+            FROM cls GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Graph modularity of the region partition on the nation trade
+    * graph: Q = Σ_c [in_c/m − (d_c/2m)²] for communities c = regions,
+    * edge weight = order count between nations. The numerator is kept
+    * as the EXACT integer Σ_c (4·m·in_c − d_c²) (= Q·4m²); Q itself is
+    * one final snapped division. Symmetrized undirected weights.
+    */
+  val q343Modularity: QueryDef = QueryDef(
+    "q343_modularity",
+    (s, dir) => {
+      val directed = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(
+          least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .agg(count(lit(1)).as("wt"))
+      val nation = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_regionkey").cast("long").as("comm"))
+      val edges = directed
+        .join(broadcast(nation.withColumnRenamed("nk", "a")
+          .withColumnRenamed("comm", "ca")), Seq("a"))
+        .join(broadcast(nation.withColumnRenamed("nk", "b")
+          .withColumnRenamed("comm", "cb")), Seq("b"))
+        .localCheckpoint()
+      val m = edges.agg(sum(col("wt")).as("m"))
+      val inC = edges.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm")).agg(sum(col("wt")).as("in_w"))
+      val deg = edges
+        .select(col("ca").as("comm"), col("wt"))
+        .unionAll(edges.select(col("cb").as("comm"), col("wt")))
+        .groupBy(col("comm")).agg(sum(col("wt")).as("d_w"))
+      val num = deg.join(inC, Seq("comm"), "left")
+        .crossJoin(broadcast(m))
+        .select((lit(4L) * col("m") * coalesce(col("in_w"), lit(0L)) -
+          col("d_w") * col("d_w")).as("t"))
+        .agg(sum(col("t")).as("q_scaled"), count(lit(1)).as("n_comms"))
+      num.crossJoin(broadcast(m))
+        .select(
+          col("n_comms"), col("m").as("total_weight"), col("q_scaled"),
+          round(col("q_scaled").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+            .as("modularity"))
+    },
+    Some("""WITH directed AS (
+              SELECT least(c.c_nationkey, s.s_nationkey) a,
+                     greatest(c.c_nationkey, s.s_nationkey) b,
+                     CAST(count(*) AS BIGINT) wt
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              WHERE c.c_nationkey <> s.s_nationkey
+              GROUP BY 1, 2),
+            e AS (SELECT d.*, na.n_regionkey ca, nb.n_regionkey cb
+                  FROM directed d
+                  JOIN nation na ON na.n_nationkey = d.a
+                  JOIN nation nb ON nb.n_nationkey = d.b),
+            m AS (SELECT CAST(sum(wt) AS BIGINT) m FROM e),
+            inc AS (SELECT ca comm, CAST(sum(wt) AS BIGINT) in_w
+                    FROM e WHERE ca = cb GROUP BY 1),
+            deg AS (SELECT comm, CAST(sum(wt) AS BIGINT) d_w FROM (
+                      SELECT ca comm, wt FROM e
+                      UNION ALL SELECT cb comm, wt FROM e) u GROUP BY 1),
+            num AS (SELECT CAST(sum(4 * m.m * coalesce(inc.in_w, 0)
+                                    - deg.d_w * deg.d_w) AS BIGINT) q_scaled,
+                           CAST(count(*) AS BIGINT) n_comms
+                    FROM deg LEFT JOIN inc USING (comm) CROSS JOIN m)
+            SELECT n_comms, m total_weight, q_scaled,
+                   round(CAST(q_scaled AS DOUBLE) /
+                         (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+                     modularity
+            FROM num, m""")
+  )
+
+  /** SQL scalar UDF surface (Spark 4 `CREATE FUNCTION ... RETURN`):
+    * a reusable discount-band function declared IN SQL, applied over
+    * lineitem — the lakehouse way to ship business logic without JVM
+    * UDF jars (it inlines into the plan and stays codegen'd, unlike a
+    * ScalaUDF black box). Oracle: DuckDB macro with identical body.
+    */
+  val q344SqlUdf: QueryDef = QueryDef(
+    "q344_sql_udf",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q344_lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q344_band(d DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN d < 0.02 THEN 'low'
+                           WHEN d < 0.06 THEN 'mid'
+                           ELSE 'high' END""")
+      s.sql("""SELECT q344_band(l_discount) AS band,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM q344_lineitem GROUP BY 1""")
+    },
+    Some("""SELECT CASE WHEN l_discount < 0.02 THEN 'low'
+                        WHEN l_discount < 0.06 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1""")
+  )
+
+  /** SQL pipe syntax (Spark 4 `|>`): the linear query-authoring
+    * surface — FROM … |> WHERE … |> AGGREGATE … GROUP BY … — compiled
+    * to the identical Catalyst plan as the nested form. Oracle is the
+    * classic-syntax equivalent.
+    */
+  val q345PipeSyntax: QueryDef = QueryDef(
+    "q345_pipe_syntax",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q345_orders")
+      s.sql("""FROM q345_orders
+               |> WHERE o_orderstatus = 'F'
+               |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(cents) AS BIGINT) AS cents_sum
+                  GROUP BY o_orderpriority
+               |> ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     cents_sum
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Friedman rank test — the repeated-measures companion to q340:
+    * blocks = order weeks, treatments = the 5 order priorities, value
+    * = weekly order count per priority (zero-filled on the bounded
+    * week × priority grid). Within-block doubled midranks come from
+    * rank() + tie counts (exact integers), so Σ R_j² stays EXACT and
+    * the χ² is a single final division. Classic statistic (no tie
+    * correction factor) — both engines replay the identical formula.
+    */
+  val q346Friedman: QueryDef = QueryDef(
+    "q346_friedman",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cells = Tables.orders(s, dir)
+        .groupBy(
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7")
+            .as("w"),
+          col("o_orderpriority").as("trt"))
+        .agg(count(lit(1)).as("v"))
+      val weeks = cells.select(col("w")).distinct()
+      val trts = cells.select(col("trt")).distinct()
+      val grid = weeks.crossJoin(broadcast(trts))
+        .join(cells, Seq("w", "trt"), "left")
+        .select(col("w"), col("trt"), coalesce(col("v"), lit(0L)).as("v"))
+      val ranked = grid
+        .withColumn("rk", rank().over(W.partitionBy(col("w")).orderBy(col("v"))))
+        .withColumn("tc", count(lit(1)).over(W.partitionBy(col("w"), col("v"))))
+        .select(col("trt"), (lit(2L) * (col("rk") - 1L) + col("tc") + 1L).as("r2"))
+      val perTrt = ranked.groupBy(col("trt")).agg(sum(col("r2")).as("rs2"))
+      val nBlocks = weeks.agg(count(lit(1)).as("n"))
+      perTrt
+        .agg(sum(col("rs2") * col("rs2")).as("sq"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(nBlocks))
+        .select(
+          col("n").as("n_blocks"), col("k").as("n_treatments"),
+          round(
+            lit(3.0) * col("sq").cast("double") /
+              (col("n") * col("k") * (col("k") + 1L)).cast("double") -
+              lit(3.0) * (col("n") * (col("k") + 1L)).cast("double"),
+            6).as("chi2_f"))
+    },
+    Some("""WITH cells AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS w,
+                                  o_orderpriority trt,
+                                  CAST(count(*) AS BIGINT) v
+                           FROM orders GROUP BY 1, 2),
+            wk AS (SELECT DISTINCT w FROM cells),
+            tr AS (SELECT DISTINCT trt FROM cells),
+            grid AS (SELECT wk.w, tr.trt, coalesce(c.v, 0) v
+                     FROM wk CROSS JOIN tr
+                     LEFT JOIN cells c ON c.w = wk.w AND c.trt = tr.trt),
+            rk AS (SELECT trt,
+                          2 * (rank() OVER (PARTITION BY w ORDER BY v) - 1) +
+                          count(*) OVER (PARTITION BY w, v) + 1 AS r2
+                   FROM grid),
+            pt AS (SELECT trt, CAST(sum(r2) AS BIGINT) rs2 FROM rk GROUP BY 1),
+            agg AS (SELECT CAST(sum(rs2 * rs2) AS BIGINT) sq,
+                           CAST(count(*) AS BIGINT) k
+                    FROM pt),
+            nb AS (SELECT CAST(count(*) AS BIGINT) n FROM wk)
+            SELECT n n_blocks, k n_treatments,
+                   round(3.0 * CAST(sq AS DOUBLE) / CAST(n * k * (k + 1) AS DOUBLE)
+                         - 3.0 * CAST(n * (k + 1) AS DOUBLE), 6) chi2_f
+            FROM agg, nb""")
+  )
+
+  /** Split-conformal prediction interval: a per-priority mean model
+    * (exact integer floor of the train-split mean) wrapped with the
+    * distribution-free calibration quantile q̂ = the ⌈(n+1)(1−α)⌉-th
+    * calibration residual (α = 0.1), resolved on the residual
+    * histogram cumsum (the q335 rank-selection device — no sort).
+    * Reports q̂ and the realized eval coverage, which the conformal
+    * guarantee lower-bounds by 1−α in expectation. md5 3-way split.
+    */
+  val q347Conformal: QueryDef = QueryDef(
+    "q347_conformal",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(s, dir)
+        .select(
+          col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"),
+          pmod(conv(substring(md5(concat(col("o_orderkey").cast("string"),
+            lit(":cf"))), 1, 8), 16, 10).cast("long"), lit(3L)).as("fold"))
+      val model = base.filter(col("fold") === 0L)
+        .groupBy(col("grp"))
+        .agg(expr("sum(y) div count(*)").as("yhat")) // exact integer floor
+      val scored = base.filter(col("fold") =!= 0L)
+        .join(broadcast(model), Seq("grp"))
+        .select(col("fold"), abs(col("y") - col("yhat")).as("r"))
+      val calib = scored.filter(col("fold") === 1L)
+      val nC = calib.agg(count(lit(1)).as("n_calib"))
+      val hist = calib.groupBy(col("r")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          W.orderBy(col("r")).rowsBetween(W.unboundedPreceding, 0)))
+      val qhat = hist.crossJoin(broadcast(nC))
+        .filter(col("cum") >= ceil((col("n_calib") + 1L) * 0.9).cast("long"))
+        .agg(min(col("r")).as("q_hat"), max(col("n_calib")).as("n_calib"))
+      scored.filter(col("fold") === 2L)
+        .crossJoin(broadcast(qhat))
+        .agg(
+          max(col("n_calib")).as("n_calib"),
+          count(lit(1)).as("n_eval"),
+          max(col("q_hat")).as("q_hat_cents"),
+          round(sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("coverage"))
+    },
+    Some("""WITH base AS (SELECT o_orderpriority grp,
+                                 CAST(round(o_totalprice * 100) AS BIGINT) y,
+                                 CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                      || ':cf'), 1, 8)) AS BIGINT) % 3 fold
+                          FROM orders),
+            model AS (SELECT grp, CAST(sum(y) // count(*) AS BIGINT) yhat
+                      FROM base WHERE fold = 0 GROUP BY 1),
+            scored AS (SELECT fold, abs(y - yhat) r
+                       FROM base JOIN model USING (grp) WHERE fold <> 0),
+            nc AS (SELECT CAST(count(*) AS BIGINT) n_calib FROM scored WHERE fold = 1),
+            hist AS (SELECT r, count(*) c FROM scored WHERE fold = 1 GROUP BY 1),
+            cum AS (SELECT r, sum(c) OVER (ORDER BY r) cum FROM hist),
+            qh AS (SELECT CAST(min(r) AS BIGINT) q_hat,
+                          CAST(max(n_calib) AS BIGINT) n_calib
+                   FROM cum, nc
+                   WHERE cum >= CAST(ceil((n_calib + 1) * 0.9) AS BIGINT))
+            SELECT n_calib,
+                   CAST(count(*) AS BIGINT) n_eval,
+                   q_hat q_hat_cents,
+                   round(CAST(sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) coverage
+            FROM scored, qh WHERE fold = 2
+            GROUP BY n_calib, q_hat""")
+  )
+
+  /** Cochran–Armitage trend test: does the return rate trend with the
+    * discount dose? Doses = integer discount points (0..10), outcome =
+    * l_returnflag = 'R'. Every moment (Σwr, Σwn, Σw²n, N, R) is an
+    * exact integer from one conditional-aggregate pass; the z forms in
+    * double from those exact longs — identical on both engines.
+    */
+  val q348CochranArmitage: QueryDef = QueryDef(
+    "q348_cochran_armitage",
+    (s, dir) => {
+      val doses = Tables.lineitem(s, dir)
+        .select(
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("w"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("succ"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_i"), sum(col("succ")).as("r_i"))
+      doses.agg(
+        count(lit(1)).as("n_doses"),
+        sum(col("n_i")).as("n"),
+        sum(col("r_i")).as("r"),
+        sum(col("w") * col("n_i")).as("swn"),
+        sum(col("w") * col("r_i")).as("swr"),
+        sum(col("w") * col("w") * col("n_i")).as("sw2n"))
+        .select(
+          col("n_doses"), col("n"), col("r"),
+          round({
+            val p = col("r").cast("double") / col("n")
+            val t = col("swr").cast("double") - p * col("swn")
+            val v = p * (lit(1.0) - p) *
+              (col("sw2n").cast("double") -
+                col("swn").cast("double") * col("swn") / col("n"))
+            t / sqrt(v)
+          }, 6).as("z_trend"))
+    },
+    Some("""WITH doses AS (SELECT CAST(round(l_discount * 100) AS BIGINT) w,
+                                  CAST(count(*) AS BIGINT) n_i,
+                                  CAST(sum(CASE WHEN l_returnflag = 'R'
+                                                THEN 1 ELSE 0 END) AS BIGINT) r_i
+                           FROM lineitem GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) n_doses,
+                         CAST(sum(n_i) AS BIGINT) n,
+                         CAST(sum(r_i) AS BIGINT) r,
+                         CAST(sum(w * n_i) AS BIGINT) swn,
+                         CAST(sum(w * r_i) AS BIGINT) swr,
+                         CAST(sum(w * w * n_i) AS BIGINT) sw2n
+                  FROM doses)
+            SELECT n_doses, n, r,
+                   round((CAST(swr AS DOUBLE) - (CAST(r AS DOUBLE) / n) * swn) /
+                         sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n) *
+                              (CAST(sw2n AS DOUBLE) -
+                               CAST(swn AS DOUBLE) * swn / n)), 6) z_trend
+            FROM m""")
+  )
+
+  /** Grid-bucketed nearest-neighbor join: each customer (synthetic
+    * integer micro-degree offsets, the q255/q304 layout) finds its
+    * nearest supplier among the 3×3 neighboring half-degree cells —
+    * the scale-safe NN pattern (equi-join on cell keys, candidates
+    * bounded by cell occupancy, never all-pairs). Distances are EXACT
+    * integer squared offsets; candidates outside the neighborhood are
+    * reported unmatched by contract (both engines replay the identical
+    * bounded search). Tie-break: smallest squared distance, then
+    * smallest supplier key. Per-nation rollup.
+    */
+  val q349GeoKnn: QueryDef = QueryDef(
+    "q349_geo_knn",
+    (s, dir) => {
+      val cell = 500000L
+      val cust = Tables.customer(s, dir)
+        .select(
+          col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nation"),
+          ((col("c_custkey") % 11) * 400000L + (col("c_custkey") % 17) * 10000L)
+            .cast("long").as("px"),
+          ((col("c_custkey") % 7) * 300000L + (col("c_custkey") % 13) * 10000L)
+            .cast("long").as("py"))
+      val supp = Tables.supplier(s, dir)
+        .select(
+          col("s_suppkey").cast("long").as("sk"),
+          ((col("s_suppkey") % 13) * 350000L + (col("s_suppkey") % 19) * 9000L)
+            .cast("long").as("sx"),
+          ((col("s_suppkey") % 5) * 420000L + (col("s_suppkey") % 11) * 8000L)
+            .cast("long").as("sy"))
+        .withColumn("cx", expr(s"sx div $cell"))
+        .withColumn("cy", expr(s"sy div $cell"))
+      val probes = cust
+        .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+        .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+        .select(col("ck"), col("nation"), col("px"), col("py"),
+          (expr(s"px div $cell") + col("dx")).as("cx"),
+          (expr(s"py div $cell") + col("dy")).as("cy"))
+      val cand = probes.join(broadcast(supp), Seq("cx", "cy"))
+        .select(col("ck"), col("nation"), col("sk"),
+          ((col("px") - col("sx")) * (col("px") - col("sx")) +
+            (col("py") - col("sy")) * (col("py") - col("sy"))).as("d2"))
+      val best = cand.groupBy(col("ck")).agg(min(col("d2")).as("m"))
+      val picked = cand.join(best, Seq("ck"))
+        .filter(col("d2") === col("m"))
+        .groupBy(col("ck"), col("nation"), col("m"))
+        .agg(min(col("sk")).as("nn"))
+      cust.select(col("ck"), col("nation"))
+        .join(picked.select(col("ck"), col("m"), col("nn")), Seq("ck"), "left")
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(when(col("nn").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(coalesce(col("m"), lit(0L))).as("sum_min_d2"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH cust AS (SELECT CAST(c_custkey AS BIGINT) ck,
+                                 CAST(c_nationkey AS BIGINT) nation,
+                                 CAST((c_custkey % 11) * 400000 +
+                                      (c_custkey % 17) * 10000 AS BIGINT) px,
+                                 CAST((c_custkey % 7) * 300000 +
+                                      (c_custkey % 13) * 10000 AS BIGINT) py
+                          FROM customer),
+            supp AS (SELECT CAST(s_suppkey AS BIGINT) sk,
+                            CAST((s_suppkey % 13) * 350000 +
+                                 (s_suppkey % 19) * 9000 AS BIGINT) sx,
+                            CAST((s_suppkey % 5) * 420000 +
+                                 (s_suppkey % 11) * 8000 AS BIGINT) sy
+                     FROM supplier),
+            sc AS (SELECT *, sx // 500000 cx, sy // 500000 cy FROM supp),
+            probes AS (SELECT ck, nation, px, py,
+                              px // 500000 + dx.g cx, py // 500000 + dy.g cy
+                       FROM cust,
+                            (SELECT unnest(range(-1, 2)) g) dx,
+                            (SELECT unnest(range(-1, 2)) g) dy),
+            cand AS (SELECT p.ck, p.nation, s.sk,
+                            (p.px - s.sx) * (p.px - s.sx) +
+                            (p.py - s.sy) * (p.py - s.sy) d2
+                     FROM probes p JOIN sc s ON s.cx = p.cx AND s.cy = p.cy),
+            best AS (SELECT ck, min(d2) m FROM cand GROUP BY 1),
+            picked AS (SELECT c.ck, c.m, min(sk) nn
+                       FROM (SELECT cand.*, best.m FROM cand JOIN best USING (ck)
+                             WHERE cand.d2 = best.m) c
+                       GROUP BY 1, 2)
+            SELECT nation, CAST(count(*) AS BIGINT) n_cust,
+                   CAST(sum(CASE WHEN nn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     n_matched,
+                   CAST(sum(coalesce(m, 0)) AS BIGINT) sum_min_d2
+            FROM cust LEFT JOIN picked USING (ck)
+            GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Parameterized SQL surface: `spark.sql(text, args)` with named
+    * parameter markers — the injection-safe way to template queries
+    * (the literal binds in the parser, so constant folding and
+    * pushdown see a plain literal). Oracle inlines the same constant.
+    */
+  val q350ParamSql: QueryDef = QueryDef(
+    "q350_param_sql",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q350_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents_sum
+           FROM q350_orders
+           WHERE o_totalprice > :cut AND o_orderstatus = :status
+           GROUP BY 1""",
+        Map("cut" -> 150000, "status" -> "O"))
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     cents_sum
+            FROM orders
+            WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+            GROUP BY 1""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
+      q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
+      q348CochranArmitage, q349GeoKnn, q350ParamSql)
+}
