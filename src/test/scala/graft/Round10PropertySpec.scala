@@ -1,0 +1,245 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.Round10
+import graft.sources.Tables
+
+/** Differential checks for the round-10 query statistics: each
+  * relational result is recomputed with an independent driver-side
+  * brute-force reference (explicit sorts, sequential folds, O(n²)
+  * pair scans) over the same sf0.001 tables. The DuckDB oracle
+  * replays the relational formulation; these sweeps validate the
+  * MATH behind it.
+  */
+class Round10PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("kendall tau-b == O(n^2) driver reference on the weekly series") {
+    val weekly = Tables.orders(spark, sfDir)
+      .select(
+        expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7")
+          .as("w"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var s = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+    for (i <- weekly.indices; j <- (i + 1) until weekly.length) {
+      val (_, xi, yi) = weekly(i); val (_, xj, yj) = weekly(j)
+      n0 += 1
+      s += java.lang.Long.signum(xj - xi).toLong * java.lang.Long.signum(yj - yi)
+      if (xi == xj) tx += 1
+      if (yi == yj) ty += 1
+    }
+    val tau = s.toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    val got = Round10.q339KendallTau.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === weekly.length.toLong)
+    assert(got.getLong(1) === s)
+    assert(math.abs(got.getDouble(2) - tau) < 1e-6)
+  }
+
+  test("kruskal-wallis H == sort-based midrank reference") {
+    val vals = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = vals.length
+    val sorted = vals.map(_._2).sorted
+    // midrank of value v via first/last occurrence in the sorted array
+    val first = scala.collection.mutable.HashMap[Long, Int]()
+    val count = scala.collection.mutable.HashMap[Long, Int]()
+    for ((v, i) <- sorted.zipWithIndex) {
+      if (!first.contains(v)) first(v) = i + 1
+      count(v) = count.getOrElse(v, 0) + 1
+    }
+    def midrank(v: Long): Double = first(v) + (count(v) - 1) / 2.0
+    val groups = vals.groupBy(_._1)
+    val st = groups.values.map { g =>
+      val rbar = g.map(x => midrank(x._2)).sum / g.length
+      g.length * rbar * rbar / (n.toDouble * (n + 1))
+    }.sum
+    val tie3 = count.values.map(t => t.toLong * t * t - t).sum
+    val h = (12.0 * st - 3.0 * (n + 1)) /
+      (1.0 - tie3.toDouble / (n.toLong * n * n - n))
+    val got = Round10.q340KruskalWallis.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === groups.size.toLong)
+    assert(got.getLong(1) === n.toLong)
+    assert(math.abs(got.getDouble(2) - h) < 1e-5)
+  }
+
+  test("max drawdown == sequential fold over the day spine") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("net"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val d0 = daily.head._1.toEpochDay
+    val d1 = daily.last._1.toEpochDay
+    val byDay = daily.map { case (d, v) => d.toEpochDay -> v }.toMap
+    var cum = 0L; var peak = Long.MinValue; var mdd = 0L
+    var troughDay = 0L; var peakAt = 0L
+    for (d <- d0 to d1) {
+      cum += byDay.getOrElse(d, 0L)
+      if (cum > peak) peak = cum
+      val dd = peak - cum
+      if (dd > mdd) { mdd = dd; troughDay = d; peakAt = peak }
+    }
+    if (mdd == 0L) { troughDay = d0; peakAt = byDay(d0) } // dd=0 everywhere: earliest day
+    val got = Round10.q341MaxDrawdown.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === (d1 - d0 + 1))
+    assert(got.getLong(1) === mdd)
+    assert(got.getDate(2).toLocalDate.toEpochDay === troughDay)
+    assert(got.getLong(3) === peakAt)
+  }
+
+  test("friedman chi2 == per-block rank reference on the week x priority grid") {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(
+        expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7")
+          .as("w"),
+        col("o_orderpriority").as("trt"))
+      .agg(count(lit(1)).as("v"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val weeks = cells.keys.map(_._1).toSeq.distinct.sorted
+    val trts = cells.keys.map(_._2).toSeq.distinct.sorted
+    val k = trts.length
+    val rs = scala.collection.mutable.HashMap[String, Double]()
+    for (w <- weeks) {
+      val vs = trts.map(t => t -> cells.getOrElse((w, t), 0L))
+      for ((t, v) <- vs) {
+        val smaller = vs.count(_._2 < v)
+        val ties = vs.count(_._2 == v)
+        val mid = smaller + (ties + 1) / 2.0
+        rs(t) = rs.getOrElse(t, 0.0) + mid
+      }
+    }
+    val sq = rs.values.map(r => r * r).sum
+    val chi2 = 12.0 * sq / (weeks.length.toDouble * k * (k + 1)) -
+      3.0 * weeks.length * (k + 1)
+    val got = Round10.q346Friedman.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === weeks.length.toLong)
+    assert(got.getLong(1) === k.toLong)
+    assert(math.abs(got.getDouble(2) - chi2) < 1e-6)
+  }
+
+  test("conformal q-hat and coverage == driver split/sort reference") {
+    def md5mod3(key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:cf".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 3
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val folded = rows.map { case (k, g, y) => (md5mod3(k), g, y) }
+    val model = folded.filter(_._1 == 0L).groupBy(_._2).map { case (g, xs) =>
+      g -> java.lang.Math.floorDiv(xs.map(_._3).sum, xs.length.toLong)
+    }
+    val calib = folded.filter(_._1 == 1L).map { case (_, g, y) => math.abs(y - model(g)) }
+    val m = math.ceil((calib.length + 1) * 0.9).toLong
+    val qhat = calib.sorted.apply((m - 1).toInt) // m-th smallest
+    val eval = folded.filter(_._1 == 2L).map { case (_, g, y) => math.abs(y - model(g)) }
+    val cov = eval.count(_ <= qhat).toDouble / eval.length
+    val got = Round10.q347Conformal.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === calib.length.toLong)
+    assert(got.getLong(1) === eval.length.toLong)
+    assert(got.getLong(2) === qhat)
+    assert(math.abs(got.getDouble(3) - cov) < 1e-6)
+  }
+
+  test("cochran-armitage z == direct formula from the dose table") {
+    val doses = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("w"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("s"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTot = doses.map(_._2).sum
+    val rTot = doses.map(_._3).sum
+    val swn = doses.map(d => d._1 * d._2).sum
+    val swr = doses.map(d => d._1 * d._3).sum
+    val sw2n = doses.map(d => d._1 * d._1 * d._2).sum
+    val p = rTot.toDouble / nTot
+    val t = swr.toDouble - p * swn
+    val v = p * (1.0 - p) * (sw2n.toDouble - swn.toDouble * swn / nTot)
+    val z = t / math.sqrt(v)
+    val got = Round10.q348CochranArmitage.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === doses.length.toLong)
+    assert(got.getLong(1) === nTot)
+    assert(got.getLong(2) === rTot)
+    assert(math.abs(got.getDouble(3) - z) < 1e-6)
+  }
+
+  test("geo knn == brute-force neighborhood search per customer") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long"))
+      .collect().map(_.getLong(0))
+    val cell = 500000L
+    def cpos(c: Long) = ((c % 11) * 400000L + (c % 17) * 10000L,
+      (c % 7) * 300000L + (c % 13) * 10000L)
+    def spos(s: Long) = ((s % 13) * 350000L + (s % 19) * 9000L,
+      (s % 5) * 420000L + (s % 11) * 8000L)
+    val byNation = scala.collection.mutable.HashMap[Long, (Long, Long, Long)]()
+    for ((ck, nat) <- cust) {
+      val (px, py) = cpos(ck)
+      val (ccx, ccy) = (px / cell, py / cell)
+      val cands = supp.filter { s =>
+        val (sx, sy) = spos(s)
+        math.abs(sx / cell - ccx) <= 1 && math.abs(sy / cell - ccy) <= 1
+      }
+      val best = if (cands.isEmpty) None
+      else Some(cands.map { s =>
+        val (sx, sy) = spos(s)
+        ((px - sx) * (px - sx) + (py - sy) * (py - sy), s)
+      }.min)
+      val (n, m, d) = byNation.getOrElse(nat, (0L, 0L, 0L))
+      byNation(nat) = (n + 1, m + (if (best.isDefined) 1L else 0L),
+        d + best.map(_._1).getOrElse(0L))
+    }
+    val got = Round10.q349GeoKnn.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === byNation.toMap)
+  }
+
+  test("modularity == direct computation from collected edges") {
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+      .agg(count(lit(1)).as("wt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val region = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.map(_._3).sum
+    val inC = scala.collection.mutable.HashMap[Long, Long]()
+    val deg = scala.collection.mutable.HashMap[Long, Long]()
+    for ((a, b, w) <- edges) {
+      val (ca, cb) = (region(a), region(b))
+      if (ca == cb) inC(ca) = inC.getOrElse(ca, 0L) + w
+      deg(ca) = deg.getOrElse(ca, 0L) + w
+      deg(cb) = deg.getOrElse(cb, 0L) + w
+    }
+    val qScaled = deg.keys.map(c =>
+      4L * m * inC.getOrElse(c, 0L) - deg(c) * deg(c)).sum
+    val got = Round10.q343Modularity.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === deg.size.toLong)
+    assert(got.getLong(1) === m)
+    assert(got.getLong(2) === qScaled)
+    assert(math.abs(got.getDouble(3) - qScaled.toDouble / (4.0 * m * m)) < 1e-6)
+  }
+}
