@@ -98,6 +98,47 @@ object AsOfJoin {
       .drop("__asof_rt")
   }
 
+  /** NEAREST as-of: the right row minimizing |right.time − left.time|
+    * per key (`merge_asof(direction='nearest')`). Composed as one
+    * backward and one forward pass (each the single-shuffle union
+    * window), then a row-local winner pick: backward wins ties at
+    * equal distance, matching pandas. Cost: two keyed shuffles of
+    * |L|+|R| — still no pair explosion.
+    *
+    * Right rows should be unique per (key, time) (dedupe upstream);
+    * otherwise each direction applies its own tie-break contract and
+    * the winner is whichever direction's champion is nearer.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val back = asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightValueCols.map { case (c, a) => (c, s"__b_$a") } :+ (rightTime -> "__bt"),
+      rightTieBreak, forward = false)
+    val both = asOfImpl(back, right, leftKey, rightKey, leftTime, rightTime,
+      rightValueCols.map { case (c, a) => (c, s"__f_$a") } :+ (rightTime -> "__ft"),
+      rightTieBreak, forward = true)
+    val lt = col(leftTime).cast("timestamp")
+    val backWins = col("__bt").isNotNull &&
+      (col("__ft").isNull ||
+        unix_micros(lt) - unix_micros(col("__bt").cast("timestamp")) <=
+        unix_micros(col("__ft").cast("timestamp")) - unix_micros(lt))
+    rightValueCols
+      .foldLeft(both) { case (df, (_, a)) =>
+        df.withColumn(a, when(backWins, col(s"__b_$a")).otherwise(col(s"__f_$a")))
+      }
+      .drop(rightValueCols.map { case (_, a) => s"__b_$a" }: _*)
+      .drop(rightValueCols.map { case (_, a) => s"__f_$a" }: _*)
+      .drop("__bt", "__ft")
+  }
+
   private def asOfImpl(
       left: DataFrame,
       right: DataFrame,

@@ -676,8 +676,248 @@ object Round10 {
             GROUP BY 1""")
   )
 
+  /** SQL session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`):
+    * parameterize a query from session state — the scripting-adjacent
+    * surface next to q350's bind parameters. The variable reference
+    * resolves to a literal at analysis, so pushdown still sees a
+    * constant. Oracle inlines the final value.
+    */
+  val q351SqlVariables: QueryDef = QueryDef(
+    "q351_sql_variables",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q351_lineitem")
+      s.sql("DECLARE OR REPLACE VARIABLE q351_min_qty DOUBLE DEFAULT 10.0")
+      s.sql("SET VAR q351_min_qty = 25.0")
+      s.sql("""SELECT l_returnflag,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+               FROM q351_lineitem
+               WHERE l_quantity >= q351_min_qty
+               GROUP BY 1""")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) qty
+            FROM lineitem WHERE l_quantity >= 25.0
+            GROUP BY 1""")
+  )
+
+  /** GROUP BY ALL / ORDER BY ALL — the by-every-non-aggregate shorthand
+    * (identical grouping inference on both engines; the oracle spells
+    * the positions out so the check does not depend on DuckDB's own
+    * ALL support).
+    */
+  val q352GroupByAll: QueryDef = QueryDef(
+    "q352_group_by_all",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q352_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM q352_orders
+               GROUP BY ALL
+               ORDER BY ALL""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) cents
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** McNemar paired test: do two document classifiers (char-length
+    * gate vs token-count gate, both predicting lang = 'en') disagree
+    * asymmetrically? Exact discordant-cell counts b/c from one pass;
+    * χ² = (b−c)²/(b+c) is a single exact-integer ratio.
+    */
+  val q353McNemar: QueryDef = QueryDef(
+    "q353_mcnemar",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(
+          (col("lang") === "en").as("label"),
+          (col("n_chars") >= 500).as("pred_a"),
+          (size(split(col("text"), " ")) >= 80).as("pred_b"))
+        .select(
+          (col("pred_a") === col("label")).as("ok_a"),
+          (col("pred_b") === col("label")).as("ok_b"))
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ok_a") && !col("ok_b"), 1L).otherwise(0L)).as("b_only"),
+        sum(when(!col("ok_a") && col("ok_b"), 1L).otherwise(0L)).as("c_only"))
+        .select(
+          col("n_docs"), col("b_only"), col("c_only"),
+          when(col("b_only") + col("c_only") === 0L, lit(0.0))
+            .otherwise(round(
+              ((col("b_only") - col("c_only")) * (col("b_only") - col("c_only")))
+                .cast("double") / (col("b_only") + col("c_only")), 6))
+            .as("chi2_mcnemar"))
+    },
+    Some("""WITH scored AS (SELECT (n_chars >= 500) = (lang = 'en') ok_a,
+                                   (len(string_split(text, ' ')) >= 80) = (lang = 'en')
+                                     ok_b
+                            FROM documents),
+            m AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+                         CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                              AS BIGINT) b_only,
+                         CAST(sum(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+                              AS BIGINT) c_only
+                  FROM scored)
+            SELECT n_docs, b_only, c_only,
+                   CASE WHEN b_only + c_only = 0 THEN 0.0
+                        ELSE round(CAST((b_only - c_only) * (b_only - c_only)
+                                        AS DOUBLE) / (b_only + c_only), 6)
+                   END chi2_mcnemar
+            FROM m""")
+  )
+
+  /** Pettitt changepoint test on the daily order-count series — the
+    * rank-based companion to the CUSUM changepoint (q193). V_t comes
+    * from the value histogram (2·below + ties − n, exact integers, no
+    * pair join), U_t = running ΣV (the Pettitt recursion), K = max|U_t|
+    * with the earliest argmax. The normalized exponent 6K²/(n³+n²) is
+    * reported instead of exp(−·) so no transcendental enters the
+    * cross-engine compare.
+    */
+  val q354Pettitt: QueryDef = QueryDef(
+    "q354_pettitt",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(daily, Seq("d"), "left")
+        .select(datediff(col("d"), col("d0")).cast("long").as("t"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val n = spine.agg(count(lit(1)).as("n"))
+      val hist = spine.groupBy(col("x")).agg(count(lit(1)).as("tc"))
+        .withColumn("below", coalesce(sum(col("tc")).over(
+          W.orderBy(col("x")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      val series = spine.join(hist, Seq("x"))
+        .crossJoin(broadcast(n))
+        .select(col("t"), (lit(2L) * col("below") + col("tc") - col("n")).as("v"),
+          col("n"))
+      val u = series
+        .withColumn("u", sum(col("v")).over(
+          W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, 0)))
+        .filter(col("t") < col("n") - 1L) // U_n ≡ 0 by construction
+      val k = u.agg(max(abs(col("u"))).as("k_stat"))
+      u.crossJoin(broadcast(k))
+        .filter(abs(col("u")) === col("k_stat"))
+        .agg(
+          max(col("n")).as("n_days"),
+          max(col("k_stat")).as("k_stat"),
+          min(col("t")).as("t_star"))
+        .select(
+          col("n_days"), col("k_stat"), col("t_star"),
+          round(lit(6.0) * col("k_stat") * col("k_stat") /
+            (col("n_days") * col("n_days") * col("n_days") +
+              col("n_days") * col("n_days")).cast("double"), 6).as("k_norm"))
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                                  CAST(count(*) AS BIGINT) x
+                           FROM orders GROUP BY 1),
+            b AS (SELECT min(d) d0, max(d) d1 FROM daily),
+            spine AS (SELECT CAST(date_diff('day', b.d0, CAST(gg.dd AS DATE))
+                             AS BIGINT) t,
+                             coalesce(daily.x, 0) x
+                      FROM b, (SELECT d0, unnest(generate_series(d0, d1,
+                                               INTERVAL 1 DAY)) dd FROM b) gg
+                      LEFT JOIN daily ON daily.d = CAST(gg.dd AS DATE)),
+            n AS (SELECT CAST(count(*) AS BIGINT) n FROM spine),
+            hist AS (SELECT x, CAST(count(*) AS BIGINT) tc FROM spine GROUP BY 1),
+            hb AS (SELECT x, tc, coalesce(sum(tc) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) below
+                   FROM hist),
+            series AS (SELECT t, 2 * below + tc - n.n v, n.n
+                       FROM spine JOIN hb USING (x), n),
+            u AS (SELECT t, n, sum(v) OVER (ORDER BY t) u FROM series),
+            uf AS (SELECT * FROM u WHERE t < n - 1),
+            k AS (SELECT CAST(max(abs(u)) AS BIGINT) k_stat FROM uf)
+            SELECT CAST(max(n) AS BIGINT) n_days,
+                   CAST(max(k_stat) AS BIGINT) k_stat,
+                   CAST(min(t) AS BIGINT) t_star,
+                   round(6.0 * CAST(max(k_stat) AS DOUBLE) * max(k_stat) /
+                         CAST(max(n) * max(n) * max(n) + max(n) * max(n) AS DOUBLE),
+                         6) k_norm
+            FROM uf, k WHERE abs(u) = k_stat""")
+  )
+
+  /** Nearest-direction as-of join
+    * ([[graft.operators.AsOfJoin.asOfNearest]]): each error event
+    * matched to the temporally NEAREST purchase of the same user
+    * (backward wins distance ties, the pandas contract). Right side
+    * deduped to one row per (user, instant) so both engines' tie
+    * rules coincide. Two keyed shuffles, no pair explosion.
+    */
+  val q355AsofNearest: QueryDef = QueryDef(
+    "q355_asof_nearest",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("p_id"))
+      graft.operators.AsOfJoin
+        .asOfNearest(
+          errors, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          rightValueCols = Seq("p_id" -> "nearest_purchase_id"),
+          rightTieBreak = Seq("p_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("nearest_purchase_id"))
+    },
+    Some("""SELECT event_id, user_id, ts_us, nearest_purchase_id
+            FROM (
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch_us(e.ts) AS BIGINT) ts_us,
+                     p.p_id nearest_purchase_id,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY abs(epoch_us(p.p_ts) - epoch_us(e.ts)) ASC NULLS LAST,
+                                (p.p_ts <= e.ts) DESC,
+                                p.p_id DESC NULLS LAST) rn
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              LEFT JOIN (SELECT user_id p_user, ts p_ts, max(event_id) p_id
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1, 2) p
+                ON p.p_user = e.user_id
+            ) WHERE rn = 1""")
+  )
+
+  /** Lateral column aliases: a SELECT-list alias referenced by the
+    * NEXT expression in the same projection (`cents` feeding
+    * `dollars`) — single-pass derived-column chains without nested
+    * subqueries. The oracle re-expands the chain.
+    */
+  val q356LateralAlias: QueryDef = QueryDef(
+    "q356_lateral_alias",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q356_orders")
+      s.sql("""SELECT o_orderpriority,
+                      CAST(sum(dollars) AS BIGINT) AS dollars_sum
+               FROM (
+                 SELECT o_orderpriority,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        cents div 100 AS dollars
+                 FROM q356_orders)
+               GROUP BY 1""")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+                        AS BIGINT) dollars_sum
+            FROM orders GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
-      q348CochranArmitage, q349GeoKnn, q350ParamSql)
+      q348CochranArmitage, q349GeoKnn, q350ParamSql, q351SqlVariables,
+      q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias)
 }

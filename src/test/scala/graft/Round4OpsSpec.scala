@@ -120,6 +120,22 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(101L), 2L -> None, 3L -> None))
   }
 
+  test("asOfNearest picks min |Δt|, backward wins ties, unmatched keys null") {
+    val l = Seq(
+      (1L, 1L, t(20)), // backward at 10 (Δ10) vs forward at 40 (Δ20) → 10
+      (2L, 1L, t(35)), // backward at 10 (Δ25) vs forward at 40 (Δ5) → 40
+      (3L, 1L, t(25)), // exact tie Δ15/Δ15 → backward wins
+      (4L, 2L, t(5)) // key 2 has no right rows at all
+    ).toDF("lid", "k", "ts")
+    val r = Seq((1L, t(10), 100L), (1L, t(40), 101L)).toDF("k2", "rts", "rid")
+    val got = graft.operators.AsOfJoin
+      .asOfNearest(l, r, "k", "k2", "ts", "rts",
+        rightValueCols = Seq("rid" -> "near_id"), rightTieBreak = Seq("rid"))
+      .select("lid", "near_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> Some(100L), 4L -> None))
+  }
+
   test("asOfTolerance nulls stale matches, keeps fresh ones") {
     val l = Seq((1L, 1L, t(30)), (2L, 1L, t(59))).toDF("lid", "k", "ts")
     val r = Seq((1L, t(25), 7L)).toDF("k2", "rts", "rid")
