@@ -915,9 +915,369 @@ object Round10 {
             FROM orders GROUP BY 1""")
   )
 
+  /** Negative-binomial overdispersion fit on daily event counts:
+    * method-of-moments r̂ = m²/(v−m), p̂ = m/v from exact integer
+    * (n, Σx, Σx²) — the Poisson-or-not triage before any count model
+    * (q254's Fano factor asks the question; this fits the answer).
+    * Degenerate (v ≤ m) reports NULL fit — underdispersed data has no
+    * NB fit.
+    */
+  val q357NegbinFit: QueryDef = QueryDef(
+    "q357_negbin_fit",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      daily.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sm"),
+        sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("n").as("n_days"),
+          round(col("sm").cast("double") / col("n"), 6).as("mean"),
+          round((col("n") * col("sxx") - col("sm") * col("sm")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("variance"), {
+            val m = col("sm").cast("double") / col("n")
+            val v = (col("n") * col("sxx") - col("sm") * col("sm")).cast("double") /
+              (col("n") * col("n")).cast("double")
+            when(v > m, round(m * m / (v - m), 6)).as("r_hat")
+          }, {
+            val m = col("sm").cast("double") / col("n")
+            val v = (col("n") * col("sxx") - col("sm") * col("sm")).cast("double") /
+              (col("n") * col("n")).cast("double")
+            when(v > m, round(m / v, 6)).as("p_hat")
+          })
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) d, CAST(count(*) AS BIGINT) x
+                           FROM events GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sm,
+                         CAST(sum(x * x) AS BIGINT) sxx
+                  FROM daily)
+            SELECT n n_days,
+                   round(CAST(sm AS DOUBLE) / n, 6) mean,
+                   round(CAST(n * sxx - sm * sm AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                     variance,
+                   CASE WHEN CAST(n * sxx - sm * sm AS DOUBLE) / CAST(n * n AS DOUBLE)
+                             > CAST(sm AS DOUBLE) / n
+                        THEN round((CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n) /
+                                   (CAST(n * sxx - sm * sm AS DOUBLE) /
+                                    CAST(n * n AS DOUBLE) - CAST(sm AS DOUBLE) / n), 6)
+                   END r_hat,
+                   CASE WHEN CAST(n * sxx - sm * sm AS DOUBLE) / CAST(n * n AS DOUBLE)
+                             > CAST(sm AS DOUBLE) / n
+                        THEN round((CAST(sm AS DOUBLE) / n) /
+                                   (CAST(n * sxx - sm * sm AS DOUBLE) /
+                                    CAST(n * n AS DOUBLE)), 6)
+                   END p_hat
+            FROM m""")
+  )
+
+  /** Cramér's V (plain + Bergsma bias-corrected) for the priority ×
+    * status contingency table — the effect size q306's χ² lacks. Cells
+    * and marginals exact; every later step a deterministic scalar
+    * chain on both engines.
+    */
+  val q358CramersV: QueryDef = QueryDef(
+    "q358_cramers_v",
+    (s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("na"))
+      val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      val chi2 = cells
+        .join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(snap({
+          val e = col("na").cast("double") * col("nb") / col("n")
+          (col("o") - e) * (col("o") - e) / e
+        }).as("term"))
+        .agg(sum(col("term")).as("chi2"))
+      val dims = ra.agg(count(lit(1)).as("r"))
+        .crossJoin(cb.agg(count(lit(1)).as("c")))
+      chi2.crossJoin(broadcast(dims)).crossJoin(broadcast(tot))
+        .select(
+          col("n"), col("r").as("n_rows"), col("c").as("n_cols"),
+          round(sqrt(col("chi2") / (col("n") *
+            least(col("r") - 1L, col("c") - 1L)).cast("double")), 6).as("v"), {
+            val phi2 = col("chi2") / col("n")
+            val adj = greatest(lit(0.0), phi2 -
+              ((col("r") - 1L) * (col("c") - 1L)).cast("double") / (col("n") - 1L))
+            val rAdj = col("r").cast("double") -
+              ((col("r") - 1L) * (col("r") - 1L)).cast("double") / (col("n") - 1L)
+            val cAdj = col("c").cast("double") -
+              ((col("c") - 1L) * (col("c") - 1L)).cast("double") / (col("n") - 1L)
+            round(sqrt(adj / least(rAdj - 1.0, cAdj - 1.0)), 6).as("v_corrected")
+          })
+    },
+    Some("""WITH cells AS (SELECT o_orderpriority a, o_orderstatus b,
+                                  CAST(count(*) AS BIGINT) o
+                           FROM orders GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(sum(o) AS BIGINT) na FROM cells GROUP BY 1),
+            cb AS (SELECT b, CAST(sum(o) AS BIGINT) nb FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) n FROM cells),
+            x2 AS (SELECT sum(floor((o - CAST(na AS DOUBLE) * nb / n) *
+                                    (o - CAST(na AS DOUBLE) * nb / n) /
+                                    (CAST(na AS DOUBLE) * nb / n) *
+                                    1073741824.0 + 0.5) / 1073741824.0) chi2
+                   FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+            dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ra) r,
+                            (SELECT CAST(count(*) AS BIGINT) FROM cb) c)
+            SELECT n, r n_rows, c n_cols,
+                   round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) v,
+                   round(sqrt(
+                     greatest(0.0, chi2 / n -
+                              CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1)) /
+                     least(CAST(r AS DOUBLE) -
+                             CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1.0,
+                           CAST(c AS DOUBLE) -
+                             CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) - 1.0)), 6)
+                     v_corrected
+            FROM x2, dims, tot""")
+  )
+
+  /** Partial correlation r(qty, price | discount) on lineitem — the
+    * confound-adjusted association from one pass of exact integer
+    * moments (the price square summed as decimal so no long overflow;
+    * every correlation a deterministic scalar chain).
+    */
+  val q359PartialCorr: QueryDef = QueryDef(
+    "q359_partial_corr",
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .select(
+          expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("z"))
+      base.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+        .select(col("n"), {
+          def corr(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+                   sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+                   sbb: org.apache.spark.sql.Column) =
+            (col("n").cast("double") * sab.cast("double") -
+              sa.cast("double") * sb.cast("double")) /
+              sqrt((col("n").cast("double") * saa.cast("double") -
+                sa.cast("double") * sa.cast("double")) *
+                (col("n").cast("double") * sbb.cast("double") -
+                  sb.cast("double") * sb.cast("double")))
+          val rxy = corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+          val rxz = corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+          val ryz = corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+          struct(
+            round(rxy, 6).as("r_xy"),
+            round(rxz, 6).as("r_xz"),
+            round(ryz, 6).as("r_yz"),
+            round((rxy - rxz * ryz) /
+              sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+              .as("r_xy_given_z")).as("s")
+        })
+        .select(col("n"), col("s.r_xy"), col("s.r_xz"), col("s.r_yz"),
+          col("s.r_xy_given_z"))
+    },
+    Some("""WITH base AS (SELECT CAST(round(l_quantity) AS BIGINT) x,
+                                 CAST(round(l_extendedprice * 100) AS BIGINT) y,
+                                 CAST(round(l_discount * 100) AS BIGINT) z
+                          FROM lineitem),
+            m AS (SELECT CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(z) AS BIGINT) sz,
+                         CAST(sum(x * x) AS BIGINT) sxx,
+                         sum(CAST(y AS HUGEINT) * y) syy,
+                         CAST(sum(z * z) AS BIGINT) szz,
+                         CAST(sum(x * y) AS BIGINT) sxy,
+                         CAST(sum(x * z) AS BIGINT) sxz,
+                         CAST(sum(y * z) AS BIGINT) syz
+                  FROM base),
+            c AS (SELECT n,
+                         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                         sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                               CAST(sy AS DOUBLE) * sy)) r_xy,
+                         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz) /
+                         sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                              (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)) r_xz,
+                         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz) /
+                         sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                               CAST(sy AS DOUBLE) * sy) *
+                              (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)) r_yz
+                  FROM m)
+            SELECT n, round(r_xy, 6) r_xy, round(r_xz, 6) r_xz, round(r_yz, 6) r_yz,
+                   round((r_xy - r_xz * r_yz) /
+                         sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+                     r_xy_given_z
+            FROM c""")
+  )
+
+  /** Ljung–Box portmanteau test on the hourly event-count series:
+    * Q = n(n+2) Σ_k ρ_k²/(n−k) over lags 1..12, with each ρ_k formed
+    * from the SAME exact integer components as q192's ACF (never the
+    * rounded ACF output) and each addend snapped before the sum.
+    */
+  val q360LjungBox: QueryDef = QueryDef(
+    "q360_ljung_box",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .select((col("h") - col("mn")).as("idx"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val tot = grid.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sm"),
+        sum(col("x") * col("x")).as("sxx"))
+      val pairs = grid
+        .withColumn("k", explode(expr("sequence(1L, 12L)")))
+        .withColumn("bidx", col("idx") + col("k"))
+        .join(grid.select(col("idx").as("bidx"), col("x").as("xb")), Seq("bidx"))
+        .groupBy(col("k"))
+        .agg(
+          sum(col("x") * col("xb")).as("sxy"),
+          sum(col("x")).as("sa"), sum(col("xb")).as("sb"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("k"), col("n"), snap({
+          val rho = (col("n").cast("double") * col("n") * col("sxy") -
+            col("n").cast("double") * col("sm") * (col("sa") + col("sb")) +
+            (col("n") - col("k")).cast("double") * col("sm") * col("sm")) /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("sxx") - col("sm").cast("double") * col("sm")))
+          rho * rho / (col("n") - col("k"))
+        }).as("addend"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_lags"), sum(col("addend")).as("sa"))
+        .select(
+          col("n").as("n_hours"), col("n_lags"),
+          round(col("n").cast("double") * (col("n") + 2L) * col("sa"), 6).as("q_stat"))
+    },
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hh FROM events),
+            cnt AS (SELECT hh, CAST(count(*) AS BIGINT) x FROM h GROUP BY 1),
+            b AS (SELECT min(hh) mn, max(hh) mx FROM cnt),
+            grid AS (SELECT g.hh - g.mn AS idx, coalesce(c.x, 0) AS x
+                     FROM (SELECT mn, unnest(range(mn, mx + 1)) AS hh FROM b) g
+                     LEFT JOIN cnt c USING (hh)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sm,
+                           CAST(sum(x * x) AS BIGINT) sxx FROM grid),
+            pr AS (SELECT k.k, CAST(sum(a.x * b2.x) AS BIGINT) sxy,
+                          CAST(sum(a.x) AS BIGINT) sa, CAST(sum(b2.x) AS BIGINT) sb
+                   FROM range(1, 13) k(k)
+                   CROSS JOIN grid a
+                   JOIN grid b2 ON b2.idx = a.idx + k.k
+                   GROUP BY 1),
+            ad AS (SELECT n, floor(
+                     ((CAST(n AS DOUBLE) * n * sxy - CAST(n AS DOUBLE) * sm * (sa + sb)
+                       + CAST(n - k AS DOUBLE) * sm * sm) /
+                      (CAST(n AS DOUBLE) *
+                       (CAST(n AS DOUBLE) * sxx - CAST(sm AS DOUBLE) * sm))) *
+                     ((CAST(n AS DOUBLE) * n * sxy - CAST(n AS DOUBLE) * sm * (sa + sb)
+                       + CAST(n - k AS DOUBLE) * sm * sm) /
+                      (CAST(n AS DOUBLE) *
+                       (CAST(n AS DOUBLE) * sxx - CAST(sm AS DOUBLE) * sm))) /
+                     (n - k) * 1073741824.0 + 0.5) / 1073741824.0 addend
+                   FROM pr, tot)
+            SELECT CAST(max(n) AS BIGINT) n_hours,
+                   CAST(count(*) AS BIGINT) n_lags,
+                   round(CAST(max(n) AS DOUBLE) * (max(n) + 2) * sum(addend), 6) q_stat
+            FROM ad""")
+  )
+
+  /** OLS influence diagnostics (leverage + Cook's distance) for the
+    * daily order-count trend line: residual NUMERATORS stay exact
+    * integers (the q302 Durbin–Watson device), leverages form from
+    * exact (t, Σt, Σt²), SSE sums snapped addends, and the top-5
+    * influential days are picked by snapped Cook's D with an exact
+    * day tie-break.
+    */
+  val q361CooksDistance: QueryDef = QueryDef(
+    "q361_cooks_distance",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(daily, Seq("d"), "left")
+        .select(datediff(col("d"), col("d0")).cast("long").as("t"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val m = spine.agg(
+        count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"), sum(col("t") * col("y")).as("sty"))
+      val withR = spine.crossJoin(broadcast(m))
+        .withColumn("rnum",
+          (col("n") * col("stt") - col("st") * col("st")) * col("y") -
+            (col("sy") * col("stt") - col("st") * col("sty")) -
+            (col("n") * col("sty") - col("st") * col("sy")) * col("t"))
+        .withColumn("den",
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+        .withColumn("e", col("rnum").cast("double") / col("den"))
+        .withColumn("h",
+          lit(1.0) / col("n") +
+            ((col("t") * col("n") - col("st")) * (col("t") * col("n") - col("st")))
+              .cast("double") / (col("n").cast("double") * col("den")))
+      val sse = withR.select(col("n"), snap(col("e") * col("e")).as("e2"))
+        .groupBy(col("n")).agg(sum(col("e2")).as("sse"))
+        .select((col("sse") / (col("n") - 2L)).as("s2"))
+      withR.crossJoin(broadcast(sse))
+        .select(
+          col("t"),
+          snap(col("e") * col("e") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+            .as("cooks_d"),
+          col("h"), col("e"))
+        .orderBy(col("cooks_d").desc, col("t"))
+        .limit(5)
+        .select(col("t").as("day_idx"),
+          round(col("cooks_d"), 6).as("cooks_d"),
+          round(col("h"), 6).as("leverage"),
+          round(col("e"), 6).as("residual"))
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                                  CAST(count(*) AS BIGINT) y
+                           FROM orders GROUP BY 1),
+            b AS (SELECT min(d) d0, max(d) d1 FROM daily),
+            spine AS (SELECT CAST(date_diff('day', b.d0, CAST(g.dd AS DATE)) AS BIGINT) t,
+                             coalesce(daily.y, 0) y
+                      FROM b, (SELECT d0, unnest(generate_series(d0, d1,
+                                               INTERVAL 1 DAY)) dd FROM b) g
+                      LEFT JOIN daily ON daily.d = CAST(g.dd AS DATE)),
+            m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(t) AS BIGINT) st,
+                         CAST(sum(y) AS BIGINT) sy, CAST(sum(t * t) AS BIGINT) stt,
+                         CAST(sum(t * y) AS BIGINT) sty
+                  FROM spine),
+            r AS (SELECT t, n,
+                         CAST((n * stt - st * st) * y - (sy * stt - st * sty) -
+                              (n * sty - st * sy) * t AS DOUBLE) /
+                           CAST(n * stt - st * st AS DOUBLE) e,
+                         1.0 / n + CAST((t * n - st) * (t * n - st) AS DOUBLE) /
+                           (CAST(n AS DOUBLE) * CAST(n * stt - st * st AS DOUBLE)) h
+                  FROM spine, m),
+            sse AS (SELECT sum(floor(e * e * 1073741824.0 + 0.5) / 1073741824.0) /
+                           (max(n) - 2) s2
+                    FROM r),
+            cd AS (SELECT t,
+                          floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) *
+                                1073741824.0 + 0.5) / 1073741824.0 cooks_d,
+                          h, e
+                   FROM r, sse)
+            SELECT t day_idx, round(cooks_d, 6) cooks_d,
+                   round(h, 6) leverage, round(e, 6) residual
+            FROM cd ORDER BY cooks_d DESC, t LIMIT 5""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
       q348CochranArmitage, q349GeoKnn, q350ParamSql, q351SqlVariables,
-      q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias)
+      q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias,
+      q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance)
 }

@@ -211,6 +211,114 @@ class Round10PropertySpec extends AnyFunSuite {
     assert(got === byNation.toMap)
   }
 
+  test("negbin fit == direct method-of-moments on collected daily counts") {
+    val xs = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts"))).agg(count(lit(1)).as("x"))
+      .collect().map(_.getLong(1))
+    val n = xs.length
+    val m = xs.sum.toDouble / n
+    val v = (n.toLong * xs.map(x => x * x).sum - xs.sum * xs.sum).toDouble / (n.toLong * n)
+    val got = Round10.q357NegbinFit.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === n.toLong)
+    assert(math.abs(got.getDouble(1) - m) < 1e-5)
+    assert(math.abs(got.getDouble(2) - v) < 1e-5)
+    if (v > m) {
+      assert(math.abs(got.getDouble(3) - m * m / (v - m)) < 1e-4)
+      assert(math.abs(got.getDouble(4) - m / v) < 1e-6)
+    } else assert(got.isNullAt(3) && got.isNullAt(4))
+  }
+
+  test("cramers v == direct chi2 effect size from collected cells") {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val ra = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cb = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val chi2 = cells.map { case ((a, b), o) =>
+      val e = ra(a).toDouble * cb(b) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val (r, c) = (ra.size, cb.size)
+    val v0 = math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1)))
+    val got = Round10.q358CramersV.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === n)
+    assert((got.getLong(1), got.getLong(2)) === ((r.toLong, c.toLong)))
+    assert(math.abs(got.getDouble(3) - v0) < 1e-5)
+  }
+
+  test("partial correlation == direct formula from collected triples") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(round(l_quantity) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = rows.length.toDouble
+    def corr(f: ((Double, Double, Double)) => Double,
+             g: ((Double, Double, Double)) => Double): Double = {
+      val (sa, sb) = (rows.map(f).sum, rows.map(g).sum)
+      val (saa, sbb) = (rows.map(t => f(t) * f(t)).sum, rows.map(t => g(t) * g(t)).sum)
+      val sab = rows.map(t => f(t) * g(t)).sum
+      (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val rxy = corr(_._1, _._2); val rxz = corr(_._1, _._3); val ryz = corr(_._2, _._3)
+    val part = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val got = Round10.q359PartialCorr.fn(spark, sfDir).collect().head
+    assert(math.abs(got.getDouble(1) - rxy) < 1e-5)
+    assert(math.abs(got.getDouble(4) - part) < 1e-4)
+  }
+
+  test("ljung-box Q == direct ACF portmanteau on the collected hourly series") {
+    val byHour = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (mn, mx) = (byHour.keys.min, byHour.keys.max)
+    val xs = (mn to mx).map(h => byHour.getOrElse(h, 0L).toDouble).toArray
+    val n = xs.length
+    val mean = xs.sum / n
+    val c0 = xs.map(x => (x - mean) * (x - mean)).sum / n
+    var q = 0.0
+    for (k <- 1 to 12) {
+      val ck = (0 until n - k).map(i => (xs(i) - mean) * (xs(i + k) - mean)).sum / n
+      val rho = ck / c0
+      q += rho * rho / (n - k)
+    }
+    q *= n.toDouble * (n + 2)
+    val got = Round10.q360LjungBox.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getLong(1) === 12L)
+    assert(math.abs(got.getDouble(2) - q) < 1e-3)
+  }
+
+  test("cooks distance top-5 == driver OLS influence reference") {
+    val byDay = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+    val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+    val n = ys.length
+    val ts = (0 until n).map(_.toDouble).toArray
+    val (st, sy) = (ts.sum, ys.sum)
+    val stt = ts.map(t => t * t).sum
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+    val beta = (n * sty - st * sy) / (n * stt - st * st)
+    val alpha = (sy - beta * st) / n
+    val es = ts.zip(ys).map { case (t, y) => y - alpha - beta * t }
+    val s2 = es.map(e => e * e).sum / (n - 2)
+    val hs = ts.map(t => 1.0 / n + (t - st / n) * (t - st / n) / (stt - st * st / n))
+    val ds = es.zip(hs).map { case (e, h) => e * e * h / (2 * s2 * (1 - h) * (1 - h)) }
+    val top = ds.zipWithIndex.sortBy { case (d, i) => (-d, i) }.take(5)
+    val got = Round10.q361CooksDistance.fn(spark, sfDir).collect()
+    assert(got.length === 5)
+    for (((dRef, iRef), row) <- top.zip(got)) {
+      assert(row.getLong(0) === iRef.toLong)
+      assert(math.abs(row.getDouble(1) - dRef) < 1e-4)
+    }
+  }
+
   test("modularity == direct computation from collected edges") {
     val edges = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
