@@ -30,7 +30,13 @@ out = sys.argv[1]
 oracle = json.loads(Path(out, "oracle_sql.json").read_text())
 skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
         "q58_dedup_clusters", "q69_dedup_clusters_star",
-        "q325_ahash_neardup"}
+        "q325_ahash_neardup",
+        # these four EMBED the quadratic ngram-Jaccard pair oracle
+        # (WITH RECURSIVE pairs AS <ngramJaccardOracle>) — same
+        # intractability at sf0.1 (q217 burned >100 CPU-min before this
+        # list caught up); all stay oracle-green at sf0.001/sf0.01
+        "q127_dedup_retention", "q206_golden_record",
+        "q217_cluster_sample", "q239_dedup_impact"}
 Path(out, "oracle_sql.json").write_text(
     json.dumps({k: v for k, v in oracle.items() if k not in skip}))
 print("sf0.1: skipping quadratic-family oracles:", sorted(skip))
