@@ -36,7 +36,8 @@ skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
         # intractability at sf0.1 (q217 burned >100 CPU-min before this
         # list caught up); all stay oracle-green at sf0.001/sf0.01
         "q127_dedup_retention", "q206_golden_record",
-        "q217_cluster_sample", "q239_dedup_impact"}
+        "q217_cluster_sample", "q239_dedup_impact",
+        "q362_containment"}
 Path(out, "oracle_sql.json").write_text(
     json.dumps({k: v for k, v in oracle.items() if k not in skip}))
 print("sf0.1: skipping quadratic-family oracles:", sorted(skip))

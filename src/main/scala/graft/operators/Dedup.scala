@@ -239,6 +239,68 @@ object Dedup {
     verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()
   }
 
+  /** Asymmetric CONTAINMENT near-dup: pairs where the SMALLER document's
+    * shingle set is mostly inside the bigger one's —
+    * C(A→B) = |A∩B|/|A| ≥ `threshold` with |A| ≤ |B| (at equal sizes the
+    * smaller doc_id is A). Catches the quote/excerpt/boilerplate-subset
+    * cases symmetric Jaccard misses: a 100-shingle doc fully contained
+    * in a 10 000-shingle doc has C = 1.0 but J ≈ 0.01.
+    *
+    * Candidate generation is the containment prefix filter: A must share
+    * ≥ ⌈t·|A|⌉ shingles with B, so A's (⌊(1−t)·|A|⌋+1)-length rarest-first
+    * prefix must hit B SOMEWHERE — the prefix explodes only the small
+    * side; the big side contributes its full postings (an inverted index,
+    * linear in corpus size, never a self-cross). Exact verification via
+    * array_intersect closes it.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val eps = 1e-9
+    val sh = hashedTokenShingles(docs, n)
+      .withColumn("sz", size(col("shingles")))
+      .filter(col("sz") > 0)
+      .cache()
+    val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded
+      .join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("sz")).as("sz"),
+        slice(
+          array_sort(collect_list(struct(col("df"), col("sh")))),
+          lit(1),
+          // +1e-9 inside the floor — the q28 at-threshold shaving guard
+          (floor((lit(1.0) - threshold) * max(col("sz")) + lit(1e-9)) + lit(1)).cast("int")
+        ).as("pref"))
+      .select(col("doc_id"), col("sz"), explode(col("pref.sh")).as("sh"))
+    val a = prefixes.toDF("doc_a", "sz_a", "sh")
+    val b = exploded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("sh").as("sh_b"))
+    val candidates = a
+      .join(
+        b,
+        col("sh") === col("sh_b") &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("ga")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("gb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
+      .filter(col("inter") >= col("sz_a") * threshold - eps)
+      .select(
+        col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double") / col("sz_a"), 6).as("containment"))
+  }
+
   // --------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: corpus documents sharing at least

@@ -1274,10 +1274,149 @@ object Round10 {
             FROM cd ORDER BY cooks_d DESC, t LIMIT 5""")
   )
 
+  /** Containment near-dup ([[graft.operators.Dedup.containmentPairs]]):
+    * the excerpt/quote/boilerplate-subset detector — C(A→B) = |A∩B|/|A|
+    * ≥ 0.8 with the SMALL side as A, which symmetric Jaccard (q28)
+    * structurally misses. Prefix filter explodes only the small side;
+    * the big side is a linear inverted index. Oracle replays the
+    * quadratic truth on string n-grams (skip-listed at sf0.1 with the
+    * rest of the pair-oracle family).
+    */
+  val q362Containment: QueryDef = QueryDef(
+    "q362_containment",
+    (s, dir) =>
+      graft.operators.Dedup.containmentPairs(Tables.documents(s, dir), n = 3,
+        threshold = 0.8),
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
+              FROM documents),
+            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
+            p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                         CAST(a.sz AS INT) sz_a, CAST(b.sz AS INT) sz_b,
+                         len(list_intersect(a.gs, b.gs)) inter
+                  FROM s a JOIN s b
+                    ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)))
+            SELECT doc_a, doc_b, sz_a, sz_b,
+                   round(CAST(inter AS DOUBLE) / sz_a, 6) containment
+            FROM p WHERE inter >= sz_a * 0.8 - 1e-9""")
+  )
+
+  /** Weighted quantiles (p10/p50/p90) of the lineitem price weighted by
+    * quantity — "the price below which 10/50/90 % of UNITS ship".
+    * Resolved on the value histogram's weight cumsum with the exact
+    * integer inequality 10·cumw ≥ k·W — no sort, no float rank.
+    */
+  val q363WeightedQuantiles: QueryDef = QueryDef(
+    "q363_weighted_quantiles",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = Tables.lineitem(s, dir)
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+        .groupBy(col("v")).agg(sum(col("w")).as("wv"))
+        .withColumn("cumw", sum(col("wv")).over(
+          W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)))
+      val tot = hist.agg(sum(col("wv")).as("wtot"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("k", explode(expr("array(1L, 5L, 9L)")))
+        .filter(col("cumw") * 10L >= col("k") * col("wtot"))
+        .groupBy((col("k") * 10L).as("pct"))
+        .agg(min(col("v")).as("price_cents"), max(col("wtot")).as("total_units"))
+    },
+    Some("""WITH hist AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) v,
+                                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) wv
+                          FROM lineitem GROUP BY 1),
+            c AS (SELECT v, wv, CAST(sum(wv) OVER (ORDER BY v) AS BIGINT) cumw
+                  FROM hist),
+            t AS (SELECT CAST(sum(wv) AS BIGINT) wtot FROM hist),
+            k AS (SELECT unnest([1, 5, 9]) k)
+            SELECT CAST(k.k * 10 AS BIGINT) pct,
+                   CAST(min(v) AS BIGINT) price_cents,
+                   CAST(max(wtot) AS BIGINT) total_units
+            FROM c, t, k WHERE cumw * 10 >= k.k * wtot
+            GROUP BY 1""")
+  )
+
+  /** Grid-density clustering (DBSCAN-flavored): half-the-q349-cell
+    * occupancy grid over the synthetic customer layout; cells with ≥ 5
+    * points are DENSE, 8-neighbor-adjacent dense cells merge into
+    * clusters via the O(log n)-round component propagation
+    * ([[graft.operators.Dedup.connectedComponents]] on the bounded
+    * dense-cell graph). Reports each cluster's cell count, point count,
+    * and min cell id. Scale: density histogram is one keyed agg;
+    * adjacency joins only DENSE cells (a tiny relation), never points.
+    */
+  val q364GridDensity: QueryDef = QueryDef(
+    "q364_grid_density",
+    (s, dir) => {
+      val cell = 250000L
+      val dense = Tables.customer(s, dir)
+        .select(
+          expr(s"((c_custkey % 11) * 400000 + (c_custkey % 17) * 10000) div $cell")
+            .cast("long").as("cx"),
+          expr(s"((c_custkey % 7) * 300000 + (c_custkey % 13) * 10000) div $cell")
+            .cast("long").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("pts"))
+        .filter(col("pts") >= 5L)
+        .withColumn("cid", col("cx") * 1000L + col("cy"))
+        .localCheckpoint()
+      val nbr = dense.select(col("cid"), col("cx"), col("cy"))
+        .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+        .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+        .filter(!(col("dx") === 0L && col("dy") === 0L))
+        .select(col("cid").as("doc_a"),
+          ((col("cx") + col("dx")) * 1000L + col("cy") + col("dy")).as("nid"))
+      val edges = nbr
+        .join(dense.select(col("cid").as("doc_b")), col("nid") === col("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val labels = graft.operators.Dedup.connectedComponents(edges)
+        .select(col("doc_id").as("cid"), col("cluster_rep"))
+      dense
+        .join(labels, Seq("cid"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_rep"), col("cid")))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("pts")).as("n_points"),
+          min(col("cid")).as("min_cell"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE pts AS (
+              SELECT ((c_custkey % 11) * 400000 + (c_custkey % 17) * 10000) // 250000 cx,
+                     ((c_custkey % 7) * 300000 + (c_custkey % 13) * 10000) // 250000 cy
+              FROM customer),
+            dense AS (SELECT cx, cy, cx * 1000 + cy cid,
+                             CAST(count(*) AS BIGINT) pts
+                      FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
+            e0 AS (SELECT a.cid ca, b.cid cb
+                   FROM dense a JOIN dense b
+                     ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                    AND a.cid < b.cid),
+            edges AS (SELECT ca u, cb v FROM e0
+                      UNION SELECT cb u, ca v FROM e0),
+            reach AS (SELECT u AS cell, u AS label FROM edges
+                      UNION
+                      SELECT e.u AS cell, r.label
+                      FROM edges e JOIN reach r ON r.cell = e.v),
+            lab AS (SELECT cell, CAST(min(label) AS BIGINT) rep
+                    FROM reach GROUP BY 1)
+            SELECT coalesce(l.rep, d.cid) cluster_id,
+                   CAST(count(*) AS BIGINT) n_cells,
+                   CAST(sum(d.pts) AS BIGINT) n_points,
+                   CAST(min(d.cid) AS BIGINT) min_cell
+            FROM dense d LEFT JOIN lab l ON l.cell = d.cid
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
       q348CochranArmitage, q349GeoKnn, q350ParamSql, q351SqlVariables,
       q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias,
-      q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance)
+      q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance,
+      q362Containment, q363WeightedQuantiles, q364GridDensity)
 }

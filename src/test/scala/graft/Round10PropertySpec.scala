@@ -319,6 +319,55 @@ class Round10PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment finds subset docs that symmetric jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta" // 4 trigrams
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(docs, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to symmetric jaccard at any usable threshold
+    assert(graft.operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, threshold = 0.5).count() === 0L)
+  }
+
+  test("containment == quadratic brute force on sf0.001 documents") {
+    val sh = graft.operators.Dedup
+      .hashedTokenShingles(Tables.documents(spark, sfDir), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (da, ga) <- sh; (db, gb) <- sh
+      if ga.size < gb.size || (ga.size == gb.size && da < db)
+      inter = ga.intersect(gb).size
+      if inter >= ga.size * 0.8 - 1e-9
+    } yield (da, db)).toSet
+    val got = Round10.q362Containment.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("weighted quantiles == driver cumulative-weight reference") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wtot = rows.map(_._2).sum
+    // collapse duplicate values first so cum matches the histogram walk
+    val hist = rows.groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    def wqh(k: Long): Long = {
+      var cum = 0L
+      for ((v, w) <- hist) { cum += w; if (cum * 10 >= k * wtot) return v }
+      hist.last._1
+    }
+    val got = Round10.q363WeightedQuantiles.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> wqh(1L), 50L -> wqh(5L), 90L -> wqh(9L)))
+  }
+
   test("modularity == direct computation from collected edges") {
     val edges = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
