@@ -1412,11 +1412,138 @@ object Round10 {
             GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Collated comparison semantics (Spark 4 `COLLATE UTF8_LCASE`):
+    * case-insensitive GROUP BY via a collated key over a
+    * deterministically mixed-case projection — collation-aware
+    * hashing/equality in the engine, replayed by the oracle as
+    * lower() normalization (provably the same partition for LCASE).
+    */
+  val q365Collation: QueryDef = QueryDef(
+    "q365_collation",
+    (s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("q365_part")
+      s.sql("""SELECT collate(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                                   ELSE lower(p_type) END, 'UTF8_LCASE') AS ptype,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM q365_part
+               GROUP BY 1""")
+        // strip the collation from the output type (parquet/compare
+        // should see a plain UTF8 string, not a collated one)
+        .select(lower(col("ptype")).cast("string").as("ptype"), col("n"))
+    },
+    Some("""SELECT lower(p_type) ptype, CAST(count(*) AS BIGINT) n
+            FROM part GROUP BY 1""")
+  )
+
+  /** IDENTIFIER() clause: injection-safe dynamic table/column names —
+    * the templated-pipeline surface beside q350's value binds (names
+    * bind at parse, values at analysis).
+    */
+  val q366Identifier: QueryDef = QueryDef(
+    "q366_identifier",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("q366_supplier")
+      s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(IDENTIFIER(:balcol) * 100) AS BIGINT)) AS BIGINT)
+                    AS bal_cents
+           FROM IDENTIFIER(:tab)""",
+        Map("tab" -> "q366_supplier", "balcol" -> "s_acctbal"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) bal_cents
+            FROM supplier""")
+  )
+
+  /** SQL scripting (Spark 4 BEGIN…END compound): a WHILE loop
+    * accumulates a deterministic scalar in a session variable, then the
+    * final statement parameterizes a query with it — procedural control
+    * flow INSIDE the SQL surface. Oracle inlines the loop's closed
+    * form (Σ 1..10 = 55).
+    */
+  val q367SqlScripting: QueryDef = QueryDef(
+    "q367_sql_scripting",
+    (s, dir) => {
+      Tables.region(s, dir).createOrReplaceTempView("q367_region")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""BEGIN
+                 DECLARE acc BIGINT DEFAULT 0;
+                 DECLARE i BIGINT DEFAULT 0;
+                 WHILE i < 10 DO
+                   SET i = i + 1;
+                   SET acc = acc + i;
+                 END WHILE;
+                 SELECT r_name, CAST(acc AS BIGINT) AS acc
+                 FROM q367_region;
+               END""")
+    },
+    Some("""SELECT r_name, CAST(55 AS BIGINT) acc FROM region""")
+  )
+
+  /** Bitemporal point query: lineitem re-read as a (valid-time ×
+    * transaction-time) version table — valid [shipdate, receiptdate),
+    * transaction = commitdate — answering "what price did we BELIEVE
+    * (as of tx time T) was in effect AT valid time V": latest
+    * committed version per part among those valid at V, deterministic
+    * (tx, orderkey, linenumber) version order. One partitioned window
+    * after a pushed-down validity filter.
+    */
+  val q368Bitemporal: QueryDef = QueryDef(
+    "q368_bitemporal",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val vdate = lit("1995-06-15").cast("date")
+      val tdate = lit("1995-06-01").cast("date")
+      val versions = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_partkey").cast("long").as("part"),
+          to_date(col("o_orderdate")).as("valid_from"),
+          to_date(col("l_shipdate")).as("valid_to"),
+          // committed a few days after order placement, one per line
+          date_add(to_date(col("o_orderdate")), col("l_linenumber")).as("tx"),
+          col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("long").as("ln"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price"))
+        .filter(col("valid_from") <= vdate && vdate < col("valid_to") &&
+          col("tx") <= tdate)
+      val picked = versions
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("part"))
+            .orderBy(col("tx").desc, col("ok").desc, col("ln").desc)))
+        .filter(col("rn") === 1)
+      picked.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("price")).as("sum_price_cents"),
+        min(col("part")).as("min_part"),
+        max(col("part")).as("max_part"))
+    },
+    Some("""WITH v AS (SELECT CAST(l_partkey AS BIGINT) part,
+                              CAST(o_orderdate AS DATE) valid_from,
+                              CAST(l_shipdate AS DATE) valid_to,
+                              CAST(o_orderdate AS DATE) + l_linenumber tx,
+                              CAST(l_orderkey AS BIGINT) ok,
+                              CAST(l_linenumber AS BIGINT) ln,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) price
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       WHERE CAST(o_orderdate AS DATE) <= DATE '1995-06-15'
+                         AND DATE '1995-06-15' < CAST(l_shipdate AS DATE)
+                         AND CAST(o_orderdate AS DATE) + l_linenumber <= DATE '1995-06-01'),
+            p AS (SELECT *, row_number() OVER (PARTITION BY part
+                    ORDER BY tx DESC, ok DESC, ln DESC) rn FROM v)
+            SELECT CAST(count(*) AS BIGINT) n_parts,
+                   CAST(sum(price) AS BIGINT) sum_price_cents,
+                   CAST(min(part) AS BIGINT) min_part,
+                   CAST(max(part) AS BIGINT) max_part
+            FROM p WHERE rn = 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
       q348CochranArmitage, q349GeoKnn, q350ParamSql, q351SqlVariables,
       q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias,
       q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance,
-      q362Containment, q363WeightedQuantiles, q364GridDensity)
+      q362Containment, q363WeightedQuantiles, q364GridDensity, q365Collation,
+      q366Identifier, q367SqlScripting, q368Bitemporal)
 }
