@@ -1353,14 +1353,19 @@ object Round10 {
     "q364_grid_density",
     (s, dir) => {
       val cell = 250000L
-      val dense = Tables.customer(s, dir)
+      val cells = Tables.customer(s, dir)
         .select(
           expr(s"((c_custkey % 11) * 400000 + (c_custkey % 17) * 10000) div $cell")
             .cast("long").as("cx"),
           expr(s"((c_custkey % 7) * 300000 + (c_custkey % 13) * 10000) div $cell")
             .cast("long").as("cy"))
         .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("pts"))
-        .filter(col("pts") >= 5L)
+      // data-driven density floor (max(2, n/5000)): the modular layout
+      // spreads n points over ≤ ~150 cells, so minPts = 2 is non-empty
+      // by pigeonhole at the smallest SF and the floor scales up with n
+      val tot = cells.agg(sum(col("pts")).as("n_pts"))
+      val dense = cells.crossJoin(broadcast(tot))
+        .filter(col("pts") >= greatest(lit(2L), expr("n_pts div 5000")))
         .withColumn("cid", col("cx") * 1000L + col("cy"))
         .localCheckpoint()
       val nbr = dense.select(col("cid"), col("cx"), col("cy"))
@@ -1389,9 +1394,12 @@ object Round10 {
               SELECT ((c_custkey % 11) * 400000 + (c_custkey % 17) * 10000) // 250000 cx,
                      ((c_custkey % 7) * 300000 + (c_custkey % 13) * 10000) // 250000 cy
               FROM customer),
-            dense AS (SELECT cx, cy, cx * 1000 + cy cid,
+            cells AS (SELECT cx, cy, cx * 1000 + cy cid,
                              CAST(count(*) AS BIGINT) pts
-                      FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
+                      FROM pts GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(pts) AS BIGINT) n_pts FROM cells),
+            dense AS (SELECT cx, cy, cid, pts FROM cells, tot
+                      WHERE pts >= greatest(2, n_pts // 5000)),
             e0 AS (SELECT a.cid ca, b.cid cb
                    FROM dense a JOIN dense b
                      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
@@ -1538,6 +1546,179 @@ object Round10 {
             FROM p WHERE rn = 1""")
   )
 
+  /** Flesch reading-ease per language: vowel-run syllable proxy via
+    * regexp_extract_all (row-local, codegen'd), sentence floor of 1 for
+    * the unpunctuated synthetic corpus; per-doc scores snapped before
+    * the language average so the sum is exact binary arithmetic.
+    */
+  val q369Readability: QueryDef = QueryDef(
+    "q369_readability",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+            .as("syllables"),
+          greatest(lit(1L), size(split(col("text"), "\\.")).cast("long") - 1L)
+            .as("sentences"))
+        .select(col("lang"), snap(
+          lit(206.835) -
+            lit(1.015) * col("words").cast("double") / col("sentences") -
+            lit(84.6) * col("syllables").cast("double") / col("words"))
+          .as("score"))
+      scored.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("score")) / count(lit(1)), 6).as("avg_flesch"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH sc AS (SELECT lang,
+                               floor((206.835 -
+                                      1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE) /
+                                        greatest(1, len(string_split(text, '.')) - 1) -
+                                      84.6 * CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                                                  AS DOUBLE) /
+                                        len(string_split(text, ' '))) *
+                                     1073741824.0 + 0.5) / 1073741824.0 score
+                        FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+                   round(sum(score) / count(*), 6) avg_flesch
+            FROM sc GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Gumbel extreme-value fit on weekly block maxima of the daily
+    * order count: method-of-moments β̂ = s√6/π, μ̂ = m − γβ̂ from exact
+    * integer block-max moments (γ, π written as identical literals on
+    * both engines — no transcendental evaluation crosses the compare).
+    */
+  val q370GumbelFit: QueryDef = QueryDef(
+    "q370_gumbel_fit",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val maxima = daily
+        .groupBy(expr("CAST(datediff(d, DATE '1992-01-01') AS BIGINT) div 7").as("w"))
+        .agg(max(col("x")).as("mx"))
+      maxima.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("mx")).as("sm"),
+        sum(col("mx") * col("mx")).as("sxx"))
+        .select(
+          col("n_blocks"), {
+            val m = col("sm").cast("double") / col("n_blocks")
+            val v = (col("n_blocks") * col("sxx") - col("sm") * col("sm")).cast("double") /
+              (col("n_blocks").cast("double") * (col("n_blocks") - 1L))
+            val beta = sqrt(v * lit(6.0)) / lit(3.14159265358979)
+            struct(
+              round(m, 6).as("block_mean"),
+              round(beta, 6).as("beta_hat"),
+              round(m - lit(0.5772156649) * beta, 6).as("mu_hat")).as("s")
+          })
+        .select(col("n_blocks"), col("s.block_mean"), col("s.beta_hat"),
+          col("s.mu_hat"))
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                                  CAST(count(*) AS BIGINT) x
+                           FROM orders GROUP BY 1),
+            mx AS (SELECT CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT) // 7 w,
+                          CAST(max(x) AS BIGINT) mx
+                   FROM daily GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) n_blocks, CAST(sum(mx) AS BIGINT) sm,
+                         CAST(sum(mx * mx) AS BIGINT) sxx
+                  FROM mx)
+            SELECT n_blocks,
+                   round(CAST(sm AS DOUBLE) / n_blocks, 6) block_mean,
+                   round(sqrt(CAST(n_blocks * sxx - sm * sm AS DOUBLE) /
+                              (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)) * 6.0) /
+                         3.14159265358979, 6) beta_hat,
+                   round(CAST(sm AS DOUBLE) / n_blocks - 0.5772156649 *
+                         (sqrt(CAST(n_blocks * sxx - sm * sm AS DOUBLE) /
+                               (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)) * 6.0) /
+                          3.14159265358979), 6) mu_hat
+            FROM m""")
+  )
+
+  /** Covariate-balance table (standardized mean differences): the
+    * observational-study QA gate beside q312's matching — for each of
+    * three covariates, SMD = (m̄_T − m̄_C)/√((v_T + v_C)/2) between the
+    * md5 pseudo-arms, all moments exact integer cents, |SMD| < 0.1
+    * flagged as balanced. One conditional-aggregate pass, melted to a
+    * row per covariate.
+    */
+  val q371CovariateBalance: QueryDef = QueryDef(
+    "q371_covariate_balance",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(
+          (pmod(conv(substring(md5(concat(col("o_orderkey").cast("string"),
+            lit(":bal"))), 1, 8), 16, 10).cast("long"), lit(2L)) === 0L).as("arm"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c1"),
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT)")
+            .as("c2"),
+          length(col("o_orderpriority")).cast("long").as("c3"))
+      val melted = base.select(col("arm"),
+        explode(map(lit("c1_price"), col("c1"), lit("c2_day"), col("c2"),
+          lit("c3_prio_len"), col("c3"))).as(Seq("covariate", "v")))
+      melted.groupBy(col("covariate"))
+        .agg(
+          sum(when(col("arm"), 1L).otherwise(0L)).as("nt"),
+          sum(when(!col("arm"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm"), col("v")).otherwise(0L)).as("st"),
+          sum(when(!col("arm"), col("v")).otherwise(0L)).as("sc"),
+          sum(when(col("arm"), (col("v") * col("v")).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("stt"),
+          sum(when(!col("arm"), (col("v") * col("v")).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("scc"))
+        .select(col("covariate"), {
+          val mt = col("st").cast("double") / col("nt")
+          val mc = col("sc").cast("double") / col("nc")
+          val vt = (col("nt").cast("double") * col("stt").cast("double") -
+            col("st").cast("double") * col("st").cast("double")) /
+            (col("nt").cast("double") * (col("nt") - 1L))
+          val vc = (col("nc").cast("double") * col("scc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double")) /
+            (col("nc").cast("double") * (col("nc") - 1L))
+          val smd = (mt - mc) / sqrt((vt + vc) / lit(2.0))
+          struct(
+            round(smd, 6).as("smd"),
+            (abs(smd) < 0.1).as("balanced")).as("s")
+        })
+        .select(col("covariate"), col("s.smd"), col("s.balanced"))
+        .orderBy(col("covariate"))
+    },
+    Some("""WITH base AS (SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                      || ':bal'), 1, 8)) AS BIGINT) % 2 = 0 arm,
+                                 CAST(round(o_totalprice * 100) AS BIGINT) c1,
+                                 CAST(date_diff('day', DATE '1992-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) c2,
+                                 CAST(len(o_orderpriority) AS BIGINT) c3
+                          FROM orders),
+            melted AS (SELECT arm, covariate, v FROM base
+                       UNPIVOT (v FOR covariate IN (c1 AS c1_price, c2 AS c2_day,
+                                                    c3 AS c3_prio_len))),
+            m AS (SELECT covariate,
+                         CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) nt,
+                         CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) nc,
+                         CAST(sum(CASE WHEN arm THEN v ELSE 0 END) AS BIGINT) st,
+                         CAST(sum(CASE WHEN NOT arm THEN v ELSE 0 END) AS BIGINT) sc,
+                         sum(CASE WHEN arm THEN CAST(v AS HUGEINT) * v ELSE 0 END) stt,
+                         sum(CASE WHEN NOT arm THEN CAST(v AS HUGEINT) * v ELSE 0 END) scc
+                  FROM melted GROUP BY 1),
+            d AS (SELECT covariate,
+                         (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc) /
+                         sqrt(((CAST(nt AS DOUBLE) * CAST(stt AS DOUBLE) -
+                                CAST(st AS DOUBLE) * st) /
+                               (CAST(nt AS DOUBLE) * (nt - 1)) +
+                               (CAST(nc AS DOUBLE) * CAST(scc AS DOUBLE) -
+                                CAST(sc AS DOUBLE) * sc) /
+                               (CAST(nc AS DOUBLE) * (nc - 1))) / 2.0) smd
+                  FROM m)
+            SELECT covariate, round(smd, 6) smd, abs(smd) < 0.1 balanced
+            FROM d ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
@@ -1545,5 +1726,6 @@ object Round10 {
       q352GroupByAll, q353McNemar, q354Pettitt, q355AsofNearest, q356LateralAlias,
       q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance,
       q362Containment, q363WeightedQuantiles, q364GridDensity, q365Collation,
-      q366Identifier, q367SqlScripting, q368Bitemporal)
+      q366Identifier, q367SqlScripting, q368Bitemporal, q369Readability,
+      q370GumbelFit, q371CovariateBalance)
 }

@@ -323,7 +323,12 @@ object Round8 {
         ent(col("npos"), col("n")) -
           (col("nl").cast("double") / col("n").cast("double")) * ent(col("posl"), col("nl")) -
           (col("nr").cast("double") / col("n").cast("double")) * ent(col("posr"), col("nr")))
-      val wBest = Window.orderBy(col("info_gain").desc, col("bin").asc)
+      // rank on the ROUND-6 gain (the reported precision): the raw 2^-30
+      // snap still exposes the argmax to cross-engine ln() ulps when top
+      // gains sit within a grid step of each other (bit us at sf0.1 —
+      // three bins tied at ~1.3e-5); at 1e-6 granularity near-ties
+      // collapse into the deterministic bin tie-break
+      val wBest = Window.orderBy(round(col("info_gain"), 6).desc, col("bin").asc)
       cums
         .withColumn("info_gain", gain)
         .withColumn("rk", row_number().over(wBest))
@@ -368,7 +373,7 @@ object Round8 {
             SELECT CAST(bin * 10000 AS BIGINT) AS threshold_cents,
                    nl AS n_left, nr AS n_right, posl AS pos_left, posr AS pos_right,
                    round(info_gain, 6) AS info_gain
-            FROM g ORDER BY info_gain DESC, bin ASC LIMIT 1""")
+            FROM g ORDER BY round(info_gain, 6) DESC, bin ASC LIMIT 1""")
   )
 
   /** Gap-tolerant sequential-pattern support
@@ -1498,7 +1503,8 @@ object Round8 {
         .crossJoin(broadcast(tot))
         .filter(col("nl") < col("n"))
         .withColumn("g", rootGain)
-        .withColumn("rk", row_number().over(Window.orderBy(col("g").desc, col("bin").asc)))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(round(col("g"), 6).desc, col("bin").asc))) // q276's ulp-safe pick
         .filter(col("rk") === 1)
         .select(col("bin").as("root_bin"))
       // side assignment + per-side best split
@@ -1520,7 +1526,8 @@ object Round8 {
         .filter(col("nl") < col("sn"))
         .withColumn("g", subGain)
         .withColumn("rk", row_number().over(
-          Window.partitionBy(col("side")).orderBy(col("g").desc, col("bin").asc)))
+          Window.partitionBy(col("side"))
+            .orderBy(round(col("g"), 6).desc, col("bin").asc))) // ulp-safe
         .filter(col("rk") === 1)
         .select(col("side"), col("bin").as("split_bin"))
       sided
@@ -1570,7 +1577,8 @@ object Round8 {
             rt AS (SELECT bin AS root_bin
                    FROM (SELECT bin, floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 g,
                                 row_number() OVER (ORDER BY
-                                  floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 DESC,
+                                  round(floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0,
+                                        6) DESC,
                                   bin ASC) rk
                          FROM eg)
                    WHERE rk = 1),
@@ -1603,7 +1611,8 @@ object Round8 {
             bs AS (SELECT side, bin AS split_bin
                    FROM (SELECT side, bin,
                                 row_number() OVER (PARTITION BY side ORDER BY
-                                  floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0 DESC,
+                                  round(floor(g_raw * 1073741824.0 + 0.5) / 1073741824.0,
+                                        6) DESC,
                                   bin ASC) rk
                          FROM sg)
                    WHERE rk = 1),
