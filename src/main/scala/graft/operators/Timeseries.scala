@@ -576,6 +576,46 @@ object Timeseries {
       .toDF("n_days", "level", "trend", "forecast_1", "forecast_3", "mae")
   }
 
+  /** Croston's method for INTERMITTENT demand: separate exponential
+    * smoothing of nonzero demand sizes and inter-demand intervals,
+    * forecast = ẑ/p̂ demand per period. α = ½ (dyadic) so every
+    * smoothing step is one add + one halving — the q324 Holt posture:
+    * the recursion is a deterministic double fold replayed verbatim by
+    * a recursive-CTE oracle. The fold runs driver-side over ONE part's
+    * demand-day series (bounded by the calendar, never data-sized);
+    * part selection (most demand days, smallest key tie-break) is a
+    * distributed aggregate.
+    */
+  def crostonForecast(lineitem: DataFrame, spark: org.apache.spark.sql.SparkSession = null): DataFrame = {
+    val s = Option(spark).getOrElse(lineitem.sparkSession)
+    import s.implicits._
+    val daily = lineitem
+      .select(col("l_partkey").cast("long").as("part"),
+        to_date(col("l_shipdate")).as("d"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .groupBy(col("part"), col("d")).agg(sum(col("q")).as("q"))
+    val pick = daily.groupBy(col("part")).agg(count(lit(1)).as("nd"))
+      .orderBy(col("nd").desc, col("part").asc).limit(1)
+    val series = daily.join(broadcast(pick), Seq("part"))
+      .orderBy(col("d"))
+      .collect()
+      .map(r => (r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    require(series.length > 1, "croston needs at least 2 demand days")
+    val part = daily.join(broadcast(pick), Seq("part"))
+      .select(col("part")).head().getLong(0)
+    var z = series(0)._2.toDouble
+    var p = (series(1)._1 - series(0)._1).toDouble
+    for (j <- 1 until series.length) {
+      val interval = (series(j)._1 - series(j - 1)._1).toDouble
+      z = 0.5 * z + 0.5 * series(j)._2
+      p = 0.5 * p + 0.5 * interval
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((part, series.length.toLong, r6(z), r6(p), r6(z / p)))
+      .toDF("part", "n_demand_days", "z_hat", "p_hat", "forecast_per_day")
+  }
+
   /** CUMULATIVE DISTINCT count per day — "total unique users to date",
     * the growth-curve number naive SQL computes as an O(n²)
     * re-aggregation per day. The scalable identity: a user counts on

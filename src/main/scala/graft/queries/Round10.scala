@@ -1719,6 +1719,138 @@ object Round10 {
             FROM d ORDER BY 1""")
   )
 
+  /** Streaming PSI drift gate
+    * ([[graft.streaming.StreamingOps.runStreamPsi]]): the live
+    * second-half band distribution vs the static first-half reference —
+    * q338's monitor in production shape. The stream carries only a
+    * 10-key banded count; PSI closes batch-side, so the oracle IS the
+    * batch PSI (exact ≡-batch check through a real streaming query).
+    */
+  val q372StreamPsi: QueryDef = QueryDef(
+    "q372_stream_psi",
+    (s, dir) => graft.streaming.StreamingOps.runStreamPsi(s, dir),
+    Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) d0 FROM events),
+            b AS (SELECT date_diff('day', d0.d0, CAST(ts AS DATE)) < 15 is_a,
+                         least(9, CAST(round(value * 100) AS BIGINT) // 5000) band
+                  FROM events, d0),
+            g AS (SELECT band,
+                         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) ca,
+                         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) cb
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) na, CAST(sum(cb) AS BIGINT) nb FROM g),
+            s AS (SELECT round(sum(floor(
+                    ((CAST(ca + 1 AS DOUBLE) / (na + 10)) -
+                     (CAST(cb + 1 AS DOUBLE) / (nb + 10))) *
+                    ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) /
+                       (CAST(cb + 1 AS DOUBLE) / (nb + 10))) * 1073741824.0 + 0.5) /
+                    1073741824.0), 6) psi
+                  FROM g, t)
+            SELECT psi, CASE WHEN psi < 0.1 THEN 'stable'
+                             WHEN psi < 0.25 THEN 'moderate'
+                             ELSE 'shifted' END verdict
+            FROM s""")
+  )
+
+  /** XYZ demand-variability classification (the ABC complement, q265):
+    * per-part weekly-demand CV over the FIXED calendar week count —
+    * zero weeks enter the moments through the denominator alone, so no
+    * part × week grid is ever materialized. X: cv < 0.5, Y: < 1.0,
+    * Z: ≥ 1.0; per-class part counts and quantity share.
+    */
+  val q373XyzClassification: QueryDef = QueryDef(
+    "q373_xyz_classification",
+    (s, dir) => {
+      val weekly = Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("long").as("part"),
+          expr("CAST(datediff(to_date(l_shipdate), DATE '1992-01-01') AS BIGINT) div 7")
+            .as("w"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy(col("part"), col("w")).agg(sum(col("q")).as("wq"))
+      val bounds = Tables.lineitem(s, dir)
+        .agg((expr("CAST(datediff(max(to_date(l_shipdate)), DATE '1992-01-01') AS BIGINT) div 7") -
+          expr("CAST(datediff(min(to_date(l_shipdate)), DATE '1992-01-01') AS BIGINT) div 7") +
+          1L).as("nw"))
+      val perPart = weekly.groupBy(col("part"))
+        .agg(sum(col("wq")).as("sq"), sum(col("wq") * col("wq")).as("sqq"))
+        .crossJoin(broadcast(bounds))
+        .select(col("part"), col("sq"), {
+          val mean = col("sq").cast("double") / col("nw")
+          val vr = (col("nw") * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("nw") * col("nw")).cast("double")
+          val cv = sqrt(vr) / mean
+          when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").as("xyz")
+        })
+      val tot = perPart.agg(sum(col("sq")).as("tq"))
+      perPart.groupBy(col("xyz"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("sq")).as("qty"))
+        .crossJoin(broadcast(tot))
+        .select(col("xyz"), col("n_parts"),
+          round(col("qty").cast("double") / col("tq"), 6).as("qty_share"))
+        .orderBy(col("xyz"))
+    },
+    Some("""WITH weekly AS (SELECT CAST(l_partkey AS BIGINT) part,
+                                   CAST(date_diff('day', DATE '1992-01-01',
+                                        CAST(l_shipdate AS DATE)) AS BIGINT) // 7 w,
+                                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) wq
+                            FROM lineitem GROUP BY 1, 2),
+            bounds AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              max(CAST(l_shipdate AS DATE))) AS BIGINT) // 7 -
+                              CAST(date_diff('day', DATE '1992-01-01',
+                              min(CAST(l_shipdate AS DATE))) AS BIGINT) // 7 + 1 nw
+                       FROM lineitem),
+            pp AS (SELECT part, CAST(sum(wq) AS BIGINT) sq,
+                          CAST(sum(wq * wq) AS BIGINT) sqq
+                   FROM weekly GROUP BY 1),
+            cls AS (SELECT part, sq,
+                           CASE WHEN sqrt(CAST(nw * sqq - sq * sq AS DOUBLE) /
+                                          CAST(nw * nw AS DOUBLE)) /
+                                     (CAST(sq AS DOUBLE) / nw) < 0.5 THEN 'X'
+                                WHEN sqrt(CAST(nw * sqq - sq * sq AS DOUBLE) /
+                                          CAST(nw * nw AS DOUBLE)) /
+                                     (CAST(sq AS DOUBLE) / nw) < 1.0 THEN 'Y'
+                                ELSE 'Z' END xyz
+                    FROM pp, bounds),
+            t AS (SELECT CAST(sum(sq) AS BIGINT) tq FROM cls)
+            SELECT xyz, CAST(count(*) AS BIGINT) n_parts,
+                   round(CAST(sum(sq) AS DOUBLE) / max(tq), 6) qty_share
+            FROM cls, t GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Croston intermittent-demand forecast
+    * ([[graft.operators.Timeseries.crostonForecast]]): dyadic-α
+    * smoothing of demand sizes and inter-demand intervals for the
+    * most-active part; the oracle replays the identical double fold as
+    * a recursive CTE (the q324 Holt contract).
+    */
+  val q374Croston: QueryDef = QueryDef(
+    "q374_croston",
+    (s, dir) =>
+      graft.operators.Timeseries.crostonForecast(Tables.lineitem(s, dir), s),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(l_partkey AS BIGINT) part, CAST(l_shipdate AS DATE) d,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) q
+              FROM lineitem GROUP BY 1, 2),
+            pick AS (SELECT part FROM (SELECT part, count(*) nd FROM daily
+                                       GROUP BY 1 ORDER BY nd DESC, part ASC LIMIT 1)),
+            sr AS (SELECT d, q, row_number() OVER (ORDER BY d) - 1 idx,
+                          CAST(date_diff('day', lag(d) OVER (ORDER BY d), d)
+                               AS DOUBLE) gap
+                   FROM daily JOIN pick USING (part)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) nd FROM sr),
+            c(idx, z, p) AS (
+              SELECT CAST(0 AS BIGINT), CAST(q AS DOUBLE),
+                     (SELECT gap FROM sr WHERE idx = 1)
+              FROM sr WHERE idx = 0
+              UNION ALL
+              SELECT sr.idx, 0.5 * c.z + 0.5 * sr.q, 0.5 * c.p + 0.5 * sr.gap
+              FROM c JOIN sr ON sr.idx = c.idx + 1),
+            lastrow AS (SELECT * FROM c ORDER BY idx DESC LIMIT 1)
+            SELECT (SELECT CAST(part AS BIGINT) FROM pick) part,
+                   nd n_demand_days, round(z, 6) z_hat, round(p, 6) p_hat,
+                   round(z / p, 6) forecast_per_day
+            FROM lastrow, nn""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
@@ -1727,5 +1859,6 @@ object Round10 {
       q357NegbinFit, q358CramersV, q359PartialCorr, q360LjungBox, q361CooksDistance,
       q362Containment, q363WeightedQuantiles, q364GridDensity, q365Collation,
       q366Identifier, q367SqlScripting, q368Bitemporal, q369Readability,
-      q370GumbelFit, q371CovariateBalance)
+      q370GumbelFit, q371CovariateBalance, q372StreamPsi, q373XyzClassification,
+      q374Croston)
 }

@@ -618,6 +618,61 @@ object StreamingOps {
       .select(col("event_type"), col("n"), round(col("value_sum"), 2).as("val_sum"))
   }
 
+  /** STREAMING drift gate: PSI of the live value-band distribution
+    * against a STATIC first-half-of-month reference — the production
+    * monitor shape for q338's batch PSI. The stream contributes only a
+    * tiny banded count aggregate (10 keys, complete mode); the PSI
+    * arithmetic runs batch-side on the drained table against the
+    * broadcast-sized reference, so the result must EQUAL the batch
+    * PSI — which is exactly the oracle.
+    */
+  def runStreamPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = 1073741824.0
+    def snap(c: org.apache.spark.sql.Column) = floor(c * grid + lit(0.5)) / grid
+    def band = least(lit(9L), expr("CAST(round(value * 100) AS BIGINT) div 5000"))
+    // d0 is static reference config — resolved once, then a plain
+    // literal filter on the stream (no stream-static cross needed)
+    val d0 = graft.sources.Tables.events(spark, sfDir)
+      .agg(min(to_date(col("ts")))).collect().head.getDate(0)
+    val ref = graft.sources.Tables.events(spark, sfDir)
+      .filter(datediff(to_date(col("ts")), lit(d0)) < 15)
+      .groupBy(band.as("band")).agg(count(lit(1)).as("ca"))
+    val name = s"stream_psi_${System.nanoTime()}"
+    withStatePartitions(spark) {
+      val q = eventsStream(spark, sfDir)
+        .filter(datediff(to_date(col("ts")), lit(d0)) >= 15)
+        .groupBy(band.as("band"))
+        .agg(count(lit(1)).as("cb"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val banded = ref
+      .join(spark.table(name), Seq("band"), "full_outer")
+      .select(col("band"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tots = banded.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    banded
+      .crossJoin(broadcast(tots))
+      .select(
+        snap(
+          (((col("ca") + 1L).cast("double") / (col("na") + 10L)) -
+            ((col("cb") + 1L).cast("double") / (col("nb") + 10L))) *
+            log(((col("ca") + 1L).cast("double") / (col("na") + 10L)) /
+              ((col("cb") + 1L).cast("double") / (col("nb") + 10L)))).as("term"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+      .select(
+        col("psi"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted").as("verdict"))
+  }
+
   /** STREAM-STATIC dimension enrichment: the streaming fact side joins a
     * static dim BROADCAST per micro-batch — no streaming state at all
     * (unlike stream-stream joins), the canonical shape for enriching an
