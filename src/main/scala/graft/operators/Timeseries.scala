@@ -589,20 +589,22 @@ object Timeseries {
   def crostonForecast(lineitem: DataFrame, spark: org.apache.spark.sql.SparkSession = null): DataFrame = {
     val s = Option(spark).getOrElse(lineitem.sparkSession)
     import s.implicits._
+    // materialize the daily aggregate once — the pick and the series
+    // read would otherwise each re-run the full lineitem aggregation
     val daily = lineitem
       .select(col("l_partkey").cast("long").as("part"),
         to_date(col("l_shipdate")).as("d"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
       .groupBy(col("part"), col("d")).agg(sum(col("q")).as("q"))
-    val pick = daily.groupBy(col("part")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+    val part = daily.groupBy(col("part")).agg(count(lit(1)).as("nd"))
       .orderBy(col("nd").desc, col("part").asc).limit(1)
-    val series = daily.join(broadcast(pick), Seq("part"))
+      .head().getLong(0)
+    val series = daily.filter(col("part") === part)
       .orderBy(col("d"))
       .collect()
       .map(r => (r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
     require(series.length > 1, "croston needs at least 2 demand days")
-    val part = daily.join(broadcast(pick), Seq("part"))
-      .select(col("part")).head().getLong(0)
     var z = series(0)._2.toDouble
     var p = (series(1)._1 - series(0)._1).toDouble
     for (j <- 1 until series.length) {

@@ -1378,7 +1378,11 @@ object Round10 {
         .join(dense.select(col("cid").as("doc_b")), col("nid") === col("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-      val labels = graft.operators.Dedup.connectedComponents(edges)
+      // star contraction, not min-propagation: the dense-cell blob is a
+      // GRID graph whose diameter grows with the lattice (25+ rounds of
+      // label propagation at sf0.1 = 3 s of pure job overhead); star
+      // rounds converge in O(log n)
+      val labels = graft.operators.Dedup.connectedComponentsStar(edges)
         .select(col("doc_id").as("cid"), col("cluster_rep"))
       dense
         .join(labels, Seq("cid"), "left")
