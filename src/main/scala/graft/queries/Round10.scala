@@ -1855,6 +1855,205 @@ object Round10 {
             FROM lastrow, nn""")
   )
 
+  /** Subquery-predicate surface in one statement: correlated EXISTS,
+    * NOT EXISTS, uncorrelated IN and NOT IN — the four quantified
+    * forms Catalyst compiles to semi/anti joins (plan-level coverage
+    * in q7/q8; this is the SQL-authoring surface).
+    */
+  val q375SubqueryPredicates: QueryDef = QueryDef(
+    "q375_subquery_predicates",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q375_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q375_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("q375_nation")
+      s.sql("""SELECT
+                 CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM q375_orders o
+                                            WHERE o.o_custkey = c.c_custkey
+                                              AND o.o_orderstatus = 'F')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS with_f_order,
+                 CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM q375_orders o
+                                                WHERE o.o_custkey = c.c_custkey)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS no_orders,
+                 CAST(sum(CASE WHEN c.c_nationkey IN
+                                 (SELECT n_nationkey FROM q375_nation
+                                  WHERE n_regionkey = 0)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS in_region0,
+                 CAST(sum(CASE WHEN c.c_nationkey NOT IN
+                                 (SELECT n_nationkey FROM q375_nation
+                                  WHERE n_regionkey = 0)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS not_region0
+               FROM q375_customer c""")
+    },
+    Some("""SELECT
+              CAST(count(*) AS BIGINT) n_cust,
+              CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                         WHERE o.o_custkey = c.c_custkey
+                                           AND o.o_orderstatus = 'F')
+                            THEN 1 ELSE 0 END) AS BIGINT) with_f_order,
+              CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                                             WHERE o.o_custkey = c.c_custkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) no_orders,
+              CAST(sum(CASE WHEN c.c_nationkey IN
+                              (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) in_region0,
+              CAST(sum(CASE WHEN c.c_nationkey NOT IN
+                              (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) not_region0
+            FROM customer c""")
+  )
+
+  /** Aggregate FILTER clause — per-aggregate predicates without CASE
+    * scaffolding (`count(*) FILTER (WHERE …)`), plus HAVING on the
+    * grouped result. Oracle uses the CASE form so the check does not
+    * lean on DuckDB's own FILTER.
+    */
+  val q376FilterClause: QueryDef = QueryDef(
+    "q376_filter_clause",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q376_lineitem")
+      s.sql("""SELECT l_returnflag,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                        AS n_discounted,
+                      CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                           FILTER (WHERE l_tax > 0.04) AS BIGINT) AS qty_taxed
+               FROM q376_lineitem
+               GROUP BY 1
+               HAVING count(*) > 100""")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                     n_discounted,
+                   CAST(sum(CASE WHEN l_tax > 0.04
+                                 THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT)
+                     qty_taxed
+            FROM lineitem GROUP BY 1 HAVING count(*) > 100""")
+  )
+
+  /** Wald–Wolfowitz runs test for randomness of the daily order-count
+    * series around its median: exact doubled median from the value
+    * histogram, ties dropped (the classical convention), runs counted
+    * by one lag pass over the bounded day spine, z from exact integer
+    * (n1, n2, R).
+    */
+  val q377RunsTest: QueryDef = QueryDef(
+    "q377_runs_test",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(daily, Seq("d"), "left")
+        .select(datediff(col("d"), col("d0")).cast("long").as("t"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val n = spine.agg(count(lit(1)).as("n"))
+      // doubled median: smallest v with 2*cum >= n (lower median; exact)
+      val hist = spine.groupBy(col("x")).agg(count(lit(1)).as("tc"))
+        .withColumn("cum", sum(col("tc")).over(
+          W.orderBy(col("x")).rowsBetween(W.unboundedPreceding, 0)))
+      val med = hist.crossJoin(broadcast(n))
+        .filter(col("cum") * 2L >= col("n"))
+        .agg(min(col("x")).as("med"))
+      val signed = spine.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .select(col("t"), (col("x") > col("med")).as("up"))
+      val runs = signed
+        .withColumn("prev", lag(col("up"), 1).over(W.orderBy(col("t"))))
+        .agg(
+          sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+            .otherwise(0L))).as("r"))
+      runs.select(col("n1"), col("n2"), col("r"), {
+        val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+        val two = lit(2.0)
+        val mu = lit(1.0) + two * n1 * n2 / (n1 + n2)
+        val v = (two * n1 * n2 * (two * n1 * n2 - n1 - n2)) /
+          ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+        // one-sided series (a sparse SF can put every non-tie above the
+        // median): σ = 0, the test is undefined — NULL, not a throw
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("r").cast("double") - mu) / sqrt(v), 6))
+          .as("z_runs")
+      })
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                                  CAST(count(*) AS BIGINT) x
+                           FROM orders GROUP BY 1),
+            b AS (SELECT min(d) d0, max(d) d1 FROM daily),
+            spine AS (SELECT CAST(date_diff('day', b.d0, CAST(g.dd AS DATE)) AS BIGINT) t,
+                             coalesce(daily.x, 0) x
+                      FROM b, (SELECT d0, unnest(generate_series(d0, d1,
+                                               INTERVAL 1 DAY)) dd FROM b) g
+                      LEFT JOIN daily ON daily.d = CAST(g.dd AS DATE)),
+            n AS (SELECT CAST(count(*) AS BIGINT) n FROM spine),
+            hist AS (SELECT x, CAST(count(*) AS BIGINT) tc FROM spine GROUP BY 1),
+            hc AS (SELECT x, sum(tc) OVER (ORDER BY x) cum FROM hist),
+            med AS (SELECT CAST(min(x) AS BIGINT) med FROM hc, n WHERE cum * 2 >= n),
+            sg AS (SELECT t, x > med up FROM spine, med WHERE x <> med),
+            lg AS (SELECT up, lag(up) OVER (ORDER BY t) prev FROM sg),
+            agg AS (SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) n1,
+                           CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) n2,
+                           CAST(sum(CASE WHEN prev IS NULL OR prev <> up
+                                         THEN 1 ELSE 0 END) AS BIGINT) r
+                    FROM lg)
+            SELECT n1, n2, r,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                   round((CAST(r AS DOUBLE) -
+                          (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) /
+                         sqrt((2.0 * CAST(n1 AS DOUBLE) * n2 *
+                               (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)) /
+                              (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1.0))),
+                         6) END z_runs
+            FROM agg""")
+  )
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * from two independent md5 "capture" samples — the corpus-size /
+    * dedup-universe estimator: N̂ = (n1+1)(n2+1)/(m+1) − 1 with exact
+    * capture and overlap counts; the true N sits beside it for the
+    * sanity read.
+    */
+  val q378CaptureRecapture: QueryDef = QueryDef(
+    "q378_capture_recapture",
+    (s, dir) => {
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          (pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit(":c1"))),
+            1, 8), 16, 10).cast("long"), lit(10L)) < 3L).as("cap1"),
+          (pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit(":c2"))),
+            1, 8), 16, 10).cast("long"), lit(10L)) < 3L).as("cap2"))
+      users.agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("cap1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cap2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cap1") && col("cap2"), 1L).otherwise(0L)).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          round((col("n1") + 1L).cast("double") * (col("n2") + 1L) /
+            (col("m") + 1L) - 1.0, 6).as("n_chapman"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            f AS (SELECT user_id,
+                         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':c1'),
+                              1, 8)) AS BIGINT) % 10 < 3 cap1,
+                         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':c2'),
+                              1, 8)) AS BIGINT) % 10 < 3 cap2
+                  FROM u),
+            a AS (SELECT CAST(count(*) AS BIGINT) n_true,
+                         CAST(sum(CASE WHEN cap1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+                         CAST(sum(CASE WHEN cap2 THEN 1 ELSE 0 END) AS BIGINT) n2,
+                         CAST(sum(CASE WHEN cap1 AND cap2 THEN 1 ELSE 0 END) AS BIGINT) m
+                  FROM f)
+            SELECT n_true, n1, n2, m,
+                   round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 6) n_chapman
+            FROM a""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q339KendallTau, q340KruskalWallis, q341MaxDrawdown, q342LDiversity,
       q343Modularity, q344SqlUdf, q345PipeSyntax, q346Friedman, q347Conformal,
@@ -1864,5 +2063,6 @@ object Round10 {
       q362Containment, q363WeightedQuantiles, q364GridDensity, q365Collation,
       q366Identifier, q367SqlScripting, q368Bitemporal, q369Readability,
       q370GumbelFit, q371CovariateBalance, q372StreamPsi, q373XyzClassification,
-      q374Croston)
+      q374Croston, q375SubqueryPredicates, q376FilterClause, q377RunsTest,
+      q378CaptureRecapture)
 }
