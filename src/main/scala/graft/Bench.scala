@@ -87,7 +87,16 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of stdout (sbt appends an
+    // ~80-char "[success]" line after us) and parses the LAST complete JSON
+    // line out of that tail. At 378 queries the single combined line is ~5.3 KB
+    // — its head (with "value") fell outside the window in r05 (parsed:null).
+    // Structural fix: emit the full per-query map on its OWN line first (for
+    // humans / logs), then a compact summary line LAST (~150 chars, bounded
+    // regardless of catalogue size) so the tail always contains a complete,
+    // parseable JSON object with the headline total.
+    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{"all":${fmt(total)}},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

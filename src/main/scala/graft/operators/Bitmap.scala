@@ -31,7 +31,11 @@ object Bitmap {
   def build(df: DataFrame, segCol: String, idCol: String): DataFrame =
     df.select(
         col(segCol).as("segment"),
-        expr(s"CAST($idCol AS BIGINT) div 63").as("wid"),
+        // FLOOR division, not `div` (which truncates toward zero): with
+        // truncation id −1 would land on (wid 0, bit 62) and collide with
+        // id 62. wid = (id − pmod(id,63)) / 63 pairs wid with the
+        // non-negative pmod bit for ANY sign, matching a floor-div oracle.
+        expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), 63)) div 63").as("wid"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod($idCol, 63) AS INT))").as("b"))
       .groupBy(col("segment"), col("wid"))
       .agg(expr("bit_or(b)").as("w"))

@@ -60,9 +60,14 @@ object RecordLinkage {
     // One-row weight table per field: u clamped away from {0, 1} so the
     // logs stay finite on degenerate (disjoint or constant) fields.
     val wTables = fields.map { f =>
-      val ca = a.groupBy(col(f).as("v")).agg(count(lit(1)).as("ca"))
-      val cb = b.groupBy(col(f).as("v")).agg(count(lit(1)).as("cb"))
-      ca.join(cb, "v")
+      val ca = a.groupBy(col(f).as("va")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(f).as("vb")).agg(count(lit(1)).as("cb"))
+      // NULL-SAFE value join: pair scoring below counts NULL <=> NULL as
+      // agreement, so the chance-agreement estimate must count the NULL
+      // value bucket too — an inner join on `=` would drop it and compute
+      // u against a distribution that excludes the very matches the
+      // agreement weight rewards (nullable-field bias).
+      ca.join(cb, col("va") <=> col("vb"))
         .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("hits"))
         .select(
           greatest(

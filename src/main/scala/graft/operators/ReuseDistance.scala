@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * nested loop), and a distinct-count per interval gives the
   * distance. Total joined rows = Σ gap lengths ≈ n·(n/keys) — linear
   * in trace length for a fixed key population. The global position
-  * index is a single-partition window at test scale; at 100 TB it
-  * would be a zipWithIndex/range-partition rank (documented seam) —
-  * everything downstream is keyed.
+  * index is a distributed rank (time-range buckets + broadcast
+  * exclusive prefix counts + keyed intra-bucket row_number — the
+  * Packing.scala prefix-sum shape), so no stage drags the trace
+  * through one task; everything downstream is keyed.
   *
   * Output: one row per capacity — (cache_size, n_accesses, n_cold,
   * n_hits, hit_rate) with cold (first-touch) misses counted in the
@@ -37,6 +38,42 @@ object ReuseDistance {
     *   interval-join work by ~R² and is THE published way to run MRC
     *   at trace scale — hit rates are unbiased over sampled accesses.
     */
+  /** Global (key, position) index over the sampled trace, positions
+    * dense 1..n in (ts, event_id) order — a DISTRIBUTED RANK (the
+    * Packing.scala prefix-sum shape), not a single-partition
+    * row_number: time-range buckets are order-preserving (every access
+    * in bucket b precedes every access in bucket b+1 because `us` is
+    * the primary sort key), so pos = broadcast bucket offset + KEYED
+    * intra-bucket row_number. The only unpartitioned window runs over
+    * the ~targetBuckets-row bucket-count relation. Ties in `us` share
+    * a bucket, so the (us, event_id) total order is preserved exactly.
+    * Exposed so PlanAuditSpec can assert the shape pre-checkpoint.
+    */
+  def positionIndex(events: DataFrame, keyCol: String, sampleMod: Int): DataFrame = {
+    val base = events
+      .select(col(keyCol).as("k"), col("event_id"), unix_micros(col("ts")).as("us"))
+      // md5-derived key sampling (not xxhash64) so a relational oracle
+      // can replay the sampled key set exactly
+      .filter(
+        pmod(conv(substring(md5(concat(col("k").cast("string"), lit(":shards"))), 1, 8),
+          16, 10).cast("long"), lit(sampleMod.toLong)) === 0L)
+    val Array(r) = base.agg(min(col("us")), max(col("us"))).na.fill(0L).collect()
+    val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+    val targetBuckets = 1024L
+    val binUs = math.max(1L, (maxUs - minUs) / targetBuckets + 1L)
+    // integral div, not Column `/` (double) — exact bucket edges at any magnitude
+    val bucketed = base.withColumn("bucket", expr(s"(us - ${minUs}L) div ${binUs}L"))
+    val wOff = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+      .select(col("bucket"), coalesce(sum(col("bc")).over(wOff), lit(0L)).as("offset"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("us"), col("event_id"))
+    bucketed
+      .join(broadcast(offsets), "bucket")
+      .withColumn("pos", (col("offset") + row_number().over(wIn)).cast("long"))
+      .select(col("k"), col("pos"))
+  }
+
   def missRatioCurve(
       events: DataFrame,
       keyCol: String = "user_id",
@@ -45,15 +82,7 @@ object ReuseDistance {
   ): DataFrame = {
     require(cacheSizes.nonEmpty, "need at least one capacity")
     require(sampleMod >= 1, "sampleMod must be >= 1")
-    val ordered = events
-      .select(col(keyCol).as("k"), col("event_id"), unix_micros(col("ts")).as("us"))
-      // md5-derived key sampling (not xxhash64) so a relational oracle
-      // can replay the sampled key set exactly
-      .filter(
-        pmod(conv(substring(md5(concat(col("k").cast("string"), lit(":shards"))), 1, 8),
-          16, 10).cast("long"), lit(sampleMod.toLong)) === 0L)
-      .withColumn("pos", row_number().over(Window.orderBy(col("us"), col("event_id"))).cast("long"))
-      .select(col("k"), col("pos"))
+    val ordered = positionIndex(events, keyCol, sampleMod)
       .localCheckpoint() // consumed as both the re-access and the point side
     val withPrev = ordered
       .withColumn("prev", lag(col("pos"), 1).over(Window.partitionBy(col("k")).orderBy(col("pos"))))

@@ -511,7 +511,11 @@ object Timeseries {
         expr("CASE WHEN age <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT)) " +
           "ELSE CAST(0 AS BIGINT) END").as("num"))
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n"), sum(col("num")).as("s"))
+      // decimal(38,0) accumulator (the q359/q371 overflow posture): a key
+      // with > ~8.38M age-0 events would overflow a Long sum of 2^40
+      // numerators and silently wrap in non-ANSI mode; decimal38 holds
+      // ~10^26 such events, so the exact-at-any-scale contract is real
+      .agg(count(lit(1)).as("n"), sum(col("num").cast("decimal(38,0)")).as("s"))
       .select(
         col("key"), col("n"),
         (col("s").cast("double") / lit(1099511627776.0)).as("decayed_count"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LocalRelation, LogicalPlan, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -69,7 +69,20 @@ object Provenance {
             .toMap
         case _ => Map.empty[ExprId, Set[(String, String)]]
       }
-      fromChildren ++ fromAliases ++ fromGenerators
+      // Union's output attributes reuse the FIRST child's ExprIds, so the
+      // child-map merge alone would silently drop every other branch's
+      // provenance. Zip each child's output positionally onto the union
+      // output and merge the per-position source sets.
+      val fromUnion = plan match {
+        case u: Union =>
+          u.output.zipWithIndex.map { case (out, i) =>
+            out.exprId -> u.children.flatMap { ch =>
+              fromChildren.getOrElse(ch.output(i).exprId, Set.empty[(String, String)])
+            }.toSet
+          }.toMap
+        case _ => Map.empty[ExprId, Set[(String, String)]]
+      }
+      fromChildren ++ fromAliases ++ fromGenerators ++ fromUnion
     }
 
   def columnLineage(df: DataFrame): DataFrame = {

@@ -1343,11 +1343,11 @@ object Round10 {
   /** Grid-density clustering (DBSCAN-flavored): half-the-q349-cell
     * occupancy grid over the synthetic customer layout; cells with ≥ 5
     * points are DENSE, 8-neighbor-adjacent dense cells merge into
-    * clusters via the O(log n)-round component propagation
-    * ([[graft.operators.Dedup.connectedComponents]] on the bounded
-    * dense-cell graph). Reports each cluster's cell count, point count,
-    * and min cell id. Scale: density histogram is one keyed agg;
-    * adjacency joins only DENSE cells (a tiny relation), never points.
+    * clusters via a driver-side union-find over the BOUNDED dense-cell
+    * set (≤ 5000 cells by the density-floor construction — the repo's
+    * bounded-model-state posture). Reports each cluster's cell count,
+    * point count, and min cell id. Scale: density histogram is one
+    * keyed agg; the union-find never touches points, only dense cells.
     */
   val q364GridDensity: QueryDef = QueryDef(
     "q364_grid_density",
@@ -1367,32 +1367,39 @@ object Round10 {
       val dense = cells.crossJoin(broadcast(tot))
         .filter(col("pts") >= greatest(lit(2L), expr("n_pts div 5000")))
         .withColumn("cid", col("cx") * 1000L + col("cy"))
-        .localCheckpoint()
-      val nbr = dense.select(col("cid"), col("cx"), col("cy"))
-        .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
-        .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
-        .filter(!(col("dx") === 0L && col("dy") === 0L))
-        .select(col("cid").as("doc_a"),
-          ((col("cx") + col("dx")) * 1000L + col("cy") + col("dy")).as("nid"))
-      val edges = nbr
-        .join(dense.select(col("cid").as("doc_b")), col("nid") === col("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-      // star contraction, not min-propagation: the dense-cell blob is a
-      // GRID graph whose diameter grows with the lattice (25+ rounds of
-      // label propagation at sf0.1 = 3 s of pure job overhead); star
-      // rounds converge in O(log n)
-      val labels = graft.operators.Dedup.connectedComponentsStar(edges)
-        .select(col("doc_id").as("cid"), col("cluster_rep"))
-      dense
-        .join(labels, Seq("cid"), "left")
-        .withColumn("cluster_id", coalesce(col("cluster_rep"), col("cid")))
-        .groupBy(col("cluster_id"))
-        .agg(
-          count(lit(1)).as("n_cells"),
-          sum(col("pts")).as("n_points"),
-          min(col("cid")).as("min_cell"))
-        .orderBy(col("cluster_id"))
+      // BOUNDED-MODEL-STATE posture (the Shapley/Markov-attribution
+      // pattern): the density floor max(2, n/5000) caps the dense-cell
+      // relation at ≤ 5000 rows at ANY scale factor, so the component
+      // step is a driver-side union-find over ≤ 5000 cells — one job,
+      // no per-round Spark overhead (star contraction here cost ~8 jobs
+      // of scheduling on a ~150-node graph; the corpus-sized work is
+      // still the single keyed density agg above).
+      val denseRows = dense.select(col("cid"), col("cx"), col("cy"), col("pts")).collect()
+      val cids = denseRows.map(_.getLong(0)).toSet
+      val parent = scala.collection.mutable.Map(cids.toSeq.map(c => c -> c): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for (row <- denseRows; dx <- -1L to 1L; dy <- -1L to 1L if dx != 0L || dy != 0L) {
+        val nid = (row.getLong(1) + dx) * 1000L + row.getLong(2) + dy
+        if (cids.contains(nid)) {
+          val (ra, rb) = (find(row.getLong(0)), find(nid))
+          // link toward the smaller root → representative = min cid
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      }
+      import s.implicits._
+      val out = denseRows
+        .groupBy(r => find(r.getLong(0)))
+        .map { case (rep, rs) =>
+          (rep, rs.size.toLong, rs.map(_.getLong(3)).sum, rs.map(_.getLong(0)).min)
+        }
+        .toSeq.sortBy(_._1)
+      out.toDF("cluster_id", "n_cells", "n_points", "min_cell").orderBy(col("cluster_id"))
     },
     Some("""WITH RECURSIVE pts AS (
               SELECT ((c_custkey % 11) * 400000 + (c_custkey % 17) * 10000) // 250000 cx,

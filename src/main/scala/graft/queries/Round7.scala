@@ -3044,7 +3044,10 @@ object Round7 {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("price")).as("gross"),
+          // Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2); DuckDB widens to
+          // DECIMAL(38,2). Values are identical but the driver's hash is
+          // serialization-sensitive, so declare the oracle's exact type.
+          sum(col("price")).cast("decimal(38,2)").as("gross"),
           sum(expr("CAST(price * (1 - disc) AS DECIMAL(38,4))")).as("net")),
     Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) n,
                    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,

@@ -504,7 +504,7 @@ object Round9 {
                    FROM (SELECT coalesce(sum(ca * cb), 0) hits
                          FROM (SELECT bal_bucket v, count(*) ca FROM a GROUP BY 1) x
                          JOIN (SELECT bal_bucket v, count(*) cb FROM b GROUP BY 1) y
-                         USING (v)) h, nn),
+                         ON x.v IS NOT DISTINCT FROM y.v) h, nn),
             w1 AS (SELECT floor(log2(0.9 / u) * 1073741824.0 + 0.5) / 1073741824.0 wa,
                           floor(log2((1.0 - 0.9) / (1.0 - u)) * 1073741824.0 + 0.5) /
                             1073741824.0 wd FROM u1),
@@ -515,7 +515,7 @@ object Round9 {
                    FROM (SELECT coalesce(sum(ca * cb), 0) hits
                          FROM (SELECT key_mod v, count(*) ca FROM a GROUP BY 1) x
                          JOIN (SELECT key_mod v, count(*) cb FROM b GROUP BY 1) y
-                         USING (v)) h, nn),
+                         ON x.v IS NOT DISTINCT FROM y.v) h, nn),
             w2 AS (SELECT floor(log2(0.9 / u) * 1073741824.0 + 0.5) / 1073741824.0 wa,
                           floor(log2((1.0 - 0.9) / (1.0 - u)) * 1073741824.0 + 0.5) /
                             1073741824.0 wd FROM u2),

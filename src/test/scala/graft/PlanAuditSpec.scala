@@ -428,6 +428,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"advisor plan has a global single-partition stage:\n$plan")
   }
 
+  test("q295 reuse-distance position index: keyed bucket window, no trace-sized single partition") {
+    val df = graft.operators.ReuseDistance.positionIndex(
+      graft.sources.Tables.events(spark, sfDir), "user_id", 1)
+    val plan = planOf(df)
+    // the big-relation rank window is partitioned by the time bucket
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"position-index window not partitioned by bucket:\n$plan")
+    // the only single-partition exchange feeds the ~1024-row
+    // bucket-count offset relation, never the trace itself
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"extra global exchanges in position index:\n$plan")
+  }
+
   test("q308 sssp: every relaxation round is a hash join + keyed min, no nested loop") {
     val plan = planOf(SparkEntry.queries("q308_sssp")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

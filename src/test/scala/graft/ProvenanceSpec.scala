@@ -48,6 +48,20 @@ class ProvenanceSpec extends AnyFunSuite {
     assert(lineage(q) === Set(("id", "local", "_1"), ("x", "local", "_2")))
   }
 
+  test("union merges per-position sources from EVERY branch") {
+    val a = Seq((1L, 2L)).toDF("x", "y").select(col("x").as("v"))
+    val b = Seq((3L, 4L)).toDF("p", "q").select(col("q").as("v"))
+    // Union reuses branch 0's ExprIds for its output — branch b's
+    // provenance must still appear
+    assert(lineage(a.union(b)) === Set(
+      ("v", "local", "_1"), ("v", "local", "_2")))
+    val custA = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_quantity").as("v"))
+    val custB = Seq(Tuple1(1.0)).toDF("z").select(col("z").as("v"))
+    assert(lineage(custA.union(custB)) === Set(
+      ("v", "lineitem", "l_quantity"), ("v", "local", "_1")))
+  }
+
   test("parquet leaves report the file basename as the table") {
     val lineitem = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val q = lineitem.select((col("l_extendedprice") * col("l_quantity")).as("amount"))

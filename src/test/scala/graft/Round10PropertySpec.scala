@@ -399,4 +399,239 @@ class Round10PropertySpec extends AnyFunSuite {
     assert(got.getLong(2) === qScaled)
     assert(math.abs(got.getDouble(3) - qScaled.toDouble / (4.0 * m * m)) < 1e-6)
   }
+
+  // ---- q365–q378 batch -------------------------------------------------
+
+  private def snapD(x: Double): Double = math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+
+  /** first 8 md5 hex digits of s, as a long (the engine's cross-replayable
+    * hash contract), mod m — independent JVM reimplementation.
+    */
+  private def md5Mod(sv: String, m: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(sv.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % m
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bitemporal as-of == brute-force latest-committed-version pick") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").cast("long"), to_date(col("o_orderdate")),
+        to_date(col("l_shipdate")), col("l_linenumber").cast("long"),
+        col("l_orderkey").cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate, r.getLong(3), r.getLong(4), r.getLong(5)))
+    val v = java.time.LocalDate.parse("1995-06-15")
+    val t = java.time.LocalDate.parse("1995-06-01")
+    val live = rows.filter { case (_, vf, vt, ln, _, _) =>
+      !vf.isAfter(v) && v.isBefore(vt) && !vf.plusDays(ln).isAfter(t)
+    }
+    assert(live.nonEmpty, "sweep needs at least one live version at sf0.001")
+    val picked = live.groupBy(_._1).map { case (_, vs) =>
+      vs.maxBy { case (_, vf, _, ln, ok, _) => (vf.plusDays(ln).toEpochDay, ok, ln) }
+    }.toSeq
+    val got = Round10.q368Bitemporal.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === picked.size.toLong)
+    assert(got.getLong(1) === picked.map(_._6).sum)
+    assert(got.getLong(2) === picked.map(_._1).min)
+    assert(got.getLong(3) === picked.map(_._1).max)
+  }
+
+  test("flesch readability == per-doc driver reference") {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val scores = ds.map { case (_, text) =>
+        val words = text.split(" ", -1).length.toDouble
+        val syl = "[aeiou]+".r.findAllIn(text).length.toDouble
+        val sents = math.max(1, text.split("\\.", -1).length - 1).toDouble
+        snapD(206.835 - 1.015 * words / sents - 84.6 * syl / words)
+      }
+      (lang, ds.length.toLong, round6(scores.sum / ds.length))
+    }
+    val got = Round10.q369Readability.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq === want.map(x => (x._1, x._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 2e-6, s"lang=${g._1}: ${g._3} vs ${w._3}")
+    }
+  }
+
+  test("gumbel fit == direct moments on weekly block maxima") {
+    val epoch0 = java.time.LocalDate.parse("1992-01-01").toEpochDay
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay - epoch0, r.getLong(1)))
+    val maxima = daily.groupBy(t => Math.floorDiv(t._1, 7L)).values.map(_.map(_._2).max).toSeq
+    val n = maxima.size.toLong
+    val sm = maxima.sum
+    val sxx = maxima.map(x => x * x).sum
+    val mean = sm.toDouble / n
+    val variance = (n * sxx - sm * sm).toDouble / (n.toDouble * (n - 1))
+    val beta = math.sqrt(variance * 6.0) / 3.14159265358979
+    val mu = mean - 0.5772156649 * beta
+    val got = Round10.q370GumbelFit.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === n)
+    assert(math.abs(got.getDouble(1) - mean) < 1e-6)
+    assert(math.abs(got.getDouble(2) - beta) < 1e-6)
+    assert(math.abs(got.getDouble(3) - mu) < 1e-6)
+  }
+
+  test("covariate balance == driver SMD with independently computed md5 arms") {
+    val epoch0 = java.time.LocalDate.parse("1992-01-01").toEpochDay
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        to_date(col("o_orderdate")), length(col("o_orderpriority")).cast("long"))
+      .collect().map(r => (md5Mod(s"${r.getLong(0)}:bal", 2L) == 0L,
+        r.getLong(1), r.getDate(2).toLocalDate.toEpochDay - epoch0, r.getLong(3)))
+    def smd(f: ((Boolean, Long, Long, Long)) => Long): Double = {
+      val (tr, co) = rows.partition(_._1)
+      val (vt, vc) = (tr.map(f), co.map(f))
+      def meanVar(xs: Seq[Long]): (Double, Double) = {
+        val n = xs.size.toLong
+        val s = xs.sum
+        val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+        (s.toDouble / n,
+          (BigInt(n) * ss - BigInt(s) * BigInt(s)).toDouble / (n.toDouble * (n - 1)))
+      }
+      val ((mt, vart), (mc, varc)) = (meanVar(vt.toSeq), meanVar(vc.toSeq))
+      (mt - mc) / math.sqrt((vart + varc) / 2.0)
+    }
+    val want = Seq("c1_price" -> smd(_._2), "c2_day" -> smd(_._3), "c3_prio_len" -> smd(_._4))
+    val got = Round10.q371CovariateBalance.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    got.zip(want).foreach { case ((c, g, bal), (_, w)) =>
+      assert(math.abs(g - w) < 1e-5, s"$c: $g vs $w")
+      assert(bal === (math.abs(w) < 0.1), c)
+    }
+  }
+
+  test("stream PSI == batch PSI driver reference (≡-batch contract)") {
+    val ev = Tables.events(spark, sfDir).select(to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val d0 = ev.map(_._1).min
+    def band(v: Double): Long =
+      math.min(9L, Math.floorDiv(
+        new java.math.BigDecimal(v * 100).setScale(0, java.math.RoundingMode.HALF_UP)
+          .longValueExact, 5000L))
+    val grouped = ev.groupBy { case (d, v) => band(v) }
+    val ca = grouped.view.mapValues(_.count { case (d, _) =>
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d) < 15 }.toLong).toMap
+    val cb = grouped.view.mapValues(_.count { case (d, _) =>
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d) >= 15 }.toLong).toMap
+    val na = ca.values.sum
+    val nb = cb.values.sum
+    val psi = round6(grouped.keys.toSeq.map { b =>
+      val pa = (ca(b) + 1).toDouble / (na + 10)
+      val pb = (cb(b) + 1).toDouble / (nb + 10)
+      snapD((pa - pb) * math.log(pa / pb))
+    }.sum)
+    val verdict = if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "shifted"
+    val got = Round10.q372StreamPsi.fn(spark, sfDir).collect().head
+    assert(math.abs(got.getDouble(0) - psi) < 1e-6)
+    assert(got.getString(1) === verdict)
+  }
+
+  test("xyz classification == driver CV classify over weekly demand") {
+    val epoch0 = java.time.LocalDate.parse("1992-01-01").toEpochDay
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long"), to_date(col("l_shipdate")),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0),
+        Math.floorDiv(r.getDate(1).toLocalDate.toEpochDay - epoch0, 7L), r.getLong(2)))
+    val nw = rows.map(_._2).max - rows.map(_._2).min + 1
+    val weekly = rows.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val perPart = weekly.groupBy(_._1._1).map { case (part, ws) =>
+      val sq = ws.values.sum
+      val sqq = ws.values.map(q => q * q).sum
+      val mean = sq.toDouble / nw
+      val vr = (nw * sqq - sq * sq).toDouble / (nw.toDouble * nw)
+      val cv = math.sqrt(vr) / mean
+      (part, sq, if (cv < 0.5) "X" else if (cv < 1.0) "Y" else "Z")
+    }
+    val tq = perPart.map(_._2).sum
+    val want = perPart.groupBy(_._3).view.mapValues(ps =>
+      (ps.size.toLong, round6(ps.map(_._2).sum.toDouble / tq))).toMap
+    val got = Round10.q373XyzClassification.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    for (k <- want.keys) {
+      assert(got(k)._1 === want(k)._1, k)
+      assert(math.abs(got(k)._2 - want(k)._2) < 1e-6, k)
+    }
+  }
+
+  test("croston == sequential driver fold over the most-active part") {
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").cast("long").as("part"), to_date(col("l_shipdate")).as("d"))
+      .agg(expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val part = daily.groupBy(_._1).toSeq
+      .map { case (p, ds) => (p, ds.size) }
+      .sortBy { case (p, nd) => (-nd, p) }.head._1
+    val series = daily.filter(_._1 == part).sortBy(_._2.toEpochDay)
+    val nd = series.length.toLong
+    assert(nd >= 2, "croston sweep needs >= 2 demand days")
+    val gaps = series.sliding(2).map { case Array(a, b) =>
+      (b._2.toEpochDay - a._2.toEpochDay).toDouble }.toSeq
+    var z = series.head._3.toDouble
+    var p = gaps.head
+    for (i <- 1 until series.length) {
+      z = 0.5 * z + 0.5 * series(i)._3
+      p = 0.5 * p + 0.5 * gaps(i - 1)
+    }
+    val got = Round10.q374Croston.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === part)
+    assert(got.getLong(1) === nd)
+    assert(math.abs(got.getDouble(2) - z) < 1e-6)
+    assert(math.abs(got.getDouble(3) - p) < 1e-6)
+    assert(math.abs(got.getDouble(4) - z / p) < 1e-6)
+  }
+
+  test("runs test == sequential driver walk over the zero-filled day spine") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).toMap
+    val (dMin, dMax) = (daily.keys.min, daily.keys.max)
+    val spine = (dMin to dMax).map(d => daily.getOrElse(d, 0L))
+    val n = spine.size
+    // lower median: smallest v with 2*cum >= n over the value histogram
+    val sortedVals = spine.sorted
+    val med = sortedVals((n - 1) / 2)
+    val signs = spine.filter(_ != med).map(_ > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.size - n1
+    val r = 1L + signs.sliding(2).count { case Seq(a, b) => a != b }
+    val got = Round10.q377RunsTest.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === n1)
+    assert(got.getLong(1) === n2)
+    assert(got.getLong(2) === r)
+    if (n1 > 0 && n2 > 0) {
+      val (d1, d2) = (n1.toDouble, n2.toDouble)
+      val mu = 1.0 + 2.0 * d1 * d2 / (d1 + d2)
+      val v = 2.0 * d1 * d2 * (2.0 * d1 * d2 - d1 - d2) /
+        ((d1 + d2) * (d1 + d2) * (d1 + d2 - 1.0))
+      assert(math.abs(got.getDouble(3) - (r - mu) / math.sqrt(v)) < 1e-6)
+    } else assert(got.isNullAt(3))
+  }
+
+  test("capture-recapture == Chapman from independently computed md5 captures") {
+    val users = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+      .collect().map(_.getLong(0))
+    val n1 = users.count(u => md5Mod(s"$u:c1", 10L) < 3L).toLong
+    val n2 = users.count(u => md5Mod(s"$u:c2", 10L) < 3L).toLong
+    val m = users.count(u => md5Mod(s"$u:c1", 10L) < 3L && md5Mod(s"$u:c2", 10L) < 3L).toLong
+    val chapman = (n1 + 1).toDouble * (n2 + 1) / (m + 1) - 1.0
+    val got = Round10.q378CaptureRecapture.fn(spark, sfDir).collect().head
+    assert(got.getLong(0) === users.length.toLong)
+    assert(got.getLong(1) === n1)
+    assert(got.getLong(2) === n2)
+    assert(got.getLong(3) === m)
+    assert(math.abs(got.getDouble(4) - chapman) < 1e-6)
+  }
 }

@@ -269,6 +269,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(5) - 1.695994) < 1e-5)
   }
 
+  test("fellegi–sunter: NULL field values count in the u estimate (null-safe)") {
+    // f constant NULL both sides: scoring's <=> calls every pair an
+    // agreement, so u must clamp to 1-2^-30 (chance agreement certain)
+    // exactly like a constant non-null field → wa = log2(0.9) ≈ -0.152.
+    // An equality-joined u estimate would drop the NULL bucket, get
+    // u = eps, and hand every pair a spurious +29.7 "agreement" weight.
+    val a = Seq((0L, Option.empty[Long]), (0L, Option.empty[Long])).toDF("block", "f")
+    val b = Seq((0L, Option.empty[Long])).toDF("block", "f")
+    val out = graft.operators.RecordLinkage
+      .fellegiSunter(a, b, "block", Seq("f"))
+      .collect().head
+    assert(out.getLong(0) === 2L)
+    assert(math.abs(out.getDouble(5) - math.log(0.9) / math.log(2.0)) < 1e-5)
+  }
+
   // ---- Quarantine write -----------------------------------------------
 
   test("quarantine write: one-scan routing, multi-violation annotation, null = violation") {

@@ -176,10 +176,12 @@ class Round9PropertySpec extends AnyFunSuite {
   test("bitmap intersections == set algebra on random id sets (2 seeds)") {
     for (seed <- Seq(31, 32)) {
       val rnd = new Random(seed)
+      // ids span NEGATIVE values too: floor-div word assignment must not
+      // collide id -1 with id 62 (truncating div did)
       val sets = Map(
-        "x" -> (0 until 300).map(_ => rnd.nextInt(500).toLong).toSet,
-        "y" -> (0 until 300).map(_ => rnd.nextInt(500).toLong).toSet,
-        "z" -> (0 until 100).map(_ => rnd.nextInt(500).toLong).toSet)
+        "x" -> (0 until 300).map(_ => rnd.nextInt(1000).toLong - 500L).toSet,
+        "y" -> (0 until 300).map(_ => rnd.nextInt(1000).toLong - 500L).toSet,
+        "z" -> (0 until 100).map(_ => rnd.nextInt(1000).toLong - 500L).toSet)
       val rows = sets.toSeq.flatMap { case (s, ids) =>
         // feed duplicates on purpose — OR must absorb them
         (ids.toSeq ++ ids.toSeq.take(10)).map(i => (s, i))

@@ -172,6 +172,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.forall(r => r.simArrivalTime > 0 && r.processingTime >= 1.0))
   }
 
+  test("32-combo grid fan-out ≡ 32 independent full-stream simulations") {
+    import spark.implicits._
+    val grid = graft.queries.SimQueries.grid32
+    assert(grid.size === 32)
+    val reqs = graft.sources.EventRequests
+      .requests(spark, "/root/testdata/sf0.001").collect().toSeq
+    val keyed = grid.keys.toSeq.sorted.flatMap(k => reqs.map(r => (k, r)))
+    val fanned = SimOperator
+      .simulateScenarios(keyed.toDS(), (k: Int) => grid(k))
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).toVector }
+    val direct = grid.map { case (k, cfg) =>
+      k -> graft.sim.SimCore.run(cfg, reqs.iterator).toVector
+    }
+    assert(fanned.keySet === direct.keySet)
+    for (k <- direct.keys) assert(fanned(k) === direct(k), s"scenario $k diverged")
+  }
+
   test("scenario fan-out ≡ independent per-key simulations") {
     import spark.implicits._
     val reqs = (0 until 30).map { i =>
