@@ -441,6 +441,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(singles <= 1, s"extra global exchanges in position index:\n$plan")
   }
 
+  test("q380-q383 decorrelation suite: correlated subqueries become keyed joins, no per-row re-execution") {
+    // q380 correlated scalar-min, q382 correlated group-threshold IN:
+    // both must land as aggregates joined on the correlation key
+    for (q <- Seq("q380_min_cost_supplier", "q382_dominant_supplier")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q kept a nested-loop shape:\n$plan")
+    }
+    // q383's EXISTS / NOT EXISTS pair compiles to semi + anti hash joins
+    val p383 = planOf(SparkEntry.queries("q383_lone_late_supplier")(spark, sfDir))
+    assert(p383.contains("LeftSemi"), s"q383 EXISTS not a semi join:\n$p383")
+    assert(p383.contains("LeftAnti"), s"q383 NOT EXISTS not an anti join:\n$p383")
+    assert(!p383.contains("CartesianProduct"), s"q383 planned a cartesian:\n$p383")
+  }
+
   test("q308 sssp: every relaxation round is a hash join + keyed min, no nested loop") {
     val plan = planOf(SparkEntry.queries("q308_sssp")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
