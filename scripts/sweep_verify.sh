@@ -37,7 +37,10 @@ skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
         # list caught up); all stay oracle-green at sf0.001/sf0.01
         "q127_dedup_retention", "q206_golden_record",
         "q217_cluster_sample", "q239_dedup_impact",
-        "q362_containment"}
+        "q362_containment",
+        # q395 embeds the same quadratic exact-Jaccard pair oracle for
+        # its calibration baseline — oracle-green at sf0.001/sf0.01
+        "q395_minhash_calibration"}
 Path(out, "oracle_sql.json").write_text(
     json.dumps({k: v for k, v in oracle.items() if k not in skip}))
 print("sf0.1: skipping quadratic-family oracles:", sorted(skip))

@@ -49,6 +49,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k = 1 specialization of [[bruteTopK]] with the identical
+    * (cosine DESC, neighbor_id ASC) tie-break, as a PARTIAL-AGGREGATED
+    * max-struct instead of a window: the |queries|×|corpus| scored
+    * relation combines map-side down to one row per query, so no
+    * pair-sized sort or shuffle ever runs — the plan that survives a
+    * corpus-scale ALL-vectors query set (mutual-NN's shape), where the
+    * window variant would sort the full pair space.
+    */
+  def bruteTop1(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    VectorCosine.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    corpus
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine"))
+      // lexicographic struct max = (highest cosine, then smallest id)
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("negid"))).as("m"))
+      .select(
+        col("query_id"),
+        (-col("m.negid")).as("neighbor_id"),
+        col("m.cosine").as("cosine"))
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors landing in the same
     * signature bucket as the query in at least one table. Returns up to k
     * neighbors per query (possibly fewer — recall/latency trade-off).

@@ -29,6 +29,7 @@ object Round11 {
       case "nation"   => Tables.nation(s, dir).createOrReplaceTempView("r11_nation")
       case "region"   => Tables.region(s, dir).createOrReplaceTempView("r11_region")
       case "events"   => Tables.events(s, dir).createOrReplaceTempView("r11_events")
+      case "documents" => Tables.documents(s, dir).createOrReplaceTempView("r11_documents")
     }
 
   /** TPC-H Q2 shape: for every ECONOMY part, the region-0 supplier(s)
@@ -506,8 +507,8 @@ object Round11 {
   /** Mutual nearest neighbors over the embedding corpus: pairs that are
     * each other's top-1 cosine neighbor — the reciprocal-NN criterion
     * semantic dedup and cross-lingual mining use to cut asymmetric
-    * false matches. Composes [[graft.operators.Similarity.bruteTopK]]
-    * at k=1 (the calibration baseline; at corpus scale the same
+    * false matches. Composes [[graft.operators.Similarity.bruteTop1]]
+    * (map-side-aggregated exact top-1 — the calibration baseline; at corpus scale the same
     * downstream join runs off ivfTopK's candidate sets) with a
     * self-join on the reciprocity condition.
     */
@@ -515,8 +516,8 @@ object Round11 {
     "q390_mutual_nn",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val top1 = graft.operators.Similarity.bruteTopK(emb, emb, k = 1)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      // consumed twice by the reciprocity self-join — materialize once
+      val top1 = graft.operators.Similarity.bruteTop1(emb, emb).localCheckpoint()
       top1.as("a")
         .join(
           top1.as("b"),
@@ -550,9 +551,302 @@ object Round11 {
             ORDER BY 1""")
   )
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram bucket
+    * LMs for the target slice (lang='en') and the full corpus, per-doc
+    * importance score Σ_tokens snap(ln(p_target(bucket)/p_source(bucket)))
+    * with +1 smoothing, top-200 resampled. The two 256-row bucket
+    * histograms broadcast; the score is scan-side (one explode + two
+    * keyed aggs); top-k plans as TakeOrdered. Snapped log-ratios make
+    * per-doc sums exact dyadic arithmetic.
+    */
+  val q391DsirImportance: QueryDef = QueryDef(
+    "q391_dsir_importance",
+    (s, dir) => {
+      views(s, dir, Seq("documents"))
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, explode(split(text, ' ')) t FROM r11_documents)
+          WHERE t <> ''),
+        b AS (
+          SELECT doc_id,
+                 pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 256) bk
+          FROM toks),
+        tgt AS (SELECT bk, CAST(count(*) AS BIGINT) ct
+                FROM b JOIN r11_documents USING (doc_id)
+                WHERE lang = 'en' GROUP BY 1),
+        src AS (SELECT bk, CAST(count(*) AS BIGINT) cs FROM b GROUP BY 1),
+        nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) n FROM tgt),
+        ns AS (SELECT CAST(sum(cs) AS BIGINT) n FROM src),
+        w AS (
+          SELECT src.bk,
+                 floor(ln(((coalesce(tgt.ct, 0) + 1) / CAST(nt.n + 256 AS DOUBLE)) /
+                          ((src.cs + 1) / CAST(ns.n + 256 AS DOUBLE)))
+                       * 1073741824.0 + 0.5) / 1073741824.0 wt
+          FROM src LEFT JOIN tgt ON src.bk = tgt.bk, nt, ns),
+        d AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                 round(sum(w.wt), 6) score
+          FROM b JOIN w ON b.bk = w.bk GROUP BY 1)
+        SELECT doc_id, n_tokens, score
+        FROM d ORDER BY score DESC, doc_id LIMIT 200""")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)
+              WHERE t <> ''),
+            b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 256 bk
+              FROM toks),
+            tgt AS (SELECT bk, CAST(count(*) AS BIGINT) ct
+                    FROM b JOIN documents USING (doc_id)
+                    WHERE lang = 'en' GROUP BY 1),
+            src AS (SELECT bk, CAST(count(*) AS BIGINT) cs FROM b GROUP BY 1),
+            nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) n FROM tgt),
+            ns AS (SELECT CAST(sum(cs) AS BIGINT) n FROM src),
+            w AS (
+              SELECT src.bk,
+                     floor(ln(((coalesce(tgt.ct, 0) + 1) / CAST(nt.n + 256 AS DOUBLE)) /
+                              ((src.cs + 1) / CAST(ns.n + 256 AS DOUBLE)))
+                           * 1073741824.0 + 0.5) / 1073741824.0 wt
+              FROM src LEFT JOIN tgt ON src.bk = tgt.bk, nt, ns),
+            d AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                     round(sum(w.wt), 6) score
+              FROM b JOIN w ON b.bk = w.bk GROUP BY 1)
+            SELECT doc_id, n_tokens, score
+            FROM d ORDER BY score DESC, doc_id LIMIT 200""")
+  )
+
+  /** Iterative proportional fitting (survey raking, Deming–Stephan):
+    * the (event_type × day-mod-7) count matrix raked to UNIFORM target
+    * marginals, three full row+column rounds unrolled. Every scale
+    * factor and every reweighted cell snaps to the 2⁻³⁰ grid, so both
+    * engines walk an identical float trajectory. The matrix is bounded
+    * (types × 7 cells) — corpus-sized work is the one keyed count.
+    */
+  val q392IpfRaking: QueryDef = QueryDef(
+    "q392_ipf_raking",
+    (s, dir) => {
+      views(s, dir, Seq("events"))
+      s.sql(ipfSql("r11_events", spark = true))
+    },
+    Some(ipfSql("events", spark = false))
+  )
+
+  private def ipfSql(tbl: String, spark: Boolean): String = {
+    val dw =
+      if (spark) "CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT) % 7"
+      else "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) % 7"
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    s"""
+      WITH c AS (SELECT event_type et, $dw dw, CAST(count(*) AS BIGINT) n
+                 FROM $tbl GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) t,
+                     CAST(count(DISTINCT et) AS BIGINT) nr,
+                     CAST(count(DISTINCT dw) AS BIGINT) nc
+              FROM c),
+      w0 AS (SELECT et, dw, CAST(n AS DOUBLE) w FROM c),
+      r1 AS (SELECT et, sum(w) rs FROM w0 GROUP BY 1),
+      w1 AS (SELECT w0.et, w0.dw,
+                    ${snap("w0.w * (tot.t / CAST(tot.nr AS DOUBLE)) / r1.rs")} w
+             FROM w0 JOIN r1 ON w0.et = r1.et, tot),
+      c1 AS (SELECT dw, sum(w) cs FROM w1 GROUP BY 1),
+      w2 AS (SELECT w1.et, w1.dw,
+                    ${snap("w1.w * (tot.t / CAST(tot.nc AS DOUBLE)) / c1.cs")} w
+             FROM w1 JOIN c1 ON w1.dw = c1.dw, tot),
+      r2 AS (SELECT et, sum(w) rs FROM w2 GROUP BY 1),
+      w3 AS (SELECT w2.et, w2.dw,
+                    ${snap("w2.w * (tot.t / CAST(tot.nr AS DOUBLE)) / r2.rs")} w
+             FROM w2 JOIN r2 ON w2.et = r2.et, tot),
+      c2 AS (SELECT dw, sum(w) cs FROM w3 GROUP BY 1),
+      w4 AS (SELECT w3.et, w3.dw,
+                    ${snap("w3.w * (tot.t / CAST(tot.nc AS DOUBLE)) / c2.cs")} w
+             FROM w3 JOIN c2 ON w3.dw = c2.dw, tot),
+      r3 AS (SELECT et, sum(w) rs FROM w4 GROUP BY 1),
+      w5 AS (SELECT w4.et, w4.dw,
+                    ${snap("w4.w * (tot.t / CAST(tot.nr AS DOUBLE)) / r3.rs")} w
+             FROM w4 JOIN r3 ON w4.et = r3.et, tot),
+      c3 AS (SELECT dw, sum(w) cs FROM w5 GROUP BY 1),
+      w6 AS (SELECT w5.et, w5.dw,
+                    ${snap("w5.w * (tot.t / CAST(tot.nc AS DOUBLE)) / c3.cs")} w
+             FROM w5 JOIN c3 ON w5.dw = c3.dw, tot)
+      SELECT w6.et AS event_type, w6.dw AS dw, c.n AS n,
+             round(w6.w, 6) AS raked_weight,
+             round(w6.w / c.n, 6) AS per_row_weight
+      FROM w6 JOIN c ON w6.et = c.et AND w6.dw = c.dw
+      ORDER BY 1, 2"""
+  }
+
+  /** Per-group Huber M-estimator of the mean (k = 1.345·MAD, the 95%-
+    * efficiency tuning): exact integer cent histograms give the lower
+    * median and MAD, then three unrolled IRLS reweighting rounds with
+    * weights QUANTIZED to a 2²⁰ integer grid — weighted sums stay exact
+    * BIGINT arithmetic on both engines (a float Σwx over 10⁵ rows would
+    * exceed the 53-bit mantissa and diverge between engines), and only
+    * the per-round mean division touches doubles (snapped).
+    */
+  val q393HuberMean: QueryDef = QueryDef(
+    "q393_huber_mean",
+    (s, dir) => {
+      views(s, dir, Seq("events"))
+      s.sql(huberSql("r11_events"))
+    },
+    Some(huberSql("events"))
+  )
+
+  private def huberSql(tbl: String): String = {
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    def irls(prev: String, i: Int): String =
+      s"""
+      i$i AS (SELECT x.et, x.v,
+                     CAST(floor(CASE WHEN abs(x.v - $prev.mu) = 0.0 THEN 1.0
+                                     ELSE least(1.0, k.kk / abs(x.v - $prev.mu)) END
+                                * 1048576.0 + 0.5) AS BIGINT) wq
+              FROM x JOIN $prev ON x.et = $prev.et JOIN k ON x.et = k.et),
+      m$i AS (SELECT et, ${snap("CAST(sum(wq * v) AS DOUBLE) / CAST(sum(wq) AS DOUBLE)")} mu
+              FROM i$i GROUP BY 1)"""
+    s"""
+      WITH x AS (SELECT event_type et, CAST(round(value * 100) AS BIGINT) v FROM $tbl),
+      n AS (SELECT et, CAST(count(*) AS BIGINT) n FROM x GROUP BY 1),
+      h AS (SELECT et, v, CAST(count(*) AS BIGINT) c FROM x GROUP BY 1, 2),
+      hc AS (SELECT et, v, sum(c) OVER (PARTITION BY et ORDER BY v) cum FROM h),
+      med AS (SELECT hc.et, CAST(min(v) AS BIGINT) med
+              FROM hc JOIN n ON hc.et = n.et WHERE cum * 2 >= n.n GROUP BY 1),
+      ad AS (SELECT x.et, abs(x.v - med.med) a FROM x JOIN med ON x.et = med.et),
+      adh AS (SELECT et, a, CAST(count(*) AS BIGINT) c FROM ad GROUP BY 1, 2),
+      adc AS (SELECT et, a, sum(c) OVER (PARTITION BY et ORDER BY a) cum FROM adh),
+      mad AS (SELECT adc.et, CAST(min(a) AS BIGINT) mad
+              FROM adc JOIN n ON adc.et = n.et WHERE cum * 2 >= n.n GROUP BY 1),
+      k AS (SELECT et, CASE WHEN mad = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(1.345 AS DOUBLE) * mad END kk FROM mad),
+      m0 AS (SELECT et, CAST(med AS DOUBLE) mu FROM med),
+      ${irls("m0", 1)},
+      ${irls("m1", 2)},
+      ${irls("m2", 3)}
+      SELECT n.et AS event_type, n.n AS n, med.med AS med_cents, mad.mad AS mad_cents,
+             round(m3.mu, 6) AS huber_mean_cents
+      FROM n JOIN med ON n.et = med.et JOIN mad ON n.et = mad.et
+      JOIN m3 ON n.et = m3.et
+      ORDER BY 1"""
+  }
+
+  /** Deterministic stratified evaluation infra: 5-fold assignment by
+    * md5(doc_id) with a per-fold class-balance report (en-share and its
+    * deviation from the corpus share) — the split-quality audit run
+    * before any cross-validated quality-classifier training. Pure
+    * scan-side hashing + one keyed agg.
+    */
+  val q394KfoldBalance: QueryDef = QueryDef(
+    "q394_kfold_balance",
+    (s, dir) => {
+      views(s, dir, Seq("documents"))
+      s.sql("""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':fold')),
+                                1, 8), 16, 10) AS BIGINT), 5) fold
+          FROM r11_documents),
+        g AS (SELECT CAST(fold AS BIGINT) fold, CAST(count(*) AS BIGINT) n_docs,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en
+              FROM f GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) nt, CAST(sum(n_en) AS BIGINT) ne FROM g)
+        SELECT fold, n_docs, n_en,
+               round(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_share,
+               round(CAST(n_en AS DOUBLE) / n_docs - CAST(t.ne AS DOUBLE) / t.nt, 6)
+                 AS share_dev
+        FROM g, t ORDER BY 1""")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fold'),
+                          1, 8)) AS BIGINT) % 5 fold
+              FROM documents),
+            g AS (SELECT CAST(fold AS BIGINT) fold, CAST(count(*) AS BIGINT) n_docs,
+                         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en
+                  FROM f GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS BIGINT) nt, CAST(sum(n_en) AS BIGINT) ne
+                  FROM g)
+            SELECT fold, n_docs, n_en,
+                   round(CAST(n_en AS DOUBLE) / n_docs, 6) en_share,
+                   round(CAST(n_en AS DOUBLE) / n_docs - CAST(t.ne AS DOUBLE) / t.nt, 6)
+                     share_dev
+            FROM g, t ORDER BY 1""")
+  )
+
+  /** MinHash ESTIMATOR CALIBRATION: over the exact word-3-gram Jaccard
+    * pairs at t = 0.6 ([[graft.operators.Dedup.ngramJaccardPairs]] —
+    * the PPJoin path, no all-pairs), the 64-component md5-minhash
+    * signature agreement fraction vs the true Jaccard — mean/max
+    * absolute estimator error, the measured answer to "how many
+    * permutations does the dedup pipeline actually need". Signatures
+    * are md5-derived so the oracle rebuilds them bit-for-bit.
+    */
+  val q395MinhashCalibration: QueryDef = QueryDef(
+    "q395_minhash_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6)
+      val comp = graft.operators.Dedup.tokenShingles(docs, 3)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .withColumn("k", explode(lit((0 until 64).toArray)))
+        .select(col("doc_id"), col("k"),
+          conv(substring(md5(concat(col("k").cast("string"), lit(":"), col("sh"))), 1, 12),
+            16, 10).cast("long").as("h"))
+        .groupBy(col("doc_id"), col("k")).agg(min(col("h")).as("mh"))
+      val est = broadcast(pairs)
+        .join(comp.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mh_a")), "doc_a")
+        .join(comp.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mh_b")),
+          Seq("doc_b", "k"))
+        .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+        .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / 64.0).as("est"))
+      est.agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"),
+        round(avg(col("est")), 6).as("mean_est"),
+        round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
+        round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
+    },
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) gs
+              FROM documents),
+            s AS (SELECT doc_id, gs, len(gs) sz FROM g WHERE len(gs) > 0),
+            pairs AS (
+              SELECT doc_a, doc_b, jaccard FROM (
+                SELECT a.doc_id doc_a, b.doc_id doc_b,
+                       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                             len(list_distinct(list_concat(a.gs, b.gs))), 6) jaccard
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id
+                 AND a.sz >= b.sz * 0.6 - 1e-9 AND b.sz >= a.sz * 0.6 - 1e-9)
+              WHERE jaccard >= 0.6),
+            sh AS (SELECT doc_id, unnest(gs) sh FROM s),
+            mh AS (SELECT doc_id, k.k,
+                          CAST(min(CAST(('0x' || substring(md5(CAST(k.k AS VARCHAR) || ':'
+                               || sh), 1, 12)) AS BIGINT)) AS BIGINT) mh
+                   FROM sh, range(0, 64) k(k) GROUP BY 1, 2),
+            est AS (
+              SELECT p.doc_a, p.doc_b, p.jaccard,
+                     sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 64.0 est
+              FROM pairs p
+              JOIN mh a ON a.doc_id = p.doc_a
+              JOIN mh b ON b.doc_id = p.doc_b AND b.k = a.k
+              GROUP BY 1, 2, 3)
+            SELECT CAST(count(*) AS BIGINT) n_pairs,
+                   round(avg(jaccard), 6) mean_jaccard,
+                   round(avg(est), 6) mean_est,
+                   round(avg(abs(est - jaccard)), 6) mean_abs_err,
+                   round(max(abs(est - jaccard)), 6) max_abs_err
+            FROM est""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q380MinCostSupplier, q381TopSupplier, q382DominantSupplier,
       q383LoneLateSupplier, q384DormantProspects, q385HhiConcentration,
       q386SkewAdvisor, q387ZoneMapSkip, q388JoinCardCalibration,
-      q389RendezvousHash, q390MutualNn)
+      q389RendezvousHash, q390MutualNn, q391DsirImportance, q392IpfRaking,
+      q393HuberMean, q394KfoldBalance, q395MinhashCalibration)
 }

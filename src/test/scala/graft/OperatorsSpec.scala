@@ -927,6 +927,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("bruteTop1 ≡ bruteTopK k=1 on real embeddings (tie-break included)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val viaWindow = Similarity.bruteTopK(emb, emb, k = 1)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val viaAgg = Similarity.bruteTop1(emb, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
   test("LSH ANN also finds the exact duplicate (same bucket in every table)") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
