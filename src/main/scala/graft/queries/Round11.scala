@@ -843,10 +843,237 @@ object Round11 {
             FROM est""")
   )
 
+  /** Chao1 species-richness estimate of the TRUE vocabulary per
+    * language — "how many words exist that this corpus hasn't seen":
+    * D + f₁(f₁−1)/(2(f₂+1)) from the singleton/doubleton counts of the
+    * word-trigram histogram (trigrams are the rare "species" here; bare
+    * tokens all repeat at corpus scale) (the bias-corrected form, defined at f₂ = 0). Two
+    * keyed aggs over the token counts; everything integer until the
+    * final estimate.
+    */
+  val q396Chao1Richness: QueryDef = QueryDef(
+    "q396_chao1_richness",
+    (s, dir) => {
+      views(s, dir, Seq("documents"))
+      s.sql("""
+        WITH toks AS (
+          SELECT lang, t FROM (
+            SELECT lang, explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                                 i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) t
+            FROM r11_documents)),
+        tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1, 2),
+        ff AS (SELECT lang, CAST(count(*) AS BIGINT) d_obs,
+                      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+                      CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) f2
+               FROM tc GROUP BY 1)
+        SELECT lang, d_obs, f1, f2,
+               round(d_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6)
+                 AS chao1
+        FROM ff ORDER BY lang""")
+    },
+    Some("""WITH toks AS (
+              SELECT lang, t FROM (
+                SELECT lang, unnest([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) t
+                FROM documents)),
+            tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1, 2),
+            ff AS (SELECT lang, CAST(count(*) AS BIGINT) d_obs,
+                          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+                          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) f2
+                   FROM tc GROUP BY 1)
+            SELECT lang, d_obs, f1, f2,
+                   round(d_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6)
+                     chao1
+            FROM ff ORDER BY lang""")
+  )
+
+  /** Good–Turing frequency smoothing over the corpus word-trigram histogram:
+    * the unseen-probability mass P₀ = f₁/N and the adjusted counts
+    * r* = (r+1)·f_{r+1}/f_r for r = 1..5 — the classical LM smoothing
+    * table (the repo's Kneser–Ney discounts' ancestor). Frequency-of-
+    * frequencies is histogram-sized; all counts exact.
+    */
+  val q397GoodTuring: QueryDef = QueryDef(
+    "q397_good_turing",
+    (s, dir) => {
+      views(s, dir, Seq("documents"))
+      s.sql("""
+        WITH toks AS (
+          SELECT t FROM (
+            SELECT explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) t
+            FROM r11_documents)),
+        tc AS (SELECT t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) n FROM tc),
+        fof AS (SELECT c r, CAST(count(*) AS BIGINT) nr FROM tc GROUP BY 1)
+        SELECT a.r, a.nr, coalesce(b.nr, 0) AS nr1,
+               round(CAST((a.r + 1) * coalesce(b.nr, 0) AS DOUBLE) / a.nr, 6)
+                 AS r_star,
+               round(CAST(a.nr * a.r AS DOUBLE) / max(n.n), 6) AS mass_share
+        FROM fof a LEFT JOIN fof b ON b.r = a.r + 1, n
+        WHERE a.r <= 5
+        GROUP BY a.r, a.nr, b.nr
+        ORDER BY a.r""")
+    },
+    Some("""WITH toks AS (
+              SELECT t FROM (
+                SELECT unnest([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                               FOR i IN range(1, len(string_split(text, ' ')) - 1)]) t
+                FROM documents)),
+            tc AS (SELECT t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1),
+            n AS (SELECT CAST(sum(c) AS BIGINT) n FROM tc),
+            fof AS (SELECT c r, CAST(count(*) AS BIGINT) nr FROM tc GROUP BY 1)
+            SELECT a.r, a.nr, coalesce(b.nr, 0) nr1,
+                   round(CAST((a.r + 1) * coalesce(b.nr, 0) AS DOUBLE) / a.nr, 6)
+                     r_star,
+                   round(CAST(a.nr * a.r AS DOUBLE) / max(n.n), 6) mass_share
+            FROM fof a LEFT JOIN fof b ON b.r = a.r + 1, n
+            WHERE a.r <= 5
+            GROUP BY a.r, a.nr, b.nr
+            ORDER BY a.r""")
+  )
+
+  /** Delete-one-GROUP jackknife for the ratio estimator R = Σprice/Σqty
+    * (average unit price): leave each supplier nation out in closed
+    * form from the per-group integer sums — no resampling pass ever
+    * touches the fact table twice. The 25 pseudo-values are snapped
+    * before the variance fold, so the only float aggregation runs over
+    * 25 grid-aligned terms.
+    */
+  val q398JackknifeRatio: QueryDef = QueryDef(
+    "q398_jackknife_ratio",
+    (s, dir) => {
+      views(s, dir, Seq("lineitem", "supplier"))
+      s.sql(jackknifeSql("r11_lineitem", "r11_supplier"))
+    },
+    Some(jackknifeSql("lineitem", "supplier"))
+  )
+
+  private def jackknifeSql(li: String, su: String): String = {
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    s"""
+      WITH g AS (
+        SELECT s_nationkey nk,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) sy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) sx
+        FROM $li JOIN $su ON l_suppkey = s_suppkey
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(sy) AS BIGINT) ty, CAST(sum(sx) AS BIGINT) tx,
+                     CAST(count(*) AS BIGINT) k
+              FROM g),
+      lo AS (SELECT nk, ${snap("CAST(tot.ty - g.sy AS DOUBLE) / CAST(tot.tx - g.sx AS DOUBLE)")} r_i
+             FROM g, tot),
+      m AS (SELECT ${snap("sum(r_i) / max(tot.k)")} rbar, max(tot.k) k FROM lo, tot)
+      SELECT round(CAST(tot.ty AS DOUBLE) / tot.tx, 6) AS r_full,
+             max(tot.k) AS n_groups,
+             round(m.rbar, 6) AS r_jack_mean,
+             round(sqrt((max(m.k) - 1.0) / max(m.k) *
+                        sum((lo.r_i - m.rbar) * (lo.r_i - m.rbar))), 6) AS se_jack
+      FROM lo, m, tot
+      GROUP BY tot.ty, tot.tx, m.rbar"""
+  }
+
+  /** Cluster-sampling DESIGN EFFECT for the high-balance customer rate
+    * with nations as clusters: one-way ANOVA variance components from
+    * exact integer sums give the intraclass correlation, and
+    * DEFF = 1 + (m̄−1)·ICC — "how many i.i.d. samples one clustered
+    * sample is worth", the survey-sampling planning number. Two keyed
+    * aggs; division only in the final projection.
+    */
+  val q399DesignEffect: QueryDef = QueryDef(
+    "q399_design_effect",
+    (s, dir) => {
+      views(s, dir, Seq("customer"))
+      s.sql(deffSql("r11_customer"))
+    },
+    Some(deffSql("customer"))
+  )
+
+  private def deffSql(cu: String): String =
+    s"""
+      WITH y AS (SELECT c_nationkey nk,
+                        CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END v
+                 FROM $cu),
+      g AS (SELECT nk, CAST(count(*) AS BIGINT) m, CAST(sum(v) AS BIGINT) s
+            FROM y GROUP BY 1),
+      t AS (SELECT CAST(sum(m) AS BIGINT) n, CAST(sum(s) AS BIGINT) st,
+                   CAST(count(*) AS BIGINT) k
+            FROM g),
+      -- exact sums of squares: SSB = Σ s_g²/m_g − st²/n, SSW = st − Σ s_g²/m_g
+      -- (binary y ⇒ Σy² = Σy); carried as doubles built from exact integers
+      q AS (SELECT CAST(sum(CAST(s * s AS DOUBLE) / m) AS DOUBLE) ssq FROM g)
+      SELECT t.n, t.k,
+             round(CAST(t.st AS DOUBLE) / t.n, 6) AS rate,
+             round((q.ssq - CAST(t.st AS DOUBLE) * t.st / t.n) / (t.k - 1), 6) AS msb,
+             round((t.st - q.ssq) / (t.n - t.k), 6) AS msw,
+             round(((q.ssq - CAST(t.st AS DOUBLE) * t.st / t.n) / (t.k - 1) -
+                    (t.st - q.ssq) / (t.n - t.k)) /
+                   ((q.ssq - CAST(t.st AS DOUBLE) * t.st / t.n) / (t.k - 1) +
+                    (CAST(t.n AS DOUBLE) / t.k - 1.0) *
+                    ((t.st - q.ssq) / (t.n - t.k))), 6) AS icc,
+             round(1.0 + (CAST(t.n AS DOUBLE) / t.k - 1.0) *
+                   (((q.ssq - CAST(t.st AS DOUBLE) * t.st / t.n) / (t.k - 1) -
+                     (t.st - q.ssq) / (t.n - t.k)) /
+                    ((q.ssq - CAST(t.st AS DOUBLE) * t.st / t.n) / (t.k - 1) +
+                     (CAST(t.n AS DOUBLE) / t.k - 1.0) *
+                     ((t.st - q.ssq) / (t.n - t.k)))), 6) AS deff
+      FROM t, q"""
+
+  /** Sequential probability-ratio test (Wald's SPRT) on the purchase
+    * rate: per-day Bernoulli log-likelihood-ratio increments for
+    * H₁: p = 0.22 vs H₀: p = 0.18 (α = β = 0.05 ⇒ boundaries ±ln 19),
+    * accumulated over the day spine; the verdict is the FIRST boundary
+    * crossing — the always-valid early-stopping monitor an A/B platform
+    * runs instead of a fixed-horizon test. Per-day increments snap to
+    * the 2⁻³⁰ grid, so the cumulative walk is exact dyadic arithmetic
+    * and the crossing day is engine-independent.
+    */
+  val q400Sprt: QueryDef = QueryDef(
+    "q400_sprt",
+    (s, dir) => {
+      views(s, dir, Seq("events"))
+      s.sql(sprtSql(spark = true))
+    },
+    Some(sprtSql(spark = false))
+  )
+
+  private def sprtSql(spark: Boolean): String = {
+    val (tbl, day) =
+      if (spark) ("r11_events", "to_date(ts)")
+      else ("events", "CAST(ts AS DATE)")
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    s"""
+      WITH d AS (SELECT $day dd, CAST(count(*) AS BIGINT) n,
+                        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS BIGINT) np
+                 FROM $tbl GROUP BY 1),
+      l AS (SELECT dd, n, np,
+                   ${snap("np * ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE)) + (n - np) * ln(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE))")} llr
+            FROM d),
+      c AS (SELECT dd, n, np,
+                   sum(llr) OVER (ORDER BY dd
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+            FROM l),
+      x AS (SELECT dd, cum,
+                   CASE WHEN cum >= ln(19.0) THEN 'accept_h1'
+                        WHEN cum <= -ln(19.0) THEN 'accept_h0' END verdict
+            FROM c)
+      SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_days,
+             round((SELECT cum FROM c ORDER BY dd DESC LIMIT 1), 6) AS llr_final,
+             coalesce((SELECT verdict FROM x WHERE verdict IS NOT NULL
+                       ORDER BY dd LIMIT 1), 'continue') AS decision,
+             CAST((SELECT count(*) FROM x
+                   WHERE dd <= (SELECT min(dd) FROM x WHERE verdict IS NOT NULL))
+                  AS BIGINT) AS cross_day
+      """
+  }
+
   val all: Seq[QueryDef] =
     Seq(q380MinCostSupplier, q381TopSupplier, q382DominantSupplier,
       q383LoneLateSupplier, q384DormantProspects, q385HhiConcentration,
       q386SkewAdvisor, q387ZoneMapSkip, q388JoinCardCalibration,
       q389RendezvousHash, q390MutualNn, q391DsirImportance, q392IpfRaking,
-      q393HuberMean, q394KfoldBalance, q395MinhashCalibration)
+      q393HuberMean, q394KfoldBalance, q395MinhashCalibration,
+      q396Chao1Richness, q397GoodTuring, q398JackknifeRatio,
+      q399DesignEffect, q400Sprt)
 }
