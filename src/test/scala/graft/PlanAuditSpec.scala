@@ -456,6 +456,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p383.contains("CartesianProduct"), s"q383 planned a cartesian:\n$p383")
   }
 
+  test("q391 DSIR: bucket-weight relation joins broadcast; score is aggregated, not windowed") {
+    val plan = planOf(SparkEntry.queries("q391_dsir_importance")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"256-row bucket weights not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"DSIR score planned a window:\n$plan")
+    // top-200 must be a TakeOrdered, never a global sort of all docs
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+
+  test("q390 mutual-NN top-1 is partial-aggregated (no pair-sized window sort)") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val plan = planOf(graft.operators.Similarity.bruteTop1(emb, emb))
+    assert(!plan.contains("Window"), s"bruteTop1 planned a window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"bruteTop1 not a partial aggregate:\n$plan")
+  }
+
   test("q308 sssp: every relaxation round is a hash join + keyed min, no nested loop") {
     val plan = planOf(SparkEntry.queries("q308_sssp")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
