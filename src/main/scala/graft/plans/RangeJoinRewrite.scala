@@ -238,6 +238,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+    extensions.injectOptimizerRule(_ => Top1WindowRewrite)
     extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
     graft.functions.GraftFunctions.registrations.foreach(extensions.injectFunction)
   }
@@ -251,6 +252,9 @@ object GraftExtensions {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations = existing :+ RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(Top1WindowRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ Top1WindowRewrite
     AsOfJoinStrategy.ensureRegistered(spark)
     graft.functions.GraftFunctions.registerAll(spark)
   }
