@@ -132,13 +132,21 @@ object Top1WindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
           (partAttrs: Seq[NamedExpression]) :+ bestAlias,
           child)
         val best = bestAlias.toAttribute
+        // Empty PARTITION BY ⇒ global Aggregate, which on EMPTY input
+        // emits one all-null row where Filter(rn=1) over the Window
+        // emits zero. The encoded ordering key is never null, so
+        // min_by/max_by is null iff the input was empty — filter it.
+        // Grouped aggregates emit no row for absent keys; no guard
+        // needed there.
+        val aggGuarded: LogicalPlan =
+          if (partAttrs.isEmpty) Filter(IsNotNull(best), agg) else agg
         val restored: Seq[NamedExpression] =
           child.output.zipWithIndex.map { case (a, i) =>
             if (partAttrs.exists(_.exprId == a.exprId)) a
             else Alias(GetStructField(best, i, Some(a.name)), a.name)(
               exprId = a.exprId, qualifier = a.qualifier)
           } :+ Alias(Literal(1), rn.name)(exprId = rn.exprId, qualifier = rn.qualifier)
-        val proj = Project(restored, agg)
+        val proj = Project(restored, aggGuarded)
         Some(if (rest.isEmpty) proj else Filter(rest.reduce(And), proj))
       case _ => None
     }

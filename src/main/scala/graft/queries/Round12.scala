@@ -16,9 +16,14 @@ import graft.sources.Tables
   */
 object Round12 {
 
-  /** floor(x·2³⁰ + ½)/2³⁰ — identical text in Spark SQL and DuckDB. */
+  /** floor(x·2³⁰ + ½)/2³⁰ — identical text in Spark SQL and DuckDB.
+    * The result is parenthesized so `${snap(...)}` composes safely
+    * inside larger expressions (an unparenthesized `a / floor(...) /
+    * 2^30` left-associates and silently divides twice — caught by
+    * Round12PropertySpec on hill_q2).
+    */
   private def snap(x: String): String =
-    s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    s"(floor(($x) * 1073741824.0 + 0.5) / 1073741824.0)"
 
   /** Latest order per customer, written the way every analyst writes it
     * — `row_number() OVER (PARTITION BY … ORDER BY … DESC) = 1` — and
@@ -81,34 +86,56 @@ object Round12 {
   val q402BradleyTerry: QueryDef = QueryDef(
     "q402_bradley_terry",
     (s, dir) => {
+      import s.implicits._
       Tables.lineitem(s, dir).createOrReplaceTempView("r12_lineitem")
-      s.sql(bradleyTerrySql(spark = true))
+      // Corpus-sized work runs distributed: the bounded per-order
+      // self-join (≤7 lines/order) + keyed counts reduce 100 TB to an
+      // ≤8×8 duel matrix. That matrix is bounded model state (the
+      // k-means-codebook precedent), so the 10 MM iterations are a
+      // driver loop over ≤64 cells — NOT an unrolled SQL plan, which
+      // duplicates the upstream CTE chain 2^10 times under inlining.
+      val cells = s
+        .sql(s"""${btMatrixCtes("r12_lineitem")}
+                 SELECT g.a, g.b, g.g, w.w
+                 FROM games g LEFT JOIN wins w ON w.a = g.a""")
+        .collect()
+      val games = cells.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val wins = cells
+        .filter(!_.isNullAt(3))
+        .map(r => r.getLong(0) -> r.getDouble(3))
+        .toMap
+      def snapD(x: Double): Double =
+        math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+      // Every addend lands on the 2^-30 grid with small magnitude, so
+      // the sums below are EXACT in IEEE doubles — iteration order
+      // cannot change them, and DuckDB's aggregation order matches.
+      var ratings: Map[Long, Double] =
+        games.map(_._1).distinct.map(_ -> 1.0).toMap
+      for (_ <- 0 until 10) {
+        val den = games
+          .filter(c => ratings.contains(c._1) && ratings.contains(c._2))
+          .groupBy(_._1)
+          .map { case (a, rows) =>
+            a -> rows.map(c => snapD(c._3.toDouble / (ratings(c._1) + ratings(c._2)))).sum
+          }
+        val raw = den.flatMap { case (a, d) => wins.get(a).map(w => a -> snapD(w / d)) }
+        val tot = raw.values.sum
+        ratings = raw.map { case (a, r) => a -> snapD(8.0 * r / tot) }
+      }
+      val out = ratings.toSeq
+        .sortBy { case (t, r) => (-r, t) }
+        .zipWithIndex
+        .map { case ((t, r), i) => (t, r, (i + 1).toLong) }
+        .sortBy(_._1)
+      out.toDF("team", "rating", "pos")
     },
-    Some(bradleyTerrySql(spark = false))
+    Some(bradleyTerryOracleSql)
   )
 
-  private def bradleyTerrySql(spark: Boolean): String = {
-    val tbl = if (spark) "r12_lineitem" else "lineitem"
-    // 10 unrolled MM iterations: rating_k+1 = snap(8·raw/Σraw),
-    // raw_a = snap(W_a / snap(Σ_b g_ab/(r_a + r_b)))
-    val iters = (0 until 10)
-      .map { k =>
-        s"""it${k + 1}_raw AS (
-              SELECT g.a AS team,
-                     ${snap(s"w.w / (SELECT ${snap(
-            s"sum(g2.g / (ra.rating + rb.rating))")} FROM games g2
-                        JOIN it$k ra ON ra.team = g2.a
-                        JOIN it$k rb ON rb.team = g2.b
-                        WHERE g2.a = g.a)")} AS rating
-              FROM (SELECT DISTINCT a FROM games) g
-              JOIN wins w ON w.a = g.a),
-            it${k + 1} AS (
-              SELECT team,
-                     ${snap(s"8.0 * rating / (SELECT ${snap(
-            "sum(rating)")} FROM it${k + 1}_raw)")} AS rating
-              FROM it${k + 1}_raw)"""
-      }
-      .mkString(",\n")
+  /** Shared CTE prefix: lineitem → duel matrix `games(a,b,g)` +
+    * win totals `wins(a,w)`. Identical text for Spark and DuckDB.
+    */
+  private def btMatrixCtes(tbl: String, mat: String = ""): String =
     s"""WITH li AS (
           SELECT l_orderkey ok,
                  CAST(l_suppkey % 8 AS BIGINT) team,
@@ -121,12 +148,39 @@ object Round12 {
           WHERE x.rev > y.rev),
         games0 AS (SELECT a, b, CAST(count(*) AS BIGINT) n
                    FROM duels GROUP BY 1, 2),
-        games AS (
+        games AS ${mat}(
           SELECT coalesce(x.a, y.b) a, coalesce(x.b, y.a) b,
                  CAST(coalesce(x.n, 0) + coalesce(y.n, 0) AS BIGINT) g
           FROM games0 x FULL OUTER JOIN games0 y ON x.a = y.b AND x.b = y.a),
-        wins AS (SELECT a, CAST(sum(n) AS DOUBLE) w FROM games0 GROUP BY 1),
-        it0 AS (SELECT DISTINCT a AS team, CAST(1.0 AS DOUBLE) rating FROM games),
+        wins AS ${mat}(SELECT a, CAST(sum(n) AS DOUBLE) w FROM games0 GROUP BY 1)"""
+
+  /** DuckDB replays the MM trajectory as 10 unrolled CTE stages
+    * (DuckDB materializes CTEs, so no inlining blow-up). Each addend
+    * snaps to the 2^-30 grid BEFORE summing, making the sums exact —
+    * both engines walk the same trajectory bit-for-bit.
+    */
+  private def bradleyTerryOracleSql: String = {
+    val mat = "MATERIALIZED "
+    val iters = (0 until 10)
+      .map { k =>
+        val term = snap("g.g / (ra.rating + rb.rating)")
+        s"""it${k + 1}_den AS ${mat}(
+              SELECT g.a AS team, sum($term) AS den
+              FROM games g
+              JOIN it$k ra ON ra.team = g.a
+              JOIN it$k rb ON rb.team = g.b
+              GROUP BY g.a),
+            it${k + 1}_raw AS ${mat}(
+              SELECT d.team, ${snap("w.w / d.den")} AS rating
+              FROM it${k + 1}_den d JOIN wins w ON w.a = d.team),
+            it${k + 1} AS ${mat}(
+              SELECT r.team, ${snap("8.0 * r.rating / t.tot")} AS rating
+              FROM it${k + 1}_raw r
+              CROSS JOIN (SELECT sum(rating) AS tot FROM it${k + 1}_raw) t)"""
+      }
+      .mkString(",\n")
+    s"""${btMatrixCtes("lineitem", mat)},
+        it0 AS ${mat}(SELECT DISTINCT a AS team, CAST(1.0 AS DOUBLE) rating FROM games),
         $iters
         SELECT team, rating,
                CAST(rank() OVER (ORDER BY rating DESC, team) AS BIGINT) AS pos
@@ -162,11 +216,14 @@ object Round12 {
                   FROM $tbl) x
             WHERE word <> ''"""
       else
-        s"""SELECT doc_id, CAST(u.ord AS INT) - 1 AS pos, u.word
-            FROM $tbl,
-                 unnest(string_split_regex(lower(text), '[^a-z]+'))
-                   WITH ORDINALITY AS u(word, ord)
-            WHERE u.word <> ''"""
+        s"""SELECT doc_id, pos, word
+            FROM (SELECT doc_id,
+                         CAST(unnest(generate_series(1, len(parts))) AS INT) - 1 AS pos,
+                         unnest(parts) AS word
+                  FROM (SELECT doc_id,
+                               string_split_regex(lower(text), '[^a-z]+') AS parts
+                        FROM $tbl)) x
+            WHERE word <> ''"""
     s"""WITH w AS ($words),
         nw AS (
           SELECT doc_id, pos, word,
@@ -188,12 +245,11 @@ object Round12 {
           GROUP BY 1),
         ptext AS (
           SELECT nw.doc_id, nw.island,
-                 ${if (spark) "array_join(array_agg(nw.word), ' ')"
+                 ${if (spark)
+            "array_join(transform(array_sort(array_agg(struct(nw.pos, nw.word))), s -> s.word), ' ')"
           else "string_agg(nw.word, ' ' ORDER BY nw.pos)"} phrase,
                  ${snap("sum(CAST(ws.degree AS DOUBLE) / ws.freq)")} score
-          FROM ${if (spark)
-            "(SELECT * FROM nw ORDER BY doc_id, island, pos)"
-          else "nw"} nw
+          FROM nw
           JOIN wscore ws ON ws.word = nw.word
           GROUP BY 1, 2)
         SELECT phrase, score, CAST(count(*) AS BIGINT) n_docs

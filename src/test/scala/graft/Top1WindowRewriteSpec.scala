@@ -94,6 +94,19 @@ class Top1WindowRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("empty PARTITION BY on EMPTY input yields zero rows, not one null row") {
+    val df = events().filter($"ts" < 0) // provably empty after the filter
+    def first(d: DataFrame) =
+      d.withColumn("rn", row_number().over(W.orderBy($"ts")))
+        .filter($"rn" === 1)
+        .drop("rn")
+    withRule {
+      val got = first(df)
+      assert(!optimized(got).contains("Window"), optimized(got))
+      assert(got.collect().isEmpty, "global argmin over empty input must emit no row")
+    }
+  }
+
   test("residual filter conjuncts survive above the rewrite") {
     val df = events()
     def top1Big(d: DataFrame) =
