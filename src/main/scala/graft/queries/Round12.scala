@@ -23,7 +23,7 @@ object Round12 {
     * Round12PropertySpec on hill_q2).
     */
   private def snap(x: String): String =
-    s"(floor(($x) * 1073741824.0 + 0.5) / 1073741824.0)"
+    s"(floor(($x) * CAST(1073741824 AS DOUBLE) + 0.5) / CAST(1073741824 AS DOUBLE))"
 
   /** Latest order per customer, written the way every analyst writes it
     * — `row_number() OVER (PARTITION BY … ORDER BY … DESC) = 1` — and
