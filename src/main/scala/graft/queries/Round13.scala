@@ -236,16 +236,78 @@ object Round13 {
     * shift mass toward domains with loss above the current
     * mixture-weighted mean: α' ∝ α·exp(η·(H_d − Σα H)), η = 0.1,
     * renormalized each round. Corpus-sized work is two keyed aggs; the
-    * iteration runs over #domains rows (materialized CTEs).
+    * iteration runs over #domains rows. DuckDB materializes the CTE
+    * chain (`MATERIALIZED`); Spark has no CTE materialization, and the
+    * unrolled rounds reference each other ~3× per level, so an inline
+    * SQL loop re-analyzes a 3⁵-duplicated plan (562 s at sf0.1 fully
+    * inline; ~100 s even with the corpus half checkpointed — the
+    * optimizer itself is the cost). The Spark branch therefore runs
+    * the MW rounds as a DRIVER loop over the collected #domains-row
+    * loss table — bounded model state, the q402 pattern — with every
+    * addend snapped onto the 2⁻³⁰ grid so the driver's sums are
+    * bit-identical to the oracle's (0.5 s).
     */
   val q409DoremiWeights: QueryDef = QueryDef(
     "q409_doremi_weights",
     (s, dir) => {
+      import s.implicits._
       Tables.documents(s, dir).createOrReplaceTempView("r13_documents")
-      s.sql(doremiSql(spark = true))
+      def snapD(x: Double): Double =
+        math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+      // corpus-sized half: one job, #domains rows back
+      val hd = s.sql(doremiHdSql(spark = true)).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val k = hd.size
+      // grid-snapped addends with small magnitude sum EXACTLY in IEEE
+      // doubles — iteration order cannot change them, so the driver
+      // walk and DuckDB's materialized CTE walk agree bit-for-bit
+      var a: Map[String, Double] = hd.keys.toSeq.map(_ -> snapD(1.0 / k)).toMap
+      for (_ <- 0 until 5) {
+        val mu = a.toSeq.map { case (src, w) => snapD(w * hd(src)) }.sum
+        val b = a.map { case (src, w) =>
+          src -> snapD(w * math.exp(snapD(0.1 * (hd(src) - mu))))
+        }
+        val tot = b.values.sum
+        a = b.map { case (src, w) => src -> snapD(w / tot) }
+      }
+      val ranked = a.toSeq.sortBy { case (src, w) => (-w, src) }.zipWithIndex
+        .map { case ((src, w), i) => (src, hd(src), w, (i + 1).toLong) }
+        .sortBy(_._1)
+      ranked.toDF("source", "h_nats", "weight", "pos")
     },
     Some(doremiSql(spark = false))
   )
+
+  /** The corpus-sized half of q409: per-source cross-entropy in snapped
+    * nats under the corpus unigram LM (exact micro-nat BIGINT sums).
+    */
+  private def doremiHdSql(spark: Boolean): String = {
+    val tbl = if (spark) "r13_documents" else "documents"
+    val tok =
+      if (spark)
+        s"""SELECT source, word
+            FROM (SELECT source, explode(split(lower(text), '[^a-z]+')) word FROM $tbl) x
+            WHERE word <> ''"""
+      else
+        s"""SELECT source, word
+            FROM (SELECT source,
+                         unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                  FROM $tbl) x
+            WHERE word <> ''"""
+    s"""WITH tok AS ($tok),
+        cw AS (SELECT word, CAST(count(*) AS BIGINT) c FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) n FROM cw),
+        li AS (
+          SELECT word,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / t.n) * 1048576.0 + 0.5) AS BIGINT) lw
+          FROM cw CROSS JOIN tot t),
+        dw AS (SELECT source, word, CAST(count(*) AS BIGINT) c
+              FROM tok GROUP BY 1, 2)
+        SELECT d.source,
+               ${snap("CAST(sum(d.c * l.lw) AS DOUBLE) / (1048576.0 * sum(d.c))")} hd
+        FROM dw d JOIN li l ON l.word = d.word
+        GROUP BY 1"""
+  }
 
   private def doremiSql(spark: Boolean): String = {
     val tbl = if (spark) "r13_documents" else "documents"
