@@ -44,8 +44,12 @@ object Round16 {
     * order in 10 equal-width batches; a trigram's FIRST-SEEN batch is
     * min(batch) over its occurrences, and each batch reports how many
     * of its distinct trigrams are novel (first seen there) — the curve
-    * that says when a corpus stops teaching. Exactly two hash aggs on
-    * gram keys (both partial-aggregable); no window over the corpus.
+    * that says when a corpus stops teaching. ONE gram-keyed hash agg
+    * (partial-aggregable) collects each gram's ≤10-element batch set
+    * plus its min batch in the same pass, then the set explodes into
+    * per-batch membership counts — Spark inlines CTEs, so the naive
+    * "aggregate twice from the gram stream" shape would tokenize the
+    * corpus twice (PlanAuditSpec pins the single-pass form).
     */
   val q421NoveltyCurve: QueryDef = QueryDef(
     "q421_novelty_curve",
@@ -66,19 +70,22 @@ object Round16 {
                  md5(word || ' ' || lead(word, 1) $w || ' ' || lead(word, 2) $w) AS g
           FROM tok CROSS JOIN nmax
           ),
-        gb AS (
-          SELECT batch, g FROM grams WHERE g IS NOT NULL GROUP BY 1, 2),
-        firstseen AS (
-          SELECT g, min(batch) AS fb FROM gb GROUP BY 1)
-        SELECT gb.batch,
+        ga AS (
+          SELECT g, min(batch) AS fb,
+                 ${if (spark) "collect_set(batch)" else "list(DISTINCT batch)"} AS bs
+          FROM grams WHERE g IS NOT NULL GROUP BY g),
+        x AS (
+          SELECT fb, ${if (spark) "explode(bs)" else "unnest(bs)"} AS batch
+          FROM ga)
+        SELECT batch,
                CAST(count(*) AS BIGINT) AS n_distinct_grams,
-               CAST(sum(CASE WHEN f.fb = gb.batch THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_novel,
-               ${snap("CAST(sum(CASE WHEN f.fb = gb.batch THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+               ${snap("CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
                  AS novelty_rate
-        FROM gb JOIN firstseen f ON f.g = gb.g
-        GROUP BY gb.batch
-        ORDER BY gb.batch"""
+        FROM x
+        GROUP BY batch
+        ORDER BY batch"""
   }
 
   // ---------------------------------------------------------------- q422

@@ -478,4 +478,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"sssp relaxation planned a nested loop:\n$plan")
   }
+
+  test("q406 repeated substrings: anchor join is a hash equi-join on the gram key, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q406_repeated_substring")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"q406 planned a cartesian:\n$plan")
+    assert(plan.toLowerCase.contains("partial_"), s"q406 gram agg not partial:\n$plan")
+    // anchor islands ride per-doc windows, never a corpus-global one
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q406 has a global single-partition stage:\n$plan")
+  }
+
+  test("q416 segment dedup: hash-keyed first-occurrence window, no global stage, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q416_segment_dedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"q416 planned a cartesian:\n$plan")
+    assert(plan.contains("hashpartitioning(h"),
+      s"q416 first-occurrence window not partitioned by segment hash:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q416 has a global single-partition stage:\n$plan")
+  }
+
+  test("q421 novelty curve: gram aggs are partial; only the nmax scalar is a global stage") {
+    val plan = planOf(SparkEntry.queries("q421_novelty_curve")(spark, sfDir))
+    assert(plan.toLowerCase.contains("partial_"), s"q421 gram agg not partial:\n$plan")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"q421 has corpus-sized global stages:\n$plan")
+  }
+
+  test("q423 vocab duel: top-256 plans as TakeOrdered; rank window only over the 256-row vocab") {
+    val plan = planOf(SparkEntry.queries("q423_vocab_duel")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q423 vocab selection not a distributed top-k:\n$plan")
+    // the only single-partition stage is the 256-row rank window
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"q423 has extra global stages:\n$plan")
+  }
+
+  test("q426 source overlap: gram self-join is a hash equi-join, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q426_source_overlap")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"q426 planned a cartesian:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q426 has a global single-partition stage:\n$plan")
+  }
+
+  test("q431 k-center: per-round farthest point is a distributed top-1, joins stay equi") {
+    val plan = planOf(SparkEntry.queries("q431_kcenter_coreset")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"q431 planned a cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q431 farthest-point selection not a distributed top-1:\n$plan")
+  }
+
+  test("q417/q418 centroid scoring: dim joins are equi-joins, bands per-label, no cartesian") {
+    for (q <- Seq("q417_prototypicality", "q418_label_noise")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q has a global single-partition stage:\n$plan")
+    }
+  }
 }
