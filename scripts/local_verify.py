@@ -54,6 +54,20 @@ def main():
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
+        # The driver's hash is exact over the SERIALIZED frames, so a
+        # Decimal-object column on one side vs float64 on the other can
+        # never hash-match even when every cell compares equal below
+        # (the r5-r7 q256/q391/q392 class). Mirror that: object-vs-numeric
+        # dtype splits are failures. (int64 vs float64 both serialize as
+        # numerics and are left to the cell compare.)
+        dt_bad = [c for c in got.columns
+                  if (str(got[c].dtype) == "object") != (str(want[c].dtype) == "object")]
+        if dt_bad:
+            print(f"FAIL {name}: dtype kind mismatch on {dt_bad}: "
+                  f"spark={[str(got[c].dtype) for c in dt_bad]} "
+                  f"oracle={[str(want[c].dtype) for c in dt_bad]}")
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1

@@ -22,7 +22,8 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.cli.Main <csv_file> [-w N] [-q M] [--fifo]")
+      System.err.println(
+        "usage: graft.cli.Main <csv_file> [-w N] [-q M] [--fifo] [--animation]")
       sys.exit(2)
     }
     val spark = SparkSession

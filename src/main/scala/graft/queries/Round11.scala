@@ -583,11 +583,11 @@ object Round11 {
           SELECT src.bk,
                  floor(ln(((coalesce(tgt.ct, 0) + 1) / CAST(nt.n + 256 AS DOUBLE)) /
                           ((src.cs + 1) / CAST(ns.n + 256 AS DOUBLE)))
-                       * 1073741824.0 + 0.5) / 1073741824.0 wt
+                       * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE) wt
           FROM src LEFT JOIN tgt ON src.bk = tgt.bk, nt, ns),
         d AS (
           SELECT b.doc_id, CAST(count(*) AS BIGINT) n_tokens,
-                 round(sum(w.wt), 6) score
+                 CAST(round(sum(w.wt), 6) AS DOUBLE) score
           FROM b JOIN w ON b.bk = w.bk GROUP BY 1)
         SELECT doc_id, n_tokens, score
         FROM d ORDER BY score DESC, doc_id LIMIT 200""")
@@ -610,11 +610,11 @@ object Round11 {
               SELECT src.bk,
                      floor(ln(((coalesce(tgt.ct, 0) + 1) / CAST(nt.n + 256 AS DOUBLE)) /
                               ((src.cs + 1) / CAST(ns.n + 256 AS DOUBLE)))
-                           * 1073741824.0 + 0.5) / 1073741824.0 wt
+                           * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE) wt
               FROM src LEFT JOIN tgt ON src.bk = tgt.bk, nt, ns),
             d AS (
               SELECT b.doc_id, CAST(count(*) AS BIGINT) n_tokens,
-                     round(sum(w.wt), 6) score
+                     CAST(round(sum(w.wt), 6) AS DOUBLE) score
               FROM b JOIN w ON b.bk = w.bk GROUP BY 1)
             SELECT doc_id, n_tokens, score
             FROM d ORDER BY score DESC, doc_id LIMIT 200""")
@@ -640,7 +640,11 @@ object Round11 {
     val dw =
       if (spark) "CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT) % 7"
       else "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) % 7"
-    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    // Divisor CAST AS DOUBLE: floor() returns BIGINT in Spark, and a bare
+    // 1073741824.0 is DECIMAL(11,1) to its parser, so BIGINT/DECIMAL made the
+    // whole weight chain (and the rounded outputs) DECIMAL(28,6) while the
+    // DuckDB oracle emits DOUBLE — the r7 hash-fail class. Values unchanged.
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE)"
     s"""
       WITH c AS (SELECT event_type et, $dw dw, CAST(count(*) AS BIGINT) n
                  FROM $tbl GROUP BY 1, 2),
@@ -674,8 +678,8 @@ object Round11 {
                     ${snap("w5.w * (tot.t / CAST(tot.nc AS DOUBLE)) / c3.cs")} w
              FROM w5 JOIN c3 ON w5.dw = c3.dw, tot)
       SELECT w6.et AS event_type, w6.dw AS dw, c.n AS n,
-             round(w6.w, 6) AS raked_weight,
-             round(w6.w / c.n, 6) AS per_row_weight
+             CAST(round(w6.w, 6) AS DOUBLE) AS raked_weight,
+             CAST(round(w6.w / c.n, 6) AS DOUBLE) AS per_row_weight
       FROM w6 JOIN c ON w6.et = c.et AND w6.dw = c.dw
       ORDER BY 1, 2"""
   }
@@ -698,7 +702,10 @@ object Round11 {
   )
 
   private def huberSql(tbl: String): String = {
-    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    // divisor CAST AS DOUBLE: floor() is BIGINT in Spark and a bare
+    // 1073741824.0 is DECIMAL — BIGINT/DECIMAL drags the chain (and the
+    // final round()) into DECIMAL output, the r7 hash-fail class
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE)"
     def irls(prev: String, i: Int): String =
       s"""
       i$i AS (SELECT x.et, x.v,
@@ -950,7 +957,10 @@ object Round11 {
   )
 
   private def jackknifeSql(li: String, su: String): String = {
-    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    // divisor CAST AS DOUBLE: floor() is BIGINT in Spark and a bare
+    // 1073741824.0 is DECIMAL — BIGINT/DECIMAL drags the chain (and the
+    // final round()) into DECIMAL output, the r7 hash-fail class
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE)"
     s"""
       WITH g AS (
         SELECT s_nationkey nk,
@@ -1041,7 +1051,10 @@ object Round11 {
     val (tbl, day) =
       if (spark) ("r11_events", "to_date(ts)")
       else ("events", "CAST(ts AS DATE)")
-    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / 1073741824.0"
+    // divisor CAST AS DOUBLE: floor() is BIGINT in Spark and a bare
+    // 1073741824.0 is DECIMAL — BIGINT/DECIMAL drags the chain (and the
+    // final round()) into DECIMAL output, the r7 hash-fail class
+    def snap(x: String) = s"floor(($x) * 1073741824.0 + 0.5) / CAST(1073741824 AS DOUBLE)"
     s"""
       WITH d AS (SELECT $day dd, CAST(count(*) AS BIGINT) n,
                         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

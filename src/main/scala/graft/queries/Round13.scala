@@ -260,7 +260,15 @@ object Round13 {
       val k = hd.size
       // grid-snapped addends with small magnitude sum EXACTLY in IEEE
       // doubles — iteration order cannot change them, so the driver
-      // walk and DuckDB's materialized CTE walk agree bit-for-bit
+      // walk and DuckDB's materialized CTE walk agree bit-for-bit.
+      // Known residual: exp below is JVM Math.exp vs DuckDB's libm exp —
+      // both are ≤1-ulp-correct but not the SAME ulp, so if w*exp(x)
+      // lands within one ulp of a half-grid (2⁻³¹) boundary the snap
+      // could in principle flip between engines. The exp ARGUMENT is
+      // snapped (identical on both sides), which removes argument
+      // drift; the remaining window is ~2⁻⁵² per step on O(1) values —
+      // accepted and monitored by the hash gate rather than papered
+      // over with a coarser grid that would visibly change the weights.
       var a: Map[String, Double] = hd.keys.toSeq.map(_ -> snapD(1.0 / k)).toMap
       for (_ <- 0 until 5) {
         val mu = a.toSeq.map { case (src, w) => snapD(w * hd(src)) }.sum

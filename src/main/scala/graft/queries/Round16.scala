@@ -138,9 +138,15 @@ object Round16 {
                  CAST(sum(qc * qc) AS BIGINT) AS self2
           FROM q GROUP BY 1),
         tot AS (
+          -- each squared term quantizes onto the 2^20 grid BEFORE the
+          -- 64-term fold: a*a of exact doubles is one IEEE-deterministic
+          -- rounding (identical cross-engine), and the fold itself is then
+          -- a BIGINT sum — aggregation-order exact, unlike a double sum of
+          -- rounded addends whose reduction order the engine chooses
           SELECT s.label,
-                 sum((CAST(s.sq AS DOUBLE) / 1048576.0) *
-                     (CAST(s.sq AS DOUBLE) / 1048576.0)) AS norm2
+                 CAST(sum(${qi(
+          "(CAST(s.sq AS DOUBLE) / 1048576.0) * (CAST(s.sq AS DOUBLE) / 1048576.0)")})
+            AS DOUBLE) / 1048576.0 AS norm2
           FROM sums s GROUP BY 1)
         SELECT t.label, f.n AS n_vectors,
                ${snap("(t.norm2 - CAST(f.self2 AS DOUBLE) / (1048576.0 * 1048576.0)) / (CAST(f.n AS DOUBLE) * (f.n - 1))")}

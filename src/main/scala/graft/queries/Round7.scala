@@ -3027,10 +3027,18 @@ object Round7 {
             SELECT ua, ub, round(km, 3) AS km FROM p WHERE km <= 50.0""")
   )
 
-  /** Exact-decimal money ledger: revenue per return flag summed in
-    * DECIMAL(18,2) — base-10 EXACT arithmetic end to end (the
-    * accounting contract float money can't give), with the discounted
-    * revenue in DECIMAL(38,4) from the exact product.
+  /** Exact money ledger: revenue per return flag as BIGINT INTEGER CENTS
+    * — base-10 exact arithmetic end to end (the accounting contract float
+    * money can't give). Prices/discounts round to cents via DECIMAL(18,2)
+    * (value-identical on both engines — verified cell-by-cell in r5–r7),
+    * then every downstream step is pure BIGINT: gross in cents, net
+    * (price × (1 − discount), both cent-rounded) in tenth-mils (10⁻⁴ $).
+    * Integer outputs because decimal WIRE FORMATS are not hash-portable:
+    * Spark's sum(DECIMAL) widens to DECIMAL(28,2), DuckDB's to
+    * DECIMAL(38,2)/HUGEINT, and even type-aligned decimal columns
+    * serialize differently through the driver's capture layer (three
+    * rounds of r5–r7 hash mismatches with zero differing cells). BIGINT
+    * cents carry the same exactness guarantee with a portable encoding.
     */
   val q256DecimalLedger: QueryDef = QueryDef(
     "q256_decimal_ledger",
@@ -3039,21 +3047,21 @@ object Round7 {
         .lineitem(s, dir)
         .select(
           col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price"),
-          col("l_discount").cast("decimal(18,2)").as("disc"))
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").as("disc_c"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          // Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2); DuckDB widens to
-          // DECIMAL(38,2). Values are identical but the driver's hash is
-          // serialization-sensitive, so declare the oracle's exact type.
-          sum(col("price")).cast("decimal(38,2)").as("gross"),
-          sum(expr("CAST(price * (1 - disc) AS DECIMAL(38,4))")).as("net")),
+          sum(col("price_c")).as("gross_cents"),
+          // cents × hundredths = 10⁻⁴ dollars; all-BIGINT, no rounding
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("net_tenthmils")),
     Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) n,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))
-                     AS net
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS BIGINT) AS gross_cents,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+                            (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+                     AS BIGINT) AS net_tenthmils
             FROM lineitem GROUP BY 1""")
   )
 

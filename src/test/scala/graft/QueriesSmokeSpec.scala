@@ -26,7 +26,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // unhashable there and turns the row into a harness crash (the
       // round-4 q42 regression). Oracle-checked queries hit the same
       // sort path, so the contract is universal: scalar columns only.
-      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
       val nonScalar = df.schema.fields.filter(f =>
         f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
           f.dataType.isInstanceOf[StructType])
@@ -34,6 +34,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
         nonScalar.isEmpty,
         s"query $name emits non-scalar columns ${nonScalar.map(_.name).mkString(", ")} — " +
           "unsortable by the driver's capture layer")
+      // DECIMAL outputs are banned: Spark and DuckDB widen decimal
+      // aggregates differently (sum(DECIMAL(18,2)) → DECIMAL(28,2) vs
+      // DECIMAL(38,2)/HUGEINT) and decimal values serialize differently
+      // through the driver's hash even when every cell is equal — this
+      // class cost three rounds of q256/q391/q392 hash mismatches with
+      // zero differing cells. Emit DOUBLE (snapped) or BIGINT
+      // integer-cents instead; decimals may still be used INSIDE a plan
+      // for exact intermediate arithmetic.
+      val decimals = df.schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+      assert(
+        decimals.isEmpty,
+        s"query $name emits DECIMAL columns ${decimals.map(_.name).mkString(", ")} — " +
+          "not hash-portable through the driver's capture layer (cast to DOUBLE " +
+          "or emit BIGINT integer units)")
     }
   }
 
