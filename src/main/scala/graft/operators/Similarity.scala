@@ -229,6 +229,74 @@ object Similarity {
       lloydIters: Int = 2,
       trainLimit: Int = 2000
   ): DataFrame = {
+    val (indexed, probes) =
+      ivfIndex(corpus, queries, numCells, nprobe, dim, lloydIters, trainLimit)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    indexed
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF top-1 for a CORPUS-SCALE query set (every vector queries, as in
+    * mutual-NN): the same deterministic coarse quantizer as [[ivfTopK]],
+    * but the probe side is NOT broadcast — with |queries| ≈ |corpus| a
+    * broadcast ships the whole corpus to every executor and dies at
+    * scale (the r7 q390 finding). Instead probes and inverted lists meet
+    * in a keyed equi-join on `cell` (each side shuffles once, by cell),
+    * and top-1 reduces as a map-side-combined max-struct — no pair-sized
+    * window sort ever runs. Exactness is per-candidate-set: the emitted
+    * cosine is exact; only candidate CHOICE is approximate (standard IVF
+    * recall/latency trade).
+    */
+  def ivfTop1(
+      corpus: DataFrame,
+      queries: DataFrame,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      lloydIters: Int = 2,
+      trainLimit: Int = 2000
+  ): DataFrame = {
+    val (indexed, probes) =
+      ivfIndex(corpus, queries, numCells, nprobe, dim, lloydIters, trainLimit)
+    indexed
+      .join(probes, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine"))
+      // lexicographic struct max = (highest cosine, then smallest id),
+      // combining map-side — the bruteTop1 reduction over IVF candidates
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("negid"))).as("m"))
+      .select(
+        col("query_id"),
+        (-col("m.negid")).as("neighbor_id"),
+        col("m.cosine").as("cosine"))
+  }
+
+  /** Shared IVF index build: deterministic coarse quantizer (lowest-id
+    * seed sample, grid-quantized Lloyd) shipped inside the plan; returns
+    * the cell-keyed corpus (`neighbor_id`, `embedding`, `cell`) and the
+    * nprobe-exploded query probes (`query_id`, `q_vec`, `cell`).
+    */
+  private def ivfIndex(
+      corpus: DataFrame,
+      queries: DataFrame,
+      numCells: Int,
+      nprobe: Int,
+      dim: Int,
+      lloydIters: Int,
+      trainLimit: Int
+  ): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     VectorCosine.register(spark)
     val sample: Array[Array[Float]] = corpus
@@ -252,17 +320,7 @@ object Similarity {
       col("embedding").as("q_vec"),
       explode(expr(s"$probeFn(embedding)")).as("cell")
     )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    indexed
-      .join(broadcast(probes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        round(cosCol("q_vec", "embedding"), 6).as("cosine")
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    (indexed, probes)
   }
 
   /** Product-quantization ANN ([[graft.functions.PqKernels]]) — the third

@@ -133,9 +133,11 @@ object AnnReplaySql {
 
   /** Coarse-quantizer build (c0 seeds + `iters` iterations), final
     * normalized centroids `nf`, all-corpus dots `df`, one-cell `assign`,
-    * and nprobe=4 `probes` for queries vec_id < 10.
+    * and nprobe=4 `probes` for the queries selected by `probePred`
+    * (default: the q46/q80/q123 probe set, vec_id < 10; q390's
+    * corpus-scale mutual-NN passes TRUE so every vector probes).
     */
-  def ivfModelSql(iters: Int): String = {
+  def ivfModelSql(iters: Int, probePred: String = "vec_id < 10"): String = {
     val names = (0 to iters).map(i => s"c$i")
     val steps = (1 to iters)
       .map(i => kmeansIterSql(names(i), names(i - 1), s"ka$i", s"km$i", s"n${i - 1}"))
@@ -154,7 +156,7 @@ object AnnReplaySql {
        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
                     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
                       ORDER BY dt DESC, cid) AS rn
-                    FROM df WHERE vec_id < 10) WHERE rn <= 4)"""
+                    FROM df WHERE $probePred) WHERE rn <= 4)"""
   }
 
   /** Exact-cosine rerank of `cand(query_id, neighbor_id)` to top-k with

@@ -507,17 +507,25 @@ object Round11 {
   /** Mutual nearest neighbors over the embedding corpus: pairs that are
     * each other's top-1 cosine neighbor — the reciprocal-NN criterion
     * semantic dedup and cross-lingual mining use to cut asymmetric
-    * false matches. Composes [[graft.operators.Similarity.bruteTop1]]
-    * (map-side-aggregated exact top-1 — the calibration baseline; at corpus scale the same
-    * downstream join runs off ivfTopK's candidate sets) with a
-    * self-join on the reciprocity condition.
+    * false matches. Composes [[graft.operators.Similarity.ivfTop1]] —
+    * every vector probes its nprobe=4 IVF cells, candidates meet the
+    * inverted lists in a keyed equi-join on `cell`, and top-1 reduces
+    * map-side — with a self-join on the reciprocity condition. This is
+    * the 100 TB shape: the r1–r7 version ran
+    * [[graft.operators.Similarity.bruteTop1]], whose
+    * crossJoin(broadcast(corpus)) is O(n²) compute behind a full-corpus
+    * broadcast that fails outright at scale (the r7 verdict's one
+    * scale-killer). bruteTop1 stays as the exact differential reference
+    * in Round11PropertySpec, the q46/q123 pattern. The oracle replays
+    * the entire deterministic IVF build (AnnReplaySql, probePred=TRUE)
+    * so the candidate sets — not just the ranking — are hash-checked.
     */
   val q390MutualNn: QueryDef = QueryDef(
     "q390_mutual_nn",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // consumed twice by the reciprocity self-join — materialize once
-      val top1 = graft.operators.Similarity.bruteTop1(emb, emb).localCheckpoint()
+      val top1 = graft.operators.Similarity.ivfTop1(emb, emb).localCheckpoint()
       top1.as("a")
         .join(
           top1.as("b"),
@@ -530,13 +538,19 @@ object Round11 {
           col("a.cosine").as("cosine"))
         .orderBy(col("vec_a"))
     },
-    Some(s"""WITH scored AS (
-              SELECT q.vec_id query_id, c.vec_id neighbor_id,
-                     round(${LlmQueries.dotSql("q.embedding", "c.embedding")} /
-                           (sqrt(${LlmQueries.dotSql("q.embedding", "q.embedding")}) *
-                            sqrt(${LlmQueries.dotSql("c.embedding", "c.embedding")})), 6)
-                       cosine
-              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id),
+    Some(s"""WITH ${AnnReplaySql.preambleSql},
+            ${AnnReplaySql.ivfModelSql(2, probePred = "TRUE")},
+            cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id
+                     FROM probes pr
+                     JOIN assign a ON a.cell = pr.cell AND a.vec_id != pr.query_id),
+            scored AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     round(${AnnReplaySql.dot64("q.v", "c.v")} /
+                           (sqrt(${AnnReplaySql.dot64("q.v", "q.v")}) *
+                            sqrt(${AnnReplaySql.dot64("c.v", "c.v")})), 6) AS cosine
+              FROM cand cd
+              JOIN pts q ON q.vec_id = cd.query_id
+              JOIN pts c ON c.vec_id = cd.neighbor_id),
             top1 AS (
               SELECT query_id, neighbor_id, cosine FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
@@ -788,26 +802,30 @@ object Round11 {
     * signature agreement fraction vs the true Jaccard — mean/max
     * absolute estimator error, the measured answer to "how many
     * permutations does the dedup pipeline actually need". Signatures
-    * are md5-derived so the oracle rebuilds them bit-for-bit.
+    * are md5-derived so the oracle rebuilds them bit-for-bit, and come
+    * from the compiled row-local
+    * [[graft.functions.MinHashMd5Signature]] kernel — same md5 family
+    * as the previous 64×-explode + (doc, k) shuffle-agg shape, but the
+    * signature falls out of the shingle scan (was the suite's slowest
+    * query at 4.7 s; the agreement count is a row-local zip_with fold
+    * over the two 64-long arrays).
     */
   val q395MinhashCalibration: QueryDef = QueryDef(
     "q395_minhash_calibration",
     (s, dir) => {
+      graft.functions.MinHashMd5Signature.register(s, "minhash_md5_64", 64)
       val docs = Tables.documents(s, dir)
       val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6)
       val comp = graft.operators.Dedup.tokenShingles(docs, 3)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .withColumn("k", explode(lit((0 until 64).toArray)))
-        .select(col("doc_id"), col("k"),
-          conv(substring(md5(concat(col("k").cast("string"), lit(":"), col("sh"))), 1, 12),
-            16, 10).cast("long").as("h"))
-        .groupBy(col("doc_id"), col("k")).agg(min(col("h")).as("mh"))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), expr("minhash_md5_64(shingles)").as("sig"))
       val est = broadcast(pairs)
-        .join(comp.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mh_a")), "doc_a")
-        .join(comp.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mh_b")),
-          Seq("doc_b", "k"))
-        .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
-        .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / 64.0).as("est"))
+        .join(comp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(comp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(
+          col("jaccard"),
+          (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
+            " 0, (acc, v) -> acc + v)") / 64.0).as("est"))
       est.agg(
         count(lit(1)).as("n_pairs"),
         round(avg(col("jaccard")), 6).as("mean_jaccard"),

@@ -222,4 +222,39 @@ class KernelParitySpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
     assert(expected.contains((0L, 4L, 0))) // exact copies at Hamming 0
   }
+
+  test("minhash_md5_signature matches the explode/conv/min SQL formulation per component") {
+    import org.apache.spark.sql.functions._
+    graft.functions.MinHashMd5Signature.register(spark, "mh_md5_test", 16)
+    // ≥3-word docs only: tokenShingles' HOF throws on shorter ones (the
+    // documented sequence()/slice() quirk covered by the first test)
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .filter(size(split($"text", " ")) >= 3)
+    val sh = Dedup.tokenShingles(d, 3).filter(size($"shingles") > 0)
+    // the pre-r8 q395 shape: explode shingles × permutations, shuffle-agg min
+    val viaExplode = sh
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .withColumn("k", explode(lit((0 until 16).toArray)))
+      .select($"doc_id", $"k",
+        conv(substring(md5(concat($"k".cast("string"), lit(":"), $"sh")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy($"doc_id", $"k").agg(min($"h").as("mh"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    val viaKernel = sh
+      .select($"doc_id", expr("mh_md5_test(shingles)").as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toMap
+    assert(viaKernel.keySet == viaExplode.keySet)
+    viaExplode.foreach { case (id, sig) =>
+      assert(viaKernel(id) == sig, s"doc $id: kernel ${viaKernel(id)} != explode $sig")
+    }
+  }
 }

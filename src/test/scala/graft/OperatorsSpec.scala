@@ -937,6 +937,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaAgg.toSeq === viaWindow.toSeq)
   }
 
+  test("ivfTop1 ≡ ivfTopK k=1 (same candidates, tie-break) + brute differential") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val viaWindow = Similarity.ivfTopK(emb, emb, k = 1)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val viaAgg = Similarity.ivfTop1(emb, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // exact: the max-struct reduction over IVF candidates must equal the
+    // window formulation over the same candidate sets
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // differential vs the exact O(n²) baseline (q390's pre-r8 plan, kept
+    // here as the reference): with 16 cells / nprobe=4 the index scans
+    // ~25% of the corpus; on this deterministic data the top-1 agreement
+    // is 316/500. Assert a floor well above chance (nprobe/cells = 25%)
+    // so index-quality regressions (bad seeding, broken Lloyd) surface.
+    val brute = Similarity.bruteTop1(emb, emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = viaAgg.count { case (q, n, _) => brute.get(q).contains(n) }
+    assert(agree >= 300,
+      s"IVF top-1 recall vs brute collapsed: $agree/${viaAgg.length}")
+  }
+
   test("LSH ANN also finds the exact duplicate (same bucket in every table)") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)

@@ -473,6 +473,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bruteTop1 not a partial aggregate:\n$plan")
   }
 
+  test("q390 registered path (ivfTop1) never cross-joins or window-sorts the pair space") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val plan = planOf(graft.operators.Similarity.ivfTop1(emb, emb))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ivfTop1 planned an unkeyed join:\n$plan")
+    assert(!plan.contains("Window"), s"ivfTop1 planned a window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"ivfTop1 top-1 not a partial aggregate:\n$plan")
+    // the probe/inverted-list meet must be the keyed equi-join on cell —
+    // a forced broadcast of a corpus-sized probe set is the r7 scale bug
+    // (AQE may still pick BHJ at this SF from size stats; what must not
+    // appear is a broadcast HINT on the probe side — ResolvedHint in the
+    // analyzed plan)
+    val logical = graft.operators.Similarity.ivfTop1(emb, emb)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"ivfTop1 forces a broadcast hint on a corpus-sized side:\n$logical")
+  }
+
   test("q308 sssp: every relaxation round is a hash join + keyed min, no nested loop") {
     val plan = planOf(SparkEntry.queries("q308_sssp")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
