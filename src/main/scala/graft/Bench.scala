@@ -97,6 +97,27 @@ object Bench {
     // parseable JSON object with the headline total.
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{"all":${fmt(total)}},"errors":$errors,"sf":"$sfDir"}""")
+    // Self-archive the FULL per-query map (full names, not the qNN stdout
+    // shorthand) to a committed file: the driver's stdout capture keeps
+    // only a ~2000-char tail, which destroyed ~70% of the per-query
+    // history every round (BENCH_r07 preserved 142 of 455 timings) and
+    // left round-over-round comparison with a 69-query intersection.
+    // Round number = max committed BENCH_r*.json + 1 (the driver writes
+    // its own file only after this run).
+    try {
+      val here = new java.io.File(".")
+      val prev = Option(here.listFiles()).getOrElse(Array.empty)
+        .flatMap { f =>
+          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+        }
+      val round = if (prev.isEmpty) 0 else prev.max + 1
+      val full = results
+        .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
+        s"""{"metric":"per_query_full","n":${results.size},"queries":$full,"errors":$errors,"sf":"$sfDir"}""" + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] archive skipped: $e") }
     spark.stop()
   }
 }
