@@ -257,4 +257,34 @@ class KernelParitySpec extends AnyFunSuite {
       assert(viaKernel(id) == sig, s"doc $id: kernel ${viaKernel(id)} != explode $sig")
     }
   }
+
+  test("aho_contains matches per-pattern contains() including overlap/suffix cases") {
+    import org.apache.spark.sql.functions._
+    // patterns chosen to stress the automaton: shared prefixes (ab/abc),
+    // a pattern that is a suffix of another (bc inside abc), overlapping
+    // occurrences (aa in aaa), and a never-matching pattern
+    val pats = Seq("ab", "abc", "bc", "aa", "xyz", "c d", "d")
+    graft.functions.AhoCorasickContains.register(spark, "aho_test", pats)
+    val rows = Seq(
+      (0L, "abc d"), // ab, abc, bc, c d, d
+      (1L, "aaa"), // aa (twice, emitted once)
+      (2L, "zzz"), // nothing
+      (3L, "bcd"), // bc, d
+      (4L, ""), // empty text
+      (5L, "xyzxyz abc aa") // xyz, abc (and its subpatterns), aa
+    ).toDF("id", "text")
+    val got = rows
+      .select($"id", expr("aho_test(text)").as("ids"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    val texts = Map(0L -> "abc d", 1L -> "aaa", 2L -> "zzz", 3L -> "bcd",
+      4L -> "", 5L -> "xyzxyz abc aa")
+    texts.foreach { case (id, t) =>
+      val expected = pats.zipWithIndex
+        .collect { case (p, i) if t.contains(p) => i.toLong }
+        .toSet
+      assert(got(id) == expected, s"id=$id text='$t': ${got(id)} != $expected")
+    }
+  }
 }
