@@ -103,8 +103,10 @@ object Bench {
     // history every round (BENCH_r07 preserved 142 of 455 timings) and
     // left round-over-round comparison with a 69-query intersection.
     // Round number = max committed BENCH_r*.json + 1 (the driver writes
-    // its own file only after this run).
-    try {
+    // its own file only after this run). SPARK_GRAFT_ONLY subset runs
+    // skip the archive — a 2-query iteration must never clobber the
+    // round's full 471-entry record.
+    if (only.isEmpty) try {
       val here = new java.io.File(".")
       val prev = Option(here.listFiles()).getOrElse(Array.empty)
         .flatMap { f =>

@@ -117,6 +117,58 @@ object Similarity {
     lshTopKImpl(corpus, queries, k, fn)
   }
 
+  /** MULTI-PROBE SRP-LSH ANN ([[graft.functions.SrpMultiProbe]], Lv et
+    * al. 2007): the corpus indexes ONCE per table (base signatures, the
+    * [[lshTopKMd5]] index), while each query probes its base bucket
+    * PLUS `nprobe − 1` single-bit perturbations of the least-confident
+    * planes. Same recall lever as adding tables, without adding
+    * corpus-sized index columns — at 100 TB extra probes are extra
+    * lookups, extra tables are extra indexes. md5 plane family, so the
+    * probe SEQUENCE (not just the ranking) replays in the oracle.
+    */
+  def multiProbeTopKMd5(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      dim: Int = 64,
+      tables: Int = 4,
+      planesPerTable: Int = 6,
+      nprobe: Int = 3
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorCosine.register(spark)
+    val sigFn = s"srp_mp_base_${tables}_$planesPerTable"
+    val probeFn = s"srp_mp_probe_${tables}_${planesPerTable}_$nprobe"
+    graft.functions.SrpSignatures.registerMd5(spark, sigFn, dim, tables, planesPerTable)
+    graft.functions.SrpMultiProbe
+      .registerMd5(spark, probeFn, dim, tables, planesPerTable, nprobe)
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding"),
+      posexplode(expr(s"$sigFn(embedding)")).as(Seq("table_id", "sig")))
+    val q = queries
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"),
+        posexplode(expr(s"$probeFn(embedding)")).as(Seq("pos", "q_sig")))
+      .withColumn("q_table_id", expr(s"pos div $nprobe"))
+    val candidates = c
+      .join(
+        broadcast(q),
+        col("table_id") === col("q_table_id") && col("sig") === col("q_sig") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosCol("q_vec", "embedding"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of the
     * shingle-based `Dedup.decontaminate`: corpus vectors whose cosine to
     * ANY eval-set vector reaches `threshold` are contamination hits.

@@ -159,6 +159,55 @@ object AnnReplaySql {
                     FROM df WHERE $probePred) WHERE rn <= 4)"""
   }
 
+  /** Multi-probe SRP-LSH replay ([[graft.functions.SrpMultiProbe]]):
+    * md5 plane family, base signatures for the corpus, base + (nprobe−1)
+    * lowest-|dot| single-bit perturbations for queries vec_id < 10, and
+    * the deduped candidate bucket join → `cand(query_id, neighbor_id)`.
+    * Every dot is the ordered 64-term list fold (bit-identical to the
+    * kernel's JVM loop); the bit flip is the arithmetic ±2^p (engine-
+    * neutral, no XOR builtin needed).
+    */
+  def multiProbeLshSql(tables: Int, planesPerTable: Int, nprobe: Int): String =
+    s"""mp_comp AS (
+         SELECT t.range AS t, p.range AS p, k.range AS k,
+                (CAST(('0x' || substring(md5('srp|' || CAST(t.range AS VARCHAR) || '|'
+                      || CAST(p.range AS VARCHAR) || '|' || CAST(k.range AS VARCHAR)),
+                      1, 12)) AS BIGINT) - 140737488355328)
+                  / CAST(140737488355328 AS DOUBLE) AS comp
+         FROM range(0, $tables) t
+         CROSS JOIN range(0, $planesPerTable) p
+         CROSS JOIN range(0, 64) k),
+       mp_pl AS (SELECT t, p, list(comp ORDER BY k) AS pl
+                 FROM mp_comp GROUP BY 1, 2),
+       mp_dots AS (
+         SELECT v.vec_id, pl.t, pl.p,
+                list_sum([v.v[i] * pl.pl[i] FOR i IN range(1, 65)]) AS d
+         FROM pts v CROSS JOIN mp_pl pl),
+       mp_sig AS (
+         SELECT vec_id, t,
+                CAST(sum(CASE WHEN d >= 0
+                              THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+         FROM mp_dots GROUP BY 1, 2),
+       mp_rank AS (
+         SELECT vec_id, t, p, d,
+                row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(d), p) AS rn
+         FROM mp_dots WHERE vec_id < 10),
+       mp_probes AS (
+         SELECT vec_id AS query_id, t, sig AS probe
+         FROM mp_sig WHERE vec_id < 10
+         UNION ALL
+         SELECT r.vec_id, r.t,
+                s.sig + CASE WHEN r.d >= 0
+                             THEN -(CAST(1 AS BIGINT) << r.p)
+                             ELSE (CAST(1 AS BIGINT) << r.p) END
+         FROM mp_rank r JOIN mp_sig s ON s.vec_id = r.vec_id AND s.t = r.t
+         WHERE r.rn <= ${nprobe - 1}),
+       cand AS (
+         SELECT DISTINCT pr.query_id, cs.vec_id AS neighbor_id
+         FROM mp_probes pr
+         JOIN mp_sig cs ON cs.t = pr.t AND cs.sig = pr.probe
+                       AND cs.vec_id != pr.query_id)"""
+
   /** Exact-cosine rerank of `cand(query_id, neighbor_id)` to top-k with
     * the (cosine DESC, neighbor_id ASC) tie-break.
     */
