@@ -335,6 +335,22 @@ object Similarity {
         col("m.cosine").as("cosine"))
   }
 
+  /** The IVF cell ASSIGNMENT alone (vec_id, cell) — the deterministic
+    * coarse-quantizer partition of the corpus, reused as a clustering
+    * by the agreement audits (q474). Same build as [[ivfTopK]].
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      numCells: Int = 16,
+      dim: Int = 64,
+      lloydIters: Int = 2,
+      trainLimit: Int = 2000
+  ): DataFrame = {
+    val (indexed, _) =
+      ivfIndex(corpus, corpus.limit(0), numCells, nprobe = 1, dim, lloydIters, trainLimit)
+    indexed.select(col("neighbor_id").as("vec_id"), col("cell"))
+  }
+
   /** Shared IVF index build: deterministic coarse quantizer (lowest-id
     * seed sample, grid-quantized Lloyd) shipped inside the plan; returns
     * the cell-keyed corpus (`neighbor_id`, `embedding`, `cell`) and the
