@@ -102,22 +102,32 @@ object Bench {
     // only a ~2000-char tail, which destroyed ~70% of the per-query
     // history every round (BENCH_r07 preserved 142 of 455 timings) and
     // left round-over-round comparison with a 69-query intersection.
-    // Round number = max committed BENCH_r*.json + 1 (the driver writes
-    // its own file only after this run). SPARK_GRAFT_ONLY subset runs
-    // skip the archive — a 2-query iteration must never clobber the
-    // round's full 471-entry record.
+    // Round number: SPARK_GRAFT_BENCH_ROUND if set, else max committed
+    // BENCH_r*.json + 1 (the driver writes its own file only after this
+    // run — but a RE-run after the driver commit would otherwise archive
+    // under the next round's number). The scan and the write both resolve
+    // against the repo root (nearest ancestor of CWD holding build.sbt),
+    // not bare CWD, and the chosen filename is logged so misnumbering is
+    // visible. SPARK_GRAFT_ONLY subset runs skip the archive — a 2-query
+    // iteration must never clobber the round's full record.
     if (only.isEmpty) try {
-      val here = new java.io.File(".")
-      val prev = Option(here.listFiles()).getOrElse(Array.empty)
-        .flatMap { f =>
-          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
-        }
-      val round = if (prev.isEmpty) 0 else prev.max + 1
+      var root = new java.io.File(".").getCanonicalFile
+      while (!new java.io.File(root, "build.sbt").exists() &&
+             root.getParentFile != null) root = root.getParentFile
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).getOrElse {
+        val prev = Option(root.listFiles()).getOrElse(Array.empty)
+          .flatMap { f =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+          }
+        if (prev.isEmpty) 0 else prev.max + 1
+      }
       val full = results
         .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val out = new java.io.File(root, f"BENCH_LOCAL_r$round%02d.json").toPath
+      System.err.println(s"[bench] archiving per-query timings to $out")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
+        out,
         s"""{"metric":"per_query_full","n":${results.size},"queries":$full,"errors":$errors,"sf":"$sfDir"}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] archive skipped: $e") }
     spark.stop()

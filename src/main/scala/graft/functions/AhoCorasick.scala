@@ -102,10 +102,10 @@ object AhoCorasickContains {
       next(s).foreach { case (c, t) =>
         var f = fail(s)
         while (f != 0 && !next(f).contains(c)) f = fail(f)
-        fail(t) = next(f).getOrElse(c, 0) match {
-          case `t` => 0 // self-transition from root
-          case x => x
-        }
+        // The walk lands strictly shallower than t (depth(fail(s))+1 ≤
+        // depth(s) < depth(t)), so this can never resolve to t itself.
+        fail(t) = next(f).getOrElse(c, 0)
+        assert(fail(t) != t, "fail link must land strictly shallower")
         queue.enqueue(t)
       }
     }

@@ -34,9 +34,14 @@ case class MinHashMd5Signature(child: Expression, numPerm: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_md5_signature"
 
-  // one digest per (deserialized) expression instance; expression trees
-  // are per-task copies, so this is never shared across threads
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // Expression trees are usually deserialized once per task, but nothing
+  // in the contract forbids one instance being evaluated from two threads
+  // (driver-side eval, future plan/codegen sharing) — and a shared
+  // MessageDigest corrupts signatures SILENTLY. ThreadLocal costs nothing
+  // next to the md5 work itself.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   // "$k:" byte prefixes, computed once per instance
   @transient private lazy val prefixes: Array[Array[Byte]] =
@@ -44,16 +49,17 @@ case class MinHashMd5Signature(child: Expression, numPerm: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
+    val digest = md.get()
     val mins = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < shingles.numElements()) {
       val sh = shingles.getUTF8String(i).getBytes
       var k = 0
       while (k < numPerm) {
-        md.reset()
-        md.update(prefixes(k))
-        md.update(sh)
-        val d = md.digest()
+        digest.reset()
+        digest.update(prefixes(k))
+        digest.update(sh)
+        val d = digest.digest()
         // first 12 hex digits = first 6 digest bytes, big-endian
         val v = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
           ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |

@@ -34,20 +34,25 @@ case class SimHashMd5Bands(child: Expression) extends UnaryExpression with Codeg
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_md5_bands"
 
-  // one digest per (deserialized) expression instance; expression trees
-  // are per-task copies, so this is never shared across threads
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // Expression trees are usually deserialized once per task, but nothing
+  // forbids one instance being evaluated from two threads (driver-side
+  // eval, plan sharing) — and a shared MessageDigest corrupts bands
+  // SILENTLY. ThreadLocal costs nothing next to the md5 work itself.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
+    val digest = md.get()
     val tally = new Array[Int](64)
     var start = 0
     var i = 0
     while (i <= text.length) {
       if (i == text.length || text.charAt(i) == ' ') {
         if (i > start) {
-          md.reset()
-          val d = md.digest(text.substring(start, i).getBytes("UTF-8"))
+          digest.reset()
+          val d = digest.digest(text.substring(start, i).getBytes("UTF-8"))
           val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
             ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
           val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

@@ -48,30 +48,75 @@ object Round18 {
     * diverse-subset/active-learning selection primitive — each round is
     * ONE corpus scan + a distributed ORDER BY/LIMIT 1 top-k; selected
     * centers are 1-row broadcast relations, so the plan never shuffles
-    * more than #dims rows per center.
+    * more than #dims rows per center. Spark side builds the rounds in
+    * the DataFrame API: each selected center is a driver-collected
+    * #dims-double vector (bounded model state), so every round is ONE
+    * compact corpus scan with a row-local `zip_with`/`aggregate` fold —
+    * no explode, no join, no shuffle beyond the limit-1 top-k. The
+    * pure-SQL form re-derived the exploded corpus inside every
+    * downstream join (Spark has no CTE materialization), O(k²) corpus
+    * scans — the q98/r4 lesson resurfacing through the SQL surface.
+    * The DuckDB oracle keeps the original MATERIALIZED-CTE SQL.
     */
   val q431KcenterCoreset: QueryDef = QueryDef(
     "q431_kcenter_coreset",
     (s, dir) => {
-      Tables.embeddings(s, dir).createOrReplaceTempView("r18_embeddings")
-      s.sql(kcenterSql(spark = true))
+      import org.apache.spark.sql.{functions => F}
+      val emb = Tables.embeddings(s, dir)
+      // Compact (vec_id, double-cast embedding) projection, materialized
+      // ONCE — the per-round scans then read local blocks, not parquet.
+      val e0 = emb.select(F.col("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .localCheckpoint()
+      // Per-dim term: quantized to the 2²⁰ grid exactly as the oracle —
+      // (v − c)² per dim, floor(·×2²⁰ + 0.5) as BIGINT, then an
+      // order-independent BIGINT sum.
+      def distCol(center: Seq[Double]): org.apache.spark.sql.Column =
+        F.aggregate(
+          F.zip_with(F.col("v"), F.typedlit(center),
+            (x, c) => {
+              val diff = x - c
+              F.floor(diff * diff * F.lit(1048576.0) + F.lit(0.5)).cast("long")
+            }),
+          F.lit(0L), (acc, t) => acc + t)
+      val centerCache = scala.collection.mutable.Map.empty[Long, Seq[Double]]
+      def centerVec(id: Long): Seq[Double] = centerCache.getOrElseUpdate(id,
+        e0.filter(F.col("vec_id") === id).select(F.col("v"))
+          .head.getSeq[Double](0))
+      // c1: lowest vec_id, dmin = 0.
+      val first = e0.select(F.col("vec_id")).orderBy("vec_id").limit(1)
+        .head.getLong(0)
+      val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+        (1, first, 0L))
+      for (k <- 2 to 4) {
+        // nearest-selected distance = least over the k−1 row-local folds;
+        // recomputing all centers per scan beats carrying a joined state
+        // relation (k is 4; each fold is register work).
+        val dists = selected.map(sel => distCol(centerVec(sel._2))).toSeq
+        val dmin = if (dists.size == 1) dists.head else F.least(dists: _*)
+        val pick = e0.select(F.col("vec_id"), dmin.as("dmin"))
+          .orderBy(F.col("dmin").desc, F.col("vec_id")).limit(1).head
+        selected += ((k, pick.getLong(0), pick.getLong(1)))
+      }
+      val sel = s.createDataFrame(selected.toSeq)
+        .toDF("sel_order", "vec_id", "dmin")
+        .select(F.col("sel_order").cast("int").as("sel_order"),
+          F.col("vec_id"), F.col("dmin"))
+      sel.join(emb.select(F.col("vec_id"), F.col("label")), "vec_id")
+        .select(F.col("sel_order"), F.col("vec_id"), F.col("label"),
+          F.expr(snap("CAST(dmin AS DOUBLE) / 1048576.0")).as("d2_at_selection"))
+        .orderBy("sel_order")
     },
-    Some(kcenterSql(spark = false))
+    Some(kcenterOracleSql)
   )
 
-  private def kcenterSql(spark: Boolean): String = {
-    val tbl = if (spark) "r18_embeddings" else "embeddings"
-    val mat = if (spark) "" else "MATERIALIZED "
+  private def kcenterOracleSql: String = {
+    val tbl = "embeddings"
+    val mat = "MATERIALIZED "
     val e =
-      if (spark)
-        s"""SELECT vec_id, label, pos AS dim, CAST(col AS DOUBLE) AS v
-            FROM (SELECT vec_id, label,
-                         posexplode(transform(embedding, x -> CAST(x AS DOUBLE)))
-                  FROM $tbl)"""
-      else
-        s"""SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-                   CAST(unnest(embedding) AS DOUBLE) AS v
-            FROM $tbl"""
+      s"""SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM $tbl"""
     // dist²(vec, center k) over the exploded streams — exact BIGINT
     def dist(ck: String): String =
       s"""SELECT e.vec_id,

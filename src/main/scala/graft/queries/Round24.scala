@@ -63,9 +63,14 @@ object Round24 {
       Tables.documents(s, dir).createOrReplaceTempView("r24_documents")
       // Spark inlines WITH CTEs, so `k` (referenced 4x by the window
       // join) and `g` (2x by the verify) would each re-run the scan +
-      // window; materialize both once
-      s.sql(snmKSql("r24_documents")).cache().createOrReplaceTempView("r24_snm_k")
-      s.sql(snmGSql(spark = true)).cache().createOrReplaceTempView("r24_snm_g")
+      // window; materialize both once. localCheckpoint (not cache): it
+      // severs the lineage eagerly and the blocks are released by the
+      // ContextCleaner when the plan is GC'd, so repeated invocations
+      // don't accumulate cached partitions for the session's lifetime.
+      s.sql(snmKSql("r24_documents")).localCheckpoint()
+        .createOrReplaceTempView("r24_snm_k")
+      s.sql(snmGSql(spark = true)).localCheckpoint()
+        .createOrReplaceTempView("r24_snm_g")
       s.sql(s"WITH ${snmTail("r24_snm_k", "r24_snm_g", spark = true)}")
     },
     Some(
@@ -205,10 +210,14 @@ object Round24 {
           JOIN dl d ON d.doc_id = p.doc_id, stats s),
         tot AS (SELECT doc_id, ${snap("sum(score)")} AS score FROM sc GROUP BY 1),
         th AS (
+          -- theta = the 10th-best score, or the lowest score when fewer
+          -- than 10 docs scored — never empty, so a small corpus yields a
+          -- degenerate sheet rather than zero rows a consumer could
+          -- misread as "no terms".
           SELECT score AS theta FROM (
             SELECT score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
             FROM tot) x
-          WHERE rn = 10),
+          WHERE rn = least(10, (SELECT count(*) FROM tot))),
         ub AS (SELECT word, max(score) AS ub FROM sc GROUP BY 1),
         ess AS (
           SELECT ub.word, ub.ub,
