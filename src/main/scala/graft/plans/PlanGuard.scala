@@ -88,4 +88,49 @@ object PlanGuard {
     spark.listenerManager.register(l)
     l
   }
+
+  /** True when every leaf-ward path through `p` passes a row-bounding
+    * node — an ungrouped aggregate (exactly 1 row), a small limit, or a
+    * local/one-row relation — so a nested loop against it is LINEAR in
+    * the other side, not quadratic. This is the "scalar broadcast"
+    * pattern (`CROSS JOIN (SELECT count(*) …)`), ubiquitous in analytics
+    * SQL and harmless at any scale.
+    */
+  def isBoundedRelation(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => isBoundedRelation(a.executedPlan)
+    case q: QueryStageExec => isBoundedRelation(q.plan)
+    case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      agg.groupingExpressions.isEmpty || agg.children.forall(isBoundedRelation)
+    case l: org.apache.spark.sql.execution.GlobalLimitExec => l.limit <= 1000
+    case l: org.apache.spark.sql.execution.LocalLimitExec => l.limit <= 1000
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t.limit <= 1000
+    case c: org.apache.spark.sql.execution.CollectLimitExec => c.limit <= 1000
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case r if r.getClass.getSimpleName.contains("OneRowRelation") => true
+    case _ =>
+      val kids = p.children
+      kids.nonEmpty && kids.forall(isBoundedRelation)
+  }
+
+  /** Names of BNLJ/Cartesian nodes where NEITHER input is a bounded
+    * relation — the genuinely quadratic class. Scalar-broadcast nested
+    * loops pass; an equi-key-less join of two corpus-sized relations
+    * does not. The catalogue-wide CI gate (QueriesSmokeSpec) asserts
+    * this is empty for every registered query.
+    */
+  def unboundedOffenders(df: DataFrame): Seq[String] = {
+    def walkU(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walkU(a.executedPlan)
+      case q: QueryStageExec => walkU(q.plan)
+      case _ =>
+        val name = p.getClass.getSimpleName
+        val here =
+          if (Offenders.exists(name.startsWith) &&
+              !p.children.exists(isBoundedRelation)) Seq(name)
+          else Nil
+        here ++ (p.children ++ p.innerChildren.collect { case sp: SparkPlan => sp })
+          .flatMap(walkU)
+    }
+    walkU(df.queryExecution.executedPlan).distinct
+  }
 }

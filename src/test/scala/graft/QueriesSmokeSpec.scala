@@ -11,6 +11,46 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Queries whose final plan intentionally nested-loops against a side
+    * that is bounded by construction but not PROVABLY bounded from the
+    * plan shape alone (e.g. a filter on a base scan that selects a
+    * fixed 10-probe set, or a per-source/per-day aggregate whose
+    * cardinality is a dimension, not the corpus). Every entry carries
+    * the reason it is safe; all audited r9 via PlanDump — none crosses
+    * two corpus-sized relations (the q390 class stays banned).
+    */
+  private val plannedNestedLoopAllowed: Map[String, String] = Map(
+    // --- fixed probe-set × corpus (linear in corpus; probe side is the
+    //     documented 10-row query set, broadcast) ---
+    "q30_ann_brute" -> "10-probe set × corpus with vec_id<>query_id — the documented exact-topk baseline",
+    "q80_ann_pq" -> "10-probe set × PQ-coded corpus — documented flat ADC scan baseline; q123 is the scale path",
+    "q141_contrastive" -> "10-probe set × corpus negatives (vec_id<>query_id) — linear in corpus",
+    "q153_rrf_fusion" -> "10-probe set × corpus per retriever — linear in corpus",
+    "q235_retrieval_eval" -> "10-probe set × corpus exact ranking for eval — linear in corpus",
+    "q241_embedding_drift" -> "bounded centroid relation × dim grid — model-state product",
+    "q266_knn_eval" -> "10-probe set × corpus (vec_id<>query_id) exact kNN reference — linear in corpus",
+    // --- group/grid-dimension products (per-source totals × value grid,
+    //     calendar × arms, bins × bins — dimension-sized, never corpus²) ---
+    "q149_ks_drift" -> "per-source totals (≤#sources) × distinct-value CDF grid — KS construction",
+    "q189_js_drift" -> "per-source totals × binned-distribution grid — JS construction",
+    "q164_kmv_intersect" -> "k-minima sketch (k=const) inequality self-pair — k² not corpus²",
+    "q249_logrank" -> "event-time grid × arm totals — survival-table product",
+    "q274_naive_bayes" -> "class-prior relation (≤#classes) × feature-likelihood grid",
+    "q280_label_noise" -> "class×class confusion grid product — dimension-sized",
+    "q290_jenks_breaks" -> "value-grid × break-candidate grid — grid-sized dynamic program",
+    "q303_mann_kendall" -> "daily series self-pairs (t<t') — calendar-grid O(T²), T=#days",
+    "q307_parallel_trends" -> "period grid × arm totals with a time-window predicate",
+    "q309_isotonic" -> "bin-interval self-join (j<=i<=k) — PAVA over ≤20 bins",
+    "q339_kendall_tau" -> "group-pair inequality join over per-group aggregates — groups², groups=dimension",
+    "q346_friedman" -> "block×treatment rank grid product — dimension-sized",
+    "q361_cooks_distance" -> "per-point × regression-scalars product — scalar side is a 1-row model",
+    "q430_loo_valuation" -> "coalition/fold table × per-fold stats — bounded model state",
+    "q463_maxscore_prune" -> "8-term postings × 1-row theta/threshold relations — term-sized",
+    "q469_t_closeness" -> "global sensitive distribution (≤#classes) × QI-group grid",
+    // --- deliberate non-equi subquery surface ---
+    "q375_subquery_predicates" -> "demonstrates correlated/non-equi subquery predicates over dimension tables"
+  )
+
   test("entry() produces a non-empty summary") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 1)
@@ -48,10 +88,29 @@ class QueriesSmokeSpec extends AnyFunSuite {
         s"query $name emits DECIMAL columns ${decimals.map(_.name).mkString(", ")} — " +
           "not hash-portable through the driver's capture layer (cast to DOUBLE " +
           "or emit BIGINT integer units)")
+      // Plan-shape gate (the decimal-ban move applied to join shape): no
+      // BroadcastNestedLoopJoin/CartesianProduct against an UNBOUNDED
+      // side anywhere in the final plan. Scalar broadcasts (cross join
+      // with an ungrouped aggregate / LIMIT-1 relation) pass — they are
+      // linear. A query that loses its equi-key silently degrades into
+      // the quadratic class (the q390 r7 lesson); on 100 TB that is a
+      // cluster-week, not a slow query.
+      if (!plannedNestedLoopAllowed.contains(name)) {
+        val bad = graft.plans.PlanGuard.unboundedOffenders(df)
+        assert(
+          bad.isEmpty,
+          s"query $name plans non-scalable join(s) ${bad.mkString(", ")} — " +
+            "add an equi-key, or whitelist with a written safety argument")
+      }
     }
   }
 
   test("oracle SQL map only references declared queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("nested-loop whitelist only references declared queries") {
+    val stale = plannedNestedLoopAllowed.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
   }
 }
