@@ -134,21 +134,32 @@ object Dedup {
     * the brute-force and LSH paths.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    // Candidate pairs are the small side by construction — broadcast them
-    // so the shingle-array relation is never shuffled.
-    broadcast(pairs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      size(col("shingles")).as("vsz_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      size(col("shingles")).as("vsz_b"))
+    // Hint-free keyed equi-joins: which side is broadcast-small is
+    // data-dependent (candidates can outnumber docs locally; docs dwarf
+    // candidates at lake scale) — AQE resolves it at runtime from actual
+    // sizes, and the fallback is a linear keyed shuffle, never a nested
+    // loop. Profiled r9: a forced broadcast(pairs) serialized the array
+    // relation through a near-sequential stream side and was the
+    // family's dominant cost (4.3 s of q243's 4.7 s at sf0.1).
+    //
+    // |A∪B| = |A|+|B|−|A∩B| exactly (shingle arrays are DISTINCT by
+    // construction from TokenShingleHashes/array_distinct) — one
+    // array_intersect per pair instead of intersect + a materialized
+    // union array, ~2× less per-row set work.
+    pairs
       .join(a, "doc_a")
       .join(b, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(
         col("doc_a"),
         col("doc_b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          6
-        ).as("jaccard")
+        round(col("inter") / (col("vsz_a") + col("vsz_b") - col("inter")), 6)
+          .as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }
@@ -179,11 +190,12 @@ object Dedup {
     * the first thing to fall over at lake scale (it was also the slowest
     * stage under memory pressure locally).
     *
-    * Candidates are NOT deduplicated before verification: a pair can
-    * collide on several prefix shingles, but verification is a cheap
-    * array intersect/union while the dedup would be a full shuffle of the
-    * candidate relation — so duplicates are dropped AFTER the Jaccard
-    * filter, on the (tiny) surviving pair set.
+    * Candidates ARE deduplicated before verification (r9): a pair can
+    * collide on several prefix shingles, and the per-pair array
+    * intersect it would re-run costs more than the (doc_a, doc_b)-keyed
+    * shuffle that drops it — profiled at sf0.1 the distinct pays for
+    * itself at every threshold and makes the verify output unique by
+    * construction (no trailing distinct).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -236,7 +248,8 @@ object Dedup {
             (1.0 + threshold) >= (col("sz_a") + col("sz_b")) * threshold - eps
       )
       .select("doc_a", "doc_b")
-    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold).distinct()
+      .distinct()
+    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold)
   }
 
   /** Asymmetric CONTAINMENT near-dup: pairs where the SMALLER document's
@@ -403,52 +416,71 @@ object Dedup {
     * Output schema matches [[connectedComponents]]: (doc_id, cluster_rep),
     * one row per node that appears in `pairs`.
     */
-  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarKeyed(pairs.withColumn("graph_key", lit(0)), "graph_key")
+      .drop("graph_key")
+
+  /** [[connectedComponentsStar]] over MANY independent graphs at once:
+    * every shuffle round is keyed by (`keyCol`, node), so N graphs (e.g.
+    * one per dedup threshold, or per tenant) converge in max-of-N rounds
+    * of SHARED jobs instead of N sequential contractions — on small
+    * graphs the per-round job overhead, not the data, is the cost, and
+    * at lake scale the shared rounds amortize the shuffle machinery the
+    * same way. Output: (`keyCol`, doc_id, cluster_rep), one row per
+    * (graph, node). Rounds a converged graph no longer needs are no-ops
+    * on its edges (both star operators are idempotent at the fixpoint).
+    */
+  def connectedComponentsStarKeyed(pairs: DataFrame, keyCol: String): DataFrame = {
     // Materialize the (possibly expensive — e.g. a full MinHash-LSH
     // pipeline) pair set ONCE: both the node universe and the initial
     // edge set derive from it, and without the checkpoint each would
     // re-execute the whole upstream lineage.
-    val base = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
+    val base = pairs
+      .select(col(keyCol).as("k"), col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint()
     // consumed once (the final labeling join) — no cache
     val nodes = base
-      .select(col("u").as("doc"))
-      .union(base.select(col("v").as("doc")))
+      .select(col("k"), col("u").as("doc"))
+      .union(base.select(col("k"), col("v").as("doc")))
       .distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = e.union(e.select(col("k"), col("v").as("u"), col("u").as("v")))
       val mins = sym
-        .groupBy("u")
+        .groupBy("k", "u")
         .agg(min(col("v")).as("mnv"))
-        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+        .select(col("k"), col("u"), least(col("u"), col("mnv")).as("m"))
       sym
-        .join(mins, "u")
+        .join(mins, Seq("k", "u"))
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(col("k"), col("v").as("u"), col("m").as("v"))
         .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(
+        col("k"),
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       // every group key u has at least one smaller neighbor, so the
       // neighborhood minimum is already < u
-      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val mins = oriented.groupBy("k", "u").agg(min(col("v")).as("m"))
       oriented
-        .join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+        .join(mins, Seq("k", "u"))
+        .select(col("k"), col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
+        .union(mins.select(col("k"), col("u"), col("m").as("v")))
         .distinct()
     }
 
-    // (cardinality, hash-sum) set signature; decimal(38,0) sum cannot
-    // overflow and is order-insensitive
+    // (cardinality, hash-sum) set signature over ALL graphs; decimal(38,0)
+    // sum cannot overflow and is order-insensitive
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        coalesce(
+          sum(xxhash64(col("k"), col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))
       ).head()
       (r.getLong(0), r.getDecimal(1))
     }
@@ -469,8 +501,11 @@ object Dedup {
     // At the fixpoint every edge points node → component minimum; roots
     // (the minima) have no outgoing edge and label themselves.
     nodes
-      .join(edges.select(col("u").as("doc"), col("v").as("star_rep")), Seq("doc"), "left")
-      .select(col("doc").as("doc_id"), coalesce(col("star_rep"), col("doc")).as("cluster_rep"))
+      .join(
+        edges.select(col("k"), col("u").as("doc"), col("v").as("star_rep")),
+        Seq("k", "doc"), "left")
+      .select(col("k").as(keyCol), col("doc").as("doc_id"),
+        coalesce(col("star_rep"), col("doc")).as("cluster_rep"))
   }
 
   // -------------------------------------------------------------- MinHash

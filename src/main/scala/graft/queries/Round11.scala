@@ -816,7 +816,16 @@ object Round11 {
       graft.functions.MinHashMd5Signature.register(s, "minhash_md5_64", 64)
       val docs = Tables.documents(s, dir)
       val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6)
+        .localCheckpoint()
+      // Signatures only for docs that appear in a surviving pair — the
+      // 64 md5 digests per shingle are the query's dominant cost, and
+      // computing them corpus-wide when the join keeps ~2·|pairs| docs
+      // was 60% of the runtime (r9 profile). The semi-join keeps the
+      // restriction keyed (pair-member set is output-sized at any scale).
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       val comp = graft.operators.Dedup.tokenShingles(docs, 3)
+        .join(pairDocs, "doc_id")
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), expr("minhash_md5_64(shingles)").as("sig"))
       val est = broadcast(pairs)

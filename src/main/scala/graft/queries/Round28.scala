@@ -115,24 +115,38 @@ object Round28 {
       val docs = Tables.documents(s, dir)
       val nDocs = docs.count()
       val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9).localCheckpoint()
-      def statsAt(t: Double): org.apache.spark.sql.DataFrame = {
-        val edges = pairs.filter(col("jaccard") >= t)
-        val comp = Dedup.connectedComponentsStar(edges)
-        val sizes = comp.groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
-        val eCount = edges.count()
-        sizes.agg(
-          count(lit(1)).cast("long").as("n_components"),
-          coalesce(sum(col("sz")), lit(0L)).cast("long").as("n_docs"),
-          coalesce(max(col("sz")), lit(0L)).cast("long").as("max_cluster"))
-          .select(
-            lit(t).as("threshold"),
-            lit(eCount).as("n_edges"),
-            col("n_docs"),
-            col("n_components"),
-            col("max_cluster"),
-            expr(snap(s"CAST(n_docs AS DOUBLE) / $nDocs")).as("dup_doc_share"))
-      }
-      statsAt(0.97).unionByName(statsAt(0.9)).orderBy(col("threshold").desc)
+      // Both thresholds ride ONE keyed star contraction: the two edge
+      // sets are tagged and every contraction round's shuffles are
+      // shared (keyed by (threshold, node)) — max-of-2 rounds of shared
+      // jobs instead of two sequential closures (r9; on small graphs the
+      // per-round job overhead, not the data, is the cost).
+      val thresholds = Seq(0.97, 0.9)
+      val tagged = thresholds.map(t =>
+          pairs.filter(col("jaccard") >= t).withColumn("threshold", lit(t)))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val comp = Dedup.connectedComponentsStarKeyed(tagged, "threshold")
+      val sizes = comp.groupBy(col("threshold"), col("cluster_rep"))
+        .agg(count(lit(1)).as("sz"))
+      val stats = sizes.groupBy(col("threshold")).agg(
+        count(lit(1)).cast("long").as("n_components"),
+        coalesce(sum(col("sz")), lit(0L)).cast("long").as("n_docs"),
+        coalesce(max(col("sz")), lit(0L)).cast("long").as("max_cluster"))
+      val edgeCounts = tagged.groupBy(col("threshold"))
+        .agg(count(lit(1)).cast("long").as("n_edges"))
+      // LEFT from a literal threshold frame: a threshold with zero edges
+      // still emits its (all-zero) row, as the oracle's aggregate CTEs do.
+      thresholds.toDF("threshold")
+        .join(stats, Seq("threshold"), "left")
+        .join(edgeCounts, Seq("threshold"), "left")
+        .select(
+          col("threshold"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_components"), lit(0L)).as("n_components"),
+          coalesce(col("max_cluster"), lit(0L)).as("max_cluster"),
+          expr(snap(s"CAST(coalesce(n_docs, 0) AS DOUBLE) / $nDocs")).as("dup_doc_share"))
+        .orderBy(col("threshold").desc)
     },
     Some {
       def reach(t: String, name: String) =
