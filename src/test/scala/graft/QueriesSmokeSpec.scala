@@ -48,6 +48,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "q463_maxscore_prune" -> "8-term postings × 1-row theta/threshold relations — term-sized",
     "q469_t_closeness" -> "global sensitive distribution (≤#classes) × QI-group grid",
     "q482_krippendorff_alpha" -> "category×category coincidence grid (≤3 return flags) inequality pair — dimension-sized",
+    "q486_sinkhorn_ot" -> "word-length histogram grid (≤15×≤15 bins) kernel product — dimension-sized Sinkhorn grid",
     // --- deliberate non-equi subquery surface ---
     "q375_subquery_predicates" -> "demonstrates correlated/non-equi subquery predicates over dimension tables"
   )
