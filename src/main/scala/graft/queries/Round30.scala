@@ -147,18 +147,48 @@ object Round30 {
     "q479_power_iteration",
     (s, dir) => {
       Tables.embeddings(s, dir).createOrReplaceTempView("r30_embeddings")
-      s.sql(gramSql(spark = true)).localCheckpoint()
-        .createOrReplaceTempView("r30_gram")
+      // Materialize the Gram ONCE (it also feeds the final Rayleigh
+      // select), then run the 8 matvec-normalize rounds DRIVER-side on
+      // the collected d² relation — bounded model state (the q431
+      // pattern): Spark inlines CTEs, so the unrolled 8-round chain was
+      // a 2⁸ plan blowup (9.3 s at sf0.1), and one checkpoint job per
+      // round still paid ~0.2 s of job overhead × 9 for 64-row work.
+      // The arithmetic below is the exact dyadic trajectory the
+      // oracle's MATERIALIZED CTE chain walks (per-term 2²⁰
+      // quantization, snapped sqrt/divide) — Round30PropertySpec pins
+      // the equality independently.
+      val gram = s.sql(gramSql(spark = true)).localCheckpoint()
+      gram.createOrReplaceTempView("r30_gram")
+      val g = gram.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dims = g.keys.map(_._1).toSeq.distinct.sorted
+      def snapD(x: Double): Double =
+        math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+      def qiL(x: Double): Long = math.floor(x * 1048576.0 + 0.5).toLong
+      var x = dims.map(_ -> 0.125).toMap
+      for (_ <- 1 to 8) {
+        val y = dims.map { i =>
+          i -> dims.map(j => qiL(g((i, j)) * x(j))).sum.toDouble / 1048576.0
+        }.toMap
+        val nm = snapD(math.sqrt(dims.map(i => qiL(y(i) * y(i))).sum.toDouble / 1048576.0))
+        x = dims.map(i => i -> snapD(y(i) / nm)).toMap
+      }
+      import s.implicits._
+      x.toSeq.sortBy(_._1).toDF("dim", "x").createOrReplaceTempView("r30_x8")
       s.sql(
-        s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r30_embeddings),
-            ${powerTail("r30_gram")}
-            ${powerSelect("r30_gram")}""")
+        s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r30_embeddings)
+            ${powerSelect("r30_gram", "r30_x8")}""")
     },
-    Some(
+    Some {
+      val chain = (1 to 8).map { k =>
+        s"x$k AS MATERIALIZED (${powerRound("cov", s"x${k - 1}")})"
+      }.mkString(",\n")
       s"""WITH cov AS MATERIALIZED (${gramSql(spark = false)}),
           n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-          ${powerTail("cov")}
-          ${powerSelect("cov")}""")
+          x0 AS MATERIALIZED (${powerX0("cov")}),
+          $chain
+          ${powerSelect("cov", "x8")}"""
+    }
   )
 
   /** Mean-centered d×d scatter Gram (di, dj, g) — exact keyed sums. */
@@ -188,37 +218,35 @@ object Round30 {
         GROUP BY 1, 2"""
   }
 
-  /** Unrolled power-iteration rounds x₀ → x₈ over Gram relation `cov`. */
-  private def powerTail(cov: String): String = {
-    val x0 = s"x0 AS (SELECT di AS dim, CAST(0.125 AS DOUBLE) AS x FROM $cov WHERE dj = 1)"
-    val rounds = (1 to 8).map { k =>
-      s"""y$k AS (
-            SELECT g.di AS dim,
-                   CAST(sum(${qi(s"g.g * p.x")}) AS DOUBLE) / 1048576.0 AS y
-            FROM $cov g JOIN x${k - 1} p ON p.dim = g.dj
-            GROUP BY 1),
-          nrm$k AS (
-            SELECT ${snap(s"sqrt(CAST(sum(${qi("y * y")}) AS DOUBLE) / 1048576.0)")} AS nm
-            FROM y$k),
-          x$k AS (
-            SELECT dim, ${snap("y / nm")} AS x FROM y$k CROSS JOIN nrm$k)"""
-    }.mkString(",\n")
-    s"$x0,\n$rounds"
-  }
+  /** x₀ = 1/8 per dim (d = 64 → ‖x₀‖ = 1, exact dyadic). */
+  private def powerX0(cov: String): String =
+    s"SELECT di AS dim, CAST(0.125 AS DOUBLE) AS x FROM $cov WHERE dj = 1"
+
+  /** One matvec-normalize round: x_k from `prev` over Gram `cov`. */
+  private def powerRound(cov: String, prev: String): String =
+    s"""WITH yk AS (
+          SELECT g.di AS dim,
+                 CAST(sum(${qi("g.g * p.x")}) AS DOUBLE) / 1048576.0 AS y
+          FROM $cov g JOIN $prev p ON p.dim = g.dj
+          GROUP BY 1),
+        nrm AS (
+          SELECT ${snap(s"sqrt(CAST(sum(${qi("y * y")}) AS DOUBLE) / 1048576.0)")} AS nm
+          FROM yk)
+        SELECT dim, ${snap("y / nm")} AS x FROM yk CROSS JOIN nrm"""
 
   /** Rayleigh quotient + trace + share from the converged x₈. */
-  private def powerSelect(cov: String): String =
+  private def powerSelect(cov: String, x8: String): String =
     s"""SELECT max(n.n) AS n_vectors,
                ${snap(s"""(SELECT CAST(sum(${qi("a.x * g.g * b.x")}) AS DOUBLE) / 1048576.0
                           FROM $cov g
-                          JOIN x8 a ON a.dim = g.di
-                          JOIN x8 b ON b.dim = g.dj)""")} AS lambda1,
+                          JOIN $x8 a ON a.dim = g.di
+                          JOIN $x8 b ON b.dim = g.dj)""")} AS lambda1,
                ${snap(s"(SELECT CAST(sum(${qi("g")}) AS DOUBLE) / 1048576.0 FROM $cov WHERE di = dj)")}
                  AS trace_s,
                ${snap(s"""(SELECT CAST(sum(${qi("a.x * g.g * b.x")}) AS DOUBLE) / 1048576.0
                           FROM $cov g
-                          JOIN x8 a ON a.dim = g.di
-                          JOIN x8 b ON b.dim = g.dj)
+                          JOIN $x8 a ON a.dim = g.di
+                          JOIN $x8 b ON b.dim = g.dj)
                          / (SELECT CAST(sum(${qi("g")}) AS DOUBLE) / 1048576.0 FROM $cov WHERE di = dj)""")}
                  AS top1_share
         FROM n"""
