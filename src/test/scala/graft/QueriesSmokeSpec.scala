@@ -49,6 +49,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "q469_t_closeness" -> "global sensitive distribution (≤#classes) × QI-group grid",
     "q482_krippendorff_alpha" -> "category×category coincidence grid (≤3 return flags) inequality pair — dimension-sized",
     "q486_sinkhorn_ot" -> "word-length histogram grid (≤15×≤15 bins) kernel product — dimension-sized Sinkhorn grid",
+    "q493_ransac_line" -> "50-trial × daily-point grid (calendar-bounded ≤50×31) inlier scoring — dimension-sized",
     // --- deliberate non-equi subquery surface ---
     "q375_subquery_predicates" -> "demonstrates correlated/non-equi subquery predicates over dimension tables"
   )
