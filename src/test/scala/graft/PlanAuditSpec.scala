@@ -539,11 +539,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q426 has a global single-partition stage:\n$plan")
   }
 
-  test("q431 k-center: per-round farthest point is a distributed top-1, joins stay equi") {
+  test("q431 k-center: joins stay equi; the selection relation is bounded") {
+    // r9 rewrite: the per-round farthest-point top-1s (each a distributed
+    // TakeOrderedAndProject) execute during CONSTRUCTION via the
+    // checkpointed compact projection; the final plan is just the 4-row
+    // selected relation equi-joined to labels — assert it carries no
+    // nested-loop/cartesian and broadcasts the bounded selection side.
     val plan = planOf(SparkEntry.queries("q431_kcenter_coreset")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"q431 planned a cartesian:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"q431 farthest-point selection not a distributed top-1:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q431 planned a nested loop:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"q431 selection side should be the driver-built bounded relation:\n$plan")
   }
 
   test("q417/q418 centroid scoring: dim joins are equi-joins, bands per-label, no cartesian") {
