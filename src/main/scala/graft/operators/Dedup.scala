@@ -364,10 +364,14 @@ object Dedup {
     * is the same loop at 100 TB).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // localCheckpoint, not cache: materializes the (possibly expensive)
+    // pair pipeline EAGERLY with truncated lineage, so every propagation
+    // round joins a stable, compact relation — and nothing stays pinned
+    // in executor memory after the plan is GC'd (the q462 lesson; r9).
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = edges
       .select(col("u").as("doc"))
       .distinct()
@@ -390,7 +394,6 @@ object Dedup {
       converged = updated.filter(col("rep_next") < col("rep")).isEmpty
       labels = updated.select(col("doc"), col("rep_next").as("rep"))
     }
-    edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
