@@ -114,7 +114,16 @@ object Bench {
       var root = new java.io.File(".").getCanonicalFile
       while (!new java.io.File(root, "build.sbt").exists() &&
              root.getParentFile != null) root = root.getParentFile
-      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).getOrElse {
+      // Malformed env values (e.g. "r09") must not abort the archive —
+      // fall back to the BENCH_r*.json scan with a loud warning instead
+      // of losing the round's timing record to a NumberFormatException.
+      val envRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+      val parsed = envRound.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      if (envRound.nonEmpty && parsed.isEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_ROUND='${envRound.get}' is not an " +
+            "integer — falling back to the BENCH_r*.json scan")
+      val round = parsed.getOrElse {
         val prev = Option(root.listFiles()).getOrElse(Array.empty)
           .flatMap { f =>
             "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
@@ -126,9 +135,20 @@ object Bench {
         .mkString("{", ",", "}")
       val out = new java.io.File(root, f"BENCH_LOCAL_r$round%02d.json").toPath
       System.err.println(s"[bench] archiving per-query timings to $out")
+      // Provenance: identical HEADs have measured 2× apart on the
+      // md5-heavy tail depending on who ran them (builder in-suite vs
+      // driver cold, r9 q395 3.24 ↔ 6.63 s) — stamp the producing
+      // context so future rounds compare like with like instead of
+      // re-litigating the swing.
+      val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "builder-local")
+      val host = scala.util.Try(
+        java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
+      val ctx =
+        s"""{"producer":"$producer","host":"$host","runs_per_query":1,""" +
+          s""""java":"${System.getProperty("java.version")}"}"""
       java.nio.file.Files.writeString(
         out,
-        s"""{"metric":"per_query_full","n":${results.size},"queries":$full,"errors":$errors,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"per_query_full","n":${results.size},"queries":$full,"errors":$errors,"sf":"$sfDir","context":$ctx}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] archive skipped: $e") }
     spark.stop()
   }

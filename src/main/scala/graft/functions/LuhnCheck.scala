@@ -63,8 +63,17 @@ object LuhnCheck {
     sum % 10 == 0
   }
 
-  /** Register as `name(str)` for SQL use. */
-  def register(spark: SparkSession, name: String = "luhn_check"): Unit =
+  /** Register as `name(str)` for SQL use.
+    *
+    * Default name is `graft_luhn_check`, NOT `luhn_check`: Spark 3.5+
+    * ships a built-in of that name, and this expression deliberately
+    * diverges for short inputs (the built-in treats single-digit '0' as
+    * valid; this returns false for anything under 2 digits — a lone
+    * check digit is not a card number). Registering under the built-in's
+    * name would silently change `luhn_check` semantics for the whole
+    * session.
+    */
+  def register(spark: SparkSession, name: String = "graft_luhn_check"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => LuhnCheck(exprs.head),

@@ -46,7 +46,9 @@ object Bloom {
     val hits = probeKeys
       .select(col("pk"), js)
       .withColumn("pos", posCol(col("j"), col("pk"), m))
-      .join(broadcast(bits), Seq("pos"), "left_semi")
+      // hint-free: the bit relation is ≤m rows but m is a caller
+      // parameter (scaled with the build side at 100 TB); AQE decides
+      .join(bits, Seq("pos"), "left_semi")
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("nhit"))
     val truth = build.select(key.as("pk")).distinct().withColumn("member", lit(true))

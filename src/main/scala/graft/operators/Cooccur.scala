@@ -45,8 +45,10 @@ object Cooccur {
       .agg(sum("c_ab").as("t_pairs"))
       .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
     pairCounts
-      .join(broadcast(uni.select(col("w").as("a"), col("c_w").as("c_a"))), "a")
-      .join(broadcast(uni.select(col("w").as("b"), col("c_w").as("c_b"))), "b")
+      // hint-free: unigram counts are VOCAB-sized — slowly growing but
+      // unbounded at lake scale (web-junk tokens); AQE picks the build side
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
       .crossJoin(broadcast(totals))
       .select(
         col("a"),
@@ -147,8 +149,9 @@ object Cooccur {
     val nTot = pair.agg(sum(col("o11")).as("n"))
     val joined = pair
       .filter(col("o11") >= minCount)
-      .join(broadcast(rowTot), Seq("w_a"))
-      .join(broadcast(colTot), Seq("w_b"))
+      // hint-free: row/col totals are vocab-keyed (unbounded at scale)
+      .join(rowTot, Seq("w_a"))
+      .join(colTot, Seq("w_b"))
       .crossJoin(broadcast(nTot))
       .withColumn("o12", col("ca") - col("o11"))
       .withColumn("o21", col("cb") - col("o11"))

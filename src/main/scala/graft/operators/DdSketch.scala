@@ -111,7 +111,9 @@ object DdSketch {
         round(expr(s"percentile($valueCol, 0.95)"), 6).as("p95_exact"),
         round(expr(s"percentile($valueCol, 0.99)"), 6).as("p99_exact"))
     sel
-      .join(broadcast(exact), Seq(groupCol))
+      // hint-free: per-group exact quantiles are group-keyed
+      // (data-dependent cardinality); AQE resolves the build side
+      .join(exact, Seq(groupCol))
       .select(
         col(groupCol),
         col("n"),

@@ -205,7 +205,7 @@ object Dedup {
     val sh = hashedTokenShingles(docs, n)
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
-      .cache()
+      .localCheckpoint()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // The per-document (df, sh) ranking is a hash aggregate + local sort of
@@ -232,7 +232,7 @@ object Dedup {
         ).as("pref")
       )
       .select(col("doc_id"), col("sz"), posexplode(col("pref.sh")).as(Seq("pos", "sh")))
-      .cache()
+      .localCheckpoint()
     val eps = 1e-9
     val a = prefixes.toDF("doc_a", "sz_a", "pos_a", "sh")
     val b = prefixes.toDF("doc_b", "sz_b", "pos_b", "sh_b")
@@ -275,7 +275,7 @@ object Dedup {
     val sh = hashedTokenShingles(docs, n)
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
-      .cache()
+      .localCheckpoint()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val prefixes = exploded
@@ -535,8 +535,8 @@ object Dedup {
   }
 
   /** Band-hash a precomputed `sig` (array of `numPerm` minima) column —
-    * split out so callers can cache the signature relation and band-hash
-    * from the cache (a band self-join would otherwise re-evaluate the
+    * split out so callers can materialize the signature relation and
+    * band-hash from it (a band self-join would otherwise re-evaluate the
     * numPerm-permutation signature once per join side).
     */
   def bandsFromSig(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
@@ -584,13 +584,13 @@ object Dedup {
     val spark = docs.sparkSession
     val fn = s"minhash_sig_$numPerm"
     graft.functions.MinHashSignature.register(spark, fn, numPerm, seed = 42L)
-    // Shingles AND signature in the cache: both the band self-join (which
+    // Shingles AND signature in one checkpoint: both the band self-join (which
     // evaluates its lineage once per side) and the verification read from
     // here, so the 64-permutation signature is computed exactly once.
     val sh = hashedTokenShingles(docs, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"$fn(shingles)"))
-      .cache()
+      .localCheckpoint()
     val cands = minhashCandidates(bandsFromSig(sh, numPerm, bands))
     verifyJaccard(cands, sh.select("doc_id", "shingles"), threshold)
   }
@@ -677,7 +677,7 @@ object Dedup {
     * callers accepting that trade-off opt in explicitly.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs).cache()
+    val sigs = simhashSignatures(docs).localCheckpoint()
     val banded = sigs.select(
       col("doc_id"),
       col("simhash"),
@@ -731,7 +731,7 @@ object Dedup {
     val sigs = docs
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), expr("simhash_md5_bands(text)").as("__bands"))
-      .cache()
+      .localCheckpoint()
     val banded = sigs.select(
       col("doc_id"),
       posexplode(col("__bands")).as(Seq("band_id", "band_val")))
@@ -763,13 +763,16 @@ object Dedup {
     * bucket id), ONE bucket join on (table, signature) via posexplode,
     * exact-cosine verification of candidates only.
     *
-    * Verification joins the (small, broadcastable) vector relation to the
-    * candidate stream — NOT the other way round: at a low threshold the
-    * candidate relation is the big side, so broadcasting it (or
-    * shuffle-deduplicating it before verification) would be the
-    * bottleneck. Duplicate candidates from multi-table collisions are
-    * dropped AFTER the cosine filter, on the small surviving set, and the
-    * cosine itself is one compiled pass ([[VectorCosine]]).
+    * Verification is a pair of HINT-FREE keyed equi-joins against the
+    * vector relation (the verifyJaccard shape): which side is
+    * broadcast-small is data-dependent — the embedding relation is the
+    * whole corpus at lake scale, while candidates dominate locally at a
+    * low threshold — so AQE resolves the build side at runtime from
+    * actual sizes, and the fallback is a linear keyed shuffle. A forced
+    * broadcast of either side OOMs the driver at 100×. Duplicate
+    * candidates from multi-table collisions are dropped AFTER the cosine
+    * filter, on the small surviving set, and the cosine itself is one
+    * compiled pass ([[VectorCosine]]).
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
@@ -785,7 +788,7 @@ object Dedup {
     VectorCosine.register(spark)
     val signed = embeddings
       .select(col("vec_id"), col("embedding"), expr(s"$fn(embedding)").as("sigs"))
-      .cache()
+      .localCheckpoint()
     val banded = signed.select(
       col("vec_id"),
       posexplode(col("sigs")).as(Seq("table_id", "sig"))
@@ -807,8 +810,8 @@ object Dedup {
     val va = signed.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val vb = signed.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     candidates
-      .join(broadcast(va), "id_a")
-      .join(broadcast(vb), "id_b")
+      .join(va, "id_a")
+      .join(vb, "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -843,7 +846,7 @@ object Dedup {
     VectorCosine.register(spark)
     val signed = embeddings
       .select(col("vec_id"), col("embedding"), expr(s"$fn(embedding)").as("sigs"))
-      .cache()
+      .localCheckpoint()
     val banded = signed.select(
       col("vec_id"),
       posexplode(col("sigs")).as(Seq("table_id", "sig"))
@@ -864,8 +867,8 @@ object Dedup {
     val va = signed.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val vb = signed.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     candidates
-      .join(broadcast(va), "id_a")
-      .join(broadcast(vb), "id_b")
+      .join(va, "id_a")
+      .join(vb, "id_b")
       .select(
         col("id_a"),
         col("id_b"),

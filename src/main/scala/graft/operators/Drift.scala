@@ -43,7 +43,10 @@ object Drift {
     val grandTotal = values.agg(sum(col("c_all")).as("n_all"))
     val grid = groups
       .crossJoin(broadcast(grandTotal))
-      .crossJoin(broadcast(values))
+      // hint-free: the value grid is DISTINCT-VALUE-keyed (unbounded at
+      // corpus scale — every distinct length/token); the group side is the
+      // dimension-sized one, and AQE broadcasts it from runtime sizes
+      .crossJoin(values)
       .join(counts, Seq(groupCol, "v"), "left")
       .na.fill(0L, Seq("c"))
     val byGroup = Window
@@ -76,8 +79,10 @@ object Drift {
     val med = df
       .groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    // Hint-free: the per-group relation's cardinality is data-dependent
+    // (groupCol is caller-chosen) — AQE picks the build side at runtime.
     val withAdev = df
-      .join(broadcast(med), Seq(groupCol))
+      .join(med, Seq(groupCol))
       .withColumn("adev", abs(v - col("med")))
     val stats = withAdev
       .groupBy(col(groupCol))
@@ -90,7 +95,7 @@ object Drift {
     // output-only.
     withAdev
       .select(col(groupCol), col("adev"))
-      .join(broadcast(stats), Seq(groupCol))
+      .join(stats, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
         first(col("n")).as("n"),
@@ -139,7 +144,9 @@ object Drift {
             (col("n_days") - 1)).as("sigma"))
     val z = (col("cnt") - col("mu")) / col("sigma")
     hourly
-      .join(broadcast(base), Seq("event_type", "hr"))
+      // hint-free keyed equi-join: (event_type, hr) cardinality is
+      // data-dependent; AQE resolves the build side
+      .join(base, Seq("event_type", "hr"))
       .filter(col("n_days") >= minDays && col("sigma") > 0 && abs(z) > zThresh)
       .select(
         col("event_type"), col("day"), col("hr").cast("int").as("hr"), col("cnt"),
@@ -176,7 +183,10 @@ object Drift {
     val grandTotal = values.agg(sum(col("c_all")).as("n_all"))
     val grid = groups
       .crossJoin(broadcast(grandTotal))
-      .crossJoin(broadcast(values))
+      // hint-free: the value grid is DISTINCT-VALUE-keyed (unbounded at
+      // corpus scale — every distinct length/token); the group side is the
+      // dimension-sized one, and AQE broadcasts it from runtime sizes
+      .crossJoin(values)
       .join(counts, Seq(groupCol, "v"), "left")
       .na.fill(0L, Seq("c"))
       .withColumn("rest_c", col("c_all") - col("c"))

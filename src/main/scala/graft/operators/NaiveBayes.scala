@@ -53,9 +53,12 @@ object NaiveBayes {
     val vocab = tokens.select(col("word")).distinct()
     val vSize = vocab.count() // |V|, scalar
 
-    // dense (word × class) likelihood table — V·C rows, broadcast
+    // dense (word × class) likelihood table — V·C rows (joined hint-free;
+    // the class-sized factor below broadcasts)
     val likelihood = vocab
-      .crossJoin(broadcast(classTot))
+      // hint-free: class totals are label-keyed (data-dependent count);
+      // AQE broadcasts the runtime-small side of the dimension product
+      .crossJoin(classTot)
       .join(classWord, Seq("label", "word"), "left")
       .select(
         col("label"), col("word"),
@@ -69,10 +72,15 @@ object NaiveBayes {
 
     val docWords = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_dw"))
     val scores = docWords
-      .join(broadcast(likelihood.withColumnRenamed("label", "cand")), Seq("word"))
+      // hint-free: the likelihood table is VOCAB × CLASSES — unbounded at
+      // lake scale (the model itself grows with the corpus vocabulary), so
+      // a forced broadcast is the OOM class; the word-keyed equi-join
+      // shuffles linearly and AQE still broadcasts a model that is
+      // actually small. Same for the class-sized prior: AQE sees its size.
+      .join(likelihood.withColumnRenamed("label", "cand"), Seq("word"))
       .groupBy(col("doc_id"), col("cand"))
       .agg(sum(col("n_dw").cast("double") * col("ll")).as("wsum"))
-      .join(broadcast(prior.withColumnRenamed("label", "cand")), Seq("cand"))
+      .join(prior.withColumnRenamed("label", "cand"), Seq("cand"))
       .withColumn("score", col("wsum") + col("lp"))
     // argmax with deterministic tie-break: highest score, then smallest
     // class name

@@ -40,7 +40,7 @@ object Packing {
       expr(s"doc_id div $bucketSize").as("bucket")
     )
     val bucketTotals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btotal"))
-    // tiny relation: the one ordered-unpartitioned window, then broadcast
+    // the one ordered-unpartitioned window runs on the bucket relation
     val wb = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketTotals.select(
       col("bucket"),
@@ -51,7 +51,9 @@ object Packing {
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
-      .join(broadcast(offsets), "bucket")
+      // hint-free: offsets has corpus/bucketSize rows — DATA-DEPENDENT
+      // (millions of buckets at 100 TB); AQE picks the build side
+      .join(offsets, "bucket")
       .select(
         col("doc_id"),
         col("n_tokens"),

@@ -114,7 +114,9 @@ object Sampling {
     val rates = counts
       .crossJoin(broadcast(minN))
       .select(col(strataCol), expr("1000 * __mn div __n").as("__keep_pm"))
-    df.join(broadcast(rates), Seq(strataCol))
+    // hint-free: the rate table is strata-keyed (data-dependent); AQE
+    // picks the build side from runtime sizes
+    df.join(rates, Seq(strataCol))
       .filter(hashBucket(col(idCol), 1000, salt) < col("__keep_pm"))
       .drop("__keep_pm")
   }
@@ -159,7 +161,8 @@ object Sampling {
               sqrt(col("__n").cast("double")) /
               (col("__sumw") * col("__n").cast("double"))).cast("long"))
           .as("__keep_pm"))
-    df.join(broadcast(rates), Seq(strataCol))
+    // hint-free: strata-keyed rate table, AQE resolves the build side
+    df.join(rates, Seq(strataCol))
       .withColumn("__kept", hashBucket(col(idCol), 1000, salt) < col("__keep_pm"))
       .groupBy(col(strataCol))
       .agg(

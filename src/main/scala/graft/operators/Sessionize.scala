@@ -39,7 +39,9 @@ object Sessionize {
       .groupBy(col("cw"), col("week_offset"))
       .agg(count(lit(1)).as("active_users"))
     active
-      .join(broadcast(sizes), "cw")
+      // hint-free: cohort sizes are week-keyed (data-dependent); AQE
+      // picks the build side from runtime sizes
+      .join(sizes, "cw")
       .select(
         col("cw").as("cohort_week"), col("week_offset"),
         col("active_users"), col("cohort_size"),
@@ -261,7 +263,7 @@ object Sessionize {
       .rowsBetween(Window.unboundedPreceding, 0)
     rev
       .withColumn("cum_revenue_cents", sum(col("week_cents")).over(wCum))
-      .join(broadcast(sizes), "cw")
+      .join(sizes, "cw")
       .select(
         col("cw").as("cohort_week"),
         col("week_offset"),
@@ -569,7 +571,8 @@ object Sessionize {
       .select(col("cur"), col("nxt").as("predicted"))
     pairs
       .filter(!col("is_train"))
-      .join(broadcast(model), Seq("cur"))
+      // hint-free: the rank-1 model is event-type-keyed (data-dependent)
+      .join(model, Seq("cur"))
       .groupBy(col("cur"), col("predicted"))
       .agg(
         count(lit(1)).as("n_eval"),

@@ -29,12 +29,29 @@ object Similarity {
     expr(s"vector_cosine($a, $b)")
   }
 
+  /** Contractual probe-panel cap for the topK family. The query side of
+    * every topK variant is a bounded panel (the corpus-scale query side
+    * belongs to the Top1 variants, which join hint-free); this cap is
+    * what makes that contract MACHINE-CHECKABLE — each method wraps its
+    * probe relation in an explicit LIMIT, so
+    * [[graft.plans.PlanGuard.isBoundedLogical]] proves the broadcast-
+    * hinted side row-bounded from the plan alone instead of trusting the
+    * call site. Semantically a no-op for every in-contract caller
+    * (panels are ≤ this by construction); a panel that exceeds it is
+    * out of contract for a broadcast-probe plan in the first place.
+    */
+  val MaxProbePanel: Int = 1000
+
+  private def boundedProbes(queries: DataFrame): DataFrame =
+    queries.limit(MaxProbePanel)
+
   /** Exact top-k neighbors for each query vector (query set must be small
     * enough to broadcast — it is the `LIMIT`ed probe set, not the corpus).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     VectorCosine.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val q = boundedProbes(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val scored = corpus
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
@@ -61,7 +78,10 @@ object Similarity {
     VectorCosine.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     corpus
-      .crossJoin(broadcast(q))
+      // Hint-free: the query side is corpus-scale by contract (mutual-NN's
+      // shape), so a forced broadcast would ship the whole corpus to every
+      // executor; AQE picks the build side from actual runtime sizes.
+      .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
@@ -92,7 +112,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val fn = s"srp_ann_${tables}_${planesPerTable}_$seed"
     graft.functions.SrpSignatures.register(spark, fn, dim, tables, planesPerTable, seed)
-    lshTopKImpl(corpus, queries, k, fn)
+    lshTopKImpl(corpus, queries, k, fn, tables)
   }
 
   /** ORACLE-REPLAYABLE LSH ANN: identical bucket join + exact-cosine
@@ -114,7 +134,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val fn = s"srp_ann_md5_${tables}_$planesPerTable"
     graft.functions.SrpSignatures.registerMd5(spark, fn, dim, tables, planesPerTable)
-    lshTopKImpl(corpus, queries, k, fn)
+    lshTopKImpl(corpus, queries, k, fn, tables)
   }
 
   /** MULTI-PROBE SRP-LSH ANN ([[graft.functions.SrpMultiProbe]], Lv et
@@ -146,12 +166,16 @@ object Similarity {
       col("vec_id").as("neighbor_id"),
       col("embedding"),
       posexplode(expr(s"$sigFn(embedding)")).as(Seq("table_id", "sig")))
-    val q = queries
+    // The post-explode LIMIT re-establishes the machine-checkable row
+    // bound (a Generate voids the panel's bound for the plan gate); it is
+    // exactly panel x tables x nprobe rows, a no-op for the bounded panel.
+    val q = boundedProbes(queries)
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("q_vec"),
         posexplode(expr(s"$probeFn(embedding)")).as(Seq("pos", "q_sig")))
       .withColumn("q_table_id", expr(s"pos div $nprobe"))
+      .limit(MaxProbePanel * tables * nprobe)
     val candidates = c
       .join(
         broadcast(q),
@@ -223,7 +247,8 @@ object Similarity {
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      fn: String
+      fn: String,
+      tables: Int
   ): DataFrame = {
     VectorCosine.register(corpus.sparkSession)
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
@@ -233,9 +258,12 @@ object Similarity {
           posexplode(expr(s"$fn(embedding)")).as(Seq("table_id", "sig"))
         )
     val c = banded(corpus, "neighbor_id", "embedding")
-    val q = banded(queries, "query_id", "q_vec")
+    // Post-explode LIMIT: re-establishes the machine-checkable bound the
+    // posexplode voids (exactly panel x tables rows; no-op in contract).
+    val q = banded(boundedProbes(queries), "query_id", "q_vec")
       .withColumnRenamed("table_id", "q_table_id")
       .withColumnRenamed("sig", "q_sig")
+      .limit(MaxProbePanel * tables)
     // One bucket join on (table, signature); the probe set broadcasts.
     val candidates = c
       .join(
@@ -281,8 +309,11 @@ object Similarity {
       lloydIters: Int = 2,
       trainLimit: Int = 2000
   ): DataFrame = {
-    val (indexed, probes) =
-      ivfIndex(corpus, queries, numCells, nprobe, dim, lloydIters, trainLimit)
+    val (indexed, probes0) =
+      ivfIndex(corpus, boundedProbes(queries), numCells, nprobe, dim, lloydIters, trainLimit)
+    // Post-explode LIMIT (panel x nprobe rows, a no-op in contract): makes
+    // the broadcast-hinted probe side machine-checkably bounded.
+    val probes = probes0.limit(MaxProbePanel * nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     indexed
       .join(broadcast(probes), "cell")
@@ -434,7 +465,7 @@ object Similarity {
     val coded = corpus.select(
       col("vec_id").as("neighbor_id"),
       expr(s"${fn}_encode(embedding)").as("codes"))
-    val probes = queries.select(
+    val probes = boundedProbes(queries).select(
       col("vec_id").as("query_id"),
       col("embedding").as("q_vec"),
       expr(s"${fn}_lut(embedding)").as("lut"))
@@ -449,6 +480,9 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(w))
       .filter(col("adc_rank") <= rerank)
       .select("query_id", "neighbor_id")
+      // panel x rerank rows by the rank filter; the LIMIT states the bound
+      // in a form the plan gate can prove (no-op in contract)
+      .limit(MaxProbePanel * rerank)
 
     // Exact rerank of the small candidate set: fetch the true embeddings
     // with one broadcast semi-shaped join, score exactly, final top-k.
@@ -520,11 +554,13 @@ object Similarity {
       element_at(expr(s"$assignFn(embedding)"), 1).as("cell"),
       expr(s"${pqFn}_encode(embedding)").as("codes"))
     // One probe row per (query, probed cell): the LUT rides along so the
-    // ADC scan needs no second join.
-    val probes = queries.select(
+    // ADC scan needs no second join. Post-explode LIMIT (panel x nprobe
+    // rows, no-op in contract) keeps the hinted side provably bounded.
+    val probes = boundedProbes(queries).select(
       col("vec_id").as("query_id"),
       expr(s"${pqFn}_lut(embedding)").as("lut"),
       explode(expr(s"$probeFn(embedding)")).as("cell"))
+      .limit(MaxProbePanel * nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
     // Cell-keyed equi-join — probed cells are disjoint per query (one
     // cell per probe row), so a (query, neighbor) pair meets at most
@@ -539,13 +575,16 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(w))
       .filter(col("adc_rank") <= rerank)
       .select("query_id", "neighbor_id")
+      // panel x rerank rows by the rank filter, stated as a provable LIMIT
+      .limit(MaxProbePanel * rerank)
 
     val wx = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(candidates), "neighbor_id")
       .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
+        broadcast(boundedProbes(queries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
         "query_id")
       .select(
         col("query_id"),

@@ -121,6 +121,7 @@ object Survival {
       .join(byArmT, Seq("arm", "t_hours"), "left")
       .na.fill(0L, Seq("n_at", "d_at"))
     val armTotals = lifetimes.groupBy(col("arm")).agg(count(lit(1)).as("n_arm"))
+      .limit(2) // arm is the binary user_id % 2 label — provable 2-row bound
     val wExcl = Window
       .partitionBy(col("arm"))
       .orderBy(col("t_hours"))

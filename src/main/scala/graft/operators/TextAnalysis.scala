@@ -177,13 +177,16 @@ object TextAnalysis {
     * and float libms where they tie (a float order would hinge on the
     * last ulp of `ln`).
     *
-    * @param broadcastVocab hint the vocab side broadcast (the default —
-    *                       right for any vocab that fits an executor);
-    *                       pass false at corpus scales where even the
-    *                       vocabulary is tens of GB, and the join becomes
-    *                       a keyed shuffle on `word`
+    * @param broadcastVocab FORCE the vocab side broadcast. Default
+    *                       false — the vocabulary is corpus-derived and
+    *                       unbounded at lake scale (web-junk tokens), so
+    *                       the honest default lets AQE pick the build
+    *                       side from runtime sizes (it still broadcasts
+    *                       any vocab that is actually small). Pass true
+    *                       only for a vocab known a priori to fit an
+    *                       executor regardless of input scale.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 3, broadcastVocab: Boolean = true): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, broadcastVocab: Boolean = false): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -390,7 +393,9 @@ object TextAnalysis {
     val df_ = qTok.groupBy(col("word")).agg(count_distinct(col("doc_id")).as("df"))
     val tf = qTok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     tf
-      .join(broadcast(df_), "word")
+      // hint-free: df_ is restricted to the query terms (a handful of
+      // rows) — AQE broadcasts it from its runtime size; no forced hint
+      .join(df_, "word")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(consts))
       .withColumn(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Plan GUARDRAIL: detects the two physical join shapes that melt at
@@ -107,6 +108,16 @@ object PlanGuard {
     case c: org.apache.spark.sql.execution.CollectLimitExec => c.limit <= 1000
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case r if r.getClass.getSimpleName.contains("OneRowRelation") => true
+    // Row-MULTIPLYING operators break the bound: a Generate (explode)
+    // over a LIMIT-1000 relation can emit arbitrarily many rows, so the
+    // all-children-bounded default below would be unsound for them.
+    // Exception: a FOLDABLE generator (explode of a literal array /
+    // constant sequence) multiplies by a compile-time constant — the
+    // ubiquitous parameter-grid idiom (explode(array(1, 4, 16))) stays
+    // bounded over a bounded child.
+    case g: org.apache.spark.sql.execution.GenerateExec =>
+      g.generator.children.forall(_.foldable) && g.children.forall(isBoundedRelation)
+    case _: org.apache.spark.sql.execution.ExpandExec => false
     case _ =>
       val kids = p.children
       kids.nonEmpty && kids.forall(isBoundedRelation)
@@ -132,5 +143,79 @@ object PlanGuard {
           .flatMap(walkU)
     }
     walkU(df.queryExecution.executedPlan).distinct
+  }
+
+  // ----------------------------------------------------- broadcast gate
+
+  /** True when the LOGICAL relation provably passes a row-bounding node —
+    * the logical twin of [[isBoundedRelation]], used by
+    * [[forcedBroadcastOffenders]] (hints live in the logical plan; by
+    * physical-plan time AQE may have legitimately chosen a broadcast for
+    * a locally-small relation, which is exactly the case the gate must
+    * NOT flag).
+    */
+  def isBoundedLogical(p: logical.LogicalPlan): Boolean = p match {
+    case a: logical.Aggregate =>
+      a.groupingExpressions.isEmpty || a.children.forall(isBoundedLogical)
+    // 100k-row ceiling: an OOM-class broadcast is hundreds of MB and up;
+    // a ≤100k-row relation is at most a few MB — comfortably inside any
+    // broadcast threshold. (The physical nested-loop gate keeps its
+    // tighter 1000-row bound: there the cost is multiplicative, not
+    // additive.) Post-explode probe bounds (panel × rerank/nprobe) land
+    // in the 10⁴ range and must pass.
+    case l: logical.GlobalLimit => literalLimit(l.limitExpr) <= 100000
+    case l: logical.LocalLimit => literalLimit(l.limitExpr) <= 100000
+    case _: logical.LocalRelation => true
+    case _: logical.OneRowRelation => true
+    case r: logical.Range => r.numElements <= BigInt(100000)
+    // row-multiplying nodes void any bound their children carry —
+    // except a FOLDABLE generator (literal parameter grid), which
+    // multiplies by a compile-time constant
+    case g: logical.Generate =>
+      g.generator.children.forall(_.foldable) && g.children.forall(isBoundedLogical)
+    case _: logical.Expand => false
+    case _ =>
+      p.children.nonEmpty && p.children.forall(isBoundedLogical)
+  }
+
+  private def literalLimit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case _ => Long.MaxValue
+    }
+
+  /** Join sides carrying a FORCED broadcast hint (`broadcast(df)` or the
+    * SQL BROADCAST hint comment) whose subtree lacks a row-bounding node — the
+    * "broadcast a data-dependent relation" anti-pattern: hash-green at
+    * test scale, a driver/executor OOM at 100×. AQE-chosen broadcasts
+    * never flag (they are proven small at runtime, per query, per
+    * scale); only explicit hints — which override AQE's size check
+    * unconditionally — are audited. The scalar/probe-set/grid hints the
+    * catalogue does want (ungrouped aggregates, LIMIT-bounded probe
+    * sets, LocalRelation grids) pass [[isBoundedLogical]] and never
+    * flag either.
+    *
+    * Each offender is reported as `broadcast-hint(side: TopNodeName)`.
+    * The catalogue-wide CI gate (QueriesSmokeSpec) asserts this is
+    * empty for every registered query, with a written-argument
+    * whitelist for fixed-cardinality dimension relations the structural
+    * check cannot see (e.g. the 25-row `nation` table).
+    */
+  def forcedBroadcastOffenders(df: DataFrame): Seq[String] = {
+    def hinted(h: Option[logical.HintInfo]): Boolean =
+      h.exists(_.strategy.contains(logical.BROADCAST))
+    df.queryExecution.optimizedPlan.collect {
+      case j: logical.Join =>
+        val l =
+          if (hinted(j.hint.leftHint) && !isBoundedLogical(j.left))
+            Seq(s"broadcast-hint(left: ${j.left.nodeName})")
+          else Nil
+        val r =
+          if (hinted(j.hint.rightHint) && !isBoundedLogical(j.right))
+            Seq(s"broadcast-hint(right: ${j.right.nodeName})")
+          else Nil
+        l ++ r
+    }.flatten.distinct
   }
 }

@@ -446,9 +446,11 @@ object LlmQueries {
   /** End-to-end corpus preparation — the composition a training-data user
     * actually runs: exact-dedup keepers (min doc_id per content hash) ∩
     * quality gate ≥ 0.5, annotated with token counts. One semi join
-    * against the keeper set (broadcastable: one row per distinct content)
-    * + the row-local metric projections; no extra shuffle beyond the
-    * dedup aggregate.
+    * against the keeper set — HINT-FREE: the keeper relation is one row
+    * per distinct content, i.e. ≈corpus-sized on a mostly-unique lake,
+    * so a forced broadcast would OOM the driver at 100×; AQE picks the
+    * build side from actual sizes — plus the row-local metric
+    * projections; no extra shuffle beyond the dedup aggregate.
     */
   val q53CorpusPrep: QueryDef = QueryDef(
     "q53_corpus_prep",
@@ -464,7 +466,7 @@ object LlmQueries {
         .tokenCounts(docs)
         .select(col("doc_id"), col("n_tokens"))
       docs
-        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
         .join(quality, "doc_id")
         .join(tokens, "doc_id")
         .filter(col("quality_score") >= 0.5)

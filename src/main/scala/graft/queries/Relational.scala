@@ -168,9 +168,12 @@ object Relational {
       val nation = Tables.nation(s, dir)
       val region = Tables.region(s, dir)
       orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        // hint-free: customer scales with the fact side (forcing it
+        // broadcast OOMs at 100x); nation/region are tiny parquet whose
+        // file-size stats already pick a broadcast join without a hint
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -275,8 +278,9 @@ object Relational {
       val region = Tables.region(s, dir)
       val customer = Tables.customer(s, dir)
       customer
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        // hint-free: nation/region broadcast by file-size stats already
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
     },

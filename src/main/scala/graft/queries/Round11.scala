@@ -828,7 +828,11 @@ object Round11 {
         .join(pairDocs, "doc_id")
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), expr("minhash_md5_64(shingles)").as("sig"))
-      val est = broadcast(pairs)
+      // Hint-free: the pair relation is OUTPUT-sized (unbounded on a
+      // duplicate-heavy corpus) — the exact shape the r9 verifyJaccard
+      // fix removed elsewhere; AQE picks the build side from runtime
+      // sizes.
+      val est = pairs
         .join(comp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(comp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(

@@ -162,7 +162,7 @@ object Round31 {
       if (spark) "explode(regexp_extract_all(t, '[0-9]{13,19}', 0))"
       else "unnest(regexp_extract_all(t, '[0-9]{13,19}'))"
     val luhn =
-      if (spark) "luhn_check(num)"
+      if (spark) "graft_luhn_check(num)"
       else
         """(list_sum([CASE WHEN i % 2 = 1
                            THEN CAST(substring(reverse(num), i, 1) AS INT)

@@ -250,8 +250,8 @@ object Round32 {
                CAST((SELECT count(*) FROM bm) AS BIGINT) AS n_bins_b,
                ${snap(s"(SELECT CAST(sum(${qi("p * cost")}) AS DOUBLE) / 1048576.0 FROM plan)")}
                  AS transport_cost,
-               ${snap(s"""(SELECT CAST(sum(${qi("abs(CAST(r.rq AS DOUBLE) / 1048576.0 - a.mass)")}) AS BIGINT)
-                          FROM rowsum r JOIN am a ON a.bin = r.i) / 1048576.0""")}
+               ${snap(s"""CAST((SELECT CAST(sum(${qi("abs(CAST(r.rq AS DOUBLE) / 1048576.0 - a.mass)")}) AS BIGINT)
+                          FROM rowsum r JOIN am a ON a.bin = r.i) AS DOUBLE) / 1048576.0""")}
                  AS row_marginal_l1"""
 
   val all: Seq[QueryDef] =

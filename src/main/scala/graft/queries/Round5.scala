@@ -79,7 +79,9 @@ object Round5 {
         .select(col("n_nationkey").cast("long").as("dk"), col("n_name"))
         .unionByName(s.sql("SELECT CAST(NULL AS BIGINT) AS dk, 'UNKNOWN' AS n_name"))
       cust
-        .join(broadcast(dim), cust("nk") <=> dim("dk"))
+        // hint-free: the dim union's size resolves at runtime (AQE);
+        // null-safe equality still plans a hash join on the <=> key
+        .join(dim, cust("nk") <=> dim("dk"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal_sum"))
     },

@@ -866,7 +866,8 @@ object Round6 {
         .agg(
           expr("percentile(value, 0.05)").as("p05"),
           expr("percentile(value, 0.95)").as("p95"))
-      ev.join(broadcast(caps), "event_type")
+      // hint-free: per-event-type caps are group-keyed; AQE decides
+      ev.join(caps, "event_type")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),

@@ -2073,8 +2073,9 @@ object Round7 {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("common"))
       common
-        .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("va"))), "src_a")
-        .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("vb"))), "src_b")
+        // hint-free: per-source vocab sizes are source-keyed; AQE decides
+        .join(sizes.select(col("source").as("src_a"), col("v").as("va")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("v").as("vb")), "src_b")
         .select(
           col("src_a"),
           col("src_b"),
@@ -2226,6 +2227,7 @@ object Round7 {
         .select(col("label"), expr("transform(array_sort(pm), x -> x.m)").as("c"))
         .localCheckpoint()
       val base = cents.filter(col("label") === 0).select(col("c").as("c0"))
+        .limit(1) // exactly one row (one centroid per label) — provable bound
       cents
         .crossJoin(broadcast(base))
         .select(

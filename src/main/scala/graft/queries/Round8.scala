@@ -234,7 +234,8 @@ object Round8 {
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("y"),
         expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"))
       val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_size").cast("long").as("z"))
-      val j = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      // hint-free: part scales with the fact side; AQE picks the build side
+      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
       val d = "decimal(38,0)"
       j.agg(
           count(lit(1)).cast(d).as("n"),
@@ -1507,6 +1508,9 @@ object Round8 {
           Window.orderBy(round(col("g"), 6).desc, col("bin").asc))) // q276's ulp-safe pick
         .filter(col("rk") === 1)
         .select(col("bin").as("root_bin"))
+        // exactly one row by the rk = 1 filter; the LIMIT states that
+        // bound in a form the plan gate can prove (no-op)
+        .limit(1)
       // side assignment + per-side best split
       val sided = binned.crossJoin(broadcast(root))
         .withColumn("side", when(col("bin") <= col("root_bin"), "L").otherwise("R"))
@@ -1514,6 +1518,8 @@ object Round8 {
         .rowsBetween(Window.unboundedPreceding, 0)
       val sideTot = sided.groupBy(col("side"))
         .agg(sum(col("bn")).as("sn"), sum(col("bpos")).as("spos"))
+        // side is a binary L/R label: ≤2 rows, stated as a provable LIMIT
+        .limit(2)
       val subGain = snap(
         ent(col("spos"), col("sn")) -
           (col("nl").cast("double") / col("sn").cast("double")) * ent(col("posl"), col("nl")) -
@@ -1530,6 +1536,7 @@ object Round8 {
             .orderBy(round(col("g"), 6).desc, col("bin").asc))) // ulp-safe
         .filter(col("rk") === 1)
         .select(col("side"), col("bin").as("split_bin"))
+        .limit(2) // rank-1 per side, side ∈ {L, R}
       sided
         .join(broadcast(best), Seq("side"), "left")
         .withColumn(
@@ -2077,8 +2084,9 @@ object Round8 {
             col("n").cast("double")) /
           (col("rn").cast("double") * col("cn").cast("double") / col("n").cast("double")))
       cells
-        .join(broadcast(rows), Seq("nk"))
-        .join(broadcast(cols_), Seq("seg"))
+        // hint-free: margin relations are category-keyed; AQE decides
+        .join(rows, Seq("nk"))
+        .join(cols_, Seq("seg"))
         .crossJoin(broadcast(tot))
         .select(col("n"), col("r"), col("c"), term.as("t"))
         .groupBy(col("n"), col("r"), col("c"))

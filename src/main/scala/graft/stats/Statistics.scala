@@ -117,10 +117,11 @@ object Statistics {
       )
       .groupBy(col("used_api_id").as("api_id_num"))
       .agg(count(lit(1)).as("cnt"))
-    // Broadcast the (≤ numApis rows) counts side — the preserved side of a
-    // left join cannot be the broadcast build side.
+    // Hint-free: both sides are ≤ numApis rows; AQE picks the build side
+    // (the preserved side of a left join cannot be the broadcast build
+    // side, so only the counts side is eligible anyway).
     domain
-      .join(broadcast(counts), Seq("api_id_num"), "left")
+      .join(counts, Seq("api_id_num"), "left")
       .select(
         concat(lit("api_"), col("api_id_num")).as("api_id"),
         coalesce(col("cnt"), lit(0L)).as("n_used")

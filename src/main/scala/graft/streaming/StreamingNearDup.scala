@@ -122,12 +122,14 @@ object StreamingNearDup {
     val cands = candidatePairs(stream, n, numPerm, bands)
     // Static side: the corpus shingle relation the candidates verify
     // against (in production, the lake table the stream is ingesting into).
-    // Cached: a stream-static join re-executes the static plan EVERY
-    // micro-batch, and this one is joined on both sides — without the cache
-    // the corpus is re-shingled 2× per batch.
+    // localCheckpoint: a stream-static join re-executes the static plan
+    // EVERY micro-batch, and this one is joined on both sides — without
+    // materialization the corpus is re-shingled 2× per batch. Checkpoint
+    // (not cache) so the blocks are GC-cleaned when the query ends
+    // instead of living in the session cache forever.
     val sh = Dedup
       .hashedTokenShingles(graft.sources.Tables.documents(spark, sfDir), n)
-      .cache()
+      .localCheckpoint()
     val verified = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

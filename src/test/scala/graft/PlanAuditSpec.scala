@@ -66,10 +66,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), "UDF in plan")
   }
 
-  test("q26 minhash pipeline prunes the documents scan to (doc_id, text)") {
-    val plan = planOf(SparkEntry.queries("q26_minhash_lsh")(spark, sfDir))
+  test("minhash shingle scan prunes the documents read to (doc_id, text)") {
     // The signature kernel needs only the id and the text — the scan must
-    // not drag source/lang/n_chars through the shingle cache.
+    // not drag source/lang/n_chars through the shingle relation. q26's
+    // final plan no longer shows the scan (the shingle relation is
+    // localCheckpoint-materialized, truncating lineage), so the audit
+    // targets the plan that RUNS at materialization time: the shingle
+    // operator's own.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val plan = planOf(
+      graft.operators.Dedup.hashedTokenShingles(docs, 3)
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("shingles")) > 0))
     assert(plan.contains("ReadSchema"), plan.linesIterator.take(3).mkString("\n"))
     assert(!plan.contains("n_chars"), "unpruned column n_chars in dedup scan")
     assert(!plan.contains("source"), "unpruned column source in dedup scan")

@@ -1,57 +1,226 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Smoke: every declared query runs on sf0.001 and yields rows; entry()
   * yields the one-row summary. Value-level correctness is checked by the
   * DuckDB oracle (driver + scripts/local_verify.py).
+  *
+  * Plan gates (this spec is the catalogue-wide CI for both):
+  *   - NESTED-LOOP gate: no BroadcastNestedLoopJoin/CartesianProduct
+  *     against an unbounded side ([[graft.plans.PlanGuard.unboundedOffenders]]).
+  *   - FORCED-BROADCAST gate: no `broadcast()` hint whose argument lacks
+  *     a row-bounding node ([[graft.plans.PlanGuard.forcedBroadcastOffenders]])
+  *     — the "broadcast a data-dependent relation" class that is
+  *     hash-green at test scale and a driver OOM at 100×.
+  * Whitelisted queries carry BOTH a written safety argument AND a runtime
+  * cardinality assertion: the bounded side is re-counted from the same
+  * tables and must stay under its stated dimension bound, so a schema
+  * drift that turns a "dimension" corpus-keyed fails the suite instead of
+  * silently reopening the quadratic/OOM class.
   */
 class QueriesSmokeSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** A whitelisted bounded side: the written safety argument, the stated
+    * dimension bound, and a runtime recount of that side from the same
+    * parquet tables (None only where the bound is a source literal that
+    * cannot drift with data, e.g. a hard-coded term list).
+    */
+  private case class BoundedSide(reason: String, bound: Long, count: Option[() => Long])
+
+  private def emb = Tables.embeddings(spark, sfDir)
+  private def docs = Tables.documents(spark, sfDir)
+  private def events = Tables.events(spark, sfDir)
+  private def orders = Tables.orders(spark, sfDir)
+  private def customer = Tables.customer(spark, sfDir)
+
+  private def probePanel(n: Int): Option[() => Long] =
+    Some(() => emb.filter(col("vec_id") < n).count())
+  private def distinctSources: Option[() => Long] =
+    Some(() => docs.select(col("source")).distinct().count())
+  private def eventHourSpan: Option[() => Long] =
+    Some(() =>
+      events.agg(
+        (max(expr("unix_micros(ts) div 3600000000")) -
+          min(expr("unix_micros(ts) div 3600000000")) + 1L).as("span"))
+        .head().getLong(0))
+
   /** Queries whose final plan intentionally nested-loops against a side
     * that is bounded by construction but not PROVABLY bounded from the
     * plan shape alone (e.g. a filter on a base scan that selects a
     * fixed 10-probe set, or a per-source/per-day aggregate whose
-    * cardinality is a dimension, not the corpus). Every entry carries
-    * the reason it is safe; all audited r9 via PlanDump — none crosses
-    * two corpus-sized relations (the q390 class stays banned).
+    * cardinality is a dimension, not the corpus). None crosses two
+    * corpus-sized relations (the q390 class stays banned) — and the
+    * "bounded side" test below re-proves each bound against the data.
     */
-  private val plannedNestedLoopAllowed: Map[String, String] = Map(
+  private val plannedNestedLoopAllowed: Map[String, BoundedSide] = Map(
     // --- fixed probe-set × corpus (linear in corpus; probe side is the
-    //     documented 10-row query set, broadcast) ---
-    "q30_ann_brute" -> "10-probe set × corpus with vec_id<>query_id — the documented exact-topk baseline",
-    "q80_ann_pq" -> "10-probe set × PQ-coded corpus — documented flat ADC scan baseline; q123 is the scale path",
-    "q141_contrastive" -> "10-probe set × corpus negatives (vec_id<>query_id) — linear in corpus",
-    "q153_rrf_fusion" -> "10-probe set × corpus per retriever — linear in corpus",
-    "q235_retrieval_eval" -> "10-probe set × corpus exact ranking for eval — linear in corpus",
-    "q241_embedding_drift" -> "bounded centroid relation × dim grid — model-state product",
-    "q266_knn_eval" -> "10-probe set × corpus (vec_id<>query_id) exact kNN reference — linear in corpus",
+    //     documented query set, broadcast) ---
+    "q30_ann_brute" -> BoundedSide(
+      "10-probe set × corpus with vec_id<>query_id — the documented exact-topk baseline",
+      10, probePanel(10)),
+    "q80_ann_pq" -> BoundedSide(
+      "10-probe set × PQ-coded corpus — documented flat ADC scan baseline; q123 is the scale path",
+      10, probePanel(10)),
+    "q141_contrastive" -> BoundedSide(
+      "10-probe set × corpus negatives (vec_id<>query_id) — linear in corpus",
+      10, probePanel(10)),
+    "q153_rrf_fusion" -> BoundedSide(
+      "10-probe set × corpus per retriever — linear in corpus",
+      10, probePanel(10)),
+    "q235_retrieval_eval" -> BoundedSide(
+      "10-probe set × corpus exact ranking for eval — linear in corpus",
+      10, probePanel(10)),
+    "q241_embedding_drift" -> BoundedSide(
+      "bounded centroid relation (one per label) × dim grid — model-state product",
+      16, Some(() => emb.select(col("label")).distinct().count())),
+    "q266_knn_eval" -> BoundedSide(
+      "50-probe set × corpus (vec_id<>query_id) exact kNN reference — linear in corpus",
+      50, probePanel(50)),
     // --- group/grid-dimension products (per-source totals × value grid,
     //     calendar × arms, bins × bins — dimension-sized, never corpus²) ---
-    "q149_ks_drift" -> "per-source totals (≤#sources) × distinct-value CDF grid — KS construction",
-    "q189_js_drift" -> "per-source totals × binned-distribution grid — JS construction",
-    "q164_kmv_intersect" -> "k-minima sketch (k=const) inequality self-pair — k² not corpus²",
-    "q249_logrank" -> "event-time grid × arm totals — survival-table product",
-    "q274_naive_bayes" -> "class-prior relation (≤#classes) × feature-likelihood grid",
-    "q280_label_noise" -> "class×class confusion grid product — dimension-sized",
-    "q290_jenks_breaks" -> "value-grid × break-candidate grid — grid-sized dynamic program",
-    "q303_mann_kendall" -> "daily series self-pairs (t<t') — calendar-grid O(T²), T=#days",
-    "q307_parallel_trends" -> "period grid × arm totals with a time-window predicate",
-    "q309_isotonic" -> "bin-interval self-join (j<=i<=k) — PAVA over ≤20 bins",
-    "q339_kendall_tau" -> "group-pair inequality join over per-group aggregates — groups², groups=dimension",
-    "q346_friedman" -> "block×treatment rank grid product — dimension-sized",
-    "q361_cooks_distance" -> "per-point × regression-scalars product — scalar side is a 1-row model",
-    "q430_loo_valuation" -> "coalition/fold table × per-fold stats — bounded model state",
-    "q463_maxscore_prune" -> "8-term postings × 1-row theta/threshold relations — term-sized",
-    "q469_t_closeness" -> "global sensitive distribution (≤#classes) × QI-group grid",
-    "q482_krippendorff_alpha" -> "category×category coincidence grid (≤3 return flags) inequality pair — dimension-sized",
-    "q486_sinkhorn_ot" -> "word-length histogram grid (≤15×≤15 bins) kernel product — dimension-sized Sinkhorn grid",
-    "q493_ransac_line" -> "50-trial × daily-point grid (calendar-bounded ≤50×31) inlier scoring — dimension-sized",
+    "q149_ks_drift" -> BoundedSide(
+      "per-source totals (≤#sources) × distinct-value CDF grid — KS construction",
+      64, distinctSources),
+    "q189_js_drift" -> BoundedSide(
+      "per-source totals × binned-distribution grid — JS construction",
+      64, distinctSources),
+    "q164_kmv_intersect" -> BoundedSide(
+      "k-minima sketch (k=64 const) per priority, inequality self-pair — k² not corpus²",
+      8, Some(() => orders.select(col("o_orderpriority")).distinct().count())),
+    "q249_logrank" -> BoundedSide(
+      "event-time hour grid × 2-arm totals — survival-table product",
+      1024, eventHourSpan),
+    "q274_naive_bayes" -> BoundedSide(
+      "class-prior relation (≤#classes = #sources) × feature-likelihood grid",
+      64, distinctSources),
+    "q280_label_noise" -> BoundedSide(
+      "class×class confusion grid product — dimension-sized (#sources²)",
+      64, distinctSources),
+    "q290_jenks_breaks" -> BoundedSide(
+      "value-grid × break-candidate grid — grid-sized dynamic program over 500-wide bins",
+      2048,
+      Some(() =>
+        orders.select(expr("CAST(round(o_totalprice) AS BIGINT) div 500").as("b"))
+          .distinct().count())),
+    "q197_linreg_trend" -> BoundedSide(
+      "calendar-hour grid (explode of a 1-row bounds sequence) × per-type counts — span-sized",
+      1024, eventHourSpan),
+    "q254_fano_factor" -> BoundedSide(
+      "calendar-hour grid (explode of a 1-row bounds sequence) × event types — span-sized",
+      1024, eventHourSpan),
+    "q314_sax" -> BoundedSide(
+      "calendar-day spine × event-type keys — span-sized SAX frame grid",
+      62,
+      Some(() =>
+        events.agg(
+          (max(expr("unix_micros(ts) div 86400000000")) -
+            min(expr("unix_micros(ts) div 86400000000")) + 1L)).head().getLong(0))),
+    "q303_mann_kendall" -> BoundedSide(
+      "hourly series self-pairs (t<t') — calendar-grid O(T²), T=#hours in span",
+      1024, eventHourSpan),
+    "q307_parallel_trends" -> BoundedSide(
+      "15-day pre-period grid × 2 arms with a time-window predicate",
+      32,
+      Some(() => {
+        val t0 = events.agg(min(expr("unix_micros(ts)"))).head().getLong(0)
+        events.filter(expr(s"unix_micros(ts) < ${t0}L + 15L * 86400000000L"))
+          .select((col("user_id") % 2).as("arm"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct().count()
+      })),
+    "q309_isotonic" -> BoundedSide(
+      "bin-interval self-join (j<=i<=k) — PAVA over the mod-20 bin grid",
+      20,
+      Some(() =>
+        events.select(expr("CAST(round(value * 100) AS BIGINT) % 20").as("b"))
+          .distinct().count())),
+    "q339_kendall_tau" -> BoundedSide(
+      "weekly-aggregate pair inequality join — weeks², weeks = calendar dimension",
+      512,
+      Some(() =>
+        orders.select(
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7"))
+          .distinct().count())),
+    "q346_friedman" -> BoundedSide(
+      "week×treatment rank grid product — calendar × 5-value priority enum",
+      512,
+      Some(() =>
+        orders.select(
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') AS BIGINT) div 7"))
+          .distinct().count())),
+    "q361_cooks_distance" -> BoundedSide(
+      "per-day spine × 1-row regression model — spine is the order-date calendar span",
+      4096,
+      Some(() =>
+        orders.agg((datediff(max(to_date(col("o_orderdate"))),
+          min(to_date(col("o_orderdate")))) + 1).cast("long")).head().getLong(0))),
+    "q430_loo_valuation" -> BoundedSide(
+      "lang×source profile grid × per-cell stats — bounded model state",
+      320,
+      Some(() => docs.select(col("lang"), col("source")).distinct().count())),
+    "q463_maxscore_prune" -> BoundedSide(
+      "8-term postings × 1-row theta/threshold relations — term set is a source " +
+        "literal (cannot drift with data)",
+      8, None),
+    "q469_t_closeness" -> BoundedSide(
+      "global sensitive distribution (≤#segments) × QI-group grid (≤#nations)",
+      256,
+      Some(() => customer.select(col("c_nationkey"), col("c_mktsegment")).distinct().count())),
+    "q482_krippendorff_alpha" -> BoundedSide(
+      "category×category coincidence grid (return-flag enum) inequality pair",
+      3,
+      Some(() => Tables.lineitem(spark, sfDir).select(col("l_returnflag")).distinct().count())),
+    "q486_sinkhorn_ot" -> BoundedSide(
+      "word-length histogram grid (bins = min(len,15), ≤15×≤15) Sinkhorn kernel product",
+      15,
+      Some(() =>
+        docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(col("w") =!= "")
+          .select(least(length(col("w")), lit(15)).as("b")).distinct().count())),
+    "q493_ransac_line" -> BoundedSide(
+      "50-trial grid × daily-point grid (calendar-bounded) inlier scoring",
+      62,
+      Some(() =>
+        events.select(expr("unix_micros(ts) div 86400000000").as("d")).distinct().count())),
     // --- deliberate non-equi subquery surface ---
-    "q375_subquery_predicates" -> "demonstrates correlated/non-equi subquery predicates over dimension tables"
+    "q375_subquery_predicates" -> BoundedSide(
+      "correlated/non-equi subquery predicates over the 25-row nation dimension",
+      25, Some(() => Tables.nation(spark, sfDir).count()))
+  )
+
+  /** Queries whose final plan intentionally carries a `broadcast()` hint
+    * on a side that is bounded by construction but not PROVABLY bounded
+    * from the plan shape alone. Everything else in the catalogue is
+    * hint-free on data-dependent sides (AQE picks the build side from
+    * runtime sizes) or hints only plan-provably-bounded relations
+    * (ungrouped aggregates, explicit LIMITs, probe panels).
+    */
+  private val forcedBroadcastAllowed: Map[String, BoundedSide] = Map(
+    "q157_semantic_decontam" -> BoundedSide(
+      "eval-set side is benchmark-sized by contract (the 20-vector eval panel, " +
+        "posexploded ×6 tables)",
+      20, probePanel(20)),
+    "q197_linreg_trend" -> BoundedSide(
+      "calendar-hour grid exploded from a 1-row bounds aggregate — span-sized, " +
+        "not corpus-sized",
+      1024, eventHourSpan),
+    "q254_fano_factor" -> BoundedSide(
+      "calendar-hour grid exploded from a 1-row bounds aggregate — span-sized",
+      1024, eventHourSpan),
+    "q290_jenks_breaks" -> BoundedSide(
+      "break-candidate DP grid over 500-wide value bins — range-bounded, " +
+        "not corpus-sized",
+      2048,
+      Some(() =>
+        orders.select(expr("CAST(round(o_totalprice) AS BIGINT) div 500").as("b"))
+          .distinct().count()))
   )
 
   test("entry() produces a non-empty summary") {
@@ -105,15 +274,44 @@ class QueriesSmokeSpec extends AnyFunSuite {
           s"query $name plans non-scalable join(s) ${bad.mkString(", ")} — " +
             "add an equi-key, or whitelist with a written safety argument")
       }
+      // Forced-broadcast gate (same move, applied to the r9 verdict's one
+      // shipped anti-pattern): no broadcast() hint on a side the plan
+      // cannot prove row-bounded. AQE-chosen broadcasts never flag — only
+      // hints, which override AQE's size check unconditionally.
+      if (!forcedBroadcastAllowed.contains(name)) {
+        val bad = graft.plans.PlanGuard.forcedBroadcastOffenders(df)
+        assert(
+          bad.isEmpty,
+          s"query $name force-broadcasts a data-dependent side ${bad.mkString(", ")} — " +
+            "drop the hint (AQE picks the build side), state the bound with .limit(n), " +
+            "or whitelist with a written safety argument")
+      }
     }
   }
+
+  (plannedNestedLoopAllowed.toSeq ++ forcedBroadcastAllowed.toSeq)
+    .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }.toSeq.sortBy(_._1)
+    .foreach { case (name, sides) =>
+      test(s"$name whitelisted bounded side stays under its stated bound") {
+        sides.foreach { side =>
+          side.count.foreach { c =>
+            val n = c()
+            assert(
+              n <= side.bound,
+              s"$name bounded side grew to $n rows (stated bound ${side.bound}) — " +
+                s"the whitelist argument no longer holds: ${side.reason}")
+          }
+        }
+      }
+    }
 
   test("oracle SQL map only references declared queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("nested-loop whitelist only references declared queries") {
-    val stale = plannedNestedLoopAllowed.keySet -- SparkEntry.queries.keySet
+  test("whitelists only reference declared queries") {
+    val stale = (plannedNestedLoopAllowed.keySet ++ forcedBroadcastAllowed.keySet) --
+      SparkEntry.queries.keySet
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
   }
 }
