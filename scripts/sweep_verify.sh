@@ -39,6 +39,9 @@ skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
         "q217_cluster_sample", "q239_dedup_impact",
         "q362_containment",
         "q475_dedup_percolation",
+        # q521 embeds the quadratic exact-Jaccard pair oracle for its
+        # shard-locality baseline — oracle-green at sf0.001/sf0.01
+        "q521_dedup_locality",
         # q395 embeds the same quadratic exact-Jaccard pair oracle for
         # its calibration baseline — oracle-green at sf0.001/sf0.01
         "q395_minhash_calibration"}
