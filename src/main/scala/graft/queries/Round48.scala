@@ -316,36 +316,60 @@ object Round48 {
 
   // ---------------------------------------------------------------- q558
 
-  /** Erlang-B blocking curve as 32 UNROLLED scalar recursion steps
-    * (B₀ = 1, B_k = a·B_{k−1}/(k + a·B_{k−1}) — each step a one-row
-    * CTE, no driver loop): offered load a = arrival rate × the
-    * reference simulator's 0.65 s mean service, at a documented 1000×
-    * growth what-if so the curve actually bends at test scale. Emits
+  /** Erlang-B blocking curve: B₀ = 1, B_k = a·B_{k−1}/(k + a·B_{k−1}),
+    * offered load a = arrival rate × the reference simulator's 0.65 s
+    * mean service at a documented 1000× growth what-if. The 32-step
+    * recursion is BOUNDED MODEL STATE, driver-iterated on the Spark
+    * side (the q431/q479 pattern — one 1-row aggregate collect, then 32
+    * local IEEE steps; two earlier cuts failed: 32 unrolled CTEs made
+    * Catalyst re-inline the chain into the catalogue's slowest plan,
+    * and a quantized log-space closed form divided by zero once the
+    * offered load grew past the 2^20 grid at sf0.1). The oracle replays
+    * the identical recursion as 32 one-row chained CTEs — DuckDB
+    * doesn't re-inline, so the asymmetry costs nothing there. Emits
     * m ∈ {1,2,4,8,16,32} plus the smallest m under 1% blocking — the
     * LOSS-system sheet next to q478's Erlang-C waits.
     */
   val q558ErlangB: QueryDef = QueryDef(
     "q558_erlang_b_curve",
     (s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("r48_events")
-      s.sql(erlangBSql(spark = true))
+      import org.apache.spark.sql.{functions => F}
+      def snapD(x: Double): Double =
+        math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+      val row = Tables.events(s, dir)
+        .selectExpr("unix_micros(ts) AS t")
+        .agg(F.count(F.lit(1)).cast("double").as("n"),
+          F.max(F.col("t")).as("mx"), F.min(F.col("t")).as("mn"))
+        .head()
+      val a = row.getDouble(0) /
+        ((row.getLong(1).toDouble - row.getLong(2)) / 1000000) * 0.65 * 1000
+      var b = 1.0
+      val curve = (1 to 32).map { k =>
+        b = a * b / (k + a * b)
+        (k.toLong, b)
+      }
+      val firstOk = curve.find(_._2 < 0.01).map(_._1).getOrElse(-1L)
+      val out = Seq(1, 2, 4, 8, 16, 32).map { m =>
+        (m.toLong, snapD(a), snapD(curve(m - 1)._2), firstOk)
+      }
+      import s.implicits._
+      out.toDF("n_servers", "offered_erlangs", "blocking_prob",
+        "min_servers_for_1pct")
     },
-    Some(erlangBSql(spark = false))
+    Some(erlangBOracleSql)
   )
 
-  private def erlangBSql(spark: Boolean): String = {
-    val tbl = if (spark) "r48_events" else "events"
-    val us = if (spark) "unix_micros(ts)" else "epoch_us(ts)"
+  private def erlangBOracleSql: String = {
     val steps = (1 to 32).map { k =>
       s"b$k AS (SELECT a.a, a.a * p.b / ($k + a.a * p.b) AS b FROM b${k - 1} p CROSS JOIN load a)"
     }.mkString(",\n        ")
     val rows = Seq(1, 2, 4, 8, 16, 32).map { m =>
       s"SELECT CAST($m AS BIGINT) AS m, b FROM b$m"
     }.mkString("\n               UNION ALL ")
-    val firstOk = (1 to 32).map { k =>
+    val allRows = (1 to 32).map { k =>
       s"SELECT CAST($k AS BIGINT) AS m, b FROM b$k"
     }.mkString("\n               UNION ALL ")
-    s"""WITH ev AS (SELECT $us AS t FROM $tbl),
+    s"""WITH ev AS (SELECT epoch_us(ts) AS t FROM events),
         load AS (SELECT CAST(count(*) AS DOUBLE) /
                         ((CAST(max(t) AS DOUBLE) - min(t)) / 1000000)
                         * CAST(0.65 AS DOUBLE) * CAST(1000 AS DOUBLE) AS a
@@ -353,7 +377,7 @@ object Round48 {
         b0 AS (SELECT a, CAST(1 AS DOUBLE) AS b FROM load),
         $steps,
         curve AS ($rows),
-        allm AS ($firstOk),
+        allm AS ($allRows),
         ok AS (SELECT CAST(coalesce(min(m), -1) AS BIGINT) AS first_ok
                FROM allm WHERE b < CAST(0.01 AS DOUBLE))
         SELECT c.m AS n_servers,

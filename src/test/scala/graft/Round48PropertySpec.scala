@@ -166,7 +166,7 @@ class Round48PropertySpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- q558
 
-  test("q558 Erlang-B equals the sequential recursion") {
+  test("q558 Erlang-B equals the sequential recursion and the closed form") {
     val ts = graft.sources.Tables.events(spark, sfDir)
       .selectExpr("unix_micros(ts) AS us").collect().map(_.getLong(0))
     val a = ts.length.toDouble / ((ts.max.toDouble - ts.min) / 1000000) * 0.65 * 1000
@@ -183,6 +183,14 @@ class Round48PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getLong(3))).toSeq
     assert(got == expected, s"got $got expected $expected")
+    // INDEPENDENT check: the B_k = t_k/Σt_j closed form agrees
+    val tks = (0 to 32).scanLeft(1.0) { case (t, k) => if (k == 0) t else t * a / k }
+      .tail // t_0..t_32 via stable ratios
+    Seq(1, 2, 4, 8, 16, 32).foreach { k =>
+      val closed = tks(k) / tks.take(k + 1).sum
+      val cell = got.find(_._1 == k).get._3
+      assert(math.abs(cell - closed) < 1e-9, s"m=$k $cell vs closed $closed")
+    }
     // blocking is monotone decreasing in servers
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
