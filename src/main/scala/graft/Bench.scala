@@ -41,6 +41,10 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1_agg,q66_... : time a subset (iteration tool;
     // the driver never sets it, so the full catalogue runs)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Single source of truth for the timing methodology — the loop below
+    // and the archived provenance stamp both read it, so the stamp can
+    // never lie about runs-per-query again (r10 hard-coded 1 vs min-of-2).
+    val timedRuns = 2
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     // Warmup pass (untimed).
@@ -55,7 +59,7 @@ object Bench {
       // GC pause or a neighboring-process burst; min-of-2 reports the
       // query's achievable steady-state cost. Session state resets
       // between runs so both pay identical (cold-cache) work.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -133,18 +137,34 @@ object Bench {
       val full = results
         .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val out = new java.io.File(root, f"BENCH_LOCAL_r$round%02d.json").toPath
-      System.err.println(s"[bench] archiving per-query timings to $out")
       // Provenance: identical HEADs have measured 2× apart on the
       // md5-heavy tail depending on who ran them (builder in-suite vs
       // driver cold, r9 q395 3.24 ↔ 6.63 s) — stamp the producing
       // context so future rounds compare like with like instead of
-      // re-litigating the swing.
-      val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "builder-local")
+      // re-litigating the swing. Producer defaults to "unknown" (NOT
+      // "builder-local": the driver's re-runs don't set the env var and
+      // r10's default let them masquerade as the builder's archive).
+      val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "unknown")
+      var out = new java.io.File(root, f"BENCH_LOCAL_r$round%02d.json").toPath
+      // Never silently clobber an archive produced by a DIFFERENT
+      // context under the same round number — divert to a
+      // producer-suffixed filename so both records survive.
+      if (java.nio.file.Files.exists(out)) {
+        val prevProducer = "\"producer\":\"([^\"]*)\"".r
+          .findFirstMatchIn(java.nio.file.Files.readString(out)).map(_.group(1))
+        if (prevProducer.exists(_ != producer)) {
+          System.err.println(
+            s"[bench] $out exists with producer='${prevProducer.get}' != " +
+              s"'$producer' — diverting to a suffixed archive")
+          out = new java.io.File(
+            root, f"BENCH_LOCAL_r$round%02d.$producer.json").toPath
+        }
+      }
+      System.err.println(s"[bench] archiving per-query timings to $out")
       val host = scala.util.Try(
         java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
       val ctx =
-        s"""{"producer":"$producer","host":"$host","runs_per_query":1,""" +
+        s"""{"producer":"$producer","host":"$host","runs_per_query":$timedRuns,""" +
           s""""java":"${System.getProperty("java.version")}"}"""
       java.nio.file.Files.writeString(
         out,

@@ -164,6 +164,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The catalogue's CANONICAL exact-pair relation: word-3-gram Jaccard
+    * ≥ 0.8 over `documents(doc_id, text)`. q28, q521 and every other
+    * consumer of "the t = 0.8 exact pair set" goes through this one
+    * entry point so their pair-set plans are identical by construction
+    * (same column pruning, same parameters) — a regression or
+    * optimization in the PPJoin path moves the whole family together
+    * instead of diverging per call site.
+    */
+  def ppjoinPairs(docs: DataFrame): DataFrame =
+    ngramJaccardPairs(docs.select("doc_id", "text"), n = 3, threshold = 0.8)
+
   /** EXACT word-shingle Jaccard pairs at threshold `t`, without the O(n²)
     * pair space: prefix + positional filtering (Chaudhuri/Xiao PPJoin
     * family).

@@ -80,9 +80,12 @@ object Winnow {
       minShared: Int = 4,
       maxDocFreq: Int = 64
   ): DataFrame = {
-    // cache: the self-join below would otherwise recompute the full
-    // fingerprint scan once per side (self-joins don't share lineage)
-    val posting = fingerprints(docs, n, w).cache()
+    // localCheckpoint (not cache): the self-join below would otherwise
+    // recompute the full fingerprint scan once per side (self-joins don't
+    // share lineage), and a cache here would outlive the operator — the
+    // checkpointed partitions are released by the ContextCleaner as soon
+    // as the returned plan drops its reference.
+    val posting = fingerprints(docs, n, w).localCheckpoint()
     val rare = posting
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("__df"))

@@ -120,7 +120,7 @@ object LlmQueries {
 
   val q28NgramJaccard: QueryDef = QueryDef(
     "q28_ngram_jaccard",
-    (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir)),
+    (s, dir) => Dedup.ppjoinPairs(Tables.documents(s, dir)),
     Some(ngramJaccardOracle)
   )
 

@@ -172,7 +172,7 @@ object Round42 {
     (s, dir) => {
       import org.apache.spark.sql.{functions => F}
       val docs = Tables.documents(s, dir)
-      Dedup.ngramJaccardPairs(docs.select(F.col("doc_id"), F.col("text")))
+      Dedup.ppjoinPairs(docs)
         .createOrReplaceTempView("r42_pairs")
       docs.createOrReplaceTempView("r42_documents")
       s.sql(localitySelect(

@@ -99,7 +99,9 @@ object Round48 {
     * series: stage-1 OLS levels regression from exact moments, stage-2
     * Dickey–Fuller on the residuals (Δe_t on e_{t−1}, no constant) with
     * every residual product 2^20-quantized pre-sum, against the −3.34
-    * 5% Engle–Granger critical value. "Do these two streams share a
+    * 5% Engle–Granger critical value. The residual variance divides by
+    * t−1 — the conventional df for the single-parameter no-intercept
+    * regression. "Do these two streams share a
     * trend" — the question q52's plain correlation can't answer.
     */
   val q555EngleGranger: QueryDef = QueryDef(
@@ -161,9 +163,9 @@ object Round48 {
         SELECT a.n AS n_days,
                ${snap("a.beta")} AS coint_beta,
                ${snap("r.ph")} AS df_phi,
-               ${snap("r.ph / sqrt((CAST(r.sq AS DOUBLE) / 1048576.0 / (r.t - 2)) / (CAST(r.see AS DOUBLE) / 1048576.0))")}
+               ${snap("r.ph / sqrt((CAST(r.sq AS DOUBLE) / 1048576.0 / (r.t - 1)) / (CAST(r.see AS DOUBLE) / 1048576.0))")}
                  AS adf_t,
-               CAST(CASE WHEN r.ph / sqrt((CAST(r.sq AS DOUBLE) / 1048576.0 / (r.t - 2)) / (CAST(r.see AS DOUBLE) / 1048576.0))
+               CAST(CASE WHEN r.ph / sqrt((CAST(r.sq AS DOUBLE) / 1048576.0 / (r.t - 1)) / (CAST(r.see AS DOUBLE) / 1048576.0))
                  < CAST(-3.34 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS cointegrated_95
         FROM ab a CROSS JOIN ssr r"""
   }
@@ -171,12 +173,18 @@ object Round48 {
   // ---------------------------------------------------------------- q556
 
   /** Kaplan–Meier RMST with end-of-window censoring: a user's observed
-    * lifetime is last−first event (days); users last seen within 3 days
-    * of the corpus end are CENSORED, the rest are churn events. S(t)
-    * accumulates as quantized Σ ln(1 − d/n) over ordered death times
-    * (span-bounded), and the restricted mean survival time at
-    * τ ∈ {7, 14} days integrates the step curve exactly. q191 draws
-    * S(t); this prices it in expected retained days.
+    * lifetime is last−first event (days); users last seen within half a
+    * day of the corpus end are CENSORED, the rest are churn events (the
+    * testdata generator keeps every user active across the ~30-day
+    * window, so lifetimes cluster at 26–29 days — a 0.5-day cutoff
+    * yields real deaths at every shipped SF where a 3-day cutoff
+    * censored 100% and made the curve vacuous). S(t) accumulates as
+    * quantized Σ ln(1 − d/r) over ordered death times (span-bounded);
+    * S(τ) reads the cumulative log at the LAST death below τ — min(cl),
+    * since the cumsum of negative log terms decreases with t — and the
+    * restricted mean survival time at τ ∈ {27, 30} days integrates the
+    * step curve exactly across the death-time cluster. q191 draws S(t);
+    * this prices it in expected retained days.
     */
   val q556KmRmst: QueryDef = QueryDef(
     "q556_km_rmst",
@@ -192,15 +200,15 @@ object Round48 {
     val us = if (spark) "unix_micros(ts)" else "epoch_us(ts)"
     val idiv = if (spark) "div" else "//"
     val taus =
-      if (spark) "SELECT explode(array(7, 14)) AS tau"
-      else "SELECT unnest([7, 14]) AS tau"
+      if (spark) "SELECT explode(array(27, 30)) AS tau"
+      else "SELECT unnest([27, 30]) AS tau"
     s"""WITH u AS (SELECT user_id, CAST(min($us) AS BIGINT) AS f,
                           CAST(max($us) AS BIGINT) AS l
                    FROM $tbl GROUP BY 1),
         gmx AS (SELECT CAST(max(l) AS BIGINT) AS gm FROM u),
         lt AS (SELECT u.user_id,
                       (u.l - u.f) $idiv 86400000000 AS t,
-                      CASE WHEN g.gm - u.l < 3 * 86400000000 THEN 0 ELSE 1 END AS death
+                      CASE WHEN 2 * (g.gm - u.l) < 86400000000 THEN 0 ELSE 1 END AS death
                FROM u CROSS JOIN gmx g),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(death) AS BIGINT) AS nd
@@ -230,7 +238,7 @@ object Round48 {
                           CAST(g.tau AS BIGINT)) AS DOUBLE) AS a0
                  FROM tg g CROSS JOIN (SELECT CAST(min(t) AS BIGINT) AS mnt FROM km) k0),
         stau AS (SELECT CAST(g.tau AS BIGINT) AS tau,
-                        exp(CAST(coalesce(max(CASE WHEN k.t < g.tau THEN k.cl END), 0) AS DOUBLE) / 1048576.0) AS s_at_tau
+                        exp(CAST(coalesce(min(CASE WHEN k.t < g.tau THEN k.cl END), 0) AS DOUBLE) / 1048576.0) AS s_at_tau
                  FROM tg g LEFT JOIN km k ON k.t < g.tau
                  GROUP BY 1)
         SELECT s2.tau AS tau_days,

@@ -226,8 +226,9 @@ object Temporal {
   val q52SeriesCorr: QueryDef = QueryDef(
     "q52_series_corr",
     (s, dir) => {
-      // Cached: the self-join evaluates its lineage once per side, and the
-      // hourly aggregate is the expensive part (full events scan).
+      // localCheckpoint: the self-join evaluates its lineage once per side,
+      // and the hourly aggregate is the expensive part (full events scan);
+      // unlike cache() the checkpointed partitions don't outlive the query.
       val hourly = Tables
         .events(s, dir)
         .groupBy(
@@ -235,7 +236,7 @@ object Temporal {
           col("event_type")
         )
         .agg(sum(col("value")).as("v"))
-        .cache()
+        .localCheckpoint()
       val a = hourly.select(col("hour"), col("event_type").as("type_a"), col("v").as("v_a"))
       val b = hourly.select(col("hour").as("hour_b"), col("event_type").as("type_b"), col("v").as("v_b"))
       a.join(b, col("hour") === col("hour_b") && col("type_a") < col("type_b"))
@@ -264,8 +265,9 @@ object Temporal {
     * overlap self-join with no equi-key, the second nested-loop shape the
     * binning removes (1-hour bins). Daily rollup: pair count + total
     * overlap seconds (integer-µs sum, one division — cross-engine exact).
-    * The session relation is cached: the overlap self-join evaluates its
-    * lineage once per side. Oracle: gaps-and-islands sessions (q48's
+    * The session relation is localCheckpoint-ed: the overlap self-join
+    * evaluates its lineage once per side, with nothing left cached after
+    * the query's terminal action. Oracle: gaps-and-islands sessions (q48's
     * derivation) + naive overlap θ-join in DuckDB.
     */
   val q57SessionOverlap: QueryDef = QueryDef(
@@ -280,7 +282,7 @@ object Temporal {
           unix_micros(col("session_window.start")).as("lo"),
           unix_micros(col("session_window.end")).as("hi")
         )
-        .cache()
+        .localCheckpoint()
       val l = sess.select(col("user_id").as("user_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
       val r = sess.select(col("user_id").as("user_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
       graft.operators.RangeJoin

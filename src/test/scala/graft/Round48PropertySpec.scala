@@ -81,7 +81,7 @@ class Round48PropertySpec extends AnyFunSuite {
     val sq = pairs.map { case (ep, e) =>
       qiL((e - ep - ph * ep) * (e - ep - ph * ep))
     }.sum
-    val adf = ph / math.sqrt((sq.toDouble / 1048576.0 / (t - 2)) / (see.toDouble / 1048576.0))
+    val adf = ph / math.sqrt((sq.toDouble / 1048576.0 / (t - 1)) / (see.toDouble / 1048576.0))
     val expected = (n, snapD(beta), snapD(ph), snapD(adf),
       if (adf < -3.34) 1 else 0)
     val got = SparkEntry.queries("q555_engle_granger")(spark, sfDir)
@@ -103,13 +103,13 @@ class Round48PropertySpec extends AnyFunSuite {
       }.toSeq
     val gm = u.map(_._2).max
     val lt = u.map { case (f, l) =>
-      (Math.floorDiv(l - f, 86400000000L), if (gm - l < 3L * 86400000000L) 0 else 1)
+      (Math.floorDiv(l - f, 86400000000L), if (2L * (gm - l) < 86400000000L) 0 else 1)
     }
     val n = lt.length.toLong
     val nd = lt.map(_._2.toLong).sum
     val deaths = lt.filter(_._2 == 1).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (t, xs) => (t, xs.length.toLong) }
-    val expected = Seq(7L, 14L).map { tau =>
+    val expected = Seq(27L, 30L).map { tau =>
       var cl = 0L
       var prevT = 0L
       var s = 1.0
@@ -136,6 +136,33 @@ class Round48PropertySpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
     // RMST grows with tau and never exceeds it
     assert(got(0)._4 <= got(1)._4 && got.forall(r => r._4 <= r._1))
+  }
+
+  test("q556 KM S(tau) on synthetic data with multiple death times") {
+    // Six distinct death times below tau plus two end-of-window censored
+    // users: S(tau) must read the cumulative log-survival at the LAST
+    // death before tau (min of the negative cumsum), not the first. The
+    // closed form here is (7/8)(6/7)(5/6)(4/5)(3/4)(2/3) = 1/4; a
+    // first-death regression would return 7/8 instead.
+    import spark.implicits._
+    val day = 86400000000L
+    val lifetimes = Seq(1L, 2L, 3L, 5L, 10L, 20L, 25L, 25L)
+    val rows = lifetimes.zipWithIndex.flatMap { case (lt, u) =>
+      Seq((u.toLong * 2, 0L, u.toLong, "view", 1.0, "{}"),
+        (u.toLong * 2 + 1, lt * day, u.toLong, "view", 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-q556-").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q556_km_rmst")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toList
+    assert(got.map(_._2) == List(6L, 6L), s"expected 6 deaths, got $got")
+    got.foreach { case (tau, _, sAtTau) =>
+      assert(math.abs(sAtTau - 0.25) < 1e-4,
+        s"S($tau) = $sAtTau, expected ~0.25 (last-death semantics)")
+    }
   }
 
   // ---------------------------------------------------------------- q557
