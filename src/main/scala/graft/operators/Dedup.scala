@@ -213,10 +213,18 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
+    // cache() (columnar, prunable), NOT localCheckpoint: the shingle and
+    // prefix relations are corpus-sized at low thresholds, and the r10
+    // checkpoint swap materialized them as unprunable row RDDs — q243
+    // (t=0.5) went 1.4→3.1 s, q395 (t=0.6) 3.5→4.4 s at sf0.1; reverting
+    // to cache recovered both (r11 bisect). Hygiene is preserved anyway:
+    // the tail of this method materializes the OUTPUT-sized pair set and
+    // unpersists both intermediates before returning, so nothing cached
+    // outlives the operator.
     val sh = hashedTokenShingles(docs, n)
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
-      .localCheckpoint()
+      .cache()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // The per-document (df, sh) ranking is a hash aggregate + local sort of
@@ -243,7 +251,7 @@ object Dedup {
         ).as("pref")
       )
       .select(col("doc_id"), col("sz"), posexplode(col("pref.sh")).as(Seq("pos", "sh")))
-      .localCheckpoint()
+      .cache()
     val eps = 1e-9
     val a = prefixes.toDF("doc_a", "sz_a", "pos_a", "sh")
     val b = prefixes.toDF("doc_b", "sz_b", "pos_b", "sh_b")
@@ -260,7 +268,15 @@ object Dedup {
       )
       .select("doc_a", "doc_b")
       .distinct()
-    verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold)
+    // localCheckpoint HERE, where the relation is output-sized: the true
+    // pair set materializes eagerly, then the corpus-sized intermediate
+    // caches are released — callers get an already-computed relation and
+    // a session with zero residual cached partitions.
+    val result = verifyJaccard(candidates, sh.select("doc_id", "shingles"), threshold)
+      .localCheckpoint()
+    prefixes.unpersist()
+    sh.unpersist()
+    result
   }
 
   /** Asymmetric CONTAINMENT near-dup: pairs where the SMALLER document's
@@ -283,10 +299,14 @@ object Dedup {
       threshold: Double = 0.8
   ): DataFrame = {
     val eps = 1e-9
+    // Same cache-then-release discipline as [[ngramJaccardPairs]] (r11):
+    // cache the corpus-sized shingle relation for its three readers,
+    // checkpoint only the output-sized verified pairs, release before
+    // returning.
     val sh = hashedTokenShingles(docs, n)
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
-      .localCheckpoint()
+      .cache()
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val docFreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val prefixes = exploded
@@ -312,7 +332,7 @@ object Dedup {
             (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
       .select("doc_a", "doc_b")
       .distinct()
-    candidates
+    val result = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("ga")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("gb")), "doc_b")
       .select(
@@ -323,6 +343,9 @@ object Dedup {
       .select(
         col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         round(col("inter").cast("double") / col("sz_a"), 6).as("containment"))
+      .localCheckpoint()
+    sh.unpersist()
+    result
   }
 
   // --------------------------------------------------------- decontamination

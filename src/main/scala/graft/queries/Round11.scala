@@ -815,19 +815,36 @@ object Round11 {
     (s, dir) => {
       graft.functions.MinHashMd5Signature.register(s, "minhash_md5_64", 64)
       val docs = Tables.documents(s, dir)
+      // No caller-side checkpoint: ngramJaccardPairs (r11) already returns
+      // an eagerly materialized output-sized relation.
       val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6)
-        .localCheckpoint()
       // Signatures only for docs that appear in a surviving pair — the
       // 64 md5 digests per shingle are the query's dominant cost, and
       // computing them corpus-wide when the join keeps ~2·|pairs| docs
-      // was 60% of the runtime (r9 profile). The semi-join keeps the
-      // restriction keyed (pair-member set is output-sized at any scale).
+      // was 60% of the runtime (r9 profile). The restriction joins the
+      // RAW docs before the shingle HOF runs (r11 profile: a Project
+      // under the join still evaluated the interpreted shingle transform
+      // for every corpus row — Catalyst doesn't reorder joins through
+      // expensive projections), and the signature relation is
+      // localCheckpoint-ed because BOTH sides of the estimator self-join
+      // read it — without the checkpoint the md5 pass ran twice. It is
+      // pair-member-sized, i.e. output-bounded, at any scale.
       val pairDocs = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val comp = graft.operators.Dedup.tokenShingles(docs, 3)
-        .join(pairDocs, "doc_id")
+      // Explicit repartition between the restriction and the kernel: the
+      // joined relation is tiny in BYTES, so AQE coalesces it to one
+      // partition — and then the 64-digest md5 kernel (the actual cost,
+      // ~12k digests per doc) runs on one core. The row-count-based
+      // spread keeps the kernel at full parallelism (r11 profile: 3.3 s
+      // single-core → 0.4 s spread).
+      val comp = graft.operators.Dedup
+        .tokenShingles(
+          docs.join(pairDocs, "doc_id")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          3)
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), expr("minhash_md5_64(shingles)").as("sig"))
+        .localCheckpoint()
       // Hint-free: the pair relation is OUTPUT-sized (unbounded on a
       // duplicate-heavy corpus) — the exact shape the r9 verifyJaccard
       // fix removed elsewhere; AQE picks the build side from runtime

@@ -114,7 +114,9 @@ object Round28 {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val nDocs = docs.count()
-      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9).localCheckpoint()
+      // ngramJaccardPairs (r11) returns an eagerly materialized relation —
+      // no caller-side checkpoint needed.
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
       // Both thresholds ride ONE keyed star contraction: the two edge
       // sets are tagged and every contraction round's shuffles are
       // shared (keyed by (threshold, node)) — max-of-2 rounds of shared

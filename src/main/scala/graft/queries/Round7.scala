@@ -2314,10 +2314,12 @@ object Round7 {
   val q243ThresholdSweep: QueryDef = QueryDef(
     "q243_threshold_sweep",
     (s, dir) => {
+      // No caller-side checkpoint: ngramJaccardPairs (r11) already returns
+      // an eagerly materialized output-sized relation; j6 is a row-local
+      // derivation over that RDD, shared cheaply by both readers below.
       val pairs = graft.operators.Dedup
         .ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
         .withColumn("j6", round(col("jaccard"), 6))
-        .localCheckpoint()
       val docsIn = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("d"), col("j6"))
       pairs
         .agg(

@@ -14,4 +14,13 @@ object SqlBridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True when no DataFrame-level cache entry is registered — the probe
+    * behind the r11 hygiene regression tests (library operators must
+    * release every `cache()` before returning; `localCheckpoint` persists
+    * live in the RDD layer, not here, so an output-sized checkpoint does
+    * not trip this).
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
