@@ -144,11 +144,21 @@ object Bench {
       // re-litigating the swing. Producer defaults to "unknown" (NOT
       // "builder-local": the driver's re-runs don't set the env var and
       // r10's default let them masquerade as the builder's archive).
-      val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "unknown")
+      // Sanitize before the value reaches a FILENAME or the JSON context
+      // (path separators in a mis-set env var must not escape the repo
+      // root; a stray quote must not corrupt the archive JSON).
+      val producerRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "unknown")
+      val producer = {
+        val clean = producerRaw.replaceAll("[^A-Za-z0-9_-]", "_")
+        if (clean.isEmpty) "unknown" else clean.take(64)
+      }
       var out = new java.io.File(root, f"BENCH_LOCAL_r$round%02d.json").toPath
       // Never silently clobber an archive produced by a DIFFERENT
       // context under the same round number — divert to a
-      // producer-suffixed filename so both records survive.
+      // producer-suffixed filename so both records survive; if the
+      // suffixed target ALSO exists (two re-runs from the same foreign
+      // context), keep diverting with a numeric bump rather than
+      // overwriting the earlier record.
       if (java.nio.file.Files.exists(out)) {
         val prevProducer = "\"producer\":\"([^\"]*)\"".r
           .findFirstMatchIn(java.nio.file.Files.readString(out)).map(_.group(1))
@@ -158,6 +168,12 @@ object Bench {
               s"'$producer' — diverting to a suffixed archive")
           out = new java.io.File(
             root, f"BENCH_LOCAL_r$round%02d.$producer.json").toPath
+          var bump = 2
+          while (java.nio.file.Files.exists(out) && bump < 100) {
+            out = new java.io.File(
+              root, f"BENCH_LOCAL_r$round%02d.$producer.$bump%d.json").toPath
+            bump += 1
+          }
         }
       }
       System.err.println(s"[bench] archiving per-query timings to $out")

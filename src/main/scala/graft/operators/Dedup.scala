@@ -213,7 +213,9 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
-    // cache() (columnar, prunable), NOT localCheckpoint: the shingle and
+    // cache() (columnar, prunable), NOT localCheckpoint — SURVEY §7.4's
+    // materialization rule, written after this site was bisected (r10→r11)
+    // and q57 repeated the same class (r11→r12): the shingle and
     // prefix relations are corpus-sized at low thresholds, and the r10
     // checkpoint swap materialized them as unprunable row RDDs — q243
     // (t=0.5) went 1.4→3.1 s, q395 (t=0.6) 3.5→4.4 s at sf0.1; reverting

@@ -163,6 +163,14 @@ object Round54 {
 
   private def blandSql(spark: Boolean): String = {
     val tbl = if (spark) "r54_" else ""
+    // Σdc² needs >63 bits at bench scale (|dc| is tax-sized cents, ~1e6;
+    // 150k orders ⇒ ~1e18+): DuckDB's sum(BIGINT) widens to HUGEINT on
+    // its own, Spark's stays BIGINT and ANSI-overflows — so the Spark
+    // side sums the per-row squares (each far inside 63 bits) in
+    // DECIMAL(38,0). Both paths are exact integers; only the final
+    // moments are cast to DOUBLE.
+    val sddExpr =
+      if (spark) "sum(CAST(dc * dc AS DECIMAL(38,0)))" else "sum(dc * dc)"
     s"""WITH li AS (SELECT l_orderkey,
                            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS calc_cents
                     FROM ${tbl}lineitem GROUP BY 1),
@@ -175,7 +183,7 @@ object Round54 {
               FROM pairs),
         mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(dc) AS BIGINT) AS sd,
-                      CAST(sum(dc * dc) AS BIGINT) AS sdd
+                      $sddExpr AS sdd
                FROM d),
         st AS (SELECT n,
                       CAST(sd AS DOUBLE) / n / 100 AS bias,

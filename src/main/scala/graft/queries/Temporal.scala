@@ -265,10 +265,15 @@ object Temporal {
     * overlap self-join with no equi-key, the second nested-loop shape the
     * binning removes (1-hour bins). Daily rollup: pair count + total
     * overlap seconds (integer-µs sum, one division — cross-engine exact).
-    * The session relation is localCheckpoint-ed: the overlap self-join
-    * evaluates its lineage once per side, with nothing left cached after
-    * the query's terminal action. Oracle: gaps-and-islands sessions (q48's
-    * derivation) + naive overlap θ-join in DuckDB.
+    * The session relation is cache()-d: the overlap self-join evaluates
+    * its lineage once per side as COLUMNAR cached batches. The r11
+    * localCheckpoint swap regressed this query 1.69× (BENCH r10→r11,
+    * calibration flat) — checkpoint materializes the session set eagerly
+    * as unprunable row RDDs, the same mechanism bisected for q243; the
+    * bench harness clears session cache state between queries, so a
+    * query-local cache leaks nothing (SURVEY §7 cache-vs-checkpoint
+    * rule). Oracle: gaps-and-islands sessions (q48's derivation) + naive
+    * overlap θ-join in DuckDB.
     */
   val q57SessionOverlap: QueryDef = QueryDef(
     "q57_session_overlap",
@@ -282,7 +287,7 @@ object Temporal {
           unix_micros(col("session_window.start")).as("lo"),
           unix_micros(col("session_window.end")).as("hi")
         )
-        .localCheckpoint()
+        .cache()
       val l = sess.select(col("user_id").as("user_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
       val r = sess.select(col("user_id").as("user_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
       graft.operators.RangeJoin
