@@ -5,9 +5,16 @@
 # calling a round done.
 #
 # Usage: scripts/sweep_verify.sh [--with-sf01]
-#   sf0.001 + sf0.01 always; --with-sf01 adds sf0.1 EXCLUDING the
-#   quadratic-Jaccard-family oracles (q26/q28/q45/q58 — intractable for
-#   DuckDB there; cross-validated engine-side by LSH == exact-PPJoin).
+#   sf0.001 + sf0.01 always; --with-sf01 adds the FULL catalogue at sf0.1.
+#
+# The sf0.1 quadratic skip list is GONE (r12): the pair-oracle family
+# (q26/q28/q45/q58/q69/q127/q206/q217/q239/q362/q395/q475/q521) shared one
+# all-pairs θ-join CTE that was DuckDB-intractable at sf0.1 (>100 CPU-min,
+# q217 burned the budget in r7); LlmQueries.ngramJaccardOracleAt now
+# derives the identical exact pair set through an inverted-index posting
+# join (~8 s at sf0.1), so every registered oracle sweeps at every SF.
+# q325's all-pairs Hamming join over precomputed 64-bit hashes was never
+# actually intractable (1.7 s at sf0.1) and is likewise back in.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -23,32 +30,6 @@ if [[ "${1:-}" == "--with-sf01" ]]; then
   out=/tmp/sweep_sf0.1
   rm -rf "$out"
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out" >/dev/null
-  python3 - "$out" <<'EOF'
-import json, sys
-from pathlib import Path
-out = sys.argv[1]
-oracle = json.loads(Path(out, "oracle_sql.json").read_text())
-skip = {"q26_minhash_lsh", "q28_ngram_jaccard", "q45_stream_neardup",
-        "q58_dedup_clusters", "q69_dedup_clusters_star",
-        "q325_ahash_neardup",
-        # these four EMBED the quadratic ngram-Jaccard pair oracle
-        # (WITH RECURSIVE pairs AS <ngramJaccardOracle>) — same
-        # intractability at sf0.1 (q217 burned >100 CPU-min before this
-        # list caught up); all stay oracle-green at sf0.001/sf0.01
-        "q127_dedup_retention", "q206_golden_record",
-        "q217_cluster_sample", "q239_dedup_impact",
-        "q362_containment",
-        "q475_dedup_percolation",
-        # q521 embeds the quadratic exact-Jaccard pair oracle for its
-        # shard-locality baseline — oracle-green at sf0.001/sf0.01
-        "q521_dedup_locality",
-        # q395 embeds the same quadratic exact-Jaccard pair oracle for
-        # its calibration baseline — oracle-green at sf0.001/sf0.01
-        "q395_minhash_calibration"}
-Path(out, "oracle_sql.json").write_text(
-    json.dumps({k: v for k, v in oracle.items() if k not in skip}))
-print("sf0.1: skipping quadratic-family oracles:", sorted(skip))
-EOF
   echo "== sf0.1 =="
   python3 scripts/local_verify.py /root/testdata/sf0.1 "$out" | tail -1
 fi

@@ -32,34 +32,50 @@ object LlmQueries {
             FROM documents GROUP BY md5(text)""")
   )
 
-  /** The brute-force quadratic word-trigram Jaccard in DuckDB — the oracle
-    * for every near-dup pipeline whose OUTPUT is the exact pair set at
+  /** The EXACT word-trigram Jaccard pair set in DuckDB — the oracle for
+    * every near-dup pipeline whose OUTPUT is the exact pair set at
     * t = 0.8: q28 (PPJoin, lossless by construction) and q26/q45
     * (MinHash-LSH banded candidates + exact verification; banding recall
     * at the corpus's planted similarities j >= 0.8 is
     * 1 - (1 - 0.8^4)^16 ≈ 0.9998 per borderline pair and ≈ 1 - 4e-8 at
     * j = 0.9 — and the seeded hash family is deterministic, so equality
     * with the exact set is a fixed fact of this corpus, verified at
-    * sf0.01 and sf0.1). The size-ratio prune carries a 1e-9 epsilon:
-    * b.sz * 0.8 computed in floats lands just ABOVE an exact integer
-    * (10 · 0.8 = 8.000…002) and would wrongly prune a subset pair with
-    * j = 8/10 = t exactly.
+    * sf0.01 and sf0.1).
+    *
+    * r12 rewrite: the all-pairs θ-join (`s a JOIN s b ON a.doc_id <
+    * b.doc_id` + per-pair list_intersect) was DuckDB-intractable at
+    * sf0.1 (>100 CPU-min, the reason for the 12-entry sweep skip list) —
+    * replaced by an INVERTED-INDEX join: unnest each doc's distinct
+    * grams to postings, equi-join postings on gram, count shared grams
+    * per (doc_a, doc_b), then J = inter / (sz_a + sz_b − inter). Lossless
+    * for any t > 0 (a pair with zero shared grams has J = 0), the same
+    * integers feed the same double division and round(·, 6), and the
+    * candidate set is Σ_gram df² ≈ linear on this corpus (max df 25 at
+    * sf0.1) — 8 s where the θ-join burned hours, so the whole pair-oracle
+    * family now sweeps at sf0.1 (old ≡ new replayed at sf0.001/sf0.01
+    * before the swap; 25/25 and 256-pair sf0.1 sets equal).
     */
-  private[queries] val ngramJaccardOracle: String =
-    """WITH g AS (
+  private[queries] def ngramJaccardOracleAt(t: String): String =
+    s"""WITH g AS (
               SELECT doc_id,
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
               FROM documents),
-            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0)
+            s AS (SELECT doc_id, len(gs) AS sz FROM g WHERE len(gs) > 0),
+            post AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0),
+            cand AS (SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+                            CAST(count(*) AS BIGINT) AS inter
+                     FROM post p1 JOIN post p2
+                       ON p1.gram = p2.gram AND p1.doc_id < p2.doc_id
+                     GROUP BY 1, 2)
             SELECT doc_a, doc_b, jaccard FROM (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                           len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-              FROM s a JOIN s b
-                ON a.doc_id < b.doc_id
-               AND a.sz >= b.sz * 0.8 - 1e-9 AND b.sz >= a.sz * 0.8 - 1e-9
-            ) WHERE jaccard >= 0.8"""
+              SELECT c.doc_a, c.doc_b,
+                     round(CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter), 6) AS jaccard
+              FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+                          JOIN s sb ON sb.doc_id = c.doc_b
+            ) WHERE jaccard >= $t"""
+
+  private[queries] val ngramJaccardOracle: String = ngramJaccardOracleAt("0.8")
 
   val q26MinhashLsh: QueryDef = QueryDef(
     "q26_minhash_lsh",

@@ -1283,9 +1283,11 @@ object Round10 {
     * the excerpt/quote/boilerplate-subset detector — C(A→B) = |A∩B|/|A|
     * ≥ 0.8 with the SMALL side as A, which symmetric Jaccard (q28)
     * structurally misses. Prefix filter explodes only the small side;
-    * the big side is a linear inverted index. Oracle replays the
-    * quadratic truth on string n-grams (skip-listed at sf0.1 with the
-    * rest of the pair-oracle family).
+    * the big side is a linear inverted index. Oracle: the exact truth
+    * via an inverted-index posting join (r12 — candidates are pairs
+    * sharing ≥ 1 gram, lossless for containment ≥ 0.8 > 0, then
+    * reoriented small-side-first; replaces the sf0.1-intractable
+    * all-pairs θ-join).
     */
   val q362Containment: QueryDef = QueryDef(
     "q362_containment",
@@ -1297,12 +1299,24 @@ object Round10 {
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
               FROM documents),
-            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
-            p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-                         CAST(a.sz AS INT) sz_a, CAST(b.sz AS INT) sz_b,
-                         len(list_intersect(a.gs, b.gs)) inter
-                  FROM s a JOIN s b
-                    ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)))
+            s AS (SELECT doc_id, len(gs) AS sz FROM g WHERE len(gs) > 0),
+            post AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0),
+            cand AS (SELECT p1.doc_id AS u, p2.doc_id AS v,
+                            CAST(count(*) AS BIGINT) AS inter
+                     FROM post p1 JOIN post p2
+                       ON p1.gram = p2.gram AND p1.doc_id < p2.doc_id
+                     GROUP BY 1, 2),
+            p AS (SELECT CASE WHEN su.sz < sv.sz
+                               OR (su.sz = sv.sz AND c.u < c.v)
+                              THEN c.u ELSE c.v END doc_a,
+                         CASE WHEN su.sz < sv.sz
+                               OR (su.sz = sv.sz AND c.u < c.v)
+                              THEN c.v ELSE c.u END doc_b,
+                         CAST(least(su.sz, sv.sz) AS INT) sz_a,
+                         CAST(greatest(su.sz, sv.sz) AS INT) sz_b,
+                         c.inter
+                  FROM cand c JOIN s su ON su.doc_id = c.u
+                              JOIN s sv ON sv.doc_id = c.v)
             SELECT doc_a, doc_b, sz_a, sz_b,
                    round(CAST(inter AS DOUBLE) / sz_a, 6) containment
             FROM p WHERE inter >= sz_a * 0.8 - 1e-9""")

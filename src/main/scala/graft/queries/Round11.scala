@@ -863,22 +863,16 @@ object Round11 {
         round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
         round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
     },
-    Some("""WITH g AS (
+    Some(s"""WITH g AS (
               SELECT doc_id,
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, len(string_split(text, ' ')) - 1)]) gs
               FROM documents),
             s AS (SELECT doc_id, gs, len(gs) sz FROM g WHERE len(gs) > 0),
-            pairs AS (
-              SELECT doc_a, doc_b, jaccard FROM (
-                SELECT a.doc_id doc_a, b.doc_id doc_b,
-                       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                             len(list_distinct(list_concat(a.gs, b.gs))), 6) jaccard
-                FROM s a JOIN s b
-                  ON a.doc_id < b.doc_id
-                 AND a.sz >= b.sz * 0.6 - 1e-9 AND b.sz >= a.sz * 0.6 - 1e-9)
-              WHERE jaccard >= 0.6),
-            sh AS (SELECT doc_id, unnest(gs) sh FROM s),
+            pairs AS (${graft.queries.LlmQueries.ngramJaccardOracleAt("0.6")}),
+            pd AS (SELECT doc_a AS doc_id FROM pairs
+                   UNION SELECT doc_b FROM pairs),
+            sh AS (SELECT doc_id, unnest(gs) sh FROM s JOIN pd USING (doc_id)),
             mh AS (SELECT doc_id, k.k,
                           CAST(min(CAST(('0x' || substring(md5(CAST(k.k AS VARCHAR) || ':'
                                || sh), 1, 12)) AS BIGINT)) AS BIGINT) mh

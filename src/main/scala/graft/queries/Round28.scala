@@ -105,7 +105,8 @@ object Round28 {
     * The exact pair set computes ONCE at t=0.9 (the PPJoin path — its
     * emitted jaccard re-filters losslessly at 0.97, since both engines
     * round identically), and each threshold's closure is the O(log n)
-    * star contraction. Oracle: the quadratic exact-pair CTE + one
+    * star contraction. Oracle: the shared inverted-index exact-pair CTE
+    * ([[LlmQueries.ngramJaccardOracleAt]], sf0.1-tractable) + one
     * recursive reach per threshold.
     */
   val q475DedupPercolation: QueryDef = QueryDef(
@@ -181,15 +182,7 @@ object Round28 {
                                   FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
             FROM documents),
           s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
-          pairs AS (
-            SELECT doc_a, doc_b, jaccard FROM (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                           len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-              FROM s a JOIN s b
-                ON a.doc_id < b.doc_id
-               AND a.sz >= b.sz * 0.9 - 1e-9 AND b.sz >= a.sz * 0.9 - 1e-9
-            ) WHERE jaccard >= 0.9),
+          pairs AS (${graft.queries.LlmQueries.ngramJaccardOracleAt("0.9")}),
           ${reach("0.97", "t8")},
           ${reach("0.9", "t6")}
           SELECT * FROM stat_t8

@@ -201,14 +201,21 @@ object Round38 {
                                 FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
           FROM s2),
         gg AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
+        -- inverted-index pair derivation (r12): lossless replacement for
+        -- the all-pairs θ-join, same shape as LlmQueries.ngramJaccardOracleAt
+        -- but over the DEDUPED s2 corpus instead of raw documents
+        post AS (SELECT doc_id, unnest(gs) AS gram FROM gg),
+        cnd AS (SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM post p1 JOIN post p2
+                  ON p1.gram = p2.gram AND p1.doc_id < p2.doc_id
+                GROUP BY 1, 2),
         pairs AS (
           SELECT doc_a, doc_b FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                         len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
-            FROM gg a JOIN gg b
-              ON a.doc_id < b.doc_id
-             AND a.sz >= b.sz * 0.9 - 1e-9 AND b.sz >= a.sz * 0.9 - 1e-9
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(c.inter AS DOUBLE) / (a.sz + b.sz - c.inter), 6) AS jac
+            FROM cnd c JOIN gg a ON a.doc_id = c.doc_a
+                       JOIN gg b ON b.doc_id = c.doc_b
           ) WHERE jac >= 0.9),
         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),

@@ -164,8 +164,8 @@ object Round42 {
     * the share of pairs that stay intra-shard. THE planning number for
     * distributed dedup: every cross-shard pair is network; range
     * sharding keeps crawl-order neighbors together, hash sharding
-    * scatters them. Oracle replays the quadratic pair set (sf0.1 sweep
-    * skip-list class, like every exact-pair oracle).
+    * scatters them. Oracle: the shared inverted-index exact pair set
+    * ([[LlmQueries.ngramJaccardOracleAt]] — sf0.1-tractable since r12).
     */
   val q521DedupLocality: QueryDef = QueryDef(
     "q521_dedup_locality",
@@ -180,24 +180,7 @@ object Round42 {
         docs = "r42_documents", spark = true))
     },
     Some(localitySelect(
-      pairs =
-        """SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                          len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-             FROM (SELECT doc_id, gs, len(gs) AS sz FROM (
-                     SELECT doc_id,
-                            list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                           FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
-                     FROM documents) WHERE len(gs) > 0) a
-             JOIN (SELECT doc_id, gs, len(gs) AS sz FROM (
-                     SELECT doc_id,
-                            list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                           FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
-                     FROM documents) WHERE len(gs) > 0) b
-               ON a.doc_id < b.doc_id
-              AND a.sz >= b.sz * 0.8 - 1e-9 AND b.sz >= a.sz * 0.8 - 1e-9
-           ) WHERE jaccard >= 0.8""",
+      pairs = s"SELECT doc_a, doc_b FROM (${LlmQueries.ngramJaccardOracle})",
       docs = "documents", spark = false))
   )
 

@@ -2331,19 +2331,9 @@ object Round7 {
           countDistinct(when(col("j6") >= 0.7, col("d"))).as("n_docs_t70"),
           countDistinct(when(col("j6") >= 0.9, col("d"))).as("n_docs_t90"))))
     },
-    Some("""WITH g AS (
-              SELECT doc_id,
-                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                    FOR i IN range(1, len(string_split(text, ' ')) - 1)]) AS gs
-              FROM documents),
-            s AS (SELECT doc_id, gs, len(gs) AS sz FROM g WHERE len(gs) > 0),
-            p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-                         round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-                               len(list_distinct(list_concat(a.gs, b.gs))), 6) AS j6
-                  FROM s a JOIN s b
-                    ON a.doc_id < b.doc_id
-                   AND a.sz >= b.sz * 0.5 - 1e-9 AND b.sz >= a.sz * 0.5 - 1e-9),
-            f AS (SELECT * FROM p WHERE j6 >= 0.5),
+    Some(s"""WITH f AS (
+              SELECT doc_a, doc_b, jaccard AS j6
+              FROM (${LlmQueries.ngramJaccardOracleAt("0.5")})),
             di AS (SELECT unnest([doc_a, doc_b]) d, j6 FROM f)
             SELECT
               (SELECT CAST(sum(CASE WHEN j6 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
