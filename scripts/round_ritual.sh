@@ -35,9 +35,14 @@ GRAFT_SIM_EQ_SFDIR=/root/testdata/sf0.1 \
   sbt -batch "testOnly graft.SimEqualityScaleSpec" 2>&1 | tail -5 | tee -a "$LOG"
 
 echo "=== [4/4] producer-stamped full bench ===" | tee -a "$LOG"
+# grep must not abort the script under pipefail when a crashed sbt run
+# produces no matching lines — capture, then filter.
+BOUT=/tmp/round_ritual_bench.out
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_CONTEXT=builder-local \
   ${round:+SPARK_GRAFT_BENCH_ROUND=$round} \
-  sbt -batch 'runMain graft.Bench' 2>&1 | grep -E '"metric":"total"|archiv' | tee -a "$LOG"
+  sbt -batch 'runMain graft.Bench' > "$BOUT" 2>&1 \
+  || { echo "BENCH FAILED — see $BOUT"; tail -20 "$BOUT" | tee -a "$LOG"; exit 1; }
+{ grep -E '"metric":"total"|archiv' "$BOUT" || true; } | tee -a "$LOG"
 
 echo "=== ritual complete — full log at $LOG ==="
