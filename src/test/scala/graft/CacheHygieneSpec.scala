@@ -46,4 +46,33 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
     assertNoDfCaches("Winnow.overlapPairs")
   }
+
+  /** r12 cost-class guard (SURVEY §7.4): both r10 (q243) and r11 (q57)
+    * shipped a cache→localCheckpoint swap that was hygiene-NEUTRAL (the
+    * leak probes above stayed green) but 1.7–2.2× SLOWER, and only the
+    * next round's bench caught it. This canary times the known-hot
+    * operator at sf0.01 against a deliberately generous ceiling — ~8×
+    * the observed in-suite floor (~1.5 s), far above any measurement
+    * swing but far below the checkpoint-class blowup scaled to a
+    * corpus-sized relation. It exists to fail the SAME round a slow
+    * materialization swap ships, not to measure performance precisely.
+    */
+  test("ngramJaccardPairs stays within the recorded cost-class ceiling") {
+    spark.catalog.clearCache()
+    // warm: plan + codegen + page cache, so the timed run measures the
+    // materialization strategy, not JVM cold start
+    Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.01"),
+      n = 3, threshold = 0.5).count()
+    val t0 = System.nanoTime()
+    val n = Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.01"),
+      n = 3, threshold = 0.5).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(sec < 12.0,
+      f"ngramJaccardPairs(sf0.01, t=0.5) took $sec%.1f s — above the 12 s " +
+        "cost-class ceiling (in-suite floor ~1.5 s). If no materialization " +
+        "change was intended, re-run once for flake; if cache()/" +
+        "localCheckpoint was touched, see SURVEY §7.4 and the q243/q57 bisects.")
+    assertNoDfCaches("ngramJaccardPairs cost-class guard")
+  }
 }
