@@ -45,4 +45,17 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   || { echo "BENCH FAILED — see $BOUT"; tail -20 "$BOUT" | tee -a "$LOG"; exit 1; }
 { grep -E '"metric":"total"|archiv' "$BOUT" || true; } | tee -a "$LOG"
 
+# Drift-normalized round-over-round comparison (VERDICT r12 ask #4):
+# compare the freshly archived builder-local file against the newest
+# OLDER builder-local archive using the q1/q2/q14 calibration triple.
+new_archive=$(grep -oE 'BENCH_LOCAL_r[0-9]+[^ ]*\.json' "$BOUT" | tail -1 || true)
+if [[ -n "$new_archive" && -f "$new_archive" ]]; then
+  prev_archive=$(ls -1 BENCH_LOCAL_r*.json 2>/dev/null \
+    | grep -v -F "$new_archive" | grep -v unknown | sort -V | tail -1 || true)
+  if [[ -n "$prev_archive" ]]; then
+    echo "=== drift-normalized delta vs $prev_archive ===" | tee -a "$LOG"
+    python3 scripts/bench_compare.py "$prev_archive" "$new_archive" | tee -a "$LOG"
+  fi
+fi
+
 echo "=== ritual complete — full log at $LOG ==="

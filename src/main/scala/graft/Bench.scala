@@ -174,13 +174,38 @@ object Bench {
               root, f"BENCH_LOCAL_r$round%02d.$producer.$bump%d.json").toPath
             bump += 1
           }
+          // Exhausting the bump range must not fall through to a silent
+          // overwrite of the .99 archive — fail the archive loudly instead
+          // (the "never silently clobber" contract of this whole block).
+          if (java.nio.file.Files.exists(out))
+            throw new IllegalStateException(
+              s"bump range exhausted; refusing to overwrite $out — set " +
+                "SPARK_GRAFT_BENCH_ROUND or clean up stale archives")
         }
       }
       System.err.println(s"[bench] archiving per-query timings to $out")
       val host = scala.util.Try(
         java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
+      // Calibration triple + drift factor (VERDICT r12 ask #4): identical
+      // HEADs have measured 1.1-1.5x apart by producing context, so every
+      // archive carries its own context anchor — three trivial fixed-plan
+      // queries — and the geometric-mean ratio against the PINNED r12
+      // builder-local values. scripts/bench_compare.py uses the triple to
+      // drift-normalize round-over-round deltas; the in-archive factor is
+      // the at-a-glance "how hot was this context" number.
+      val pinnedCalibration = Seq( // BENCH_LOCAL_r12.json, builder-local
+        "q1_agg" -> 0.263, "q2_filter_project" -> 0.225, "q14_datetime" -> 0.150)
+      val calTimes = pinnedCalibration.flatMap { case (n, pin) =>
+        results.collectFirst { case (`n`, t, true) => (n, t, pin) }
+      }
+      val calJson = calTimes.map { case (n, t, _) => s""""$n":${fmt(t)}""" }
+        .mkString("{", ",", "}")
+      val drift =
+        if (calTimes.isEmpty) 1.0
+        else math.exp(calTimes.map { case (_, t, pin) => math.log(t / pin) }.sum / calTimes.size)
       val ctx =
         s"""{"producer":"$producer","host":"$host","runs_per_query":$timedRuns,""" +
+          s""""calibration":$calJson,"drift_factor_vs_r12":${fmt(drift)},""" +
           s""""java":"${System.getProperty("java.version")}"}"""
       java.nio.file.Files.writeString(
         out,

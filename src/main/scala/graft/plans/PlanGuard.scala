@@ -202,6 +202,46 @@ object PlanGuard {
     * whitelist for fixed-cardinality dimension relations the structural
     * check cannot see (e.g. the 25-row `nation` table).
     */
+  /** Broadcast-threshold ADVISOR (the inverse of
+    * [[forcedBroadcastOffenders]]): equi-joins where the optimizer's own
+    * size estimate says one side fits under `thresholdBytes` — i.e. a
+    * broadcast join is available — but the physical plan placed NO
+    * broadcast join for it. On a cluster this is the "shuffled a 2 MB
+    * dimension against a 100 TB fact" plan: hash-green, and a full
+    * fact-table shuffle you never needed. Advisory granularity is the
+    * whole plan (candidate count vs planned broadcast count): matching
+    * individual logical joins to post-AQE physical nodes is not stable,
+    * and the actionable signal — "this query left a broadcast on the
+    * table" — doesn't need it. Empty result = no misses. Wired to the
+    * catalogue by Round64PropertySpec (canonical dim⋈fact joins must
+    * come back clean) next to q609's data-derived advisor table.
+    */
+  def broadcastMisses(df: DataFrame, thresholdBytes: Long = 10L << 20): Seq[String] = {
+    val candidates = df.queryExecution.optimizedPlan.collect {
+      case j: logical.Join
+          if j.condition.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualTo])) =>
+        (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
+    }.filter { case (l, r) => (l min r) <= BigInt(thresholdBytes) }
+    if (candidates.isEmpty) return Nil
+    def countBroadcast(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countBroadcast(a.executedPlan)
+      case q: QueryStageExec => countBroadcast(q.plan)
+      case _ =>
+        val here =
+          if (p.getClass.getSimpleName.startsWith("BroadcastHashJoin")) 1 else 0
+        here + (p.children ++ p.innerChildren.collect { case sp: SparkPlan => sp })
+          .map(countBroadcast).sum
+    }
+    val planned = countBroadcast(df.queryExecution.executedPlan)
+    if (planned >= candidates.size) Nil
+    else
+      candidates.drop(planned).map { case (l, r) =>
+        s"equi-join with a ${l min r}-byte side (threshold $thresholdBytes) not planned as broadcast " +
+          s"(${candidates.size} candidate(s), $planned broadcast join(s) in plan)"
+      }
+  }
+
   def forcedBroadcastOffenders(df: DataFrame): Seq[String] = {
     def hinted(h: Option[logical.HintInfo]): Boolean =
       h.exists(_.strategy.contains(logical.BROADCAST))

@@ -76,7 +76,7 @@ object Round63 {
                 ELSE 2 * CAST(abs($f - y) AS DOUBLE) / (abs($f) + abs(y)) END""")})
                    AS BIGINT) AS smape20,
                  CAST(sum((y1 - y) * (y1 - y)) AS BIGINT) AS sse_naive
-          FROM s WHERE holdout = 1"""
+          FROM s WHERE holdout = 1 AND y1 IS NOT NULL AND y7 IS NOT NULL"""
     s"""WITH ${seriesCte(spark, "r63_events")},
         duel AS (
           ${modelAgg("y1", "naive")}
@@ -122,7 +122,7 @@ object Round63 {
         te AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
                       CAST(sum(CASE WHEN abs(s.y - s.y1) <= q.q90
                                     THEN 1 ELSE 0 END) AS BIGINT) AS covered
-               FROM s CROSS JOIN q WHERE s.holdout = 1)
+               FROM s CROSS JOIN q WHERE s.holdout = 1 AND s.y1 IS NOT NULL)
         SELECT m.m AS m_train, q.q90 AS q90_resid, te.n_test, te.covered,
                ${snap("CAST(te.covered AS DOUBLE) / te.n_test")} AS coverage
         FROM te CROSS JOIN q CROSS JOIN m"""
@@ -155,7 +155,7 @@ object Round63 {
                     AS sse4_snaive,
                   CAST(sum((2 * y - (y1 + y7)) * (2 * y - (y1 + y7))) AS BIGINT)
                     AS sse4_combo
-                FROM s WHERE holdout = 1)
+                FROM s WHERE holdout = 1 AND y1 IS NOT NULL AND y7 IS NOT NULL)
         SELECT n_test,
                ${snap("CAST(sse4_naive AS DOUBLE) / 4")} AS sse_naive,
                ${snap("CAST(sse4_snaive AS DOUBLE) / 4")} AS sse_snaive,

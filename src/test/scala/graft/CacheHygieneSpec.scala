@@ -58,21 +58,38 @@ class CacheHygieneSpec extends AnyFunSuite {
     * materialization swap ships, not to measure performance precisely.
     */
   test("ngramJaccardPairs stays within the recorded cost-class ceiling") {
+    // Wall-clock asserts are host-sensitive: on a loaded/slow machine a
+    // clean materialization strategy can still blow the ceiling.
+    // SPARK_GRAFT_SKIP_TIMING_CANARY=1 downgrades to the leak probe only
+    // (for foreign CI hosts); otherwise a first over-ceiling reading gets
+    // ONE re-measure before failing — a checkpoint-class regression is
+    // 1.7–2.2× and reproduces, a GC pause or neighbor burst does not.
+    val skipTiming = sys.env.get("SPARK_GRAFT_SKIP_TIMING_CANARY").contains("1")
     spark.catalog.clearCache()
     // warm: plan + codegen + page cache, so the timed run measures the
     // materialization strategy, not JVM cold start
     Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.01"),
       n = 3, threshold = 0.5).count()
-    val t0 = System.nanoTime()
-    val n = Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.01"),
-      n = 3, threshold = 0.5).count()
-    val sec = (System.nanoTime() - t0) / 1e9
+    def timedRun(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.01"),
+        n = 3, threshold = 0.5).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n, sec0) = timedRun()
     assert(n > 0)
-    assert(sec < 12.0,
-      f"ngramJaccardPairs(sf0.01, t=0.5) took $sec%.1f s — above the 12 s " +
-        "cost-class ceiling (in-suite floor ~1.5 s). If no materialization " +
-        "change was intended, re-run once for flake; if cache()/" +
-        "localCheckpoint was touched, see SURVEY §7.4 and the q243/q57 bisects.")
     assertNoDfCaches("ngramJaccardPairs cost-class guard")
+    if (!skipTiming) {
+      val sec = if (sec0 < 12.0) sec0 else {
+        System.err.println(
+          f"[canary] first reading $sec0%.1f s exceeded the 12 s ceiling — re-measuring once for flake")
+        math.min(sec0, timedRun()._2)
+      }
+      assert(sec < 12.0,
+        f"ngramJaccardPairs(sf0.01, t=0.5) took $sec%.1f s (best of 2) — above " +
+          "the 12 s cost-class ceiling (in-suite floor ~1.5 s). If cache()/" +
+          "localCheckpoint was touched, see SURVEY §7.4 and the q243/q57 " +
+          "bisects; on a known-slow host set SPARK_GRAFT_SKIP_TIMING_CANARY=1.")
+    }
   }
 }

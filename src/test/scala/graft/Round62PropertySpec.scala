@@ -37,6 +37,13 @@ class Round62PropertySpec extends AnyFunSuite {
     // the flag columns (returnflag/linestatus) are always dict-worthy
     assert(got.filter(r => Set("l_returnflag", "l_linestatus")
       .contains(r._1)).forall(_._5 == 1))
+    // ONE-PASS plan contract (VERDICT r12 ask #5): all eight NDVs must
+    // ride a single lineitem scan (multi-distinct Expand rewrite), not
+    // one scan per audited column
+    val scans = graft.plans.PlanFingerprint
+      .normalizedTree(SparkEntry.queries("q602_encoding_advisor")(spark, sfDir))
+      .linesIterator.count(_.trim.startsWith("FileSourceScan"))
+    assert(scans <= 2, s"q602 plans $scans lineitem scans — the one-pass shape regressed")
   }
 
   // ---------------------------------------------------------------- q603

@@ -36,7 +36,10 @@ class Round63PropertySpec extends AnyFunSuite {
   // ---------------------------------------------------------------- q605
 
   test("q605 forecast duel equals the holdout fold") {
-    val te = series.filter(_._5)
+    // holdout rows with an undefined lag are excluded (tiny-corpus guard:
+    // sum() skips NULL terms but count(*) would not — the SQL filters
+    // them, so the fold must too)
+    val te = series.filter(r => r._5 && r._3.nonEmpty && r._4.nonEmpty)
     def agg(pick: ((Long, Long, Option[Long], Option[Long], Boolean)) => Long,
             name: String) = {
       val n = te.length.toLong
@@ -71,7 +74,7 @@ class Round63PropertySpec extends AnyFunSuite {
       .map(r => (math.abs(r._2 - r._3.get), r._1)).sortBy(identity)
     val m = tr.length.toLong
     val q90 = tr(((9 * m + 9) / 10 - 1).toInt)._1
-    val te = s.filter(_._5)
+    val te = s.filter(r => r._5 && r._3.nonEmpty)
     val covered = te.count(r => math.abs(r._2 - r._3.get) <= q90).toLong
     val expected = (m, q90, te.length.toLong, covered,
       snapD(covered.toDouble / te.length))
@@ -85,7 +88,7 @@ class Round63PropertySpec extends AnyFunSuite {
   // ---------------------------------------------------------------- q607
 
   test("q607 forecast combo equals the x2-grid fold") {
-    val te = series.filter(_._5)
+    val te = series.filter(r => r._5 && r._3.nonEmpty && r._4.nonEmpty)
     val n = te.length.toLong
     val s4n = te.map(r => { val e = 2 * r._2 - 2 * r._3.get; e * e }).sum
     val s4s = te.map(r => { val e = 2 * r._2 - 2 * r._4.get; e * e }).sum
