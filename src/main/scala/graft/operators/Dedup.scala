@@ -631,6 +631,63 @@ object Dedup {
     verifyJaccard(cands, sh.select("doc_id", "shingles"), threshold)
   }
 
+  /** INCREMENTAL near-dup pair discovery over a lake delta — the index-
+    * maintenance half of the incremental dedup story (the cluster-
+    * maintenance half is [[Graph.incrementalConnectedComponents]]): given
+    * the stable base corpus and a (disjoint) delta batch, emit exactly
+    * the verified pairs that TOUCH the delta — delta×delta plus
+    * delta×base via shared LSH band buckets — and never re-pairs the
+    * base against itself. Nightly cost is O(|delta| + collisions)
+    * instead of re-running the full pipeline: the delta is signed and
+    * banded fresh, probes the base's band buckets with a keyed equi-join
+    * (at lake scale the base's signatures/bands are the STORED index
+    * relation this recomputation stands in for), and only candidates are
+    * Jaccard-verified. Recall equals the batch pipeline's by the same
+    * band-collision argument — a qualifying pair with ≥1 delta endpoint
+    * collides in some band with the same probability as in
+    * [[minhashPairs]], whose equality with the exact pair set on this
+    * corpus is an established, sweep-verified fact.
+    *
+    * `baseDocs` and `deltaDocs` must be disjoint on doc_id (a lake delta
+    * is; re-ingested docs belong in the delta only).
+    */
+  def incrementalMinhashPairs(
+      baseDocs: DataFrame,
+      deltaDocs: DataFrame,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val spark = baseDocs.sparkSession
+    val fn = s"minhash_sig_$numPerm"
+    graft.functions.MinHashSignature.register(spark, fn, numPerm, seed = 42L)
+    def signed(docs: DataFrame): DataFrame = hashedTokenShingles(docs, n)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"$fn(shingles)"))
+      .localCheckpoint()
+    val shBase = signed(baseDocs)
+    val shDelta = signed(deltaDocs)
+    val bandsBase = bandsFromSig(shBase, numPerm, bands)
+    val bandsDelta = bandsFromSig(shDelta, numPerm, bands)
+    val deltaDelta = minhashCandidates(bandsDelta)
+    val deltaBase = bandsDelta
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("doc_d"))
+      .join(
+        bandsBase.select(
+          col("band_id").as("bi"), col("band_sig").as("bs"),
+          col("doc_id").as("doc_o")),
+        col("band_id") === col("bi") && col("band_sig") === col("bs"))
+      .select(
+        least(col("doc_d"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_d"), col("doc_o")).as("doc_b"))
+      .distinct()
+    verifyJaccard(
+      deltaDelta.union(deltaBase).distinct(),
+      shBase.select("doc_id", "shingles").union(shDelta.select("doc_id", "shingles")),
+      threshold)
+  }
+
   // ------------------------------------------------ blocked fuzzy match
 
   /** Entity-resolution CANDIDATE pairs: blocked on the caller's keys

@@ -162,6 +162,31 @@ object Round64 {
         FROM counts ORDER BY method, bucket"""
   }
 
+  // ---------------------------------------------------------------- q611
+
+  /** Incremental near-dup INDEX maintenance
+    * ([[Dedup.incrementalMinhashPairs]]) — the pair-discovery half of the
+    * incremental dedup story (q608 is the cluster half): the newest 20%
+    * of doc ids arrive as the delta, are signed and banded fresh, and
+    * probe the stable 80%'s band buckets; only pairs touching the delta
+    * are emitted, the base is never re-paired against itself. Oracle:
+    * the exact inverted-index n-gram pair set restricted to delta-
+    * touching pairs — incremental ≡ (full ∘ filter) is the checked fact.
+    */
+  val q611IncrementalNeardup: QueryDef = QueryDef(
+    "q611_incremental_neardup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8))
+    },
+    Some(s"""SELECT doc_a, doc_b, jaccard
+             FROM (${LlmQueries.ngramJaccardOracle})
+             WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q608IncrementalCc, q609BroadcastAdvisor, q610RangeBounds)
+    Seq(q608IncrementalCc, q609BroadcastAdvisor, q610RangeBounds,
+      q611IncrementalNeardup)
 }

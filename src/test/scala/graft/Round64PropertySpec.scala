@@ -134,6 +134,44 @@ class Round64PropertySpec extends AnyFunSuite {
     got.foreach(r => assert(r._4 >= 1.0 - 1e-12))
   }
 
+  // ---------------------------------------------------------------- q611
+
+  test("q611 incremental near-dup equals the driver trigram fold AND the filtered batch run") {
+    // driver fold: exact string-trigram Jaccard over all pairs touching
+    // the delta slice (doc_id % 10 >= 8), mirroring the oracle's
+    // inverted-index semantics from first principles
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams = docs.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      id -> (0 until math.max(0, ts.length - 2))
+        .map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      i <- grams.indices; j <- (i + 1) until grams.length
+      (a, ga) = grams(i); (b, gb) = grams(j)
+      if a % 10 >= 8 || b % 10 >= 8
+      inter = (ga intersect gb).size
+      jac = inter.toDouble / (ga.size + gb.size - inter)
+      if jac >= 0.8
+      (lo, hi) = if (a < b) (a, b) else (b, a)
+    } yield (lo, hi, BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q611_incremental_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected, s"got $got expected $expected")
+
+    // engine differential: incremental ≡ full batch pipeline filtered to
+    // delta-touching pairs
+    val full = Dedup.minhashPairs(Tables.documents(spark, sfDir))
+      .filter(col("doc_a") % 10 >= 8 || col("doc_b") % 10 >= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == full, "incremental != filtered batch pipeline")
+  }
+
   test("q610's bounds drive a real RangePartitioning exchange") {
     val df = Tables.events(spark, sfDir).repartitionByRange(8, col("user_id"))
     assert(PlanFingerprint.normalizedTree(df).contains("ShuffleExchange[RangePartitioning]"),
