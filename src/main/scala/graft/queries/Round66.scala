@@ -51,5 +51,39 @@ object Round66 {
         ORDER BY a.user_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(q614TwsProfile)
+  /** q617: EVENT-TIME TIMERS — the other genuinely new capability of the
+    * StatefulProcessor API ([[graft.streaming.SessionTimerProcessor]]):
+    * per-user 30-minute-gap sessions closed either inline (same-batch
+    * gap) or by a registered event-time timer once the watermark passes
+    * last_event + gap (`handleExpiredTimer`) — how a live stream emits a
+    * finished session without waiting for the user's next event. Oracle
+    * is the batch gaps-and-islands sessionization; bounded-replay flush
+    * via the far-future sentinel (the session-window idiom).
+    */
+  val q617TwsTimerSessions: QueryDef = QueryDef(
+    "q617_tws_timer_sessions",
+    (s, dir) => StatefulProfile.runTimerSessions(s, dir),
+    Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+        o AS (SELECT user_id, us, cents,
+                     lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+              FROM e),
+        m AS (SELECT user_id, us, cents,
+                     CASE WHEN prev IS NULL OR us - prev > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+        s AS (SELECT user_id, us, cents,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m)
+        SELECT user_id,
+               CAST(min(us) AS BIGINT) AS session_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM s GROUP BY user_id, sess
+        ORDER BY user_id, session_start_us""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q614TwsProfile, q617TwsTimerSessions)
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo,
   MapState,
   OutputMode,
   StatefulProcessor,
@@ -12,6 +13,7 @@ import org.apache.spark.sql.streaming.{
   Trigger,
   ValueState
 }
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Typed rows for the transformWithState user-profile operator. */
 case class TwsEvent(user_id: Long, event_type: String, cents: Long, us: Long)
@@ -80,6 +82,71 @@ class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsProfile]
   }
 }
 
+case class TwsSessEvent(user_id: Long, us: Long, cents: Long)
+case class TwsSessAcc(start_us: Long, last_us: Long, n: Long, cents: Long)
+case class TwsSession(user_id: Long, session_start_us: Long, n_events: Long, cents_sum: Long)
+
+/** EVENT-TIME TIMER sessionization on transformWithState — the timer
+  * half of the new API ([[StatefulProcessor.handleExpiredTimer]]), which
+  * no aggregation-based session operator exposes: one ValueState session
+  * accumulator per user, closed EITHER inline when a same-batch gap
+  * exceeds `gapUs`, OR by the event-time timer registered at
+  * last_event + gap once the watermark passes it — the live-stream
+  * mechanism that emits a finished session without waiting for the
+  * user's next event. Every session emits exactly once (the stale timer
+  * is deleted before the new one is registered), so the Update-mode sink
+  * needs no dedup.
+  *
+  * Cross-batch consistency with the batch gaps-and-islands oracle holds
+  * whenever the watermark delay ≥ the session gap: a timer can only fire
+  * early for a user whose next event lies beyond watermark + gap, a gap
+  * the batch computation also splits.
+  */
+class SessionTimerProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, TwsSessEvent, TwsSession] {
+
+  @transient private var acc: ValueState[TwsSessAcc] = _
+
+  private def expiryMs(lastUs: Long): Long = (lastUs + gapUs) / 1000 + 1
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState("session", Encoders.product[TwsSessAcc], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TwsSessEvent],
+      timerValues: TimerValues): Iterator[TwsSession] = {
+    // arrival order within a batch is arbitrary; session semantics are
+    // defined over event time, so buffer-and-sort the batch slice
+    val sorted = rows.toArray.sortBy(_.us)
+    val closed = Array.newBuilder[TwsSession]
+    var cur: TwsSessAcc = null
+    if (acc.exists()) {
+      cur = acc.get()
+      getHandle.deleteTimer(expiryMs(cur.last_us))
+    }
+    sorted.foreach { e =>
+      if (cur == null) cur = TwsSessAcc(e.us, e.us, 1L, e.cents)
+      else if (e.us - cur.last_us > gapUs) {
+        closed += TwsSession(key, cur.start_us, cur.n, cur.cents)
+        cur = TwsSessAcc(e.us, e.us, 1L, e.cents)
+      } else cur = TwsSessAcc(cur.start_us, e.us, cur.n + 1, cur.cents + e.cents)
+    }
+    acc.update(cur)
+    getHandle.registerTimer(expiryMs(cur.last_us))
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] = {
+    val cur = acc.get()
+    acc.clear()
+    Iterator.single(TwsSession(key, cur.start_us, cur.n, cur.cents))
+  }
+}
+
 object StatefulProfile {
 
   /** Project the raw event stream/batch to the processor's typed input:
@@ -128,6 +195,62 @@ object StatefulProfile {
       .reduceGroups((a, b) => if (a.n_events >= b.n_events) a else b)
       .map(_._2)
       .toDF()
+  }
+
+  /** 30 minutes, in micros — matches the session-window family's gap. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  private val SentinelUser = -1L
+
+  /** The timer-session pipeline over an event stream carrying a `ts`
+    * watermark column. The 1-hour delay ≥ the 30-minute gap — the
+    * condition under which timer closes agree with batch
+    * gaps-and-islands (see [[SessionTimerProcessor]]).
+    */
+  def sessionTimerStream(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[TwsSessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs), TimeMode.EventTime(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Drain timer sessions over the bounded events replay. Bounded-replay
+    * flush: a far-future SENTINEL event from a side directory jumps the
+    * watermark past every real session after its batch, so the trailing
+    * no-data micro-batch fires all open-session timers (the
+    * [[StreamingOps.runStreamingSessionAgg]] idiom); the sentinel's own
+    * key is filtered out.
+    */
+  def runTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_tws_sentinel").resolve("data").toString
+    import spark.implicits._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // raw nanos-since-epoch sentinel (year ~2200), own source directory
+    Seq((-1L, 7258118400000000000L, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF(rawSchema.fieldNames.toIndexedSeq: _*)
+      .coalesce(1).write.parquet(sentinelDir)
+    val sentinel = spark.readStream
+      .schema(rawSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = StreamingOps.eventsStream(spark, sfDir).unionByName(sentinel)
+    drainUpdate(spark, sessionTimerStream(stream))
+      .filter(col("user_id") =!= SentinelUser)
   }
 
   /** Update-mode AvailableNow drain into a memory sink under the RocksDB

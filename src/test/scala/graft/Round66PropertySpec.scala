@@ -46,6 +46,90 @@ class Round66PropertySpec extends AnyFunSuite {
     assert(got == expected, s"mismatch: got ${got.size} keys, expected ${expected.size}")
   }
 
+  // ---------------------------------------------------------------- q617
+
+  private def driverSessions(): Map[(Long, Long), (Long, Long)] = {
+    val typed = StatefulProfile
+      .typedEvents(Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // user, cents, us
+    typed.groupBy(_._1).flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(_._3)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[List[(Long, Long, Long)]]
+      var cur = List.empty[(Long, Long, Long)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._3 - cur.head._3 > StatefulProfile.SessionGapUs) {
+          sessions += cur.reverse; cur = Nil
+        }
+        cur = e :: cur
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      sessions.map(s => (u, s.head._3) -> ((s.size.toLong, s.map(_._2).sum)))
+    }
+  }
+
+  private def sessionsToMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("q617 timer sessions equal the driver gaps-and-islands fold") {
+    val got = sessionsToMap(SparkEntry.queries("q617_tws_timer_sessions")(spark, sfDir))
+    val expected = driverSessions()
+    assert(got == expected, s"got ${got.size} sessions, expected ${expected.size}")
+    // both close paths exercised: inline closes (more sessions than
+    // users) and timer closes (every user's LAST session only ever
+    // closes via handleExpiredTimer after the sentinel flush)
+    val users = got.keySet.map(_._1)
+    assert(got.size > users.size, "no inline session close was exercised")
+  }
+
+  test("q617 multi-batch: timer state and deletion hand off across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("tws_sess_split").toFile
+    try {
+      val events = Tables.events(spark, sfDir).cache()
+      val mm = events.selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))").collect().head
+      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      val dataDir = new java.io.File(tmp, "data"); dataDir.mkdirs()
+      // time-ordered files (older half first) so batch 2 is never late;
+      // the 1 h watermark delay ≥ 30 min gap keeps timer closes exact
+      Seq(("a", unix_micros(col("ts")) <= cutUs), ("b", unix_micros(col("ts")) > cutUs),
+        ("c_sentinel", lit(false))).foreach { case (tag, pred) =>
+        val stage = new java.io.File(tmp, s"stage_$tag")
+        val part =
+          if (tag == "c_sentinel") {
+            import spark.implicits._
+            Seq((-1L, new java.sql.Timestamp(7258118400000L), -1L, "sentinel", 0.0, "{}"))
+              .toDF(events.columns.toIndexedSeq: _*)
+              .select(events.columns.map(c =>
+                col(c).cast(events.schema(c).dataType)).toIndexedSeq: _*)
+              .coalesce(1).write.parquet(stage.toString)
+            stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+          } else {
+            events.filter(pred).coalesce(1).write.parquet(stage.toString)
+            stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+          }
+        java.nio.file.Files.move(
+          part.toPath, new java.io.File(dataDir, s"$tag.parquet").toPath)
+      }
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+      val drained = StatefulProfile
+        .drainUpdate(spark, StatefulProfile.sessionTimerStream(stream))
+        .filter(col("user_id") =!= -1L)
+      assert(sessionsToMap(drained) == driverSessions(),
+        "three-batch timer drain != batch gaps-and-islands")
+      events.unpersist()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("multi-batch drain: state hands off across micro-batches") {
     val tmp = java.nio.file.Files.createTempDirectory("tws_split").toFile
     try {
