@@ -57,7 +57,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q466_self_bleu", "q393_huber_mean", "q406_repeated_substring",
     "q397_good_turing", "q390_mutual_nn", "q486_sinkhorn_ot",
     "q106_fuzzy_match", "q280_label_noise", "q290_jenks_breaks",
-    "q69_dedup_clusters_star", "q396_chao1_richness")
+    "q69_dedup_clusters_star", "q396_chao1_richness",
+    // DSv2 connector shapes (r13): BatchScan with pushed id bounds, and
+    // the columnar variant's ColumnarToRow transition
+    "q612_dsv2_pushdown", "q615_dsv2_columnar")
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
