@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.SimConfig
-import graft.queries.{Extras, LlmQueries, QueryDef, Relational, Round10, Round11, Round12, Round13, Round14, Round15, Round16, Round17, Round18, Round19, Round20, Round21, Round22, Round23, Round24, Round25, Round26, Round27, Round28, Round29, Round30, Round31, Round32, Round33, Round34, Round35, Round36, Round37, Round38, Round39, Round40, Round41, Round42, Round43, Round44, Round45, Round46, Round47, Round48, Round49, Round50, Round51, Round52, Round53, Round54, Round55, Round56, Round57, Round58, Round59, Round60, Round61, Round62, Round63, Round64, Round65, Round66, Round67, Round4, Round5, Round6, Round7, Round8, Round9, SimQueries, Temporal}
+import graft.queries.{Extras, LlmQueries, QueryDef, Relational, Round10, Round11, Round12, Round13, Round14, Round15, Round16, Round17, Round18, Round19, Round20, Round21, Round22, Round23, Round24, Round25, Round26, Round27, Round28, Round29, Round30, Round31, Round32, Round33, Round34, Round35, Round36, Round37, Round38, Round39, Round40, Round41, Round42, Round43, Round44, Round45, Round46, Round47, Round48, Round49, Round50, Round51, Round52, Round53, Round54, Round55, Round56, Round57, Round58, Round59, Round60, Round61, Round62, Round63, Round64, Round65, Round66, Round67, Round68, Round4, Round5, Round6, Round7, Round8, Round9, SimQueries, Temporal}
 import graft.sim.SimOperator
 import graft.sources.EventRequests
 import graft.stats.Statistics
@@ -23,7 +23,7 @@ object SparkEntry {
       Round4.all ++ Round5.all ++ Round6.all ++ Round7.all ++ Round8.all ++ Round9.all ++
       Round10.all ++ Round11.all ++ Round12.all ++ Round13.all ++ Round14.all ++ Round15.all ++
       Round16.all ++ Round17.all ++ Round18.all ++ Round19.all ++ Round20.all ++ Round21.all ++
-      Round22.all ++ Round23.all ++ Round24.all ++ Round25.all ++ Round26.all ++ Round27.all ++ Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++ Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++ Round36.all ++ Round37.all ++ Round38.all ++ Round39.all ++ Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all ++ Round55.all ++ Round56.all ++ Round57.all ++ Round58.all ++ Round59.all ++ Round60.all ++ Round61.all ++ Round62.all ++ Round63.all ++ Round64.all ++ Round65.all ++ Round66.all ++ Round67.all
+      Round22.all ++ Round23.all ++ Round24.all ++ Round25.all ++ Round26.all ++ Round27.all ++ Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++ Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++ Round36.all ++ Round37.all ++ Round38.all ++ Round39.all ++ Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all ++ Round55.all ++ Round56.all ++ Round57.all ++ Round58.all ++ Round59.all ++ Round60.all ++ Round61.all ++ Round62.all ++ Round63.all ++ Round64.all ++ Round65.all ++ Round66.all ++ Round67.all ++ Round68.all
 
   /** Flagship: full reference pipeline on the lake — events → typed
     * requests → discrete-event simulation (4 workers, priority queue) →

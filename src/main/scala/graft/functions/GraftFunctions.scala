@@ -114,6 +114,13 @@ object GraftFunctions {
         orInvalid("shingle_posexplode", args)(
           literalLong(n, "shingle_posexplode", "n").map(w => ShingleExplode(s, w.toInt)))
       case args => arity("shingle_posexplode", args, "2")
+    },
+    make("space_saving_topk",
+      "_FUNC_(key, capacity) - aggregate: SpaceSaving heavy hitters, array<struct<key,est,err>>.") {
+      case args @ Seq(k, cap) =>
+        orInvalid("space_saving_topk", args)(
+          literalLong(cap, "space_saving_topk", "capacity").map(c => SpaceSavingTopK(k, c.toInt)))
+      case args => arity("space_saving_topk", args, "2")
     }
   )
 
