@@ -126,5 +126,30 @@ object Round65 {
         FROM cells GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(q612Dsv2Pushdown, q613Dsv2Residual, q615Dsv2Columnar)
+  // ---------------------------------------------------------------- q620
+
+  /** AGGREGATE pushdown: count(*)/min(id)/max(id) with no grouping are
+    * absorbed by the scan (`SupportsPushDownAggregates`) and collapse to
+    * one CLOSED-FORM row per planned partition — O(1) per partition, no
+    * data rows generated; Spark's final aggregate combines the partials.
+    * Composes with the pushed id bound (filters push first).
+    */
+  val q620Dsv2AggPushdown: QueryDef = QueryDef(
+    "q620_dsv2_agg_pushdown",
+    (s, _) =>
+      gen(s)
+        .filter(col("id") >= 4096L && col("id") <= 200000L)
+        .agg(
+          expr("count(*)").as("n"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id")),
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(min(id) AS BIGINT) AS min_id,
+                    CAST(max(id) AS BIGINT) AS max_id
+             FROM (SELECT CAST(range AS BIGINT) AS id FROM range($Rows)
+                   WHERE range BETWEEN 4096 AND 200000)""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q612Dsv2Pushdown, q613Dsv2Residual, q615Dsv2Columnar, q620Dsv2AggPushdown)
 }

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch,
   InputPartition,
@@ -14,6 +15,7 @@ import org.apache.spark.sql.connector.read.{
   PartitionReaderFactory,
   Scan,
   ScanBuilder,
+  SupportsPushDownAggregates,
   SupportsPushDownFilters,
   SupportsPushDownRequiredColumns
 }
@@ -137,12 +139,14 @@ class GenScanBuilder(
     rowsPerBatch: Long = 16384L)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = GenSource.schema
   private var accepted: Array[Filter] = Array.empty
   private var minId: Long = 0L
   private var maxId: Long = rows - 1 // inclusive bounds after pushdown
+  private var pushedAgg: Option[Seq[String]] = None // "count" | "min" | "max"
 
   /** Absorb exactly the id predicates the reader can honor losslessly;
     * everything else stays residual for Spark to re-apply post-scan.
@@ -175,8 +179,39 @@ class GenScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GenScan(rows, partitions, seed, required, accepted, minId, maxId, columnar, rowsPerBatch)
+  /** AGGREGATE pushdown (partial): count(*) / min(id) / max(id) with no
+    * grouping collapse to CLOSED FORM over each partition's id range —
+    * the reader emits one pre-aggregated row per partition and never
+    * generates data rows; Spark's final aggregate combines the partials.
+    * Anything else (grouping, other columns) is refused and runs as a
+    * normal scan + aggregate.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val kinds = aggregation.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case m: Min if m.column.describe == "id" => "min"
+      case m: Max if m.column.describe == "id" => "max"
+      case _ => null
+    }
+    if (kinds.contains(null)) false
+    else {
+      pushedAgg = Some(kinds.toSeq)
+      true
+    }
+  }
+
+  override def build(): Scan = {
+    val schema = pushedAgg match {
+      case Some(kinds) =>
+        StructType(kinds.zipWithIndex.map { case (k, i) =>
+          StructField(s"${k}_$i", LongType, nullable = false)
+        })
+      case None => required
+    }
+    new GenScan(
+      rows, partitions, seed, schema, accepted, minId, maxId, columnar, rowsPerBatch, pushedAgg)
+  }
 }
 
 class GenScan(
@@ -188,14 +223,16 @@ class GenScan(
     val minId: Long,
     val maxId: Long,
     columnar: Boolean = false,
-    rowsPerBatch: Long = 16384L)
+    rowsPerBatch: Long = 16384L,
+    val aggPushed: Option[Seq[String]] = None)
     extends Scan
     with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-gen pushed=[${pushed.mkString(", ")}] ids=[$minId, $maxId]"
+    s"graft-gen pushed=[${pushed.mkString(", ")}] ids=[$minId, $maxId]" +
+      aggPushed.map(k => s" agg=[${k.mkString(", ")}]").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -216,7 +253,10 @@ class GenScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GenReaderFactory(seed, required.fieldNames, columnar)
+    aggPushed match {
+      case Some(kinds) => GenAggReaderFactory(kinds)
+      case None => GenReaderFactory(seed, required.fieldNames, columnar)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GenMicroBatchStream(rows, partitions, seed, rowsPerBatch, required.fieldNames)
@@ -283,6 +323,27 @@ class GenMicroBatchStream(
 }
 
 case class GenInputPartition(lo: Long, hi: Long) extends InputPartition
+
+/** Pre-aggregated read: ONE closed-form row per partition — count, min
+  * and max of the id range cost O(1) regardless of partition size, the
+  * whole point of shipping the aggregate to the source.
+  */
+case class GenAggReaderFactory(kinds: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(kinds.map {
+        case "count" => p.hi - p.lo
+        case "min" => p.lo
+        case "max" => p.hi - 1
+        case other => throw new IllegalArgumentException(s"unknown agg $other")
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
 
 case class GenReaderFactory(seed: Long, columns: Array[String], columnar: Boolean = false)
     extends PartitionReaderFactory {

@@ -124,6 +124,23 @@ class Round65PropertySpec extends AnyFunSuite {
     assert(a.map(_._2).sum == 65536L, "decile counts must cover the id range")
   }
 
+  // ---------------------------------------------------------------- q620
+
+  test("q620 aggregate pushdown: closed-form partials, no data rows") {
+    val df = SparkEntry.queries("q620_dsv2_agg_pushdown")(spark, sfDir)
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((195905L, 4096L, 200000L)))
+    val scan = genScanOf(df)
+    assert(scan.aggPushed == Some(Seq("count", "min", "max")),
+      s"aggregation not absorbed: ${scan.aggPushed}")
+    assert(scan.readSchema().fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType) && scan.readSchema().size == 3,
+      "agg-mode scan must read the pre-aggregated schema")
+    // filter pushdown composes: ids [4096, 200000] cover splits 0..12
+    assert(scan.minId == 4096L && scan.maxId == 200000L)
+    assert(scan.planInputPartitions().length == 13)
+  }
+
   // ------------------------------------------------- pruning standalone
 
   test("single-column projection prunes the read schema to that column") {
