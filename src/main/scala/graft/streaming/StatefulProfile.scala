@@ -59,16 +59,23 @@ class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsProfile]
     var t =
       if (totals.exists()) totals.get()
       else TwsTotals(0L, 0L, Long.MaxValue, Long.MinValue)
+    // accumulate the batch slice locally, then touch the state store
+    // O(types-in-batch) times, not O(events) — at bench scale this is the
+    // difference between 1.8M and ~7.5k RocksDB point ops per drain
+    val batchCounts = scala.collection.mutable.HashMap.empty[String, Long]
     rows.foreach { e =>
       t = TwsTotals(
         t.n + 1,
         t.cents + e.cents,
         math.min(t.firstUs, e.us),
         math.max(t.lastUs, e.us))
-      val prev = if (typeCounts.containsKey(e.event_type)) typeCounts.getValue(e.event_type) else 0L
-      typeCounts.updateValue(e.event_type, prev + 1)
+      batchCounts.update(e.event_type, batchCounts.getOrElse(e.event_type, 0L) + 1)
     }
     totals.update(t)
+    batchCounts.foreach { case (tp, dn) =>
+      val prev = if (typeCounts.containsKey(tp)) typeCounts.getValue(tp) else 0L
+      typeCounts.updateValue(tp, prev + dn)
+    }
     // dominant type: max count, tie broken to the lexicographically
     // smallest type (matches the oracle's (n DESC, event_type) rank)
     var domType: String = null
