@@ -85,5 +85,19 @@ object Round66 {
         ORDER BY user_id, session_start_us""")
   )
 
-  val all: Seq[QueryDef] = Seq(q614TwsProfile, q617TwsTimerSessions)
+  /** q621: BACKFILL-then-stream — `StatefulProcessorWithInitialState`
+    * seeds the q614 profile state from a batch relation of per-(user,
+    * type) aggregates over the first half of history; only the second
+    * half flows through the stream; the serving merge (live wins, else
+    * bootstrap) must equal the FULL-history batch profile — q614's own
+    * oracle, bit-for-bit. The lake-migration pattern: go live without
+    * replaying history through the stream.
+    */
+  val q621TwsBootstrap: QueryDef = QueryDef(
+    "q621_tws_bootstrap",
+    (s, dir) => StatefulProfile.runBootstrappedProfiles(s, dir),
+    q614TwsProfile.oracle
+  )
+
+  val all: Seq[QueryDef] = Seq(q614TwsProfile, q617TwsTimerSessions, q621TwsBootstrap)
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{
   MapState,
   OutputMode,
   StatefulProcessor,
+  StatefulProcessorWithInitialState,
   TTLConfig,
   TimeMode,
   TimerValues,
@@ -41,24 +42,29 @@ case class TwsProfile(
   * n_events per key" is the final profile under any batch split, the
   * fact the multi-batch spec test leans on.
   */
-class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsProfile] {
+trait ProfileStateCore { self: StatefulProcessor[Long, TwsEvent, TwsProfile] =>
 
-  @transient private var totals: ValueState[TwsTotals] = _
-  @transient private var typeCounts: MapState[String, Long] = _
+  @transient protected var totals: ValueState[TwsTotals] = _
+  @transient protected var typeCounts: MapState[String, Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+  protected def initStates(): Unit = {
     totals = getHandle.getValueState("totals", Encoders.product[TwsTotals], TTLConfig.NONE)
     typeCounts =
       getHandle.getMapState("typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  override def handleInputRows(
-      key: Long,
-      rows: Iterator[TwsEvent],
-      timerValues: TimerValues): Iterator[TwsProfile] = {
-    var t =
-      if (totals.exists()) totals.get()
-      else TwsTotals(0L, 0L, Long.MaxValue, Long.MinValue)
+  protected def currentTotals(): TwsTotals =
+    if (totals.exists()) totals.get()
+    else TwsTotals(0L, 0L, Long.MaxValue, Long.MinValue)
+
+  protected def bumpType(tp: String, dn: Long): Unit = {
+    val prev = if (typeCounts.containsKey(tp)) typeCounts.getValue(tp) else 0L
+    typeCounts.updateValue(tp, prev + dn)
+  }
+
+  /** Fold one batch slice into state and emit the updated profile. */
+  protected def foldBatch(key: Long, rows: Iterator[TwsEvent]): Iterator[TwsProfile] = {
+    var t = currentTotals()
     // accumulate the batch slice locally, then touch the state store
     // O(types-in-batch) times, not O(events) — at bench scale this is the
     // difference between 1.8M and ~7.5k RocksDB point ops per drain
@@ -72,10 +78,7 @@ class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsProfile]
       batchCounts.update(e.event_type, batchCounts.getOrElse(e.event_type, 0L) + 1)
     }
     totals.update(t)
-    batchCounts.foreach { case (tp, dn) =>
-      val prev = if (typeCounts.containsKey(tp)) typeCounts.getValue(tp) else 0L
-      typeCounts.updateValue(tp, prev + dn)
-    }
+    batchCounts.foreach { case (tp, dn) => bumpType(tp, dn) }
     // dominant type: max count, tie broken to the lexicographically
     // smallest type (matches the oracle's (n DESC, event_type) rank)
     var domType: String = null
@@ -87,6 +90,61 @@ class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsProfile]
     }
     Iterator.single(TwsProfile(key, t.n, nTypes, t.cents, t.firstUs, t.lastUs, domType))
   }
+}
+
+class UserProfileProcessor
+    extends StatefulProcessor[Long, TwsEvent, TwsProfile]
+    with ProfileStateCore {
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = initStates()
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TwsEvent],
+      timerValues: TimerValues): Iterator[TwsProfile] = foldBatch(key, rows)
+}
+
+/** Per-(user, type) backfill slice feeding the bootstrap processor. */
+case class TwsTypeSlice(
+    user_id: Long,
+    event_type: String,
+    type_n: Long,
+    cents: Long,
+    first_us: Long,
+    last_us: Long)
+
+/** The BACKFILL-then-stream face of the API
+  * ([[StatefulProcessorWithInitialState]]): state is seeded from a batch
+  * relation of per-(user, type) aggregates — `handleInitialState` runs
+  * once per initial-state row BEFORE the first micro-batch — and the
+  * stream then folds only the delta. This is the lake-migration story:
+  * a new stateful pipeline goes live against historical state computed
+  * as one batch job instead of replaying the history through the stream.
+  */
+class BootstrapProfileProcessor
+    extends StatefulProcessorWithInitialState[Long, TwsEvent, TwsProfile, TwsTypeSlice]
+    with ProfileStateCore {
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = initStates()
+
+  override def handleInitialState(
+      key: Long,
+      initialState: TwsTypeSlice,
+      timerValues: TimerValues): Unit = {
+    val t = currentTotals()
+    totals.update(
+      TwsTotals(
+        t.n + initialState.type_n,
+        t.cents + initialState.cents,
+        math.min(t.firstUs, initialState.first_us),
+        math.max(t.lastUs, initialState.last_us)))
+    bumpType(initialState.event_type, initialState.type_n)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TwsEvent],
+      timerValues: TimerValues): Iterator[TwsProfile] = foldBatch(key, rows)
 }
 
 case class TwsSessEvent(user_id: Long, us: Long, cents: Long)
@@ -190,6 +248,63 @@ object StatefulProfile {
   def runUserProfiles(spark: SparkSession, sfDir: String): DataFrame = {
     val drained = drainUpdate(spark, profileStream(StreamingOps.eventsStream(spark, sfDir)))
     finalProfiles(drained)
+  }
+
+  /** Backfill-then-stream: per-(user, type) aggregates of events at or
+    * before `cutUs` seed the processor's state as INITIAL STATE; only
+    * events after `cutUs` flow through the stream. The serving answer
+    * merges live updates with a bootstrap passthrough for users the
+    * delta never touched — and equals the full-history batch profile
+    * (q614's oracle) exactly.
+    */
+  def runBootstrappedProfiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val mm = events.selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))").collect().head
+    val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+
+    val slices = typedEvents(events)
+      .filter(col("us") <= cutUs)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("type_n"),
+        sum(col("cents")).as("cents"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+      .as[TwsTypeSlice]
+
+    val delta = StreamingOps.eventsStream(spark, sfDir).filter(unix_micros(col("ts")) > cutUs)
+    val ss = delta.sparkSession
+    val live = {
+      import ss.implicits._
+      val out = typedEvents(delta)
+        .as[TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new BootstrapProfileProcessor,
+          TimeMode.None(),
+          OutputMode.Update(),
+          slices.groupByKey(_.user_id))
+        .toDF()
+      finalProfiles(drainUpdate(spark, out))
+    }
+
+    // bootstrap passthrough for users the delta never touched (serving
+    // merge: live wins, else backfill) — dominant type by the same
+    // (n DESC, type ASC) rank as the processor
+    slices.toDF().createOrReplaceTempView("tws_bootstrap_slices")
+    val bootstrapProfiles = spark.sql(
+      """SELECT s.user_id,
+                CAST(sum(s.type_n) AS BIGINT) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(s.cents) AS BIGINT) AS cents_sum,
+                CAST(min(s.first_us) AS BIGINT) AS first_us,
+                CAST(max(s.last_us) AS BIGINT) AS last_us,
+                min(named_struct('neg_n', -s.type_n, 'tp', s.event_type)).tp AS dom_type
+         FROM tws_bootstrap_slices s GROUP BY s.user_id""")
+    bootstrapProfiles
+      .join(live.select(col("user_id")), Seq("user_id"), "left_anti")
+      .unionByName(live)
   }
 
   /** Latest emission per key (max n_events — see emission contract). */

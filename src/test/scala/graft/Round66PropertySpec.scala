@@ -46,6 +46,24 @@ class Round66PropertySpec extends AnyFunSuite {
     assert(got == expected, s"mismatch: got ${got.size} keys, expected ${expected.size}")
   }
 
+  // ---------------------------------------------------------------- q621
+
+  test("q621 bootstrap+delta equals q614's full-history profile") {
+    val boot = toMapped(SparkEntry.queries("q621_tws_bootstrap")(spark, sfDir))
+    assert(boot == driverProfiles(), "backfill-then-stream != full batch profile")
+    // the equality is only meaningful if the stream really carried a
+    // strict subset: at least one user's profile must straddle the cut
+    // (first event before it, last event after it)
+    val events = StatefulProfile.typedEvents(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val mm = (events.map(_._2).min, events.map(_._2).max)
+    val cut = (mm._1 + mm._2) / 2
+    val straddlers = events.groupBy(_._1).count { case (_, xs) =>
+      xs.exists(_._2 <= cut) && xs.exists(_._2 > cut)
+    }
+    assert(straddlers > 0, "no user straddles the cut - bootstrap merge untested")
+  }
+
   // ---------------------------------------------------------------- q617
 
   private def driverSessions(): Map[(Long, Long), (Long, Long)] = {
