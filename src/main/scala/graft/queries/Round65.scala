@@ -150,6 +150,42 @@ object Round65 {
                    WHERE range BETWEEN 4096 AND 200000)""")
   )
 
+  // ---------------------------------------------------------------- q622
+
+  /** RUNTIME filtering (the connector analogue of dynamic partition
+    * pruning, `SupportsRuntimeFiltering`): the generator joined on `id`
+    * to a probe set derived from the customer dimension — once the
+    * build side materializes, the scan receives the probe ids and drops
+    * id splits holding none of them BEFORE generating their rows.
+    * Correctness never depends on the pruning (the join re-filters), so
+    * the oracle simply replays the join.
+    */
+  val q622Dsv2RuntimeFilter: QueryDef = QueryDef(
+    "q622_dsv2_runtime_filter",
+    (s, dir) => {
+      val probes = graft.sources.Tables
+        .table(s, dir, "customer")
+        .select((col("c_custkey") * 53L).as("probe_id"))
+      gen(s)
+        .join(probes, col("id") === col("probe_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value")).as("total_value"),
+          countDistinct(col("category")).as("n_cats"))
+    },
+    Some(s"""WITH ${genReplaySql(0L, Rows - 1)},
+        probes AS (SELECT c_custkey * 53 AS probe_id FROM customer)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(value) AS BIGINT) AS total_value,
+               CAST(count(DISTINCT category) AS BIGINT) AS n_cats
+        FROM cells JOIN probes ON cells.id = probes.probe_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q612Dsv2Pushdown, q613Dsv2Residual, q615Dsv2Columnar, q620Dsv2AggPushdown)
+    Seq(
+      q612Dsv2Pushdown,
+      q613Dsv2Residual,
+      q615Dsv2Columnar,
+      q620Dsv2AggPushdown,
+      q622Dsv2RuntimeFilter)
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch,
@@ -25,12 +25,14 @@ import org.apache.spark.sql.connector.read.streaming.{
   ReadLimit,
   SupportsTriggerAvailableNow
 }
+import org.apache.spark.sql.connector.read.{SupportsRuntimeFiltering => RuntimeFiltering}
 import org.apache.spark.sql.sources.{
   DataSourceRegister,
   EqualTo,
   Filter,
   GreaterThan,
   GreaterThanOrEqual,
+  In,
   IsNotNull,
   LessThan,
   LessThanOrEqual
@@ -226,7 +228,39 @@ class GenScan(
     rowsPerBatch: Long = 16384L,
     val aggPushed: Option[Seq[String]] = None)
     extends Scan
-    with Batch {
+    with Batch
+    with RuntimeFiltering {
+
+  /** RUNTIME filtering (the connector analogue of dynamic partition
+    * pruning): after a join's build side materializes, Spark hands the
+    * scan an `In(id, …)` filter and re-plans input partitions — splits
+    * holding none of the probe ids are dropped at RUNTIME, before a
+    * single row of theirs is generated. Correctness never depends on it
+    * (the join re-filters); it is purely the scan-elision hint, so
+    * anything unrecognized is ignored.
+    */
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("id", values) =>
+        runtimeIds = Some(values.collect { case v: Long => v }.sorted)
+      case _ => () // pruning is best-effort; unrecognized filters are no-ops
+    }
+
+  /** True iff some runtime id lands in [lo, hi); vacuously true before a
+    * runtime filter arrives.
+    */
+  private def runtimeHit(lo: Long, hi: Long): Boolean = runtimeIds match {
+    case None => true
+    case Some(ids) =>
+      var i = java.util.Arrays.binarySearch(ids, lo)
+      if (i < 0) i = -i - 1
+      i < ids.length && ids(i) < hi
+  }
 
   override def readSchema(): StructType = required
 
@@ -248,7 +282,7 @@ class GenScan(
         val hi = math.min(math.min((p + 1) * per, rows), maxId + 1) // exclusive
         GenInputPartition(lo, hi)
       }
-      .filter(ip => ip.lo < ip.hi)
+      .filter(ip => ip.lo < ip.hi && runtimeHit(ip.lo, ip.hi))
       .toArray
   }
 

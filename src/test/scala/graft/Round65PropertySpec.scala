@@ -141,6 +141,39 @@ class Round65PropertySpec extends AnyFunSuite {
     assert(scan.planInputPartitions().length == 13)
   }
 
+  // ---------------------------------------------------------------- q622
+
+  test("q622 runtime filtering: In(id) prunes splits; join result exact") {
+    // unit level: a runtime In(id, ...) drops every split holding none
+    // of the probe ids
+    val scan = new GenScan(
+      262144L, 16, Seed, gen.schema, Array.empty, 0L, 262143L)
+    assert(scan.planInputPartitions().length == 16)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array[Any](5L, 100000L, 100001L))))
+    val kept = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.v2.GenInputPartition])
+    assert(kept.length == 2, s"expected 2 surviving splits, got ${kept.length}")
+    assert(kept.exists(p => p.lo <= 5 && 5 < p.hi) &&
+      kept.exists(p => p.lo <= 100000 && 100000 < p.hi))
+
+    // integration: the joined aggregate matches a driver fold over the
+    // probe ids (correctness never depends on whether pruning fired)
+    val df = SparkEntry.queries("q622_dsv2_runtime_filter")(spark, sfDir)
+    val row = df.collect().head
+    val probeIds = graft.sources.Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0) * 53L)
+      .filter(id => id >= 0 && id < 262144L)
+    val vals = probeIds.map(id => GenSource.value(id, Seed))
+    val cats = probeIds.map(id => GenSource.category(id, Seed)).toSet
+    assert(row.getLong(0) == probeIds.length.toLong)
+    assert(row.getLong(1) == vals.sum)
+    assert(row.getLong(2) == cats.size.toLong)
+
+    // the scan must declare the runtime-filterable attribute
+    val planScan = genScanOf(df)
+    assert(planScan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+  }
+
   // ------------------------------------------------- pruning standalone
 
   test("single-column projection prunes the read schema to that column") {
