@@ -126,6 +126,13 @@ object Dedup {
   def hashedTokenShingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val fn = s"token_shingle_hashes_$n"
     TokenShingleHashes.register(docs.sparkSession, fn, n)
+    // (r13 note: a scale-adaptive Par.spread was measured HERE and
+    // reverted — it helps the minhash-signature callers, which stack a
+    // 64-permutation kernel on this projection and now spread in
+    // [[minhashPairs]] instead, but costs the PPJoin family an extra
+    // exchange + a fragmented cache for no kernel win: min-of-3 at
+    // sf0.1 read q28 1.26→1.61, q395 3.55→4.40, q475 3.48→4.18 with
+    // the central spread vs without.)
     docs.select(col("doc_id"), expr(s"$fn(text)").as("shingles"))
   }
 
@@ -623,7 +630,12 @@ object Dedup {
     // Shingles AND signature in one checkpoint: both the band self-join (which
     // evaluates its lineage once per side) and the verification read from
     // here, so the 64-permutation signature is computed exactly once.
-    val sh = hashedTokenShingles(docs, n)
+    // r13: scale-adaptive [[Par.spread]] before the kernels — the bench
+    // corpus is a single-row-group parquet scan (ONE task), so shingle
+    // hashing + the 64-permutation signature ran on one core; measured
+    // min-of-3 at sf0.1: q69 2.04→1.56, q608 4.90→4.44, q127 2.09→1.76,
+    // q26 0.97→0.82. No-op on a many-split production scan.
+    val sh = hashedTokenShingles(Par.spread(docs.select("doc_id", "text")), n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"$fn(shingles)"))
       .localCheckpoint()

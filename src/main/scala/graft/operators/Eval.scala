@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,17 +223,37 @@ object Eval {
       salt: String = "boot"
   ): DataFrame = {
     require(reps >= 10, "need >= 10 replicates")
-    val base = df
+    // Scale-adaptive spread of the NARROW (rid, c) projection before
+    // the digest explode (r13, [[Par.spread]]): the bench inputs are
+    // single-row-group parquet files, so the scan is ONE task and the
+    // ⌈reps/4⌉ md5 digests per row — the query's dominant cost — ran on
+    // one core. The shuffle moves two narrow columns per input row
+    // (project-before-exchange, §2.3) and unlocks full parallelism for
+    // the hash work; measured 3.4 s → 0.93 s at sf0.1/local[32]. On a
+    // many-split production scan the spread is a no-op.
+    val base = Par.spread(df
       .select(
         col(idCol).cast("string").as("rid"),
-        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c"))
-      .localCheckpoint() // consumed by the replicate explode and the point estimate
-    // one md5 yields FOUR dyadic uniforms (32 hex chars = 4 × 8-hex
-    // words): digests are computed once per BATCH row before the word
-    // explode, cutting the dominant per-(row, replicate) hash cost 4×
-    val u = conv(expr("substring(digest, j * 8 + 1, 8)"), 16, 10)
-      .cast("double") / lit(4294967296.0)
-    val w = when(u < 0.36787944117144233, 0L)
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("c")))
+    // One md5 yields FOUR dyadic uniforms (32 hex chars = 4 × 8-hex
+    // words). r13 optimization (guide §2.3 "aggregate before you
+    // shuffle" / §1.2 per-task work): the replicate dimension used to
+    // be a DOUBLE explode — |rows| × reps generated rows (the digest
+    // row re-exploded 4-ways per hex word), each weighted and hash-
+    // aggregated into `reps` groups. The 4 weights of one digest are
+    // now COLUMNS on the single batch-explode (|rows| × ⌈reps/4⌉
+    // generated rows — 4× less Generate + aggregate-probe machinery),
+    // summed into 8 aggregate buffers keyed by the ⌈reps/4⌉ batch ids
+    // and unpivoted to (b, swc, sw) with stack (dimension-sized).
+    // Weights, sums and rep means are bit-identical to the old shape:
+    // same digests, same thresholds, same integer sums — only the
+    // shape of the partial aggregation changed. (An all-columns
+    // variant — reps weight columns, one ungrouped 2·reps-buffer
+    // aggregate, zero Generate — was measured SLOWER at sf0.1: 4.59 s
+    // vs 2.70 s baseline vs 1.4 s for this shape; the ~450-branch
+    // projection + 102-buffer aggregate falls out of whole-stage
+    // codegen. Kept the 4-wide middle shape.)
+    def wOf(u: Column): Column = when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)
       .when(u < 0.9196986029286058, 2L)
       .when(u < 0.9810118431238463, 3L)
@@ -242,20 +262,38 @@ object Eval {
       .when(u < 0.999916758850712, 6L)
       .when(u < 0.9999897508033253, 7L)
       .otherwise(8L)
-    val repMeans = base
-      .withColumn("batch", explode(expr(s"sequence(0, ${(reps - 1) / 4})")))
+    def wAt(j: Int): Column =
+      wOf(conv(substring(col("digest"), j * 8 + 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0))
+    val nBatches = (reps - 1) / 4 + 1
+    val perBatch = base
+      .select(col("rid"), col("c"), explode(expr(s"sequence(0, ${nBatches - 1})")).as("batch"))
       .withColumn(
         "digest",
         md5(concat(col("rid"), lit(":"), col("batch").cast("string"), lit(salt))))
-      .withColumn("j", explode(expr("sequence(0, 3)")))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("c")).as("sc"),
+        sum(wAt(0) * col("c")).as("swc_0"), sum(wAt(0)).as("sw_0"),
+        sum(wAt(1) * col("c")).as("swc_1"), sum(wAt(1)).as("sw_1"),
+        sum(wAt(2) * col("c")).as("swc_2"), sum(wAt(2)).as("sw_2"),
+        sum(wAt(3) * col("c")).as("swc_3"), sum(wAt(3)).as("sw_3"))
+      .localCheckpoint() // ⌈reps/4⌉ rows; feeds the unpivot AND the point estimate
+    val repSums = perBatch
+      .select(
+        col("batch"),
+        expr("stack(4, 0L, swc_0, sw_0, 1L, swc_1, sw_1, 2L, swc_2, sw_2, 3L, swc_3, sw_3)")
+          .as(Seq("j", "swc", "sw")))
       .withColumn("b", col("batch") * 4 + col("j") + 1)
       .filter(col("b") <= reps)
-      .withColumn("w", w)
-      .groupBy(col("b"))
-      .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+    val repMeans = repSums
       .filter(col("sw") > 0)
       .select((col("swc").cast("double") / col("sw").cast("double") / 100.0).as("rep_mean"))
-    val overall = base.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    // the point estimate reuses batch 0's per-row count and value sum
+    // (every batch aggregates the same base rows exactly once)
+    val overall = perBatch.filter(col("batch") === 0)
+      .select(col("n_rows").as("n"), col("sc"))
     repMeans
       .agg(
         count(lit(1)).as("n_reps"),

@@ -27,17 +27,19 @@ object Round62 {
     * count; 1/16 is the conservative end of the parquet-writer
     * heuristics). The column list is the audit's fixed contract.
     *
-    * ONE-PASS shape (VERDICT r12 ask #5): the r12 version scanned
-    * lineitem once per audited column (8 UNION ALL branches — benign
-    * under columnar pruning at sf0.1, the wrong plan against a 100 TB
-    * table). Now all eight exact NDVs ride a single multi-distinct
-    * aggregate — Catalyst's RewriteDistinctAggregates turns it into ONE
-    * FileSourceScan + an 8-way Expand whose shuffle carries only
-    * distinct (gid, value) pairs after partial aggregation — and the
-    * per-column rows are unpivoted from the one aggregate row with
-    * `stack` (dimension-sized: 8 rows). The DuckDB oracle keeps the
-    * independent 8-branch UNION, so the two engines reach the same
-    * table through different plans.
+    * Shape history (r13 optimization round, MEASURED): the mid-r13
+    * build swapped the 8 UNION ALL branches for a single multi-distinct
+    * aggregate (VERDICT r12 ask #5). Catalyst's
+    * RewriteDistinctAggregates plans that as ONE FileSourceScan + a
+    * 9-way Expand — every scanned row multiplied 9×, 5.4M rows through
+    * two Exchanges at sf0.1 — and the bench read **2.53 s vs the
+    * 8-branch shape's 0.16 s** (BENCH_LOCAL_r13 baseline vs r12).
+    * The Expand costs the same 9× row blow-up against a 100 TB
+    * lineitem, while the 8 branches each scan ONE column under
+    * columnar pruning with partial-aggregated distincts — cheaper at
+    * every scale. Reverted to the branch-per-column shape (identical
+    * to the oracle's); plan evidence in
+    * plans/r13/q602_encoding_advisor_{before,after}.txt.
     */
   private val encodingCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
@@ -46,34 +48,17 @@ object Round62 {
     "q602_encoding_advisor",
     (s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("r62_lineitem")
-      s.sql(encodingSparkSql)
+      s.sql(encodingSql(spark = true))
     },
-    Some(encodingOracleSql)
+    Some(encodingSql(spark = false))
   )
 
-  private def encodingSparkSql: String = {
-    val distincts = encodingCols.map(c =>
-      s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c").mkString(",\n                 ")
-    val stackArgs = encodingCols.map(c => s"'$c', d_$c").mkString(", ")
-    s"""WITH agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                 $distincts
-          FROM r62_lineitem),
-        stats AS (
-          SELECT n_rows, stack(${encodingCols.size}, $stackArgs) AS (col_name, ndv)
-          FROM agg)
-        SELECT col_name, n_rows, ndv,
-               ${snap("CAST(ndv AS DOUBLE) / n_rows")} AS ndv_ratio,
-               CAST(CASE WHEN 16 * ndv <= n_rows THEN 1 ELSE 0 END AS INT)
-                 AS dict_worthy
-        FROM stats ORDER BY col_name"""
-  }
-
-  private def encodingOracleSql: String = {
+  private def encodingSql(spark: Boolean): String = {
+    val tbl = if (spark) "r62_lineitem" else "lineitem"
     val branches = encodingCols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(count(DISTINCT $c) AS BIGINT) AS ndv
-          FROM lineitem"""
+          FROM $tbl"""
     }.mkString("\n          UNION ALL\n          ")
     s"""WITH stats AS (
           $branches)

@@ -581,27 +581,59 @@ object Round8 {
   val q282Mahalanobis: QueryDef = QueryDef(
     "q282_mahalanobis",
     (s, dir) => {
+      // r13 optimization (guide §1.2 per-task work): the moment
+      // aggregation summed decimal(38,0) PER ROW — a BigDecimal
+      // allocation + non-vectorized add for every lineitem row, because
+      // Σx2² overflows a long (x2 ≤ ~1.1e7 cents ⇒ x2² ≤ 1.2e14; 600k
+      // rows ⇒ 7e19 > 2⁶³). The sums are now computed as pure LONG
+      // aggregates via the split x2 = h·10⁴ + l (h, l < ~1.1e4):
+      //   Σx2²   = 10⁸·Σh² + 2·10⁴·Σhl + Σl²
+      //   Σx1·x2 = 10⁴·Σx1h + Σx1l
+      // where every partial sum fits a long with orders of magnitude to
+      // spare, and the identities are recombined in decimal(38,0) ON THE
+      // ONE AGGREGATE ROW — exact integers, bit-identical covariance
+      // doubles, zero per-row decimal ops. The broadcast stats row also
+      // precomputes m/c/det once (they are constant per row; computing
+      // them under the cross join re-evaluated the decimal arithmetic
+      // for all 600k rows).
       val d = "decimal(38,0)"
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x1"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x2"))
-      val st = li.agg(
-        count(lit(1)).cast(d).as("n"),
-        sum(col("x1")).cast(d).as("sx1"), sum(col("x2")).cast(d).as("sx2"),
-        sum((col("x1") * col("x1")).cast(d)).as("s11"),
-        sum((col("x1") * col("x2")).cast(d)).as("s12"),
-        sum((col("x2") * col("x2")).cast(d)).as("s22"))
+      val h = expr("x2 div 10000")
+      val l = col("x2") % lit(10000L)
+      val sums = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * h).as("sxh"), sum(col("x1") * l).as("sxl"),
+        sum(h * h).as("shh"), sum(h * l).as("shl"), sum(l * l).as("sll"))
+      def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(d)
+      val st = sums.select(
+        col("n"), col("sx1"), col("sx2"),
+        dec(col("s11")).as("s11"),
+        (dec(lit(10000L)) * dec(col("sxh")) + dec(col("sxl"))).as("s12"),
+        (dec(lit(100000000L)) * dec(col("shh")) +
+          dec(lit(20000L)) * dec(col("shl")) + dec(col("sll"))).as("s22"))
       val nD = col("n").cast("double")
-      val denom = (col("n") * (col("n") - lit(1))).cast("double")
-      val withStats = li.crossJoin(broadcast(st))
+      val denom = (dec(col("n")) * (dec(col("n")) - lit(1))).cast("double")
+      val stats = st
         .withColumn("m1", col("sx1").cast("double") / nD)
         .withColumn("m2", col("sx2").cast("double") / nD)
-        .withColumn("c11", (col("n") * col("s11") - col("sx1") * col("sx1")).cast("double") / denom)
-        .withColumn("c12", (col("n") * col("s12") - col("sx1") * col("sx2")).cast("double") / denom)
-        .withColumn("c22", (col("n") * col("s22") - col("sx2") * col("sx2")).cast("double") / denom)
+        .withColumn("c11",
+          (dec(col("n")) * col("s11") - dec(col("sx1")) * dec(col("sx1")))
+            .cast("double") / denom)
+        .withColumn("c12",
+          (dec(col("n")) * col("s12") - dec(col("sx1")) * dec(col("sx2")))
+            .cast("double") / denom)
+        .withColumn("c22",
+          (dec(col("n")) * col("s22") - dec(col("sx2")) * dec(col("sx2")))
+            .cast("double") / denom)
         .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .select("m1", "m2", "c11", "c12", "c22", "det")
+      val withStats = li.crossJoin(broadcast(stats))
         .withColumn("dx1", col("x1").cast("double") - col("m1"))
         .withColumn("dx2", col("x2").cast("double") - col("m2"))
         .withColumn(

@@ -495,12 +495,18 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "xx batch stream yy"), // true match
       (2L, "stream batch xx"), // has all trigrams of 'batch str'? no 'h s'
       (3L, "batch stxreamch h s"), // engineered false positive candidate
-      (4L, "nothing here")
+      (4L, "nothing here"),
+      // ALL 10 pattern trigrams present ('eam' from 'xeam') but the
+      // pattern itself is not — must surface as a candidate with
+      // confirmed=false (the r13 row-local gate keeps the superset
+      // semantics of the exploded-index shape)
+      (5L, "batch streaxeam")
     ).toDF("doc_id", "text")
     val r = TrigramIndex.substringSearch(d, "batch stream").collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("confirmed")).toMap
     assert(r(1L), "true match not confirmed")
     assert(!r.contains(4L), "non-candidate leaked")
+    assert(r.get(5L).contains(false), "all-trigrams false positive must be a candidate, unconfirmed")
     // Every confirmed==true row really contains the pattern; candidates
     // that do not are reported false.
     r.foreach { case (id, conf) =>
