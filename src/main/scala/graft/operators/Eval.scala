@@ -292,8 +292,12 @@ object Eval {
       .select((col("swc").cast("double") / col("sw").cast("double") / 100.0).as("rep_mean"))
     // the point estimate reuses batch 0's per-row count and value sum
     // (every batch aggregates the same base rows exactly once)
+    // exactly one row (batch 0 always exists); the .limit(1) states the
+    // bound for the forced-broadcast plan gate, which cannot see through
+    // a Filter over the checkpoint
     val overall = perBatch.filter(col("batch") === 0)
       .select(col("n_rows").as("n"), col("sc"))
+      .limit(1)
     repMeans
       .agg(
         count(lit(1)).as("n_reps"),
