@@ -903,13 +903,23 @@ object Round11 {
   val q396Chao1Richness: QueryDef = QueryDef(
     "q396_chao1_richness",
     (s, dir) => {
-      views(s, dir, Seq("documents"))
+      // r13 optimization (the q397 fix, same class): `slice(split(text),
+      // i, 3)` inside the transform lambda re-split the text once PER
+      // ELEMENT (no subexpression elimination across a lambda boundary
+      // — the q214 lesson), and the explode ran on the single-row-group
+      // scan's one task. Pre-split once, spread the narrow (lang, text)
+      // projection to session parallelism ([[graft.operators.Par.spread]],
+      // no-op on many-split production scans). Trigram multiset
+      // identical; oracle unchanged.
+      graft.operators.Par
+        .spread(Tables.documents(s, dir).select("lang", "text"))
+        .createOrReplaceTempView("r11_chao_documents")
       s.sql("""
         WITH toks AS (
           SELECT lang, t FROM (
-            SELECT lang, explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-                                 i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) t
-            FROM r11_documents)),
+            SELECT lang, explode(transform(sequence(1, greatest(size(w) - 2, 0)),
+                                 i -> concat_ws(' ', slice(w, i, 3)))) t
+            FROM (SELECT lang, split(text, ' ') w FROM r11_chao_documents))),
         tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1, 2),
         ff AS (SELECT lang, CAST(count(*) AS BIGINT) d_obs,
                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
@@ -945,21 +955,41 @@ object Round11 {
   val q397GoodTuring: QueryDef = QueryDef(
     "q397_good_turing",
     (s, dir) => {
-      views(s, dir, Seq("documents"))
+      // r13 optimization: the frequency-of-frequencies relation was a
+      // CTE referenced THREE times (n + the fof self-join) — Spark
+      // re-inlines CTEs, so the corpus trigram pass ran three times,
+      // and `slice(split(text,' '), i, 3)` INSIDE the transform lambda
+      // re-split the text per element (the q214 lesson — no
+      // subexpression elimination across a lambda boundary). Now: text
+      // pre-split once, the documents scan spread to session
+      // parallelism ([[graft.operators.Par.spread]] — single-row-group
+      // bench inputs scan as ONE task), and `fof` — HISTOGRAM-sized,
+      // ≤ max trigram count rows — materialized once with
+      // localCheckpoint; N is recovered from fof as Σ r·nr (identical
+      // BIGINT by exchange of summation order). The corpus is read
+      // once instead of three times; everything downstream is
+      // dimension-sized. Oracle unchanged (DuckDB evaluates each CTE
+      // once). Measured 2.12 s → see OPTIMIZATION_r13.md.
+      graft.operators.Par
+        .spread(Tables.documents(s, dir).select("text"))
+        .createOrReplaceTempView("r11_gt_documents")
       s.sql("""
         WITH toks AS (
           SELECT t FROM (
-            SELECT explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-                           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) t
-            FROM r11_documents)),
-        tc AS (SELECT t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1),
-        n AS (SELECT CAST(sum(c) AS BIGINT) n FROM tc),
-        fof AS (SELECT c r, CAST(count(*) AS BIGINT) nr FROM tc GROUP BY 1)
+            SELECT explode(transform(sequence(1, greatest(size(w) - 2, 0)),
+                           i -> concat_ws(' ', slice(w, i, 3)))) t
+            FROM (SELECT split(text, ' ') w FROM r11_gt_documents))),
+        tc AS (SELECT t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY 1)
+        SELECT c r, CAST(count(*) AS BIGINT) nr FROM tc GROUP BY 1""")
+        .localCheckpoint()
+        .createOrReplaceTempView("r11_gt_fof")
+      s.sql("""
+        WITH n AS (SELECT CAST(sum(r * nr) AS BIGINT) n FROM r11_gt_fof)
         SELECT a.r, a.nr, coalesce(b.nr, 0) AS nr1,
                round(CAST((a.r + 1) * coalesce(b.nr, 0) AS DOUBLE) / a.nr, 6)
                  AS r_star,
                round(CAST(a.nr * a.r AS DOUBLE) / max(n.n), 6) AS mass_share
-        FROM fof a LEFT JOIN fof b ON b.r = a.r + 1, n
+        FROM r11_gt_fof a LEFT JOIN r11_gt_fof b ON b.r = a.r + 1, n
         WHERE a.r <= 5
         GROUP BY a.r, a.nr, b.nr
         ORDER BY a.r""")

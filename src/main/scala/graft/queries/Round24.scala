@@ -21,13 +21,16 @@ object Round24 {
   /** (doc_id, rnk, word) token stream — the Round15 tokenizer. */
   private def tokCte(tbl: String, spark: Boolean): String =
     if (spark)
-      s"""SELECT doc_id,
-                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
-                      AS BIGINT) AS rnk,
-                 word
-          FROM (SELECT doc_id, posexplode(split(lower(text), '[^a-z]+')) AS (pos, word)
-                FROM $tbl) x
-          WHERE word <> ''"""
+      // r13 optimization (guide §2): `pos` of the EMPTY-FILTERED array is
+      // exactly the old `row_number() OVER (PARTITION BY doc_id ORDER BY
+      // pos) - 1` — the window only re-numbered the surviving words in
+      // their original order — so filtering inside the array before
+      // posexplode removes one full Exchange+Sort+Window pass over the
+      // exploded token stream from every consumer. Same rows, same rnk.
+      s"""SELECT doc_id, CAST(pos AS BIGINT) AS rnk, word
+          FROM (SELECT doc_id, posexplode(filter(split(lower(text), '[^a-z]+'),
+                                                 w -> w <> '')) AS (pos, word)
+                FROM $tbl) x"""
     else
       s"""SELECT doc_id,
                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
